@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{EventQueries, RelationalQueries, TextQueries, VectorQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY.md §2
+  * (plus the training-data-pipeline extensions); `oracleSql` the DuckDB
+  * equivalent where SQL-expressible. Column names are aliased identically on
+  * both sides (driver hashes values under sorted column names).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-way join + aggregation — exercises scan, broadcast joins, shuffle
+    * agg in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalQueries.defs("q03_join_chain")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loader for the driver-provided benchmark tables (TESTDATA.md).
+  * One parquet file per table under `<sfDir>/<name>.parquet`.
+  *
+  * The `events` table stores TIMESTAMP(NANOS) which Spark 4 rejects; sessions
+  * set `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.config]])
+  * and this loader converts the resulting long back to a microsecond
+  * timestamp (the data has no sub-microsecond content, verified at gen time).
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+}
+
+/** Shared session tuning for every entry point (Verify, Bench, tests). */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  * All pure Column expressions (codegen-friendly, no UDFs).
+  */
+object TextFns {
+
+  /** Whitespace tokens of a document; empty/blank text -> empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count; blank text counts 0. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word token estimate: word-pieces + digits + punctuation,
+    * the common `\w+|[^\w\s]` pre-tokenizer split.
+    */
+  def bpeishTokens(text: Column): Column =
+    filter(split(text, "(?<=\\W)|(?=\\W)"), t => length(trim(t)) > 0)
+
+  /** Word n-gram shingles (space-joined) over whitespace tokens.
+    * Documents shorter than n tokens yield a single shingle of all tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) <= n, array(concat_ws(" ", ts)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))
+        )
+      )
+  }
+
+  /** Character n-gram shingles of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = normalize(text)
+    when(length(t) <= n, array(t))
+      .otherwise(
+        transform(
+          sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))
+        )
+      )
+  }
+
+  /** Lowercase, collapse whitespace, strip non-alphanumerics — canonical
+    * form for exact/fuzzy dedup fingerprints.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** MD5 fingerprint of normalized text (exact-dedup key; mirrors the
+    * reference's content-hash dedup idea, `utils/hash.py:8-30`).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit rolling-style document fingerprint (xxhash64 of normalization). */
+  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+
+  /** Ratio of punctuation chars to total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, 0.0d)
+      .otherwise(
+        (total - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+          / total.cast("double")
+      )
+  }
+
+  /** Ratio of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = Array("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
+    val ts = tokens(lower(text))
+    when(size(ts) === 0, 0.0d)
+      .otherwise(
+        size(filter(ts, t => t.isin(stops.map(x => x: Any): _*))).cast("double")
+          / size(ts).cast("double")
+      )
+  }
+
+  /** Mean token length in characters (0 for empty). */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0d)
+      .otherwise(
+        aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(ts).cast("double")
+      )
+  }
+
+  /** Composite [0,1] quality score: penalizes very short docs, extreme
+    * punctuation density, and stopword-free (non-linguistic) text.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(tokenCount(text).cast("double") / 20.0d, lit(1.0d))
+    val punctPen  = greatest(lit(0.0d), lit(1.0d) - punctRatio(text) * 4.0d)
+    val stopScore = least(stopwordRatio(text) * 5.0d, lit(1.0d))
+    round(lenScore * 0.5d + punctPen * 0.25d + stopScore * 0.25d, 6)
+  }
+
+  /** Language-ID heuristic: scores text against per-language stopword/char
+    * marker sets, returns the argmax language code (or "und").
+    * N-gram-free approximation good enough for routing; NOT a model.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans"),
+      "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "para", "como"),
+      "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人")
+    )
+    val ts = tokens(lower(text))
+    val scored = markers.map { case (lang, words) =>
+      struct(
+        size(filter(ts, t => t.isin(words.map(x => x: Any): _*))).as("score"),
+        lit(lang).as("lang")
+      )
+    }
+    val best = array_max(array(scored: _*))
+    when(size(ts) === 0 || best.getField("score") === 0, "und")
+      .otherwise(best.getField("lang"))
+  }
+}

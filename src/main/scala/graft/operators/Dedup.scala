@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication operators — the reference's deterministic keep-first dedup
+  * (A1, `candidate/transform.py:16-68`) plus the near-dup family a training
+  * -data pipeline needs (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine).
+  *
+  * All shapes are one-shuffle-per-stage and partition by the dedup key, so
+  * they scale horizontally; none collect to the driver.
+  */
+object Dedup {
+
+  /** Deterministic keep-first dedup: among rows equal on `keys`, keep the
+    * first by `order` (ties must be broken by the caller's order columns for
+    * full determinism). `dropDuplicates` alone is non-deterministic — this
+    * is the distributed equivalent of Polars `unique(keep="first",
+    * maintain_order=True)` after a sort.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact text dedup: keep one representative (min id) per normalized-text
+    * fingerprint. Single hash-aggregate shuffle on the fingerprint.
+    */
+  def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    keepFirst(
+      df.withColumn("__fp", TextFns.fingerprint(col(textCol))),
+      Seq("__fp"),
+      Seq(col(idCol).asc)
+    ).drop("__fp")
+
+  /** MinHash signature: array of `numHashes` min-hashed shingle values.
+    * Hash family = murmur3 seeded by the hash index (distinct, deterministic).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => hash(s, i)))
+    )
+
+  /** MinHash-LSH candidate pairs: shingle -> minhash signature -> band
+    * buckets -> self-join within buckets -> verified Jaccard estimate.
+    *
+    * Scale shape: explode to (bandIdx, bandHash) rows — one shuffle to
+    * co-locate bucket members; bucket self-join is local per bucket. At
+    * 100 TB, bucket skew (giant near-dup clusters) is the risk — mitigated
+    * by distinct pairs + AQE skew-join; pathological buckets can be capped.
+    *
+    * @return (idA, idB, estJaccard) with idA < idB,
+    *         estJaccard = fraction of matching minhashes.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sig = df
+      .select(col(idCol).as("id"),
+        minhashSignature(TextFns.wordShingles(col(textCol), shingleN), numHashes).as("sig"))
+    val banded = sig.select(
+      col("id"), col("sig"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("string"), b).as("bh"))
+        )
+      ).as("bucket")
+    ).select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / numHashes)
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash of the document's tokens, as a pure Column expression:
+    * per-token xxhash64, then per-bit weighted majority vote.
+    */
+  def simhash64(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      // vote_j = #tokens with bit j set minus #tokens with bit j clear
+      val set = size(filter(hashes, h => (shiftright(h, j).bitwiseAND(lit(1L))) === 1L))
+      when(set * 2 >= size(hashes), shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    when(size(tokens) === 0, 0L).otherwise(bits.reduce(_ + _))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist, blocked on
+    * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
+    * one of 4 chunks) to avoid the quadratic self-join.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
+      simhash64(TextFns.tokens(col(textCol))).as("sig"))
+    val chunked = withSig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ch"))): _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.chunk"), col("b.ch"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    val hamming = {
+      val x = col("a.sig").bitwiseXOR(col("b.sig"))
+      bit_count(x)
+    }
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming.as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs produced by any
+    * blocking stage: explode shingles, count intersections via groupBy —
+    * shuffle on shingle, no quadratic scan.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        array_distinct(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count("*").as("inter"))
+    inter
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over an embedding column. */
+object Similarity {
+
+  /** Brute-force cosine top-k against a literal query vector — the exact
+    * baseline. Scales linearly (one scan, one top-k reduction); correct at
+    * any size, bounded by scan throughput.
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int
+  ): DataFrame =
+    df.select(col(idCol),
+        VectorFns.cosine(col(vecCol), VectorFns.vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** All-pairs top-k join: for each probe row, the k nearest base rows by
+    * cosine. Brute-force per pair but shuffle-partitioned by probe id, so
+    * it distributes; use the LSH variant when base is large.
+    */
+  def knnJoin(
+      probes: DataFrame,
+      base: DataFrame,
+      vecCol: String,
+      probeId: String,
+      baseId: String,
+      k: Int
+  ): DataFrame = {
+    val p = probes.select(col(probeId).as("probe_id"), col(vecCol).as("__pv"))
+    val b = base.select(col(baseId).as("base_id"), col(vecCol).as("__bv"))
+    val scored = p.crossJoin(b)
+      .select(col("probe_id"), col("base_id"),
+        VectorFns.cosine(col("__pv"), col("__bv")).as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("base_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
+  }
+
+  /** LSH-bucketed ANN: restrict the scan to rows sharing the sign-projection
+    * bucket of the query (optionally probing 1-bit-flip neighbor buckets).
+    * Trades recall for a bucket-pruned scan — the 100 TB path: the bucket id
+    * is computable at write time and usable as a partition column, making
+    * this a partition-pruned read instead of a full scan.
+    */
+  def lshTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nBits: Int = 8,
+      multiProbe: Boolean = true
+  ): DataFrame = {
+    val bucketed  = df.withColumn("__bucket", VectorFns.signBucket(col(vecCol), nBits))
+    // Query bucket computed the same way, on a 1-row frame (no driver math
+    // duplication of the projection logic).
+    val qRow = bucketed.sparkSession.range(1)
+      .select(VectorFns.signBucket(VectorFns.vecLit(query), nBits).as("qb"))
+      .collect()(0).getLong(0)
+    val probes: Seq[Long] =
+      if (multiProbe) qRow +: (0 until nBits).map(b => qRow ^ (1L << b))
+      else Seq(qRow)
+    bruteForceTopK(
+      bucketed.where(col("__bucket").isin(probes: _*)),
+      vecCol, idCol, query, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (blocked by LSH sign-bucket to
+    * avoid the quadratic all-pairs join; exact cosine verification inside
+    * buckets).
+    */
+  def cosineDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      nBits: Int = 6
+  ): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", VectorFns.signBucket(col("v"), nBits))
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        VectorFns.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Text-analysis + dedup operators over the `documents` table — the
+  * training-data-pipeline surface (dedup, fingerprinting, quality, lang-id).
+  * Oracles exist where the semantics are SQL-expressible; LSH/SimHash/lang-id
+  * are rows-only checked.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // DuckDB mirror of TextFns.normalize (RE2 'g' flag; Spark replaces all by
+  // default).
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  val defs: Map[String, Q] = Map(
+    // F19/S2: content hashing.
+    "q30_md5" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup: one representative doc per normalized fingerprint.
+    "q31_dedup_exact" -> ((s, dir) => {
+      Dedup.exactByFingerprint(
+          Tables(s, dir, "documents").where(col("text").isNotNull),
+          "text", "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Token counting (whitespace) + byte/char lengths.
+    "q32_token_count" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality-score components (each independently oracle-checked).
+    "q33_quality" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextFns.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TextFns.meanTokenLen(col("text")), 6).as("mean_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // 64-bit document fingerprint — aggregated to dup-cluster sizes.
+    "q34_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .groupBy(TextFns.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("cluster_size"), min("doc_id").as("min_doc_id"))
+        .where(col("cluster_size") > 1)
+        .orderBy("min_doc_id")
+    }),
+
+    // Lang-ID heuristic (rows-only: no SQL oracle for the marker argmax).
+    "q35_lang_id" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), TextFns.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash-LSH near-dup candidate pairs (rows-only).
+    "q36_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(
+          Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
+          "text", "doc_id", shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (rows-only).
+    "q37_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(
+          Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
+          "text", "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Exact n-gram Jaccard pairs (rows-only; exact verification layer over
+    // any blocking stage).
+    "q38_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+          Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
+          "text", "doc_id", n = 3, threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_md5" ->
+      """SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q31_dedup_exact" ->
+      s"""SELECT min(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL
+        | GROUP BY md5($normSql) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q32_token_count" ->
+      """SELECT doc_id,
+        | CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes
+        | FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q33_quality" ->
+      """SELECT doc_id,
+        | round(CASE WHEN length(text)=0 THEN 0.0 ELSE
+        |   CAST(length(text) - length(regexp_replace(text,'[[:punct:]]','','g')) AS DOUBLE)/length(text) END, 6) AS punct_ratio,
+        | round(CASE WHEN n_tok=0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE)/n_tok END, 6) AS stopword_ratio,
+        | round(CASE WHEN n_tok=0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE)/n_tok END, 6) AS mean_token_len
+        | FROM (SELECT doc_id, text,
+        |   CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tok,
+        |   CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
+        |     t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be'], t))) END AS n_stop,
+        |   CASE WHEN trim(text)='' THEN 0 ELSE list_aggregate(list_transform(regexp_split_to_array(trim(text),'\s+'), t -> length(t)), 'sum') END AS sum_len
+        |  FROM documents WHERE text IS NOT NULL) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q34_fingerprint" ->
+      s"""SELECT md5($normSql) AS fp, count(*) AS cluster_size, min(doc_id) AS min_doc_id
+        | FROM documents WHERE text IS NOT NULL GROUP BY fp
+        | HAVING count(*) > 1 ORDER BY min_doc_id""".stripMargin.replaceAll("\n", " ")
+  )
+}

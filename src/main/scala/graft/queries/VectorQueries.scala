@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFns
+import graft.operators.Similarity
+
+/** Similarity-search operators over the `embeddings` table
+  * (`embedding: array<float>[64]`). Brute-force cosine top-k is the exact,
+  * oracle-checked baseline; LSH-bucketed variants are the scale path
+  * (rows-only checks — recall is approximate by design).
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic 64-dim probe vector (alternating signs, slow ramp). */
+  val probe: Seq[Double] = (0 until 64).map(i => (if (i % 2 == 0) 1.0 else -1.0) * (1.0 + i / 64.0))
+
+  private val probeSqlList = probe.mkString("[", ", ", "]")
+
+  val defs: Map[String, Q] = Map(
+    // Exact brute-force cosine top-k (the correctness baseline for ANN).
+    "q40_ann_bruteforce" -> ((s, dir) => {
+      Similarity.bruteForceTopK(Tables(s, dir, "embeddings"),
+          "embedding", "vec_id", probe, k = 25)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    // Vector norms — checks dot/aggregate plumbing independently of ranking.
+    "q41_vector_norms" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(VectorFns.norm2(col("embedding")), 6).as("l2_norm"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id")
+    }),
+
+    // Per-label centroid-free stats: mean cosine of consecutive-id pairs —
+    // exercises zip_with across rows via self-join.
+    "q42_pairwise_cosine" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .groupBy("label")
+        .agg(round(avg(VectorFns.cosine(col("va"), col("vb"))), 6).as("mean_adj_cosine"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy("label")
+    }),
+
+    // LSH sign-bucketed ANN (approximate; rows-only).
+    "q43_ann_lsh" -> ((s, dir) => {
+      Similarity.lshTopK(Tables(s, dir, "embeddings"),
+          "embedding", "vec_id", probe, k = 25, nBits = 8, multiProbe = true)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    // Embedding-cosine near-dup pairs, LSH-blocked (rows-only). The synthetic
+    // embeddings have no planted near-dups (max pairwise cosine ≈ 0.51 at
+    // sf0.01), so the demo threshold is set low enough to surface real pairs.
+    "q44_embed_dup_pairs" -> ((s, dir) => {
+      Similarity.cosineDupPairs(Tables(s, dir, "embeddings"),
+          "embedding", "vec_id", threshold = 0.35, nBits = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // kNN join: 5 nearest base vectors for each of the first 10 probe rows
+    // (rows-only; the brute-force variant is exact but its oracle would be
+    // a quadratic SQL — covered by q40's single-probe oracle instead).
+    "q45_knn_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.knnJoin(e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+          "embedding", "vec_id", "vec_id", k = 5)
+        .select(col("probe_id"), col("base_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("probe_id"), col("cosine").desc, col("base_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_ann_bruteforce" ->
+      s"""SELECT vec_id, round(cosine, 6) AS cosine FROM (
+        | SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]), $probeSqlList) /
+        |  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product($probeSqlList, $probeSqlList))) AS cosine
+        | FROM embeddings)
+        | ORDER BY cosine DESC, vec_id LIMIT 25""".stripMargin.replaceAll("\n", " "),
+    "q41_vector_norms" ->
+      """SELECT vec_id,
+        | round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+        | CAST(len(embedding) AS BIGINT) AS dim
+        | FROM embeddings ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
+    "q42_pairwise_cosine" ->
+      """SELECT a.label, round(avg(
+        |  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))), 6) AS mean_adj_cosine,
+        | count(*) AS n_pairs
+        | FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        | GROUP BY a.label ORDER BY a.label""".stripMargin.replaceAll("\n", " ")
+  )
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: load each Verify output
+parquet, run the matching oracle SQL in DuckDB against the sf dir's tables,
+and compare rows/schema/values (columns sorted by name, rows sorted).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Dev tool only — not part of the shipped library.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.9g}"
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = 0
+    results = {}
+    for name in sorted(oracle):
+        pq = Path(out_dir) / name
+        if not pq.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            results[name] = "missing"
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{pq}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.description]
+            want = con.execute(oracle[name]).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            results[name] = "error"
+            continue
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+            n_fail += 1
+            results[name] = "cols"
+            continue
+        g, w = canon(got, got_cols), canon(want, want_cols)
+        if g == w:
+            n_pass += 1
+            results[name] = "pass"
+        else:
+            n_fail += 1
+            results[name] = "values"
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(w)}")
+            for a, b in list(zip(g, w))[:200]:
+                if a != b:
+                    print(f"  spark : {a}\n  oracle: {b}")
+                    break
+            only_g = [x for x in g if x not in set(w)][:2]
+            only_w = [x for x in w if x not in set(g)][:2]
+            if only_g:
+                print(f"  only-spark: {only_g}")
+            if only_w:
+                print(f"  only-oracle: {only_w}")
+    # Rows-only queries (no oracle): check output exists and has rows.
+    for d in sorted(Path(out_dir).iterdir()):
+        if d.is_dir() and d.name not in oracle:
+            n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+            status = "rows-ok" if n > 0 else "EMPTY"
+            print(f"INFO {d.name}: rows-only, {n} rows ({status})")
+    print(f"\n{n_pass} pass / {n_fail} fail of {len(oracle)} oracle-checked")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
