@@ -38,12 +38,30 @@ object Dedup {
 
   /** MinHash signature: array of `numHashes` min-hashed shingle values.
     * Hash family = murmur3 seeded by the hash index (distinct, deterministic).
+    *
+    * NOTE: as a single Column this nests higher-order functions, which Spark
+    * evaluates interpreted AND re-expands the shingle expression per hash —
+    * fine for tests/small frames; the scalable path used by
+    * [[minhashLshPairs]] is [[minhashSignatures]] (explode + codegen'd min
+    * aggregates).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingles, s => hash(s, i)))
     )
+
+  /** Scalable MinHash: explode shingles to rows, compute `numHashes`
+    * codegen'd `min(hash(s, i))` aggregates in one shuffle on the doc id.
+    * Returns (id, sig: array<int>). Equivalent to [[minhashSignature]].
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: Column,
+                        numHashes: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"), explode(array_distinct(shinglesCol)).as("s"))
+    val aggs = (0 until numHashes).map(i => min(hash(col("s"), lit(i))).as(s"__h$i"))
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
 
   /** MinHash-LSH candidate pairs: shingle -> minhash signature -> band
     * buckets -> self-join within buckets -> verified Jaccard estimate.
@@ -67,9 +85,8 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = df
-      .select(col(idCol).as("id"),
-        minhashSignature(TextFns.wordShingles(col(textCol), shingleN), numHashes).as("sig"))
+    val sig = minhashSignatures(df, idCol,
+      TextFns.wordShingles(col(textCol), shingleN), numHashes)
     val banded = sig.select(
       col("id"), col("sig"),
       explode(
@@ -108,13 +125,29 @@ object Dedup {
     when(size(tokens) === 0, 0L).otherwise(bits.reduce(_ + _))
   }
 
+  /** Scalable SimHash: explode tokens, per-token xxhash64, 64 codegen'd
+    * bit-sum aggregates in one shuffle on the doc id; majority vote per bit.
+    * Returns (id, sig: long). Equivalent to [[simhash64]].
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(tokensCol).as("t"))
+      .withColumn("__h", xxhash64(col("t")))
+    val aggs = count(lit(1)).as("__n") +:
+      (0 until 64).map(j => sum(shiftright(col("__h"), j).bitwiseAND(lit(1L))).as(s"__b$j"))
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j =>
+          when(col(s"__b$j") * 2 >= col("__n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, blocked on
     * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
     * one of 4 chunks) to avoid the quadratic self-join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
-      simhash64(TextFns.tokens(col(textCol))).as("sig"))
+    val withSig = simhashSignatures(df, idCol, TextFns.tokens(col(textCol)))
     val chunked = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

@@ -45,6 +45,27 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
+  /** Attach the sign-projection LSH bucket id (`__bucket`) to every row,
+    * the scalable way: posexplode the vector, compute `nBits` codegen'd
+    * projection sums in one shuffle on the row id, join back. Weight
+    * function identical to [[VectorFns.signBucket]] (hash-Rademacher on
+    * (dimension index, projection index)), so buckets computed here match
+    * buckets computed expression-side for a probe vector.
+    */
+  def withSignBucket(df: DataFrame, vecCol: String, idCol: String, nBits: Int): DataFrame = {
+    val pe = df.select(col(idCol).as("__id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__v")))
+    val aggs = (0 until nBits).map(j =>
+      sum(col("__v") *
+        when(pmod(hash(col("__pos"), lit(j)), lit(2)) === 0, 1.0d).otherwise(-1.0d)).as(s"__p$j"))
+    val buckets = pe.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        (0 until nBits).map(j =>
+          when(col(s"__p$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("__bucket"))
+    df.join(buckets, df(idCol) === buckets("__id")).drop("__id")
+  }
+
   /** LSH-bucketed ANN: restrict the scan to rows sharing the sign-projection
     * bucket of the query (optionally probing 1-bit-flip neighbor buckets).
     * Trades recall for a bucket-pruned scan — the 100 TB path: the bucket id
@@ -60,7 +81,7 @@ object Similarity {
       nBits: Int = 8,
       multiProbe: Boolean = true
   ): DataFrame = {
-    val bucketed  = df.withColumn("__bucket", VectorFns.signBucket(col(vecCol), nBits))
+    val bucketed = withSignBucket(df, vecCol, idCol, nBits)
     // Query bucket computed the same way, on a 1-row frame (no driver math
     // duplication of the projection logic).
     val qRow = bucketed.sparkSession.range(1)
@@ -85,8 +106,9 @@ object Similarity {
       threshold: Double,
       nBits: Int = 6
   ): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", VectorFns.signBucket(col("v"), nBits))
+    val bucketed = withSignBucket(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "id", nBits)
+      .withColumnRenamed("__bucket", "bucket")
     val a = bucketed.as("a"); val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
