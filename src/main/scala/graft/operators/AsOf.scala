@@ -35,16 +35,19 @@ object AsOf {
       rightTs: String,
       rightCols: Seq[String]
   ): DataFrame = {
-    val keyCols = byKeys.map(col)
+    // Backtick-quote every name-based reference: callers use dotted flat
+    // column names ("cand.dm") that bare col() would read as struct access.
+    def q(n: String): Column = col(s"`$n`")
+    val keyCols = byKeys.map(q)
     // Side 0 = right (reference) rows sort before side 1 = left rows at equal
     // ts, so a right row at exactly leftTs IS matched (backward-inclusive).
     val rTagged = right.select(
-      keyCols ++ Seq(col(rightTs).cast("timestamp").as("__asof_ts"), lit(0).as("__side")) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*
+      keyCols ++ Seq(q(rightTs).cast("timestamp").as("__asof_ts"), lit(0).as("__side")) ++
+        rightCols.map(c => q(c).as(s"__r_$c")): _*
     )
     val lTagged = left.select(
-      left.columns.map(col) ++
-        Seq(col(leftTs).cast("timestamp").as("__asof_ts"), lit(1).as("__side")) ++
+      left.columns.map(q) ++
+        Seq(q(leftTs).cast("timestamp").as("__asof_ts"), lit(1).as("__side")) ++
         rightCols.map(c => lit(null).as(s"__r_$c")): _*
     )
     // Align schemas: right side needs the left columns as nulls.
@@ -53,11 +56,11 @@ object AsOf {
       keyCols ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("__asof_ts"), col("__side")) ++
-        rightCols.map(c => col(s"__r_$c")): _*
+        rightCols.map(c => col(s"`__r_$c`")): _*
     )
     val lAligned = lTagged.select(
-      keyCols ++ leftOnly.map(col) ++ Seq(col("__asof_ts"), col("__side")) ++
-        rightCols.map(c => col(s"__r_$c")): _*
+      keyCols ++ leftOnly.map(q) ++ Seq(col("__asof_ts"), col("__side")) ++
+        rightCols.map(c => col(s"`__r_$c`")): _*
     )
     val w = Window
       .partitionBy(keyCols: _*)
@@ -65,8 +68,8 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rAligned.unionByName(lAligned)
       .select(
-        (byKeys ++ leftOnly).map(col) ++ Seq(col("__side")) ++
-          rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*
+        (byKeys ++ leftOnly).map(q) ++ Seq(col("__side")) ++
+          rightCols.map(c => last(col(s"`__r_$c`"), ignoreNulls = true).over(w).as(c)): _*
       )
     filled.where(col("__side") === 1).drop("__side")
   }

@@ -22,7 +22,7 @@ object Dedup {
     * maintain_order=True)` after a sort.
     */
   def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val w = Window.partitionBy(keys.map(k => col(s"`$k`")): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
@@ -31,9 +31,9 @@ object Dedup {
     */
   def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
     keepFirst(
-      df.withColumn("__fp", TextFns.fingerprint(col(textCol))),
+      df.withColumn("__fp", TextFns.fingerprint(col(s"`${textCol}`"))),
       Seq("__fp"),
-      Seq(col(idCol).asc)
+      Seq(col(s"`${idCol}`").asc)
     ).drop("__fp")
 
   /** MinHash signature: array of `numHashes` min-hashed shingle values.
@@ -57,7 +57,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: Column,
                         numHashes: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"), explode(array_distinct(shinglesCol)).as("s"))
+    val exploded = df.select(col(s"`${idCol}`").as("id"), explode(array_distinct(shinglesCol)).as("s"))
     val aggs = (0 until numHashes).map(i => min(hash(col("s"), lit(i))).as(s"__h$i"))
     exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
@@ -86,7 +86,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(df, idCol,
-      TextFns.wordShingles(col(textCol), shingleN), numHashes)
+      TextFns.wordShingles(col(s"`${textCol}`"), shingleN), numHashes)
     val banded = sig.select(
       col("id"), col("sig"),
       explode(
@@ -131,7 +131,7 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
     val exploded = df
-      .select(col(idCol).as("id"), explode(tokensCol).as("t"))
+      .select(col(s"`${idCol}`").as("id"), explode(tokensCol).as("t"))
       .withColumn("__h", xxhash64(col("t")))
     val aggs = count(lit(1)).as("__n") +:
       (0 until 64).map(j => sum(shiftright(col("__h"), j).bitwiseAND(lit(1L))).as(s"__b$j"))
@@ -147,7 +147,7 @@ object Dedup {
     * one of 4 chunks) to avoid the quadratic self-join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
-    val withSig = simhashSignatures(df, idCol, TextFns.tokens(col(textCol)))
+    val withSig = simhashSignatures(df, idCol, TextFns.tokens(col(s"`${textCol}`")))
     val chunked = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
@@ -177,8 +177,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.6
   ): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        array_distinct(TextFns.wordShingles(col(textCol), n)).as("sh"))
+    val sh = df.select(col(s"`${idCol}`").as("id"),
+        array_distinct(TextFns.wordShingles(col(s"`${textCol}`"), n)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val a = exploded.as("a"); val b = exploded.as("b")

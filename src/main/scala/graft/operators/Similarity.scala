@@ -19,9 +19,9 @@ object Similarity {
       query: Seq[Double],
       k: Int
   ): DataFrame =
-    df.select(col(idCol),
-        VectorFns.cosine(col(vecCol), VectorFns.vecLit(query)).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
+    df.select(col(s"`${idCol}`"),
+        VectorFns.cosine(col(s"`${vecCol}`"), VectorFns.vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(s"`${idCol}`").asc)
       .limit(k)
 
   /** All-pairs top-k join: for each probe row, the k nearest base rows by
@@ -36,8 +36,8 @@ object Similarity {
       baseId: String,
       k: Int
   ): DataFrame = {
-    val p = probes.select(col(probeId).as("probe_id"), col(vecCol).as("__pv"))
-    val b = base.select(col(baseId).as("base_id"), col(vecCol).as("__bv"))
+    val p = probes.select(col(s"`${probeId}`").as("probe_id"), col(s"`${vecCol}`").as("__pv"))
+    val b = base.select(col(s"`${baseId}`").as("base_id"), col(s"`${vecCol}`").as("__bv"))
     val scored = p.crossJoin(b)
       .select(col("probe_id"), col("base_id"),
         VectorFns.cosine(col("__pv"), col("__bv")).as("cosine"))
@@ -53,8 +53,8 @@ object Similarity {
     * buckets computed expression-side for a probe vector.
     */
   def withSignBucket(df: DataFrame, vecCol: String, idCol: String, nBits: Int): DataFrame = {
-    val pe = df.select(col(idCol).as("__id"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__v")))
+    val pe = df.select(col(s"`${idCol}`").as("__id"),
+      posexplode(col(s"`${vecCol}`").cast("array<double>")).as(Seq("__pos", "__v")))
     val aggs = (0 until nBits).map(j =>
       sum(col("__v") *
         when(pmod(hash(col("__pos"), lit(j)), lit(2)) === 0, 1.0d).otherwise(-1.0d)).as(s"__p$j"))
@@ -107,7 +107,7 @@ object Similarity {
       nBits: Int = 6
   ): DataFrame = {
     val bucketed = withSignBucket(
-      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "id", nBits)
+      df.select(col(s"`${idCol}`").as("id"), col(s"`${vecCol}`").as("v")), "v", "id", nBits)
       .withColumnRenamed("__bucket", "bucket")
     val a = bucketed.as("a"); val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // right: reference rows per key
+  lazy val right = Seq(
+    ("a", ts("2024-01-01 10:00:00"), 100L),
+    ("a", ts("2024-01-01 11:00:00"), 101L),
+    ("b", ts("2024-01-01 10:30:00"), 200L)
+  ).toDF("k", "rts", "rid")
+
+  lazy val left = Seq(
+    (1L, "a", ts("2024-01-01 10:30:00")),  // between -> 100
+    (2L, "a", ts("2024-01-01 11:00:00")),  // equal ts -> inclusive -> 101
+    (3L, "a", ts("2024-01-01 09:00:00")),  // before all -> null
+    (4L, "b", ts("2024-01-01 12:00:00")),  // -> 200
+    (5L, "c", ts("2024-01-01 12:00:00"))   // no key -> null
+  ).toDF("id", "k", "lts")
+
+  test("backward as-of: latest at-or-before within key groups") {
+    val got = AsOf.joinBackward(left, right, Seq("k"), "lts", "rts", Seq("rid"))
+      .select($"id", $"rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None,
+      4L -> Some(200L), 5L -> None))
+  }
+
+  test("range-join variant agrees with union-and-fill") {
+    val a = AsOf.joinBackward(left, right, Seq("k"), "lts", "rts", Seq("rid"))
+      .select($"id", $"rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val b = AsOf.joinBackwardViaRangeJoin(left, right, Seq("k"), "lts", "rts", "id")
+      .select($"id", $"rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(a === b)
+  }
+
+  test("every left row survives exactly once (no loss, no fan-out)") {
+    val out = AsOf.joinBackward(left, right, Seq("k"), "lts", "rts", Seq("rid"))
+    assert(out.count() === 5)
+    assert(out.select("id").distinct().count() === 5)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Coordinates, TextFns, TimeFns, VectorFns}
+import graft.operators.{Dedup, Similarity}
+
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hmsToDeg / dmsToDeg match astropy reference values, 5 dp") {
+    val df = Seq(("4:40:17.07", "-43:33:09.0"), ("0:00:00", "0:00:00"),
+      ("23:59:59.999", "-0:30:00"), ("12:00:00", "89:59:59.9"))
+      .toDF("ra", "dec")
+      .select(Coordinates.hmsToDeg($"ra").as("rd"), Coordinates.dmsToDeg($"dec").as("dd"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) === 70.07113)  // astropy: 70.071125 -> round 70.07113 (half-up)
+    assert(rows(0).getDouble(1) === -43.5525)
+    assert(rows(1).getDouble(0) === 0.0 && rows(1).getDouble(1) === 0.0)
+    // negative-zero degrees: sign must come from the string
+    assert(rows(2).getDouble(1) === -0.5)
+    assert(rows(3).getDouble(1) === 89.99997)
+  }
+
+  test("mjdToTimestamp: epoch identities (F12)") {
+    val df = Seq(40587.0, 60268.91521990741).toDF("mjd")
+      .select(unix_micros(TimeFns.mjdToTimestamp($"mjd")).as("us"))
+    val r = df.collect()
+    assert(r(0).getLong(0) === 0L)
+    // 60268.91521990741 MJD = 2023-11-20 21:57:55.000 (approx) — check vs direct arithmetic
+    assert(r(1).getLong(0) === math.round((60268.91521990741 - 40587.0) * 86400.0 * 1e6))
+  }
+
+  test("roundToSecond is half-up at the 500ms boundary (F9)") {
+    val df = Seq(1700000000499999L, 1700000000500000L, 1700000000500001L)
+      .toDF("us")
+      .select(unix_seconds(TimeFns.roundToSecond(timestamp_micros($"us"))).as("s"))
+    val r = df.collect().map(_.getLong(0))
+    assert(r.toSeq === Seq(1700000000L, 1700000001L, 1700000001L))
+  }
+
+  test("tokenCount handles blank and empty text") {
+    val df = Seq("", "   ", "a b  c", "one").toDF("t")
+      .select(TextFns.tokenCount($"t").as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(0, 0, 3, 1))
+  }
+
+  test("wordShingles: short docs yield one shingle; n-grams slide") {
+    val df = Seq("a b c d").toDF("t").select(TextFns.wordShingles($"t", 3).as("sh"))
+    assert(df.head().getSeq[String](0) === Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t").select(TextFns.wordShingles($"t", 3).as("sh"))
+    assert(short.head().getSeq[String](0) === Seq("a b"))
+  }
+
+  test("minhash: column expression and scalable aggregate agree") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("id", "text")
+    val viaExpr = docs.select($"id",
+      Dedup.minhashSignature(array_distinct(TextFns.wordShingles($"text", 2)), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaAgg = Dedup.minhashSignatures(docs, "id", TextFns.wordShingles($"text", 2), 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaExpr === viaAgg)
+  }
+
+  test("simhash: column expression and scalable aggregate agree") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon zeta"))
+      .toDF("id", "text")
+    val viaExpr = docs.select($"id", Dedup.simhash64(TextFns.tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = Dedup.simhashSignatures(docs, "id", TextFns.tokens($"text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaAgg)
+  }
+
+  test("sign buckets: expression and explode+aggregate paths agree") {
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray))
+      .toDF("id", "v")
+    val viaAgg = Similarity.withSignBucket(vecs, "v", "id", 6)
+      .select($"id", $"__bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = vecs.select($"id", VectorFns.signBucket($"v", 6).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaExpr)
+  }
+
+  test("cosine: known identities") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 2.0f)),
+      (Array(1.0f, 1.0f), Array(2.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFns.cosine($"a", $"b").as("c"))
+    val r = df.collect().map(_.getDouble(0))
+    assert(math.abs(r(0)) < 1e-12)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+  }
+
+  test("quality/punct/stopword ratios on known text") {
+    val df = Seq("the cat, the hat!").toDF("t").select(
+      TextFns.punctRatio($"t").as("p"),
+      TextFns.stopwordRatio($"t").as("s"),
+      TextFns.meanTokenLen($"t").as("m"))
+    val r = df.head()
+    assert(math.abs(r.getDouble(0) - 2.0 / 17.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("langIdHeuristic picks the marker-heavy language") {
+    val df = Seq("the cat and the dog is in that house",
+      "der hund ist nicht ein katze und", "xyzzy qwerty").toDF("t")
+      .select(TextFns.langIdHeuristic($"t").as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "und"))
+  }
+}
