@@ -18,10 +18,17 @@ object SparkEntry {
     * agg in one plan.
     */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.defs("q03_join_chain")(spark, "/root/testdata/sf0.001")
+    queries("q03_join_chain")(spark, "/root/testdata/sf0.001")
 
+  /** Each query registers the engine's native functions on the caller's
+    * session first (idempotent) — the driver may pass a session it built
+    * itself rather than one from [[Sessions.builder]].
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
+    (RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++ VectorQueries.defs)
+      .map { case (name, fn) =>
+        name -> ((s: SparkSession, dir: String) => fn(Sessions.init(s), dir))
+      }
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles

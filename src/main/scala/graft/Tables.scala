@@ -31,4 +31,13 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+
+  /** Register the engine's native SQL functions (hms_to_deg, dms_to_deg,
+    * vec_dot) on a freshly built session. Every entry point calls this.
+    */
+  def init(spark: SparkSession): SparkSession = {
+    graft.functions.CoordExpressions.register(spark)
+    graft.functions.VectorExpressions.register(spark)
+    spark
+  }
 }

@@ -11,7 +11,15 @@ object VectorFns {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the codegen'd [[VecDotExpr]] (needs [[graft.Sessions.init]]
+    * to have registered `vec_dot` — all engine entry points do).
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.vecDot(a, b)
+
+  /** Interpreted HOF formulation — kept for equivalence testing against the
+    * codegen'd path.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
@@ -19,9 +27,9 @@ object VectorFns {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
+  /** |a-b| via the dot identity aa - 2ab + bb (codegen'd primitives). */
   def l2Dist(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, v) => acc + v))
+    sqrt(greatest(dot(a, a) - lit(2.0d) * dot(a, b) + dot(b, b), lit(0.0d)))
 
   /** Literal query vector as an array<double> Column. */
   def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)

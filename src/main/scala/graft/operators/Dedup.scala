@@ -166,6 +166,39 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Scalable near-dup detection: MinHash-LSH blocking, then EXACT n-gram
+    * Jaccard verification only on the blocked candidate pairs (per-pair
+    * array_intersect/union of the two shingle sets — linear in pair count,
+    * immune to the shingle-frequency skew that makes the full shingle
+    * self-join quadratic on repetitive corpora).
+    *
+    * Recall is bounded by the banding probability at `threshold`; the
+    * blocking threshold is loosened by 0.25 so borderline-exact pairs still
+    * surface.
+    */
+  def ngramJaccardViaLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    val blocked = minhashLshPairs(df, textCol, idCol, n, numHashes, bands,
+      threshold = math.max(0.0, threshold - 0.25))
+    val sets = df.select(col(s"`$idCol`").as("__jid"),
+      array_distinct(TextFns.wordShingles(col(s"`$textCol`"), n)).as("__sh"))
+    blocked
+      .join(sets.select(col("__jid").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sets.select(col("__jid").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs produced by any
     * blocking stage: explode shingles, count intersections via groupBy —
     * shuffle on shingle, no quadratic scan.

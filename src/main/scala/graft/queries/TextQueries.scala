@@ -95,10 +95,11 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // Exact n-gram Jaccard pairs (rows-only; exact verification layer over
-    // any blocking stage).
+    // n-gram Jaccard pairs: MinHash-LSH blocking + exact per-pair
+    // verification (rows-only). The full shingle self-join variant
+    // (Dedup.ngramJaccardPairs) goes quadratic on repetitive corpora.
     "q38_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(
+      Dedup.ngramJaccardViaLsh(
           Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
           "text", "doc_id", n = 3, threshold = 0.6)
         .withColumn("jaccard", round(col("jaccard"), 4))

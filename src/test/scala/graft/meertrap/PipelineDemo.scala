@@ -8,7 +8,7 @@ import graft.Sessions
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.builder("local[4]", 4).getOrCreate()
+    val spark = Sessions.init(Sessions.builder("local[4]", 4).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     val root = if (args.nonEmpty) args(0) else FixtureGen.generate().toString
     val out  = MeertrapPipeline.run(spark, root, None, "data", "2023-11-20")
@@ -22,6 +22,20 @@ object PipelineDemo {
     println(s"quarantined_spccl=${out.quarantinedSpccl.count()}")
     println("first sp_candidate:")
     MeertrapPipeline.firstSpCandidate(out).show(truncate = false)
+
+    // SQL-registered codegen'd coordinate functions
+    graft.functions.CoordExpressions.register(spark)
+    println("sql coord functions:")
+    spark.sql("SELECT hms_to_deg('4:40:17.07') AS ra_deg, dms_to_deg('-43:33:09.0') AS dec_deg")
+      .show()
+
+    // incremental streaming ingestion over the same tree
+    val cp = java.nio.file.Files.createTempDirectory("demo_cp").toString
+    var streamed = 0L
+    val q = graft.streaming.IncrementalRunner.runSummaries(spark, root, cp,
+      (b, _) => streamed += b.count())
+    q.awaitTermination(120000)
+    println(s"streamed_run_summaries=$streamed")
     spark.stop()
   }
 }
