@@ -242,6 +242,25 @@ object RelationalQueries {
         .orderBy("nationkey")
     }),
 
+    // F1: regexp_extract_all + aggregate over the extracted list.
+    "q39_regex_extract_all" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(sum(size(regexp_extract_all(col("p_name"), lit("([a-z]{5,})"), lit(1))))
+          .cast("long").as("n_long_words"))
+        .orderBy("p_brand")
+    }),
+
+    // F16: key-map remap as a broadcast join with pass-through for unmapped
+    // keys (the reference's dict.get(x, x)).
+    "q46_keymap_remap" -> ((s, dir) => {
+      graft.operators.KeyMap.remap(
+          Tables(s, dir, "customer"), "c_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey", "n_regionkey")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .orderBy("c_custkey")
+    }),
+
     // F3: split + element_at projection.
     "q25_split_fields" -> ((s, dir) => {
       Tables(s, dir, "part")
@@ -349,6 +368,13 @@ object RelationalQueries {
         | EXCEPT SELECT DISTINCT s_nationkey FROM supplier) ORDER BY nationkey""".stripMargin.replaceAll("\n", " "),
     "q25_split_fields" ->
       """SELECT string_split(p_type,' ')[1] AS t1, string_split(p_type,' ')[-1] AS t_last,
-        | count(*) AS n FROM part GROUP BY t1, t_last ORDER BY t1, t_last""".stripMargin.replaceAll("\n", " ")
+        | count(*) AS n FROM part GROUP BY t1, t_last ORDER BY t1, t_last""".stripMargin.replaceAll("\n", " "),
+    "q39_regex_extract_all" ->
+      """SELECT p_brand, sum(len(regexp_extract_all(p_name, '([a-z]{5,})', 1))) AS n_long_words
+        | FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin.replaceAll("\n", " "),
+    "q46_keymap_remap" ->
+      """SELECT c_custkey, coalesce(n_regionkey, c_nationkey) AS c_nationkey
+        | FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        | ORDER BY c_custkey""".stripMargin.replaceAll("\n", " ")
   )
 }
