@@ -16,11 +16,12 @@ object TextFns {
   /** Whitespace token count; blank text counts 0. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish sub-word token estimate: word-pieces + digits + punctuation,
-    * the common `\w+|[^\w\s]` pre-tokenizer split.
+  /** BPE-ish sub-word token estimate: word-pieces + digits + punctuation
+    * via the common `\w+|[^\w\s]` pre-tokenizer pattern (match-based, no
+    * lookarounds — RE2-portable and codegen'd).
     */
   def bpeishTokens(text: Column): Column =
-    filter(split(text, "(?<=\\W)|(?=\\W)"), t => length(trim(t)) > 0)
+    regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
 
   /** Word n-gram shingles (space-joined) over whitespace tokens.
     * Documents shorter than n tokens yield a single shingle of all tokens.

@@ -74,6 +74,43 @@ object AsOf {
     filled.where(col("__side") === 1).drop("__side")
   }
 
+  /** Native sort-merge as-of join via the custom
+    * [[graft.plans.AsOfJoinPlan]] operator (requires the
+    * [[graft.plans.AsOfJoinStrategy]] planner strategy — registered by
+    * [[graft.Sessions.init]]). Same semantics as [[joinBackward]] with a
+    * strictly smaller plan: shuffle + sort per side + streaming merge.
+    *
+    * The right side is re-aliased column-by-column first, giving it fresh
+    * expression ids so self-source as-of joins (left and right derived from
+    * the same table) are safe.
+    */
+  def joinBackwardSortMerge(
+      left: DataFrame,
+      right: DataFrame,
+      byKeys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String]
+  ): DataFrame = {
+    def q(n: String): Column = col(s"`$n`")
+    val rCols = (byKeys :+ rightTs) ++ rightCols
+    val rSel  = right.select(rCols.map(c => q(c).as(s"__r_$c")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rSel.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      byKeys.map(attr(lPlan, _)),
+      byKeys.map(k => attr(rPlan, s"__r_$k")),
+      attr(lPlan, leftTs),
+      attr(rPlan, s"__r_$rightTs"),
+      rightCols.map(c => attr(rPlan, s"__r_$c")))
+    val df = org.apache.spark.sql.GraftSqlShim.ofRows(left.sparkSession, node)
+    rightCols.foldLeft(df)((acc, c) => acc.withColumnRenamed(s"__r_$c", c))
+  }
+
   /** Range-join + keep-latest variant: simpler plan, correct for selective
     * range predicates; prefer [[joinBackward]] when the right side is large
     * relative to key cardinality.

@@ -44,15 +44,17 @@ object EventQueries {
     }),
 
     // J9: backward as-of join — each click matched to the user's latest
-    // purchase at-or-before the click. Union-and-fill rewrite: one shuffle
-    // on user_id, no range-join blowup.
+    // purchase at-or-before the click, via the NATIVE sort-merge as-of
+    // operator (graft.plans.AsOfJoinPlan/Exec): one shuffle per side +
+    // streaming merge. The union-and-fill composition (AsOf.joinBackward)
+    // is the built-ins-only fallback with identical semantics.
     "q26_asof_join" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event_id"))
-      AsOf.joinBackward(clicks, purchases,
+      AsOf.joinBackwardSortMerge(clicks, purchases,
           byKeys = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
           rightCols = Seq("p_event_id"))
         .select(col("event_id"), col("user_id"), col("p_event_id").as("matched_purchase_id"))
@@ -71,6 +73,16 @@ object EventQueries {
         .groupBy("user_id")
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // HLL sketch distinct counts (rows-only: sketch internals differ from
+    // DuckDB's) — the constant-memory path for distinct users at 100 TB.
+    "q49_approx_distinct" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
     }),
 
     // Conditional aggregation (pivot shape, deterministic column set).

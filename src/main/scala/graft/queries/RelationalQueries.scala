@@ -261,6 +261,25 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    // Rollup (grouping-set) aggregation — beyond the reference's surface,
+    // part of a complete engine.
+    "q47_rollup" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // Exact interpolated percentiles (matches DuckDB quantile_cont).
+    "q48_percentile" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+        .orderBy("o_orderstatus")
+    }),
+
     // F3: split + element_at projection.
     "q25_split_fields" -> ((s, dir) => {
       Tables(s, dir, "part")
@@ -375,6 +394,14 @@ object RelationalQueries {
     "q46_keymap_remap" ->
       """SELECT c_custkey, coalesce(n_regionkey, c_nationkey) AS c_nationkey
         | FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-        | ORDER BY c_custkey""".stripMargin.replaceAll("\n", " ")
+        | ORDER BY c_custkey""".stripMargin.replaceAll("\n", " "),
+    "q47_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS total
+        | FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        | ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin.replaceAll("\n", " "),
+    "q48_percentile" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replaceAll("\n", " ")
   )
 }

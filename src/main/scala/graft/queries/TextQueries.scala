@@ -38,12 +38,13 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // Token counting (whitespace) + byte/char lengths.
+    // Token counting (whitespace + BPE-ish pre-tokenizer) + byte/char lengths.
     "q32_token_count" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .where(col("text").isNotNull)
         .select(col("doc_id"),
           TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+          size(TextFns.bpeishTokens(col("text"))).cast("long").as("n_bpeish"),
           length(col("text")).cast("long").as("n_chars"),
           octet_length(col("text")).cast("long").as("n_bytes"))
         .orderBy("doc_id")
@@ -117,6 +118,7 @@ object TextQueries {
     "q32_token_count" ->
       """SELECT doc_id,
         | CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT) AS n_bpeish,
         | CAST(length(text) AS BIGINT) AS n_chars,
         | CAST(strlen(text) AS BIGINT) AS n_bytes
         | FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),

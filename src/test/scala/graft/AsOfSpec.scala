@@ -39,6 +39,32 @@ class AsOfSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("native sort-merge exec agrees with union-and-fill") {
+    val a = AsOf.joinBackward(left, right, Seq("k"), "lts", "rts", Seq("rid"))
+      .select($"id", $"rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val c = AsOf.joinBackwardSortMerge(left, right, Seq("k"), "lts", "rts", Seq("rid"))
+      .select($"id", $"rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(a === c)
+  }
+
+  test("native exec plans as AsOfJoinExec and handles self-source joins") {
+    val ev = Tables(spark, sf("sf0.001"), "events")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_event_id"))
+    val viaExec = AsOf.joinBackwardSortMerge(clicks, purchases,
+      Seq("user_id"), "ts", "p_ts", Seq("p_event_id"))
+    assert(viaExec.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val viaFill = AsOf.joinBackward(clicks, purchases,
+      Seq("user_id"), "ts", "p_ts", Seq("p_event_id"))
+    val a = viaExec.select($"event_id", $"p_event_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val b = viaFill.select($"event_id", $"p_event_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(a === b)
+  }
+
   test("every left row survives exactly once (no loss, no fan-out)") {
     val out = AsOf.joinBackward(left, right, Seq("k"), "lts", "rts", Seq("rid"))
     assert(out.count() === 5)
