@@ -25,7 +25,7 @@ object SparkEntry {
     * itself rather than one from [[Sessions.builder]].
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++ VectorQueries.defs)
+    (RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.all ++ VectorQueries.defs)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(Sessions.init(s), dir))
       }

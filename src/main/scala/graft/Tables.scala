@@ -38,6 +38,7 @@ object Sessions {
   def init(spark: SparkSession): SparkSession = {
     graft.functions.CoordExpressions.register(spark)
     graft.functions.VectorExpressions.register(spark)
+    graft.functions.NGramGenerator.register(spark)
     spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
     spark
   }

@@ -20,6 +20,8 @@ object TextQueries {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
+  def all: Map[String, Q] = defs ++ more
+
   val defs: Map[String, Q] = Map(
     // F19/S2: content hashing.
     "q30_md5" -> ((s, dir) => {
@@ -108,7 +110,41 @@ object TextQueries {
     })
   )
 
+  val more: Map[String, Q] = Map(
+    // Typed Aggregator: deterministic hash-ranked k-per-group sampling with
+    // map-side partial aggregation (ships <= k rows per group per partition).
+    "q50_group_sample" -> ((s, dir) => {
+      graft.functions.GroupSample.sampleKPerGroup(
+          Tables(s, dir, "documents"), "lang", "doc_id", k = 5)
+        .select(col("grp").as("lang"), col("id").as("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Custom Generator table function: ngram_tuples(text, 3) — one row per
+    // positional word 3-gram (registered in the function registry).
+    "q51_ngram_generator" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), expr("ngram_tuples(text, 3)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"), min("ngram").as("first_ngram"))
+        .orderBy("doc_id")
+    })
+  )
+
   val oracles: Map[String, String] = Map(
+    "q50_group_sample" ->
+      """SELECT lang, doc_id FROM (
+        | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
+        | WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin.replaceAll("\n", " "),
+    "q51_ngram_generator" ->
+      """SELECT doc_id, count(*) AS n_ngrams, min(ngram) AS first_ngram FROM (
+        | SELECT doc_id, unnest(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |   ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS ngram
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |   FROM documents WHERE text IS NOT NULL AND trim(text) <> ''))
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q30_md5" ->
       """SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
