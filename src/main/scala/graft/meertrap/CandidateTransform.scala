@@ -75,7 +75,9 @@ object CandidateTransform {
       c("beam.number").as("cand.beam_key"),
       c("beam.coherent").as("cand.coherent_key"),
       c("obs.t_min"), c("beam_id"))
-    val joined = AsOf.joinBackward(
+    // Native sort-merge as-of exec (AsOfJoinPlan); AsOf.joinBackward is the
+    // built-ins-only equivalent (spec-verified to agree).
+    val joined = AsOf.joinBackwardSortMerge(
       left, right,
       byKeys = Seq("cand.beam_key", "cand.coherent_key"),
       leftTs = "cand.observed_at_rounded",
