@@ -23,7 +23,7 @@ object AtnfTransform {
     */
   def extract(spark: SparkSession, csvPath: String, visitedAt: java.sql.Timestamp): DataFrame = {
     val raw = spark.read.option("header", "true").schema(Schemas.atnf).csv(csvPath)
-    val w = Window.orderBy(col("NAME"))
+    val w = Window.orderBy(c("known_ps.name"))
     raw
       .select(
         col("NAME").as("known_ps.name"),

@@ -199,6 +199,40 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Distributed connected components over a near-dup pair list
+    * (label-propagation to the minimum id, driver-looped until converged):
+    * turns pairwise matches into dedup CLUSTERS so one representative
+    * survives per cluster — dropping `id_b` of every pair under-deletes on
+    * chains (a~b, b~c keeps both b-dropped and c).
+    *
+    * Each iteration is two shuffles (join + groupBy); real-world near-dup
+    * graphs converge in a handful of iterations (diameter of dup clusters
+    * is tiny). @return (id, label) with label = cluster-min id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old_label"), "id")
+        .where(col("label") =!= col("old_label")).limit(1).count() == 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs produced by any
     * blocking stage: explode shingles, count intersections via groupBy —
     * shuffle on shingle, no quadratic scan.

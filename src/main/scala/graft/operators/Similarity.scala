@@ -95,6 +95,43 @@ object Similarity {
       vecCol, idCol, query, k)
   }
 
+  /** Write an embedding table PARTITIONED BY its LSH sign-bucket — the
+    * 100 TB ANN layout: the bucket is a directory-level partition column, so
+    * probe queries become partition-PRUNED reads (Spark lists only the
+    * probed bucket directories) instead of full scans.
+    */
+  def writeBucketed(df: DataFrame, vecCol: String, idCol: String,
+                    path: String, nBits: Int): Unit =
+    withSignBucket(df, vecCol, idCol, nBits)
+      .withColumnRenamed("__bucket", "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** ANN over a bucket-partitioned layout: compute the probe's bucket (+
+    * 1-bit-flip neighbors), read ONLY those partitions, brute-force within.
+    * `.explain` shows the bucket values in PartitionFilters — the scan never
+    * touches other directories.
+    */
+  def lshTopKPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nBits: Int,
+      multiProbe: Boolean = true
+  ): DataFrame = {
+    val qBucket = spark.range(1)
+      .select(VectorFns.signBucket(VectorFns.vecLit(query), nBits).as("qb"))
+      .collect()(0).getLong(0)
+    val probes: Seq[Long] =
+      if (multiProbe) qBucket +: (0 until nBits).map(b => qBucket ^ (1L << b))
+      else Seq(qBucket)
+    bruteForceTopK(
+      spark.read.parquet(path).where(col("bucket").isin(probes: _*)),
+      vecCol, idCol, query, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (blocked by LSH sign-bucket to
     * avoid the quadratic all-pairs join; exact cosine verification inside
     * buckets).

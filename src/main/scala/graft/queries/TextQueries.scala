@@ -120,6 +120,19 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Composite corpus-prep pipeline (rows-only): annotate -> quality
+    // filter -> exact dedup -> LSH near-dup clusters -> representatives.
+    "q52_corpus_pipeline" -> ((s, dir) => {
+      graft.corpus.CorpusPipeline.run(
+          Tables(s, dir, "documents"),
+          graft.corpus.CorpusPipeline.Config(
+            minTokens = 3, minQuality = 0.1, nearDupThreshold = 0.9))
+        .corpus
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("lang_pred"), round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
     // positional word 3-gram (registered in the function registry).
     "q51_ngram_generator" -> ((s, dir) => {
