@@ -261,6 +261,18 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    // Skew-safe two-phase (salted) aggregation — must produce EXACTLY the
+    // plain groupBy result (the oracle is the unsalted SQL).
+    "q53_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedCountSum(
+          Tables(s, dir, "lineitem"),
+          keys = Seq("l_returnflag"), sumCol = "l_quantity",
+          saltCol = "l_orderkey", saltBuckets = 16)
+        .select(col("l_returnflag"), col("n"),
+          round(col("sum_val"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Rollup (grouping-set) aggregation — beyond the reference's surface,
     // part of a complete engine.
     "q47_rollup" -> ((s, dir) => {
@@ -402,6 +414,9 @@ object RelationalQueries {
     "q48_percentile" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.95), 4) AS p95
-        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replaceAll("\n", " ")
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replaceAll("\n", " "),
+    "q53_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
   )
 }
