@@ -36,32 +36,75 @@ object Dedup {
       Seq(col(s"`${idCol}`").asc)
     ).drop("__fp")
 
-  /** MinHash signature: array of `numHashes` min-hashed shingle values.
-    * Hash family = murmur3 seeded by the hash index (distinct, deterministic).
-    *
-    * NOTE: as a single Column this nests higher-order functions, which Spark
-    * evaluates interpreted AND re-expands the shingle expression per hash —
-    * fine for tests/small frames; the scalable path used by
-    * [[minhashLshPairs]] is [[minhashSignatures]] (explode + codegen'd min
-    * aggregates).
+  /** Universal-hash family for MinHash: h_i(x) = (a_i * h32(x) + b_i) mod P
+    * (P = 2^31-1 prime) where h32 is the low 32 bits of one xxhash64 — the
+    * shingle string is hashed ONCE; each family member is a multiply-add-mod,
+    * vs re-running murmur3 over the string bytes per hash function (64x the
+    * string-hashing work). The modulus is what makes each member a distinct
+    * PERMUTATION — without it a*h+b is monotonic in h and every minhash
+    * would pick the same argmin shingle. Operands stay within 32 bits so
+    * products never overflow a long (Spark 4 ANSI mode errors on overflow).
+    * Constants are deterministic (seeded PRNG, odd multipliers).
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => hash(s, i)))
-    )
+  private[operators] def hashFamily(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    (0 until numHashes).map { _ =>
+      ((rnd.nextInt() & 0x7FFFFFFFL) | 1L, rnd.nextInt() & 0x7FFFFFFFL)
+    }
+  }
 
-  /** Scalable MinHash: explode shingles to rows, compute `numHashes`
-    * codegen'd `min(hash(s, i))` aggregates in one shuffle on the doc id.
-    * Returns (id, sig: array<int>). Equivalent to [[minhashSignature]].
+  private def base32(s: Column): Column = xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))
+
+  private val MersennePrime31 = 2147483647L // 2^31 - 1
+
+  /** MinHash signature as a single Column expression (nests higher-order
+    * functions — interpreted; fine for tests/small frames; the scalable
+    * path used by [[minhashLshPairs]] is [[minhashSignatures]]).
+    * Same hash family as [[minhashSignatures]].
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val fam = hashFamily(numHashes)
+    val bases = transform(array_distinct(shingles), s => base32(s))
+    array(fam.map { case (a, b) =>
+      array_min(transform(bases, h => pmod(h * a + b, lit(MersennePrime31))))
+    }: _*)
+  }
+
+  /** Scalable MinHash: explode shingles to rows, one xxhash64 per shingle,
+    * `numHashes` codegen'd `min(a_i * h + b_i mod P)` aggregates in one
+    * shuffle on the doc id. Returns (id, sig: array<long>). Equivalent to
+    * [[minhashSignature]] (min over a multiset equals min over its set, so
+    * duplicate shingles need no dedup).
     */
   def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: Column,
-                        numHashes: Int): DataFrame = {
-    val exploded = df.select(col(s"`${idCol}`").as("id"), explode(array_distinct(shinglesCol)).as("s"))
-    val aggs = (0 until numHashes).map(i => min(hash(col("s"), lit(i))).as(s"__h$i"))
-    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+                        numHashes: Int): DataFrame =
+    minhashFromExploded(
+      df.select(col(s"`${idCol}`").as("id"), explode(shinglesCol).as("s")),
+      numHashes)
+
+  /** Same, over an already-exploded (id, s) shingle frame. */
+  private def minhashFromExploded(exploded: DataFrame, numHashes: Int): DataFrame = {
+    val fam = hashFamily(numHashes)
+    val hashed = exploded.withColumn("__h", base32(col("s")))
+    val aggs = fam.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * a + b, lit(MersennePrime31))).as(s"__h$i")
+    }
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }
+
+  /** Word-shingle MinHash via the [[graft.functions.NGramTuplesGenerator]]
+    * UDTF — a single-pass per-row generator (split once, slice windows)
+    * instead of the interpreted higher-order-function array construction,
+    * which dominates runtime on long documents.
+    */
+  def minhashSignaturesGen(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, numHashes: Int): DataFrame =
+    minhashFromExploded(
+      df.select(col(s"`${idCol}`").as("id"),
+          expr(s"ngram_tuples(`$textCol`, $shingleN)"))
+        .select(col("id"), col("ngram").as("s")),
+      numHashes)
 
   /** MinHash-LSH candidate pairs: shingle -> minhash signature -> band
     * buckets -> self-join within buckets -> verified Jaccard estimate.
@@ -85,8 +128,7 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(df, idCol,
-      TextFns.wordShingles(col(s"`${textCol}`"), shingleN), numHashes)
+    val sig = minhashSignaturesGen(df, idCol, textCol, shingleN, numHashes)
     val banded = sig.select(
       col("id"), col("sig"),
       explode(
@@ -187,8 +229,13 @@ object Dedup {
   ): DataFrame = {
     val blocked = minhashLshPairs(df, textCol, idCol, n, numHashes, bands,
       threshold = math.max(0.0, threshold - 0.25))
-    val sets = df.select(col(s"`$idCol`").as("__jid"),
-      array_distinct(TextFns.wordShingles(col(s"`$textCol`"), n)).as("__sh"))
+    // Exact shingle sets only for docs that appear in a blocked pair —
+    // semi-join first, don't rebuild shingles for the whole corpus.
+    val neededIds = blocked.select(col("id_a").as("__jid"))
+      .union(blocked.select(col("id_b"))).distinct()
+    val sets = df.join(neededIds, col(s"`$idCol`") === col("__jid"), "left_semi")
+      .select(col(s"`$idCol`").as("__jid"),
+        array_distinct(TextFns.wordShingles(col(s"`$textCol`"), n)).as("__sh"))
     blocked
       .join(sets.select(col("__jid").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sets.select(col("__jid").as("id_b"), col("__sh").as("__sh_b")), "id_b")
@@ -199,17 +246,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Distributed connected components over a near-dup pair list
-    * (label-propagation to the minimum id, driver-looped until converged):
-    * turns pairwise matches into dedup CLUSTERS so one representative
-    * survives per cluster — dropping `id_b` of every pair under-deletes on
-    * chains (a~b, b~c keeps both b-dropped and c).
+  /** Connected components over a near-dup pair list: turns pairwise matches
+    * into dedup CLUSTERS so one representative survives per cluster —
+    * dropping `id_b` of every pair under-deletes on chains (a~b, b~c keeps
+    * both b-dropped and c). @return (id, label) with label = cluster-min id.
     *
-    * Each iteration is two shuffles (join + groupBy); real-world near-dup
-    * graphs converge in a handful of iterations (diameter of dup clusters
-    * is tiny). @return (id, label) with label = cluster-min id.
+    * Hybrid execution: the edge list after LSH blocking is tiny relative to
+    * the corpus, so up to `driverMaxEdges` edges are collected and solved
+    * with union-find on the driver (microseconds, zero extra jobs); larger
+    * graphs fall back to distributed min-label propagation
+    * ([[connectedComponentsDistributed]]).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, driverMaxEdges: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val capped = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit((driverMaxEdges + 1).toInt).collect()
+    if (capped.length > driverMaxEdges) connectedComponentsDistributed(pairs)
+    else {
+      // Driver union-find with path compression, min id as root label.
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      capped.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      val labels = parent.keys.toSeq.map(id => (id, find(id)))
+      spark.createDataset(labels).toDF("id", "label")
+    }
+  }
+
+  /** Distributed min-label propagation (driver-looped until converged) —
+    * the fallback for edge lists too large to collect. Each iteration is
+    * two shuffles; near-dup graphs converge in a handful of iterations
+    * (cluster diameter is tiny).
+    */
+  def connectedComponentsDistributed(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()

@@ -15,6 +15,10 @@ class CorpusPipelineSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
     assert(cc(10L) === 10L && cc(11L) === 10L)
+    // distributed label-propagation fallback must agree
+    val dist = Dedup.connectedComponentsDistributed(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === cc)
   }
 
   test("corpus pipeline: monotonic reductions, no surviving exact dups") {

@@ -56,9 +56,9 @@ class FunctionsSpec extends SparkSuite {
       (2L, "pack my box with five dozen liquor jugs")).toDF("id", "text")
     val viaExpr = docs.select($"id",
       Dedup.minhashSignature(array_distinct(TextFns.wordShingles($"text", 2)), 16).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val viaAgg = Dedup.minhashSignatures(docs, "id", TextFns.wordShingles($"text", 2), 16)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(viaExpr === viaAgg)
   }
 
