@@ -32,12 +32,24 @@ object CorpusPipeline {
 
   private def c(n: String): Column = col(s"`$n`")
 
-  /** Stage 1: single-scan annotation with every text signal. */
-  def annotate(df: DataFrame, cfg: Config): DataFrame = df
-    .withColumn("n_tokens", TextFns.tokenCount(c(cfg.textCol)))
-    .withColumn("quality", TextFns.qualityScore(c(cfg.textCol)))
-    .withColumn("lang_pred", TextFns.langIdHeuristic(c(cfg.textCol)))
-    .withColumn("fingerprint", TextFns.fingerprint(c(cfg.textCol)))
+  /** Stage 1: single-scan annotation with every text signal — tokenizes
+    * ONCE ([[TextFns.tokenMetrics]]) instead of re-splitting inside each
+    * metric expression.
+    */
+  def annotate(df: DataFrame, cfg: Config): DataFrame = {
+    val t = c(cfg.textCol)
+    val m = df
+      .withColumn("__m", TextFns.tokenMetrics(TextFns.tokens(t)))
+      .withColumn("__punct", TextFns.punctRatio(t))
+    m.withColumn("n_tokens", col("__m.n_tokens"))
+      .withColumn("quality", round(
+        least(col("__m.n_tokens").cast("double") / 20.0d, lit(1.0d)) * 0.5d +
+          greatest(lit(0.0d), lit(1.0d) - col("__punct") * 4.0d) * 0.25d +
+          least(col("__m.stopword_ratio") * 5.0d, lit(1.0d)) * 0.25d, 6))
+      .withColumn("lang_pred", col("__m.lang_pred"))
+      .withColumn("fingerprint", TextFns.fingerprint(t))
+      .drop("__m", "__punct")
+  }
 
   def run(docs: DataFrame, cfg: Config = Config()): Result = {
     val input = docs.where(c(cfg.textCol).isNotNull)

@@ -105,6 +105,38 @@ object TextFns {
     round(lenScore * 0.5d + punctPen * 0.25d + stopScore * 0.25d, 6)
   }
 
+  /** All text signals in one pass over a PRE-TOKENIZED column — the
+    * annotate-stage fast path: the naive composition re-evaluates the
+    * (interpreted) tokenization inside every metric; here `toks` is a real
+    * column computed once. Returns a struct
+    * (n_tokens, stopword_ratio, mean_token_len, lang_pred).
+    */
+  def tokenMetrics(toks: Column): Column = {
+    val lower = transform(toks, t => org.apache.spark.sql.functions.lower(t))
+    val stops = Array("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
+    val n = size(toks)
+    val nStop = size(filter(lower, t => t.isin(stops.map(x => x: Any): _*)))
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans"),
+      "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "para", "como"),
+      "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人"))
+    val scored = markers.map { case (lang, words) =>
+      struct(size(filter(lower, t => t.isin(words.map(x => x: Any): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    struct(
+      n.cast("long").as("n_tokens"),
+      when(n === 0, 0.0d).otherwise(nStop.cast("double") / n.cast("double")).as("stopword_ratio"),
+      when(n === 0, 0.0d).otherwise(sumLen.cast("double") / n.cast("double")).as("mean_token_len"),
+      when(n === 0 || best.getField("score") === 0, "und")
+        .otherwise(best.getField("lang")).as("lang_pred"))
+  }
+
   /** Language-ID heuristic: scores text against per-language stopword/char
     * marker sets, returns the argmax language code (or "und").
     * N-gram-free approximation good enough for routing; NOT a model.

@@ -261,6 +261,27 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    // Edit-distance text similarity (builtin levenshtein, matched by the
+    // DuckDB implementation of the same metric).
+    "q54_levenshtein" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          levenshtein(element_at(split(col("p_type"), " "), 1),
+            element_at(split(col("p_type"), " "), -1)).cast("long").as("edit_dist"))
+        .orderBy("p_partkey")
+    }),
+
+    // Correlated-subquery semantics: parts priced above their brand's
+    // average (window formulation in Spark, correlated SQL in the oracle).
+    "q55_above_brand_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_brand")
+      Tables(s, dir, "part")
+        .withColumn("brand_avg", avg("p_retailprice").over(w))
+        .where(col("p_retailprice") > col("brand_avg"))
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy("p_partkey")
+    }),
+
     // Skew-safe two-phase (salted) aggregation — must produce EXACTLY the
     // plain groupBy result (the oracle is the unsalted SQL).
     "q53_salted_agg" -> ((s, dir) => {
@@ -417,6 +438,13 @@ object RelationalQueries {
         | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replaceAll("\n", " "),
     "q53_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
-        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
+    "q54_levenshtein" ->
+      """SELECT p_partkey, CAST(levenshtein(string_split(p_type,' ')[1], string_split(p_type,' ')[-1]) AS BIGINT) AS edit_dist
+        | FROM part ORDER BY p_partkey""".stripMargin.replaceAll("\n", " "),
+    "q55_above_brand_avg" ->
+      """SELECT p_partkey, p_brand FROM part p
+        | WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        | ORDER BY p_partkey""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -102,6 +102,24 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(1) - 2.0 / 4.0) < 1e-12)
   }
 
+  test("tokenMetrics single-pass struct agrees with individual metrics") {
+    val df = Seq("the cat, the hat!", "der hund ist gross und laut", "", "  x  ")
+      .toDF("t")
+      .select($"t",
+        TextFns.tokenMetrics(TextFns.tokens($"t")).as("m"),
+        TextFns.tokenCount($"t").cast("long").as("n"),
+        TextFns.stopwordRatio($"t").as("sr"),
+        TextFns.meanTokenLen($"t").as("ml"),
+        TextFns.langIdHeuristic($"t").as("l"))
+    df.collect().foreach { r =>
+      val m = r.getStruct(1)
+      assert(m.getLong(0) === r.getLong(2))
+      assert(math.abs(m.getDouble(1) - r.getDouble(3)) < 1e-12)
+      assert(math.abs(m.getDouble(2) - r.getDouble(4)) < 1e-12)
+      assert(m.getString(3) === r.getString(5))
+    }
+  }
+
   test("langIdHeuristic picks the marker-heavy language") {
     val df = Seq("the cat and the dog is in that house",
       "der hund ist nicht ein katze und", "xyzzy qwerty").toDF("t")
