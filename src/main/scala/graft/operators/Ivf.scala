@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+  * embedding space; probes scan only the `nProbe` nearest clusters.
+  *
+  * Everything is DataFrame-native and deterministic:
+  *   - init = vectors of the k smallest ids (seedless, reproducible),
+  *   - Lloyd iterations: assignment is an argmin over k codegen'd
+  *     `vec_dot` distances (one scan), centroid update is a posexplode +
+  *     groupBy(cluster, dim) mean (one shuffle of #rows x dim SMALL longs),
+  *     centroids collected to the driver each round (k x dim doubles —
+  *     metadata-sized at any data scale),
+  *   - like the LSH sign-bucket, the cluster id is computable at write time
+  *     and serves as a partition column for partition-pruned probes.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+    /** Distances from a query to every centroid, nearest-first. */
+    def nearestClusters(q: Seq[Double]): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, i)
+      }.sortBy(t => (t._1, t._2)).map(_._2).toSeq
+  }
+
+  private def q(n: String): Column = col(s"`$n`")
+
+  /** Squared-L2 argmin assignment expression over literal centroids.
+    * dist_j = |v|^2 - 2 v.c_j + |c_j|^2; |v|^2 is constant per row, so the
+    * argmin needs only -2 v.c_j + |c_j|^2 — one codegen'd dot per centroid.
+    * Ties break to the lower cluster id (struct ordering).
+    */
+  private def clusterOf(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val cNorm2 = c.map(x => x * x).sum
+      struct(
+        (VectorFns.dot(vecCol, VectorFns.vecLit(c.toSeq)) * -2.0d + cNorm2).as("d"),
+        lit(j).as("j"))
+    }
+    array_min(array(scored: _*)).getField("j")
+  }
+
+  /** Attach the IVF cluster id. */
+  def withCluster(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("__cluster", clusterOf(q(vecCol), model.centroids))
+
+  /** Train the coarse quantizer with Lloyd iterations. */
+  def train(df: DataFrame, vecCol: String, idCol: String, k: Int,
+            iters: Int = 5): Model = {
+    var centroids: Array[Array[Double]] = df
+      .orderBy(q(idCol)).limit(k)
+      .select(q(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = df.withColumn("__cluster", clusterOf(q(vecCol), centroids match {
+        case cs => cs
+      }))
+      val sums = assigned
+        .select(col("__cluster"), posexplode(q(vecCol).cast("array<double>")).as(Seq("__pos", "__v")))
+        .groupBy("__cluster", "__pos")
+        .agg(avg("__v").as("__mean"))
+        .collect()
+      val dim = centroids(0).length
+      val next = Array.tabulate(centroids.length)(j => centroids(j).clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    Model(centroids)
+  }
+
+  /** Cosine top-k scanning only the `nProbe` clusters nearest the query. */
+  def topK(df: DataFrame, vecCol: String, idCol: String, model: Model,
+           query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val probes = model.nearestClusters(query).take(nProbe)
+    Similarity.bruteForceTopK(
+      withCluster(df, vecCol, model)
+        .where(col("__cluster").isin(probes.map(Integer.valueOf): _*)),
+      vecCol, idCol, query, k)
+  }
+
+  /** Persist partitioned by cluster — probe reads become partition-pruned. */
+  def writeClustered(df: DataFrame, vecCol: String, model: Model, path: String): Unit =
+    withCluster(df, vecCol, model)
+      .withColumnRenamed("__cluster", "cluster")
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+}

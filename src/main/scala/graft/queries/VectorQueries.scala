@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFns
-import graft.operators.Similarity
+import graft.operators.{Ivf, Similarity}
 
 /** Similarity-search operators over the `embeddings` table
   * (`embedding: array<float>[64]`). Brute-force cosine top-k is the exact,
@@ -55,6 +55,17 @@ object VectorQueries {
     "q43_ann_lsh" -> ((s, dir) => {
       Similarity.lshTopK(Tables(s, dir, "embeddings"),
           "embedding", "vec_id", probe, k = 25, nBits = 8, multiProbe = true)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    // IVF ANN: coarse k-means quantizer, nProbe-cluster probe (rows-only —
+    // recall is approximate by design; full-probe == brute force is
+    // spec-verified).
+    "q56_ann_ivf" -> ((s, dir) => {
+      val emb   = Tables(s, dir, "embeddings")
+      val model = Ivf.train(emb, "embedding", "vec_id", k = 16, iters = 3)
+      Ivf.topK(emb, "embedding", "vec_id", model, probe, k = 25, nProbe = 6)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
