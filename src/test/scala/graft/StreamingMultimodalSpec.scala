@@ -41,6 +41,20 @@ class StreamingMultimodalSpec extends SparkSuite {
       again.sortBy(_.asset_id).map(_.sha_fingerprint).toSeq)
   }
 
+  test("multimodal: binaryFile dir scan -> typed records -> features, end to end") {
+    val dir = Files.createTempDirectory("media")
+    (1 to 5).foreach { i =>
+      Files.write(dir.resolve(s"img_$i.png"), Array.fill(50 * i)(i.toByte))
+    }
+    Files.writeString(dir.resolve("notes.txt"), "not an image")
+    val media = Multimodal.readMediaDir(spark, dir.toString, "*.png", "image")
+    assert(media.count() === 5)                        // glob excluded the txt
+    val feats = Multimodal.extractFeatures(media.as[Multimodal.MediaRecord]).collect()
+    assert(feats.length === 5)
+    assert(feats.map(_.byte_len).sorted.toSeq === Seq(50L, 100L, 150L, 200L, 250L))
+    assert(feats.map(_.asset_id).distinct.length === 5)
+  }
+
   test("multimodal: chunk sampling splits payloads distributively") {
     val media = Seq((1L, "video", Array.fill(1000)(7.toByte)))
       .toDF("asset_id", "media_type", "payload")
