@@ -63,8 +63,11 @@ object VectorQueries {
     // recall is approximate by design; full-probe == brute force is
     // spec-verified).
     "q56_ann_ivf" -> ((s, dir) => {
-      val emb   = Tables(s, dir, "embeddings")
-      val model = Ivf.train(emb, "embedding", "vec_id", k = 16, iters = 3)
+      val emb = Tables(s, dir, "embeddings")
+      // Quantizer trained on a deterministic ~25% sample (standard IVF
+      // practice — centroid quality needs only a sample of the corpus).
+      val sample = emb.where(pmod(hash(col("vec_id")), lit(4)) === 0)
+      val model  = Ivf.train(sample, "embedding", "vec_id", k = 16, iters = 2)
       Ivf.topK(emb, "embedding", "vec_id", model, probe, k = 25, nProbe = 6)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
