@@ -61,9 +61,23 @@ object JdbcUpsertSink {
     KeyMap.remap(child, fkCol, keyMap, "local_id", "db_id")
 
   /** Execute the full ordered load over JDBC. Driver-side coordination,
-    * executor-side data movement. Stage writes use `df.write.jdbc`; merge +
-    * key-map statements run on one driver connection inside a transaction
-    * (the reference's outer-transaction-with-savepoints semantics, S10).
+    * executor-side data movement.
+    *
+    * Transaction discipline: a driver transaction must NEVER span a Spark
+    * job. The stage `TRUNCATE` holds an ACCESS EXCLUSIVE lock on the stage
+    * table until commit, so executors' `INSERT`s (separate connections)
+    * would block forever; and a key-map `SELECT` on fresh connections cannot
+    * see rows merged inside an uncommitted driver transaction — FK remap
+    * would silently pass run-local ids through. The driver connection
+    * therefore runs in autocommit: stage DDL + TRUNCATE commit before the
+    * executors write, and the merge — a SINGLE `INSERT ... ON CONFLICT`
+    * statement, atomic on its own — commits before the key-map read.
+    *
+    * The reference's all-or-nothing outer transaction (S10,
+    * `meertrap/meertrap.py:169-199`) is replaced by idempotent per-target
+    * commits: a failure mid-load leaves earlier targets committed, and a
+    * re-run converges (conflict-skip never duplicates; the key-map is
+    * re-derived from natural keys, covering rows inserted by any prior run).
     */
   def load(
       spark: SparkSession,
@@ -72,7 +86,7 @@ object JdbcUpsertSink {
       targets: Seq[(TargetInfo, DataFrame)]
   ): Unit = {
     val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
-    conn.setAutoCommit(false)
+    conn.setAutoCommit(true)
     try {
       var keyMaps = Map.empty[String, DataFrame]
       targets.foreach { case (t, view0) =>
@@ -83,28 +97,25 @@ object JdbcUpsertSink {
             case None     => acc
           }
         }
-        val sp = conn.setSavepoint(t.table)
-        try {
-          conn.createStatement().execute(stageSql(t))
-          conn.createStatement().execute(s"TRUNCATE ${t.table}__stage")
-          view.write.mode("append").jdbc(jdbcUrl, s"${t.table}__stage", props)
-          val cols = view.columns.toSeq
-          conn.createStatement().execute(mergeSql(t, cols))
-        } catch {
-          case e: java.sql.SQLException =>
-            conn.rollback(sp)
-            throw e
-        }
-        // Natural-key -> id map read back through Spark (distributed read).
+        // 1+2. Stage DDL + TRUNCATE, each committed immediately so no lock
+        //      outlives this statement.
+        conn.createStatement().execute(stageSql(t))
+        conn.createStatement().execute(s"TRUNCATE ${t.table}__stage")
+        // 3. Executors write stage rows on their own autocommitted
+        //    connections (parallel, unblocked).
+        view.write.mode("append").jdbc(jdbcUrl, s"${t.table}__stage", props)
+        // 4. Single-statement merge: atomic by itself, committed here. On
+        //    failure nothing reached the target; stale stage rows are
+        //    truncated by the next run.
+        conn.createStatement().execute(mergeSql(t, view.columns.toSeq))
+        // 5. Natural-key -> id map read back through Spark (distributed
+        //    read) — sees the committed merge, including fresh inserts.
         val km = spark.read.jdbc(jdbcUrl, s"(${keyMapSql(t)}) km", props)
         val local = view.select(
           (t.uniqueConstraint.map(n => col(s"`$n`")) :+ col(s"`${t.primaryKey}`").as("local_id")): _*)
         keyMaps += t.table -> local.join(km, t.uniqueConstraint)
           .select(col("local_id"), col(s"`${t.primaryKey}`").as("db_id"))
       }
-      conn.commit()
-    } catch {
-      case e: Throwable => conn.rollback(); throw e
     } finally conn.close()
   }
 }

@@ -119,7 +119,7 @@ object EventQueries {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         | ORDER BY c.event_id""".stripMargin.replaceAll("\n", " "),
     "q27_sessionize" ->
-      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id, CASE WHEN prev_ts IS NULL
         |   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
         | FROM (SELECT user_id, ts, event_id,

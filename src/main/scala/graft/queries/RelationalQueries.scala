@@ -366,7 +366,7 @@ object RelationalQueries {
         |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replaceAll("\n", " "),
     "q09_window_lead" ->
-      """SELECT l_suppkey, sum(gap_s) AS sum_gap_s, count(gap_s) AS n_gaps FROM (
+      """SELECT l_suppkey, CAST(sum(gap_s) AS BIGINT) AS sum_gap_s, count(gap_s) AS n_gaps FROM (
         |  SELECT l_suppkey, CAST(epoch(lead(l_shipdate) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber)) - epoch(l_shipdate) AS BIGINT) AS gap_s
         |  FROM lineitem) GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin.replaceAll("\n", " "),
@@ -422,7 +422,7 @@ object RelationalQueries {
       """SELECT string_split(p_type,' ')[1] AS t1, string_split(p_type,' ')[-1] AS t_last,
         | count(*) AS n FROM part GROUP BY t1, t_last ORDER BY t1, t_last""".stripMargin.replaceAll("\n", " "),
     "q39_regex_extract_all" ->
-      """SELECT p_brand, sum(len(regexp_extract_all(p_name, '([a-z]{5,})', 1))) AS n_long_words
+      """SELECT p_brand, CAST(sum(len(regexp_extract_all(p_name, '([a-z]{5,})', 1))) AS BIGINT) AS n_long_words
         | FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin.replaceAll("\n", " "),
     "q46_keymap_remap" ->
       """SELECT c_custkey, coalesce(n_regionkey, c_nationkey) AS c_nationkey

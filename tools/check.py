@@ -49,11 +49,14 @@ def main():
             results[name] = "missing"
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM '{pq}/*.parquet'").fetchall()
-            got_cols = [d[0] for d in con.description]
-            want = con.execute(oracle[name]).fetchall()
-            want_cols = [d[0] for d in con.description]
+            got_rel = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
+            got_cols = list(got_rel.columns)
+            got_types = dict(zip(got_rel.columns, map(str, got_rel.types)))
+            got = got_rel.fetchall()
+            want_rel = con.sql(oracle[name])
+            want_cols = list(want_rel.columns)
+            want_types = dict(zip(want_rel.columns, map(str, want_rel.types)))
+            want = want_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -63,6 +66,15 @@ def main():
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
             n_fail += 1
             results[name] = "cols"
+            continue
+        # Type-sensitive: the driver's hash distinguishes e.g. DuckDB HUGEINT
+        # (sum of integers) from the BIGINT Spark writes — catch that here.
+        bad_types = {c: (got_types[c], want_types[c]) for c in got_cols
+                     if got_types[c] != want_types[c]}
+        if bad_types:
+            print(f"FAIL {name}: column types differ {bad_types}")
+            n_fail += 1
+            results[name] = "types"
             continue
         g, w = canon(got, got_cols), canon(want, want_cols)
         if g == w:
