@@ -42,6 +42,8 @@ object Sessions {
     graft.functions.CoordExpressions.register(spark)
     graft.functions.VectorExpressions.register(spark)
     graft.functions.NGramGenerator.register(spark)
+    graft.functions.SketchExpressions.register(spark)
+    graft.functions.TextMetricsExpr.register(spark)
     spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
     spark
   }

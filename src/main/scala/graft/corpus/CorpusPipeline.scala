@@ -32,23 +32,19 @@ object CorpusPipeline {
 
   private def c(n: String): Column = col(s"`$n`")
 
-  /** Stage 1: single-scan annotation with every text signal — tokenizes
-    * ONCE ([[TextFns.tokenMetrics]]) instead of re-splitting inside each
-    * metric expression.
+  /** Stage 1: single-scan annotation with every text signal — ONE compiled
+    * kernel call per document ([[graft.functions.TextMetricsExpr]]: tokens,
+    * ratios, lang-id, quality in a single pass) instead of re-splitting
+    * through interpreted higher-order functions inside each metric.
     */
   def annotate(df: DataFrame, cfg: Config): DataFrame = {
     val t = c(cfg.textCol)
-    val m = df
-      .withColumn("__m", TextFns.tokenMetrics(TextFns.tokens(t)))
-      .withColumn("__punct", TextFns.punctRatio(t))
-    m.withColumn("n_tokens", col("__m.n_tokens"))
-      .withColumn("quality", round(
-        least(col("__m.n_tokens").cast("double") / 20.0d, lit(1.0d)) * 0.5d +
-          greatest(lit(0.0d), lit(1.0d) - col("__punct") * 4.0d) * 0.25d +
-          least(col("__m.stopword_ratio") * 5.0d, lit(1.0d)) * 0.25d, 6))
+    df.withColumn("__m", graft.functions.TextMetricsExpr.textMetrics(t))
+      .withColumn("n_tokens", col("__m.n_tokens"))
+      .withColumn("quality", round(col("__m.quality"), 6))
       .withColumn("lang_pred", col("__m.lang_pred"))
       .withColumn("fingerprint", TextFns.fingerprint(t))
-      .drop("__m", "__punct")
+      .drop("__m")
   }
 
   def run(docs: DataFrame, cfg: Config = Config()): Result = {

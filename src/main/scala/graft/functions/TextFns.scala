@@ -49,19 +49,32 @@ object TextFns {
       )
   }
 
-  /** Lowercase, collapse whitespace, strip non-alphanumerics — canonical
-    * form for exact/fuzzy dedup fingerprints.
+  /** Lowercase, collapse whitespace, strip punctuation/symbols — canonical
+    * form for exact/fuzzy dedup fingerprints. Unicode-aware: keeps any
+    * letter or digit (`\p{L}\p{N}`), not just ASCII, so Chinese / Cyrillic /
+    * Arabic documents don't all normalize to the same empty string (which
+    * would collapse an entire non-Latin corpus to one row in dedup). When
+    * normalization still yields empty (e.g. emoji-only text), falls back to
+    * the raw trimmed text so distinct contents keep distinct fingerprints.
     */
-  def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+  def normalize(text: Column): Column = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+    when(length(cleaned) === 0, trim(text)).otherwise(cleaned)
+  }
 
   /** MD5 fingerprint of normalized text (exact-dedup key; mirrors the
     * reference's content-hash dedup idea, `utils/hash.py:8-30`).
+    * Normalization runs through the single-pass kernel
+    * ([[SketchExpressions.normText]], spec-agreed with [[normalize]]) —
+    * the composed-Column form chains two regex replaces per use site.
     */
-  def fingerprint(text: Column): Column = md5(normalize(text))
+  def fingerprint(text: Column): Column =
+    md5(SketchExpressions.normText(text))
 
   /** 64-bit rolling-style document fingerprint (xxhash64 of normalization). */
-  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+  def fingerprint64(text: Column): Column =
+    xxhash64(SketchExpressions.normText(text))
 
   /** Ratio of punctuation chars to total chars (0 for empty). */
   def punctRatio(text: Column): Column = {

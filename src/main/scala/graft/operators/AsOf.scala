@@ -41,7 +41,10 @@ object AsOf {
     val keyCols = byKeys.map(q)
     // Side 0 = right (reference) rows sort before side 1 = left rows at equal
     // ts, so a right row at exactly leftTs IS matched (backward-inclusive).
-    val rTagged = right.select(
+    // Null right timestamps never match (they'd sort nulls-first and leak
+    // their columns into every left row via last(ignoreNulls) — the native
+    // exec skips them, and the two paths must agree).
+    val rTagged = right.where(q(rightTs).isNotNull).select(
       keyCols ++ Seq(q(rightTs).cast("timestamp").as("__asof_ts"), lit(0).as("__side")) ++
         rightCols.map(c => q(c).as(s"__r_$c")): _*
     )

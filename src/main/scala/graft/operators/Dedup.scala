@@ -28,13 +28,22 @@ object Dedup {
 
   /** Exact text dedup: keep one representative (min id) per normalized-text
     * fingerprint. Single hash-aggregate shuffle on the fingerprint.
+    * Whitespace-only documents have no content to fingerprint — each gets a
+    * per-row key so "empty" never forms a dedup cluster.
     */
-  def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // normalize yields empty iff the space-trimmed raw text is empty (the
+    // kernel falls back to raw text otherwise), so the emptiness test can
+    // run on the cheap trim instead of a second normalization pass.
+    val key = when(length(trim(col(s"`${textCol}`"))) === 0,
+        concat(lit("__empty__:"), col(s"`${idCol}`").cast("string")))
+      .otherwise(TextFns.fingerprint(col(s"`${textCol}`")))
     keepFirst(
-      df.withColumn("__fp", TextFns.fingerprint(col(s"`${textCol}`"))),
+      df.withColumn("__fp", key),
       Seq("__fp"),
       Seq(col(s"`${idCol}`").asc)
     ).drop("__fp")
+  }
 
   /** Universal-hash family for MinHash: h_i(x) = (a_i * h32(x) + b_i) mod P
     * (P = 2^31-1 prime) where h32 is the low 32 bits of one xxhash64 — the
@@ -44,14 +53,12 @@ object Dedup {
     * PERMUTATION — without it a*h+b is monotonic in h and every minhash
     * would pick the same argmin shingle. Operands stay within 32 bits so
     * products never overflow a long (Spark 4 ANSI mode errors on overflow).
-    * Constants are deterministic (seeded PRNG, odd multipliers).
+    * Constants are deterministic (seeded PRNG, odd multipliers) — shared
+    * with the single-pass kernel ([[graft.functions.SketchKernels]]) so all
+    * signature paths agree bit-for-bit.
     */
-  private[operators] def hashFamily(numHashes: Int): Seq[(Long, Long)] = {
-    val rnd = new java.util.Random(42)
-    (0 until numHashes).map { _ =>
-      ((rnd.nextInt() & 0x7FFFFFFFL) | 1L, rnd.nextInt() & 0x7FFFFFFFL)
-    }
-  }
+  private[operators] def hashFamily(numHashes: Int): Seq[(Long, Long)] =
+    graft.functions.SketchKernels.hashFamily(numHashes).toSeq
 
   private def base32(s: Column): Column = xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))
 
@@ -93,18 +100,19 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
-  /** Word-shingle MinHash via the [[graft.functions.NGramTuplesGenerator]]
-    * UDTF — a single-pass per-row generator (split once, slice windows)
-    * instead of the interpreted higher-order-function array construction,
-    * which dominates runtime on long documents.
+  /** Word-shingle MinHash as a SINGLE-PASS per-row kernel
+    * ([[graft.functions.MinHashSigExpr]]): tokenize once, hash each shingle
+    * once, fold k mins in-register. Signature computation is per-row work —
+    * no explode, no shuffle, no k-wide aggregate codegen; identical output
+    * to [[minhashSignatures]] (spec-enforced). This is both the fastest and
+    * the most scale-robust path (map-side only).
     */
   def minhashSignaturesGen(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, numHashes: Int): DataFrame =
-    minhashFromExploded(
-      df.select(col(s"`${idCol}`").as("id"),
-          expr(s"ngram_tuples(`$textCol`, $shingleN)"))
-        .select(col("id"), col("ngram").as("s")),
-      numHashes)
+    df.select(col(s"`${idCol}`").as("id"),
+        graft.functions.SketchExpressions
+          .minhashSig(col(s"`$textCol`"), shingleN, numHashes).as("sig"))
+      .where(col("sig").isNotNull)
 
   /** MinHash-LSH candidate pairs: shingle -> minhash signature -> band
     * buckets -> self-join within buckets -> verified Jaccard estimate.
@@ -186,10 +194,12 @@ object Dedup {
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, blocked on
     * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
-    * one of 4 chunks) to avoid the quadratic self-join.
+    * one of 4 chunks) to avoid the quadratic self-join. Signatures via the
+    * single-pass per-row kernel ([[graft.functions.SimHash64Expr]]).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
-    val withSig = simhashSignatures(df, idCol, TextFns.tokens(col(s"`${textCol}`")))
+    val withSig = df.select(col(s"`${idCol}`").as("id"),
+      graft.functions.SketchExpressions.simhash64(col(s"`$textCol`")).as("sig"))
     val chunked = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
@@ -235,7 +245,7 @@ object Dedup {
       .union(blocked.select(col("id_b"))).distinct()
     val sets = df.join(neededIds, col(s"`$idCol`") === col("__jid"), "left_semi")
       .select(col(s"`$idCol`").as("__jid"),
-        array_distinct(TextFns.wordShingles(col(s"`$textCol`"), n)).as("__sh"))
+        graft.functions.SketchExpressions.wordShingles(col(s"`$textCol`"), n).as("__sh"))
     blocked
       .join(sets.select(col("__jid").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sets.select(col("__jid").as("id_b"), col("__sh").as("__sh_b")), "id_b")
@@ -284,38 +294,61 @@ object Dedup {
     }
   }
 
-  /** Distributed min-label propagation (driver-looped until converged) —
-    * the fallback for edge lists too large to collect. Each iteration is
-    * two shuffles; near-dup graphs converge in a handful of iterations
-    * (cluster diameter is tiny).
+  /** Distributed min-label propagation with pointer jumping (driver-looped
+    * until converged) — the fallback for edge lists too large to collect.
+    *
+    * Plain one-hop propagation needs diameter-many iterations, so chains
+    * longer than the cap would silently split into multiple clusters
+    * (under-dedup). Each iteration here combines the one-hop neighbor-min
+    * with a pointer jump (`label(x) <- label(label(x))`, valid because
+    * labels are always node ids), which halves remaining chain depth —
+    * O(log diameter) iterations overall. Convergence is CHECKED: if the
+    * defensive cap is ever hit unconverged (2^maxIter-diameter graph), this
+    * throws instead of returning split clusters.
     */
-  def connectedComponentsDistributed(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponentsDistributed(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      // localCheckpoint truncates LINEAGE each iteration — the jump join
+      // references oneHop twice, so without truncation the logical plan
+      // (and driver memory for it) grows 4x per iteration.
+      val oneHop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint(true)
+      val next = oneHop.as("a")
+        .join(oneHop.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
+          col("a.label") === col("jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"))
+        .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("label", "old_label"), "id")
         .where(col("label") =!= col("old_label")).limit(1).count() == 0
       labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components unconverged after $maxIter iterations — " +
+          "graph diameter exceeds 2^maxIter; raise maxIter")
     labels
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs produced by any
-    * blocking stage: explode shingles, count intersections via groupBy —
-    * shuffle on shingle, no quadratic scan.
+  /** EXACT n-gram Jaccard pairs via the inverted shingle index: explode
+    * distinct shingles, self-join on the shingle, count intersections via
+    * groupBy. COMPLETE for any threshold > 0 (a qualifying pair shares at
+    * least one shingle) — one shuffle on the shingle, no quadratic scan.
+    * Hot-shingle skew is the scale risk (use [[ngramJaccardViaLsh]] on
+    * highly repetitive corpora); AQE skew-join handles moderate cases.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -325,7 +358,7 @@ object Dedup {
       threshold: Double = 0.6
   ): DataFrame = {
     val sh = df.select(col(s"`${idCol}`").as("id"),
-        array_distinct(TextFns.wordShingles(col(s"`${textCol}`"), n)).as("sh"))
+        graft.functions.SketchExpressions.wordShingles(col(s"`${textCol}`"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val a = exploded.as("a"); val b = exploded.as("b")

@@ -132,9 +132,30 @@ object Similarity {
       vecCol, idCol, query, k)
   }
 
+  /** EXACT embedding-cosine near-duplicate pairs: all-pairs join + cosine
+    * filter. Quadratic — the correctness baseline and verifier for
+    * [[cosineDupPairs]]; at corpus scale use the LSH-blocked variant (this
+    * one is for ≤ ~10^5-row frames or per-bucket verification).
+    */
+  def cosineDupPairsExact(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = df.select(col(s"`${idCol}`").as("id_a"), col(s"`${vecCol}`").as("__va"))
+    val b = df.select(col(s"`${idCol}`").as("id_b"), col(s"`${vecCol}`").as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFns.cosine(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs (blocked by LSH sign-bucket to
     * avoid the quadratic all-pairs join; exact cosine verification inside
-    * buckets).
+    * buckets). Recall < 1 for pairs split across buckets — acceptable for
+    * high thresholds (near-identical vectors share sign patterns); verify
+    * sampled recall against [[cosineDupPairsExact]] when tuning nBits.
     */
   def cosineDupPairs(
       df: DataFrame,

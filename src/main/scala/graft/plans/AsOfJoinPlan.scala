@@ -26,6 +26,15 @@ case class AsOfJoinPlan(
     leftTs: Attribute,
     rightTs: Attribute,
     rightAttach: Seq[Attribute]) extends BinaryNode {
+  // The exec's merge ordering is built from the LEFT key/ts datatypes only;
+  // mismatched right types (e.g. int vs long by-keys) would silently
+  // mis-compare, so reject them at construction.
+  require(leftKeys.length == rightKeys.length &&
+    leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType == r.dataType },
+    s"as-of by-key datatypes must match pairwise: " +
+      s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of timestamp datatypes must match: ${leftTs.dataType} vs ${rightTs.dataType}")
   override def output: Seq[Attribute] = left.output ++ rightAttach.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)

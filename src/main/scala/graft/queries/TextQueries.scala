@@ -16,9 +16,12 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   // DuckDB mirror of TextFns.normalize (RE2 'g' flag; Spark replaces all by
-  // default).
+  // default): Unicode letter/digit classes + raw-text fallback when the
+  // cleaned form is empty.
+  private val cleanedSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
   private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    s"(CASE WHEN $cleanedSql = '' THEN trim(text) ELSE $cleanedSql END)"
 
   def all: Map[String, Q] = defs ++ more
 
@@ -73,7 +76,8 @@ object TextQueries {
         .orderBy("min_doc_id")
     }),
 
-    // Lang-ID heuristic (rows-only: no SQL oracle for the marker argmax).
+    // Lang-ID heuristic (oracle: the same marker-set argmax in SQL —
+    // struct-lexicographic tie-break mirrored via list_sort).
     "q35_lang_id" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .where(col("text").isNotNull)
@@ -98,11 +102,14 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // n-gram Jaccard pairs: MinHash-LSH blocking + exact per-pair
-    // verification (rows-only). The full shingle self-join variant
-    // (Dedup.ngramJaccardPairs) goes quadratic on repetitive corpora.
+    // n-gram Jaccard pairs — EXACT via the inverted shingle index
+    // (oracle-checked): any pair with J >= t shares a shingle, so the
+    // shingle self-join finds every qualifying pair; one shuffle on the
+    // shingle. The MinHash-LSH-blocked variant (Dedup.ngramJaccardViaLsh)
+    // is the alternative when hot shingles skew the index — spec-verified
+    // to agree with this one at the bench threshold.
     "q38_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardViaLsh(
+      Dedup.ngramJaccardPairs(
           Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
           "text", "doc_id", n = 3, threshold = 0.6)
         .withColumn("jaccard", round(col("jaccard"), 4))
@@ -163,7 +170,8 @@ object TextQueries {
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q31_dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL
-        | GROUP BY md5($normSql) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+        | GROUP BY CASE WHEN $normSql = '' THEN '__empty__:' || CAST(doc_id AS VARCHAR)
+        |   ELSE md5($normSql) END ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q32_token_count" ->
       """SELECT doc_id,
         | CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens,
@@ -186,6 +194,32 @@ object TextQueries {
     "q34_fingerprint" ->
       s"""SELECT md5($normSql) AS fp, count(*) AS cluster_size, min(doc_id) AS min_doc_id
         | FROM documents WHERE text IS NOT NULL GROUP BY fp
-        | HAVING count(*) > 1 ORDER BY min_doc_id""".stripMargin.replaceAll("\n", " ")
+        | HAVING count(*) > 1 ORDER BY min_doc_id""".stripMargin.replaceAll("\n", " "),
+    "q35_lang_id" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN trim(text)='' THEN []
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        | s AS (SELECT doc_id, len(ts) AS n_tok, list_sort([
+        |  struct_pack(score := len(list_filter(ts, x -> list_contains(['the','and','of','to','is','in','that','it','with'], x))), lang := 'en'),
+        |  struct_pack(score := len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit'], x))), lang := 'de'),
+        |  struct_pack(score := len(list_filter(ts, x -> list_contains(['le','la','les','et','est','une','que','pour','dans'], x))), lang := 'fr'),
+        |  struct_pack(score := len(list_filter(ts, x -> list_contains(['el','los','las','es','una','que','por','para','como'], x))), lang := 'es'),
+        |  struct_pack(score := len(list_filter(ts, x -> list_contains(['的','是','了','在','我','有','和','不','人'], x))), lang := 'zh')
+        |  ])[-1] AS best FROM t)
+        | SELECT doc_id, CASE WHEN n_tok = 0 OR best.score = 0 THEN 'und' ELSE best.lang END AS lang_pred
+        | FROM s ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q38_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh)
+        | SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
   )
 }

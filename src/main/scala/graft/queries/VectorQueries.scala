@@ -73,19 +73,20 @@ object VectorQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
-    // Embedding-cosine near-dup pairs, LSH-blocked (rows-only). The synthetic
-    // embeddings have no planted near-dups (max pairwise cosine ≈ 0.51 at
-    // sf0.01), so the demo threshold is set low enough to surface real pairs.
+    // Embedding-cosine near-dup pairs — EXACT all-pairs variant
+    // (oracle-checked). The synthetic embeddings have no planted near-dups
+    // (max pairwise cosine ≈ 0.51 at sf0.01), so the demo threshold is low
+    // enough to surface real pairs. The LSH-blocked scale path
+    // (Similarity.cosineDupPairs) is spec-verified as a subset of this one.
     "q44_embed_dup_pairs" -> ((s, dir) => {
-      Similarity.cosineDupPairs(Tables(s, dir, "embeddings"),
-          "embedding", "vec_id", threshold = 0.35, nBits = 4)
+      Similarity.cosineDupPairsExact(Tables(s, dir, "embeddings"),
+          "embedding", "vec_id", threshold = 0.35)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     }),
 
     // kNN join: 5 nearest base vectors for each of the first 10 probe rows
-    // (rows-only; the brute-force variant is exact but its oracle would be
-    // a quadratic SQL — covered by q40's single-probe oracle instead).
+    // (exact brute-force; oracle = quadratic SQL over the same split).
     "q45_knn_join" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       Similarity.knnJoin(e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
@@ -116,6 +117,26 @@ object VectorQueries {
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))), 6) AS mean_adj_cosine,
         | count(*) AS n_pairs
         | FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-        | GROUP BY a.label ORDER BY a.label""".stripMargin.replaceAll("\n", " ")
+        | GROUP BY a.label ORDER BY a.label""".stripMargin.replaceAll("\n", " "),
+    "q44_embed_dup_pairs" ->
+      """SELECT id_a, id_b, round(cosine,6) AS cosine FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        | WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    "q45_knn_join" ->
+      """SELECT probe_id, base_id, round(cosine,6) AS cosine FROM (
+        | SELECT a.vec_id AS probe_id, b.vec_id AS base_id,
+        |  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine,
+        |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |   list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |   (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |    sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) DESC, b.vec_id) AS rn
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id >= 10)
+        | WHERE rn <= 5 ORDER BY probe_id, cosine DESC, base_id""".stripMargin.replaceAll("\n", " ")
   )
 }

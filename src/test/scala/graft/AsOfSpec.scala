@@ -70,4 +70,32 @@ class AsOfSpec extends SparkSuite {
     assert(out.count() === 5)
     assert(out.select("id").distinct().count() === 5)
   }
+
+  test("null right timestamps never match, in BOTH paths") {
+    val rightWithNull = Seq(
+      ("a", Option(ts("2024-01-01 10:00:00")), 100L),
+      ("a", Option.empty[Timestamp], 999L),  // must never attach
+      ("b", Option.empty[Timestamp], 998L)   // only row for key b -> all-null
+    ).toDF("k", "rts", "rid")
+    val expect = Map(1L -> Some(100L), 2L -> Some(100L), 3L -> None,
+      4L -> None, 5L -> None)
+    val viaFill = AsOf.joinBackward(left, rightWithNull, Seq("k"), "lts", "rts", Seq("rid"))
+      .select($"id", $"rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val viaExec = AsOf.joinBackwardSortMerge(left, rightWithNull, Seq("k"), "lts", "rts", Seq("rid"))
+      .select($"id", $"rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(viaFill === expect)
+    assert(viaExec === expect)
+  }
+
+  test("mismatched by-key datatypes are rejected at construction") {
+    val intKeyedRight = right.withColumn("k2", lit(1))
+      .select($"k2".as("k"), $"rts", $"rid")
+    val longKeyedLeft = left.withColumn("k2", lit(1L))
+      .select($"id", $"k2".as("k"), $"lts")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinBackwardSortMerge(longKeyedLeft, intKeyedRight,
+        Seq("k"), "lts", "rts", Seq("rid")).collect()
+    }
+    assert(e.getMessage.contains("datatypes must match"))
+  }
 }

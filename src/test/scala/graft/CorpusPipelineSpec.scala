@@ -21,6 +21,40 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(dist === cc)
   }
 
+  test("distributed CC converges on a chain far longer than one-hop-per-iteration would allow") {
+    // diameter-39 path: min-label needs 39 one-hop rounds; pointer jumping
+    // must close it within the iteration cap (and throw if it ever can't).
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsDistributed(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 40)
+    assert(cc.values.toSet === Set(1L))
+  }
+
+  test("LSH-blocked ngram jaccard agrees with the exact inverted-index variant") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .where(length(trim(col("text"))) > 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e4) / 1e4)).toSet
+    val exact = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.6))
+    val lsh   = pairs(Dedup.ngramJaccardViaLsh(docs, "text", "doc_id", n = 3, threshold = 0.6))
+    // LSH blocking can only lose pairs, never invent them; at this corpus
+    // and threshold it must keep them all.
+    assert(lsh === exact)
+  }
+
+  test("LSH-blocked cosine dup pairs are a subset of the exact all-pairs result") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf("sf0.001"), "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineDupPairsExact(emb, "embedding", "vec_id", 0.35))
+    val lsh   = pairs(Similarity.cosineDupPairs(emb, "embedding", "vec_id", 0.35, nBits = 4))
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty)
+  }
+
   test("corpus pipeline: monotonic reductions, no surviving exact dups") {
     val docs = Tables(spark, sf("sf0.001"), "documents")
     val res = CorpusPipeline.run(docs, CorpusPipeline.Config(

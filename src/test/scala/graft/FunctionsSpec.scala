@@ -60,6 +60,10 @@ class FunctionsSpec extends SparkSuite {
     val viaAgg = Dedup.minhashSignatures(docs, "id", TextFns.wordShingles($"text", 2), 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(viaExpr === viaAgg)
+    // single-pass kernel path must agree bit-for-bit with both
+    val viaKernel = Dedup.minhashSignaturesGen(docs, "id", "text", 2, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel === viaAgg)
   }
 
   test("simhash: column expression and scalable aggregate agree") {
@@ -70,6 +74,11 @@ class FunctionsSpec extends SparkSuite {
     val viaAgg = Dedup.simhashSignatures(docs, "id", TextFns.tokens($"text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaExpr === viaAgg)
+    // single-pass kernel path must agree bit-for-bit with both
+    val viaKernel = docs.select($"id",
+        graft.functions.SketchExpressions.simhash64($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel === viaAgg)
   }
 
   test("sign buckets: expression and explode+aggregate paths agree") {
@@ -120,10 +129,82 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("text_metrics kernel agrees with the composed TextFns columns") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .where($"text".isNotNull).limit(200)
+    val rows = docs.select(
+      graft.functions.TextMetricsExpr.textMetrics($"text").as("m"),
+      TextFns.tokenCount($"text").cast("long").as("n"),
+      TextFns.stopwordRatio($"text").as("sr"),
+      TextFns.meanTokenLen($"text").as("ml"),
+      TextFns.langIdHeuristic($"text").as("lang"),
+      TextFns.punctRatio($"text").as("pr"),
+      TextFns.qualityScore($"text").as("q")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getStruct(0)
+      assert(m.getLong(0) === r.getLong(1))
+      assert(m.getDouble(1) === r.getDouble(2))
+      assert(m.getDouble(2) === r.getDouble(3))
+      assert(m.getString(3) === r.getString(4))
+      assert(m.getDouble(4) === r.getDouble(5))
+      // qualityScore rounds to 6dp; kernel quality is raw
+      assert(math.abs(math.rint(m.getDouble(5) * 1e6) / 1e6 - r.getDouble(6)) < 1e-12)
+    }
+  }
+
   test("langIdHeuristic picks the marker-heavy language") {
     val df = Seq("the cat and the dog is in that house",
       "der hund ist nicht ein katze und", "xyzzy qwerty").toDF("t")
       .select(TextFns.langIdHeuristic($"t").as("l"))
     assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "und"))
+  }
+
+  test("norm_text / word_shingles kernels agree with the composed Columns") {
+    val probes = Seq("Hello,   World!", "你好 世界", "это тест", "!!! ???",
+      "  padded  ", "", "a b", "one two three four five", "dup dup dup dup")
+    val df = probes.toDF("t").select(
+      TextFns.normalize($"t").as("norm_col"),
+      graft.functions.SketchExpressions.normText($"t").as("norm_kernel"),
+      array_distinct(TextFns.wordShingles($"t", 3)).as("sh_col"),
+      graft.functions.SketchExpressions.wordShingles($"t", 3).as("sh_kernel"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+      assert(r.getSeq[String](2) === r.getSeq[String](3))
+    }
+    // and over the real corpus
+    val docs = Tables(spark, sf("sf0.001"), "documents").where($"text".isNotNull)
+    val mismatch = docs.select(
+        TextFns.normalize($"text").as("a"),
+        graft.functions.SketchExpressions.normText($"text").as("b"))
+      .where($"a" =!= $"b").count()
+    assert(mismatch === 0)
+  }
+
+  test("normalize keeps non-Latin letters; distinct docs keep distinct fingerprints") {
+    val docs = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "你好 世界"),          // Chinese survives normalization
+      (3L, "это тест"),           // Cyrillic survives
+      (4L, "!!! ???"),            // symbol-only -> falls back to raw text
+      (5L, "@@@ ###"))            // different symbol-only -> different print
+      .toDF("id", "t")
+      .select($"id", TextFns.normalize($"t").as("n"), TextFns.fingerprint($"t").as("fp"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(docs(1L)._1 === "hello world")
+    assert(docs(2L)._1 === "你好 世界")
+    assert(docs(3L)._1 === "это тест")
+    assert(docs(4L)._1 === "!!! ???")
+    // all five fingerprints distinct — a non-Latin corpus never collapses
+    assert(docs.values.map(_._2).toSet.size === 5)
+  }
+
+  test("exactByFingerprint never clusters whitespace-only docs") {
+    val df = Seq((1L, "   "), (2L, ""), (3L, "   "), (4L, "real text here"),
+      (5L, "real   text  here!")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.exactByFingerprint(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 4 and 5 normalize identically -> one survives; every blank row survives
+    assert(kept === Set(1L, 2L, 3L, 4L))
   }
 }
