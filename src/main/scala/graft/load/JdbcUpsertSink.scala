@@ -31,16 +31,64 @@ import graft.operators.KeyMap
   * reference's own CI-only integration tests are the analogue,
   * `.gitlab-ci.yml:63-68`).
   */
-object JdbcUpsertSink {
+/** Target-database dialect: stage DDL and the conflict-skipping merge
+  * differ per engine. PostgreSQL is the production dialect (the reference's
+  * target DB); Derby exists so the FULL load path — executor stage writes,
+  * server-side merge, key-map read-back, FK remap, idempotent re-run — is
+  * integration-tested in-JVM with Spark's bundled embedded Derby (no
+  * PostgreSQL exists in this environment; the reference likewise tests its
+  * sink only against a CI database service).
+  */
+sealed trait SinkDialect {
+  def mergeSql(t: TargetInfo, columns: Seq[String]): String
+  def truncateSql(t: TargetInfo): String = s"TRUNCATE TABLE ${t.table}__stage"
+  /** Create the stage table if absent (engines disagree on IF NOT EXISTS). */
+  def createStage(conn: java.sql.Connection, t: TargetInfo): Unit
+}
 
-  /** Server-side merge statement for step 2. */
-  def mergeSql(t: TargetInfo, columns: Seq[String]): String = {
+object PostgresDialect extends SinkDialect {
+  /** `ON CONFLICT DO NOTHING` skips conflicts ROW-BY-ROW (duplicate natural
+    * keys inside one stage batch are tolerated).
+    */
+  override def mergeSql(t: TargetInfo, columns: Seq[String]): String = {
     val cols = columns.mkString(", ")
     val conflict = t.uniqueConstraint.mkString(", ")
     s"INSERT INTO ${t.table} ($cols) " +
       s"SELECT $cols FROM ${t.table}__stage " +
       s"ON CONFLICT ($conflict) DO NOTHING"
   }
+  override def createStage(conn: java.sql.Connection, t: TargetInfo): Unit =
+    conn.createStatement().execute(
+      s"CREATE TABLE IF NOT EXISTS ${t.table}__stage " +
+        s"(LIKE ${t.table} INCLUDING DEFAULTS EXCLUDING IDENTITY)")
+  override def truncateSql(t: TargetInfo): String = s"TRUNCATE ${t.table}__stage"
+}
+
+object DerbyDialect extends SinkDialect {
+  /** Standard `MERGE ... WHEN NOT MATCHED THEN INSERT`. Unlike Postgres
+    * ON CONFLICT, duplicate natural keys within one stage batch would both
+    * try to insert — callers stage entity-deduped views (targetView does).
+    */
+  override def mergeSql(t: TargetInfo, columns: Seq[String]): String = {
+    val on = t.uniqueConstraint.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val cols = columns.mkString(", ")
+    val vals = columns.map(c => s"s.$c").mkString(", ")
+    s"MERGE INTO ${t.table} t USING ${t.table}__stage s ON ($on) " +
+      s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)"
+  }
+  override def createStage(conn: java.sql.Connection, t: TargetInfo): Unit =
+    try conn.createStatement().execute(
+      s"CREATE TABLE ${t.table}__stage AS SELECT * FROM ${t.table} WITH NO DATA")
+    catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // exists
+    }
+}
+
+object JdbcUpsertSink {
+
+  /** Server-side merge statement for step 2 (production dialect). */
+  def mergeSql(t: TargetInfo, columns: Seq[String]): String =
+    PostgresDialect.mergeSql(t, columns)
 
   /** Key-map query for step 3: natural key columns + generated id. */
   def keyMapSql(t: TargetInfo): String = {
@@ -83,7 +131,8 @@ object JdbcUpsertSink {
       spark: SparkSession,
       jdbcUrl: String,
       props: java.util.Properties,
-      targets: Seq[(TargetInfo, DataFrame)]
+      targets: Seq[(TargetInfo, DataFrame)],
+      dialect: SinkDialect = PostgresDialect
   ): Unit = {
     val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
     conn.setAutoCommit(true)
@@ -99,18 +148,18 @@ object JdbcUpsertSink {
         }
         // 1+2. Stage DDL + TRUNCATE, each committed immediately so no lock
         //      outlives this statement.
-        conn.createStatement().execute(stageSql(t))
-        conn.createStatement().execute(s"TRUNCATE ${t.table}__stage")
+        dialect.createStage(conn, t)
+        conn.createStatement().execute(dialect.truncateSql(t))
         // 3. Executors write stage rows on their own autocommitted
         //    connections (parallel, unblocked).
         view.write.mode("append").jdbc(jdbcUrl, s"${t.table}__stage", props)
         // 4. Single-statement merge: atomic by itself, committed here. On
         //    failure nothing reached the target; stale stage rows are
         //    truncated by the next run.
-        conn.createStatement().execute(mergeSql(t, view.columns.toSeq))
+        conn.createStatement().execute(dialect.mergeSql(t, view.columns.toSeq))
         // 5. Natural-key -> id map read back through Spark (distributed
         //    read) — sees the committed merge, including fresh inserts.
-        val km = spark.read.jdbc(jdbcUrl, s"(${keyMapSql(t)}) km", props)
+        val km = spark.read.jdbc(jdbcUrl, s"(${keyMapSql(t)}) AS km", props)
         val local = view.select(
           (t.uniqueConstraint.map(n => col(s"`$n`")) :+ col(s"`${t.primaryKey}`").as("local_id")): _*)
         keyMaps += t.table -> local.join(km, t.uniqueConstraint)
