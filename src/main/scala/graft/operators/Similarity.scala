@@ -36,11 +36,15 @@ object Similarity {
       baseId: String,
       k: Int
   ): DataFrame = {
+    // Norms are computed ONCE per input row, below the join — inside the
+    // pair loop each candidate costs a single dot product, not three.
     val p = probes.select(col(s"`${probeId}`").as("probe_id"), col(s"`${vecCol}`").as("__pv"))
+      .withColumn("__pn", VectorFns.norm2(col("__pv")))
     val b = base.select(col(s"`${baseId}`").as("base_id"), col(s"`${vecCol}`").as("__bv"))
+      .withColumn("__bn", VectorFns.norm2(col("__bv")))
     val scored = p.crossJoin(b)
       .select(col("probe_id"), col("base_id"),
-        VectorFns.cosine(col("__pv"), col("__bv")).as("cosine"))
+        (VectorFns.dot(col("__pv"), col("__bv")) / (col("__pn") * col("__bn"))).as("cosine"))
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("base_id").asc)
     scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
@@ -143,11 +147,15 @@ object Similarity {
       idCol: String,
       threshold: Double
   ): DataFrame = {
+    // One norm per ROW (linear), not per PAIR (quadratic): the n^2 loop
+    // then costs one dot product per pair. Same arithmetic, same values.
     val a = df.select(col(s"`${idCol}`").as("id_a"), col(s"`${vecCol}`").as("__va"))
+      .withColumn("__na", VectorFns.norm2(col("__va")))
     val b = df.select(col(s"`${idCol}`").as("id_b"), col(s"`${vecCol}`").as("__vb"))
+      .withColumn("__nb", VectorFns.norm2(col("__vb")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFns.cosine(col("__va"), col("__vb")).as("cosine"))
+        (VectorFns.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
@@ -167,10 +175,11 @@ object Similarity {
     val bucketed = withSignBucket(
       df.select(col(s"`${idCol}`").as("id"), col(s"`${vecCol}`").as("v")), "v", "id", nBits)
       .withColumnRenamed("__bucket", "bucket")
+      .withColumn("n", VectorFns.norm2(col("v")))
     val a = bucketed.as("a"); val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        VectorFns.cosine(col("a.v"), col("b.v")).as("cosine"))
+        (VectorFns.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }
