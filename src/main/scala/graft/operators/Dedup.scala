@@ -114,6 +114,29 @@ object Dedup {
           .minhashSig(col(s"`$textCol`"), shingleN, numHashes).as("sig"))
       .where(col("sig").isNotNull)
 
+  /** Explode a (id, sig) signature frame into LSH band buckets
+    * (id, sig, band, bh). Shared by the batch pair-join
+    * ([[minhashLshPairs]]) and the incremental index
+    * ([[graft.streaming.StreamingDedup]]) so both generate bit-identical
+    * bucket keys — a doc indexed by the batch path is found by the
+    * streaming path and vice versa.
+    */
+  private[graft] def bandBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(
+      col("id"), col("sig"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("string"), b).as("bh"))
+        )
+      ).as("bucket")
+    ).select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
+
+  /** Fraction of equal minhash positions — the LSH Jaccard estimate. */
+  private[graft] def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), m => m))
+      .cast("double") / numHashes
+
   /** MinHash-LSH candidate pairs: shingle -> minhash signature -> band
     * buckets -> self-join within buckets -> verified Jaccard estimate.
     *
@@ -135,17 +158,8 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
     val sig = minhashSignaturesGen(df, idCol, textCol, shingleN, numHashes)
-    val banded = sig.select(
-      col("id"), col("sig"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("string"), b).as("bh"))
-        )
-      ).as("bucket")
-    ).select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
+    val banded = bandBuckets(sig, bands, numHashes / bands)
     val a = banded.as("a")
     val b = banded.as("b")
     val pairs = a.join(b,
@@ -155,9 +169,7 @@ object Dedup {
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
-          .cast("double") / numHashes)
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }

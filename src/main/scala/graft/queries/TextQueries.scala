@@ -140,6 +140,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental near-dup (rows-only): documents arrive in two batches;
+    // each batch dedups against the persistent LSH index built by the
+    // earlier ones (the streaming corpus-registry path). Deterministic:
+    // greedy keep-lowest-id + fixed hash family.
+    "q57_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+      val ixDir = java.nio.file.Files.createTempDirectory("graft_q57_ix").toString + "/ix"
+      val ix = new graft.streaming.StreamingDedup.LshIndex(
+        ixDir, shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      val half = docs.agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id)"))
+        .head().getDouble(0)
+      val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= half), "text", "doc_id")
+      val s2 = ix.dedupeBatch(docs.where(col("doc_id") > half), "text", "doc_id")
+      s1.select("doc_id").union(s2.select("doc_id")).orderBy("doc_id")
+    }),
+
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
     // positional word 3-gram (registered in the function registry).
     "q51_ngram_generator" -> ((s, dir) => {

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** Streaming-shaped deduplication for a continuously arriving corpus.
+  *
+  * The reference dedups within a batch run (content-hash on ingest,
+  * ska-src-maltopuft-etl: candidate/observation dedup during ETL); a 100 TB
+  * training-data pipeline additionally needs dedup ACROSS arrivals — "is
+  * this new document a (near-)copy of anything we already kept?". Two
+  * Spark-native shapes:
+  *
+  *  1. [[exactWithinWatermark]] — pure Structured Streaming:
+  *     `dropDuplicatesWithinWatermark` on the content fingerprint. State is
+  *     bounded by the watermark (the state store only holds fingerprints
+  *     younger than the delay), so it runs forever on a real stream. Right
+  *     when duplicates cluster in time (re-crawls, retries, mirrored feeds).
+  *
+  *  2. [[LshIndex]] — incremental MinHash-LSH near-dup against a PERSISTENT
+  *     disk-backed signature index, driven per micro-batch via
+  *     `foreachBatch` ([[nearDupAvailableNow]]). The index is the corpus
+  *     registry: it grows with the kept corpus (disk, partitioned by LSH
+  *     band — NOT streaming state), while per-batch work stays proportional
+  *     to the batch. This is the scale path for "dedup the next crawl
+  *     against the existing 100 TB corpus".
+  */
+object StreamingDedup {
+
+  /** Exact streaming dedup: keep the first arrival per content fingerprint,
+    * forgetting fingerprints once the watermark passes them. Empty/blank
+    * docs never form a dedup cluster (per-row key), matching
+    * [[graft.operators.Dedup.exactByFingerprint]].
+    *
+    * @param docs      streaming DataFrame with `textCol`, `idCol`, `tsCol`
+    * @param delay     watermark delay = max duplicate-arrival skew; state
+    *                  size is O(docs per delay window), not O(corpus)
+    */
+  def exactWithinWatermark(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      tsCol: String,
+      delay: String = "10 minutes"
+  ): DataFrame = {
+    val key = when(length(trim(col(s"`$textCol`"))) === 0,
+        concat(lit("__empty__:"), col(s"`$idCol`").cast("string")))
+      .otherwise(TextFns.fingerprint(col(s"`$textCol`")))
+    docs
+      .withColumn("__fp", key)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
+  /** Persistent MinHash-LSH index at `dir` (parquet, partitioned by LSH
+    * band). Each kept document contributes `bands` rows
+    * (id, sig, band, bh) — the same bucket keys as the batch
+    * [[graft.operators.Dedup.minhashLshPairs]] path, so batch-indexed and
+    * stream-indexed corpora interoperate.
+    *
+    * Scale notes (100 TB): the index is big (O(kept docs x bands)) but the
+    * new batch is small, so the candidate probe broadcasts the BATCH side
+    * and streams the index through a broadcast-hash semi-join — no shuffle
+    * of the index, and band partition pruning applies when a batch misses
+    * whole bands. Appends are per-batch parquet writes; compaction is an
+    * offline concern like any log-structured store.
+    */
+  final class LshIndex(
+      val dir: String,
+      val shingleN: Int = 3,
+      val numHashes: Int = 64,
+      val bands: Int = 16,
+      val threshold: Double = 0.5
+  ) extends Serializable {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    private val rowsPerBand = numHashes / bands
+
+    private def indexExists(spark: SparkSession): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+
+    /** Dedup one micro-batch against the index AND within itself; append
+      * the survivors' band rows to the index; return the surviving rows of
+      * `batch` (original columns).
+      *
+      * Within-batch semantics are greedy keep-lowest-id: a doc survives iff
+      * no verified near-dup with a smaller id exists in the same batch and
+      * no verified near-dup exists in the index — the incremental analogue
+      * of keeping the first-seen member of each near-dup chain.
+      */
+    def dedupeBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+      val spark = batch.sparkSession
+      val sig = Dedup.minhashSignaturesGen(batch, idCol, textCol, shingleN, numHashes)
+      val banded = Dedup.bandBuckets(sig, bands, rowsPerBand)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // vs index: probe the big index with the SMALL batch broadcast —
+      // verified near-dup of any indexed doc -> drop.
+      val dupVsIndex: DataFrame =
+        if (indexExists(spark)) {
+          spark.read.parquet(dir).as("ix")
+            .join(broadcast(banded.as("nw")),
+              col("ix.band") === col("nw.band") && col("ix.bh") === col("nw.bh"))
+            .where(Dedup.estJaccard(col("ix.sig"), col("nw.sig"), numHashes) >= threshold)
+            .select(col("nw.id").as("id")).distinct()
+        } else spark.emptyDataFrame.withColumn("id", lit(0L)).where(lit(false))
+
+      // within batch: greedy — any verified pair (a < b) drops b.
+      val a = banded.as("a"); val b = banded.as("b")
+      val dupInBatch = a.join(b,
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.id") < col("b.id"))
+        .where(Dedup.estJaccard(col("a.sig"), col("b.sig"), numHashes) >= threshold)
+        .select(col("b.id").as("id")).distinct()
+
+      // The drop-set (dup ids) is the small product of the batch — one job
+      // materializes it with lineage truncated (localCheckpoint), so the
+      // index append and the survivor output each cost one cheap anti-join
+      // instead of recomputing the index probe.
+      val dropIds = dupVsIndex.union(dupInBatch).distinct()
+        .localCheckpoint(true)
+
+      // Append survivors' band rows (partitioned by band for pruning).
+      banded.join(broadcast(dropIds), Seq("id"), "left_anti")
+        .write.mode("append").partitionBy("band").parquet(dir)
+      banded.unpersist()
+
+      // Survivors keep their original columns. Docs that produced no
+      // signature (nothing to shingle) can't be near-dup-verified — they
+      // pass through unindexed rather than being silently dropped.
+      batch.join(broadcast(dropIds.withColumnRenamed("id", "__did")),
+        col(s"`$idCol`") === col("__did"), "left_anti")
+    }
+  }
+
+  /** Wire a document stream through an [[LshIndex]]: drain available input
+    * with `Trigger.AvailableNow`, dedup each micro-batch incrementally, and
+    * hand survivors to `onSurvivors` (typically a corpus-sink append).
+    * Checkpointing makes re-runs skip already-processed files — together
+    * with the idempotent greedy semantics this is exactly-once corpus
+    * building.
+    */
+  def nearDupAvailableNow(
+      docs: DataFrame,
+      index: LshIndex,
+      textCol: String,
+      idCol: String,
+      checkpoint: String,
+      onSurvivors: (DataFrame, Long) => Unit
+  ): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onSurvivors(index.dedupeBatch(batch, textCol, idCol), batchId)
+      }
+      .start()
+}
