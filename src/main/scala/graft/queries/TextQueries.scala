@@ -57,12 +57,17 @@ object TextQueries {
 
     // Quality-score components (each independently oracle-checked).
     "q33_quality" -> ((s, dir) => {
+      // Single-pass codegen kernel (TextMetricsExpr) — oracle-checks the
+      // custom expression directly; the composed TextFns columns are
+      // spec-enforced to agree with it (ExtensionIdiomsSpec).
       Tables(s, dir, "documents")
         .where(col("text").isNotNull)
         .select(col("doc_id"),
-          round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextFns.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-          round(TextFns.meanTokenLen(col("text")), 6).as("mean_token_len"))
+          graft.functions.TextMetricsExpr.textMetrics(col("text")).as("m"))
+        .select(col("doc_id"),
+          round(col("m.punct_ratio"), 6).as("punct_ratio"),
+          round(col("m.stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("m.mean_token_len"), 6).as("mean_token_len"))
         .orderBy("doc_id")
     }),
 
@@ -149,10 +154,8 @@ object TextQueries {
       val ixDir = java.nio.file.Files.createTempDirectory("graft_q57_ix").toString + "/ix"
       val ix = new graft.streaming.StreamingDedup.LshIndex(
         ixDir, shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
-      val half = docs.agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id)"))
-        .head().getDouble(0)
-      val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= half), "text", "doc_id")
-      val s2 = ix.dedupeBatch(docs.where(col("doc_id") > half), "text", "doc_id")
+      val s1 = ix.dedupeBatch(docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
+      val s2 = ix.dedupeBatch(docs.where(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id")
       s1.select("doc_id").union(s2.select("doc_id")).orderBy("doc_id")
     }),
 

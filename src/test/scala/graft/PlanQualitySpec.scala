@@ -40,4 +40,58 @@ class PlanQualitySpec extends SparkSuite {
   test("q26 plans through the custom AsOfJoinExec") {
     assert(formatted("q26_asof_join").contains("AsOfJoin"))
   }
+
+  test("q46 key-map remap broadcasts the mapping side (no shuffle of the fact)") {
+    val plan = formatted("q46_keymap_remap")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q53 salted aggregation is two-stage (partial on the salted key)") {
+    val plan = formatted("q53_salted_agg")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"))
+    // two aggregate pairs: salted pre-agg + final de-salt agg
+    assert("HashAggregate".r.findAllIn(plan).size >= 4)
+  }
+
+  test("q31 exact dedup costs exactly one hash shuffle (fingerprint window)") {
+    val plan = formatted("q31_dedup_exact")
+    assert("hashpartitioning".r.findAllIn(plan).size === 1)
+    // Spark 4 inserts partial/final WindowGroupLimit around the shuffle —
+    // rank<=1 filtering happens map-side, not after materializing groups.
+    assert(plan.contains("row_number(), 1, Partial"))
+    assert(plan.contains("row_number(), 1, Final"))
+  }
+
+  test("q40 ANN brute force is joinless map + top-k (no total sort)") {
+    val plan = formatted("q40_ann_bruteforce")
+    // probe vector inlined as a literal into a single scan->project pass,
+    // top-k via TakeOrderedAndProject (per-partition heaps), never a
+    // full sort of the corpus.
+    assert(plan.contains("vec_dot"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Join"))
+  }
+
+  test("q36 minhash signatures are map-side (no shuffle before banding)") {
+    val plan = formatted("q36_minhash_lsh")
+    assert(plan.contains("minhash_sig"))
+    // shuffles only for the band-bucket self-join + pair-distinct;
+    // signature computation itself must add none.
+    assert("hashpartitioning".r.findAllIn(plan).size <= 4)
+  }
+
+  test("q32/q33 text metrics run fully inside whole-stage codegen") {
+    Seq("q32_token_count", "q33_quality").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf("sf0.01"))
+      df.collect()  // finalize the adaptive plan
+      val executed = df.queryExecution.executedPlan.toString
+      val finalPlan = executed.split("== Initial Plan ==").head
+      // every Project/Filter in the final plan sits inside a codegen
+      // stage (the "*(n)" span marker) — no interpreted metric evaluation
+      assert(finalPlan.contains("*("), q)
+      assert(!finalPlan.linesIterator.exists(l =>
+        (l.contains("- Project") || l.contains("- Filter")) && !l.contains("*(")), q)
+    }
+  }
 }
