@@ -137,6 +137,31 @@ object StreamingDedup {
       batch.join(broadcast(dropIds.withColumnRenamed("id", "__did")),
         col(s"`$idCol`") === col("__did"), "left_anti")
     }
+
+    /** Log-structured-store maintenance: every micro-batch appends one
+      * file set per touched band, so a long-running stream accumulates
+      * small files (probe cost becomes file-open-bound, not data-bound).
+      * Compaction rewrites each band partition as `filesPerBand` files
+      * sorted by bucket hash (row-group min/max on `bh` then prunes
+      * probes within a band), atomically via write-new/swap/delete-old.
+      * Run it offline on whatever cadence file counts demand — batches
+      * must be paused, like any single-writer table maintenance.
+      */
+    def compact(spark: SparkSession, filesPerBand: Int = 1): Unit = {
+      if (!indexExists(spark)) return
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+      val old = new org.apache.hadoop.fs.Path(dir + "__old")
+      spark.read.parquet(dir)
+        .repartition(bands * filesPerBand, col("band"), pmod(xxhash64(col("id")), lit(filesPerBand)))
+        .sortWithinPartitions("bh")
+        .write.mode("overwrite").partitionBy("band").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (!fs.rename(p, old)) sys.error(s"compact: cannot move $p aside")
+      if (!fs.rename(tmp, p)) { fs.rename(old, p); sys.error(s"compact: cannot swap $tmp in") }
+      fs.delete(old, true)
+    }
   }
 
   /** Wire a document stream through an [[LshIndex]]: drain available input

@@ -85,6 +85,32 @@ class StreamingDedupSpec extends SparkSuite {
     assert(kept === Seq(1L, 3L))  // 2 dropped in-batch, 4 dropped vs index
   }
 
+  test("compact rewrites the index smaller, preserving content and dedup behavior") {
+    val dir = Files.createTempDirectory("lsh_compact").toString + "/ix"
+    val ix = new StreamingDedup.LshIndex(dir)
+    // several small appends -> many files
+    (0 until 4).foreach { b =>
+      ix.dedupeBatch(Seq((b * 10L, s"unique content batch $b " + ("filler words " * 20)))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    }
+    val before = spark.read.parquet(dir)
+    val rowsBefore = before.orderBy("id", "band").collect().toSeq
+    def fileCount = {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet")).count()
+    }
+    val filesBefore = fileCount
+    ix.compact(spark)
+    assert(fileCount < filesBefore)
+    assert(spark.read.parquet(dir).orderBy("id", "band").collect().toSeq === rowsBefore)
+    // post-compaction, probing still finds indexed docs
+    val s = ix.dedupeBatch(
+      Seq((99L, "unique content batch 2 " + ("filler words " * 20)),
+          (98L, "brand new text never indexed " * 10)).toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(s.select("doc_id").as[Long].collect().toSeq === Seq(98L))
+  }
+
   test("nearDupAvailableNow drains a file stream through the index exactly once") {
     val root = Files.createTempDirectory("stream_docs")
     val cp   = Files.createTempDirectory("stream_cp").toString
