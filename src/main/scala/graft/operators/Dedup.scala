@@ -362,6 +362,68 @@ object Dedup {
     * Hot-shingle skew is the scale risk (use [[ngramJaccardViaLsh]] on
     * highly repetitive corpora); AQE skew-join handles moderate cases.
     */
+  /** Exact n-gram Jaccard pairs via AllPairs-style PREFIX FILTERING — the
+    * 100 TB path for exact similarity join (Bayardo et al., WWW'07 /
+    * Chaudhuri et al., ICDE'06 pattern, re-derived for Spark).
+    *
+    * Order every doc's shingles by ascending global document frequency
+    * (rarest first, shingle string tie-break). For Jaccard >= t, a pair
+    * must overlap by ceil(t*max(|A|,|B|)) >= ceil(t*|X|) for each side X,
+    * so under any GLOBAL total order the (|X| - ceil(t*|X|) + 1)-prefixes
+    * of both sides must intersect: joining PREFIXES only is complete.
+    * The inverted index thus holds the rarest ~(1-t) fraction of each
+    * doc's shingles — and because they are globally rarest, bucket sizes
+    * (the quadratic term) collapse precisely where [[ngramJaccardPairs]]
+    * blows up (stopword-like shingles shared by half the corpus).
+    * Candidates are then verified EXACTLY from the full shingle arrays
+    * (one codegen'd array_intersect per candidate, no second index pass).
+    *
+    * Costs: +1 small agg (doc frequencies) and +1 broadcast-join of the
+    * df map vs a candidate set shrunk by orders of magnitude at corpus
+    * scale. Spec-enforced equal to [[ngramJaccardPairs]].
+    */
+  def ngramJaccardPrefixFiltered(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val sh = df.select(col(s"`${idCol}`").as("id"),
+        graft.functions.SketchExpressions.wordShingles(col(s"`${textCol}`"), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .where(col("n_sh") > 0)
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+
+    // Global document frequency per shingle (the ordering key).
+    val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+
+    // Rarest-first rank within each doc; keep the prefix
+    // |X| - ceil(t*|X|) + 1. ceil(t*x) = -floor(-t*x) avoids fp drift.
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
+    val ranked = exploded.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
+      .where(col("rk") <= prefixLen)
+      .select("id", "s")
+
+    val ca = ranked.as("a"); val cb = ranked.as("b")
+    val candidates = ca.join(cb,
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // Exact verification from the full shingle arrays.
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,

@@ -44,6 +44,21 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(lsh === exact)
   }
 
+  test("prefix-filtered ngram jaccard equals the exact inverted-index variant") {
+    // the AllPairs prefix bound is COMPLETE: identical pairs at multiple
+    // thresholds, including ones that stress the ceil() boundary
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .where(length(trim(col("text"))) > 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e4) / 1e4)).toSet
+    Seq(0.4, 0.6, 0.85).foreach { t =>
+      val exact  = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = t))
+      val prefix = pairs(Dedup.ngramJaccardPrefixFiltered(docs, "text", "doc_id", n = 3, threshold = t))
+      assert(prefix === exact, s"threshold $t")
+    }
+  }
+
   test("LSH-blocked cosine dup pairs are a subset of the exact all-pairs result") {
     import graft.operators.Similarity
     val emb = Tables(spark, sf("sf0.001"), "embeddings")
