@@ -145,6 +145,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Mergeable Misra-Gries heavy hitters; capacity 64 exceeds the corpus
+    // vocabulary, so estimates are exact and the oracle checks them.
+    "q58_heavy_hitters" -> ((s, dir) => {
+      graft.functions.HeavyHitters.frequentTokens(
+        Tables(s, dir, "documents").where(col("text").isNotNull),
+        "text", k = 64, topN = 10)
+    }),
+
     // Incremental near-dup (rows-only): documents arrive in two batches;
     // each batch dedups against the persistent LSH index built by the
     // earlier ones (the streaming corpus-registry path). Deterministic:
@@ -187,6 +195,11 @@ object TextQueries {
     "q30_md5" ->
       """SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q58_heavy_hitters" ->
+      """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n FROM (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        | FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        | GROUP BY tok ORDER BY n DESC, token ASC LIMIT 10""".stripMargin.replaceAll("\n", " "),
     "q31_dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL
         | GROUP BY CASE WHEN $normSql = '' THEN '__empty__:' || CAST(doc_id AS VARCHAR)
