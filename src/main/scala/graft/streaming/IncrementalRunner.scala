@@ -53,6 +53,40 @@ object IncrementalRunner {
       .start()
   }
 
+  /** Stream-stream INTERVAL join with watermark-bounded state: attach to
+    * each candidate event the observation-window event that covers it
+    * within `toleranceSeconds` — the streaming form of the reference's
+    * batch interval lookup (SURVEY §2.2 P5 / §2.3 J10: candidate UTC
+    * inside [t_min, t_max] with slack).
+    *
+    * Scale contract: both sides carry watermarks and the join condition
+    * bounds event-time distance, so each side's buffered state is only
+    * `watermark + tolerance` wide — Spark drops older rows from the state
+    * store. An unbounded-condition stream join would grow state forever;
+    * this is the shape that runs indefinitely.
+    *
+    * @param left  streaming frame with `leftTs` (event time)
+    * @param right streaming frame with `rightTs` (event time)
+    * @param keys  equi-join key column names present on both sides
+    */
+  def intervalJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      keys: Seq[String],
+      toleranceSeconds: Long,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val cond = keys.map(k => l(k) === r(k)).reduceOption(_ && _)
+      .map(_ && r(rightTs) >= l(leftTs) - expr(s"INTERVAL $toleranceSeconds SECONDS")
+             && r(rightTs) <= l(leftTs) + expr(s"INTERVAL $toleranceSeconds SECONDS"))
+      .getOrElse(
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $toleranceSeconds SECONDS")
+          && r(rightTs) <= l(leftTs) + expr(s"INTERVAL $toleranceSeconds SECONDS"))
+    l.join(r, cond)
+  }
+
   /** Watermarked sliding-window aggregation over an event stream — the
     * generic telemetry rollup (count + sum(value) per window x event_type).
     */
