@@ -31,20 +31,33 @@ object IncrementalRunner {
       spark: SparkSession,
       dir: String,
       checkpoint: String,
-      onBatch: (DataFrame, Long) => Unit
+      onBatch: (DataFrame, Long) => Unit,
+      maxFilesPerTrigger: Int = 0
   ): StreamingQuery = {
-    val stream = spark.readStream
+    val reader = spark.readStream
       .schema(new org.apache.spark.sql.types.StructType()
         .add("value", org.apache.spark.sql.types.StringType))
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.json")
       .option("wholetext", "true")
-      .text(dir)
+    val sized =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    // Same parsed schema as the batch source (filename, md5, fields) so a
+    // micro-batch feeds ObservationTransform.flatten unchanged — the
+    // incremental and batch paths share one transform.
+    val stream = sized.text(dir)
       .select(
         from_json(col("value"), Schemas.runSummary).as("rec"),
-        md5(col("value")).as("md5"))
+        md5(col("value")).as("md5"),
+        col("_metadata.file_path").as("path"))
       .where(col("rec").isNotNull && col("rec.utc_start").isNotNull)
-      .select(col("md5"), col("rec.*"))
+      .withColumn("filename",
+        concat_ws("/",
+          regexp_extract(col("path"), "([^/]+)/[^/]+$", 1),
+          regexp_extract(col("path"), "([^/]+)\\.json$", 1)))
+      .select(col("filename"), col("md5"), col("rec.*"))
 
     stream.writeStream
       .trigger(Trigger.AvailableNow())
