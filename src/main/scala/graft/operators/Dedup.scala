@@ -155,11 +155,26 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 0
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sig = minhashSignaturesGen(df, idCol, textCol, shingleN, numHashes)
-    val banded = bandBuckets(sig, bands, numHashes / bands)
+    val allBanded = bandBuckets(sig, bands, numHashes / bands)
+    // Adversarial-corpus guard: a bucket holding a mega-cluster of
+    // near-identical docs costs |bucket|^2 in the self-join. With
+    // maxBucketSize > 0, buckets above the cap are dropped BEFORE the
+    // join (one extra count-per-bucket window, map-side combinable).
+    // Recall note: members of an over-cap bucket usually share their
+    // other (band, bh) buckets too, so true near-dups are still found
+    // unless ALL their buckets are over-cap — i.e. only mega-clusters
+    // degrade, and they degrade to "sampled" rather than quadratic.
+    val banded =
+      if (maxBucketSize <= 0) allBanded
+      else allBanded
+        .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("band", "bh")))
+        .where(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
     val a = banded.as("a")
     val b = banded.as("b")
     val pairs = a.join(b,

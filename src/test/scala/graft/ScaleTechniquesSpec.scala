@@ -60,4 +60,31 @@ class ScaleTechniquesSpec extends SparkSuite {
         s"unexpected shuffle of bucketed side:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("LSH bucket cap drops mega-buckets but keeps ordinary near-dup pairs") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    // 30 near-identical docs (a mega-cluster) + one ordinary near-dup pair
+    val mega = (1L to 30L).map(i => (i, base + s" v$i"))
+    val pairDocs = Seq(
+      (100L, "completely different content about catalyst optimizer rules " * 8 + "x"),
+      (101L, "completely different content about catalyst optimizer rules " * 8 + "y"))
+    val docs = (mega ++ pairDocs).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 64, 16, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.count { case (a, b) => a <= 30 && b <= 30 } > 100)
+
+    val capped = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 64, 16, 0.5,
+      maxBucketSize = 10)
+    assert(capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      === Set((100L, 101L)))
+
+    // cap off -> bit-identical to the uncapped default path
+    val explicit = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 64, 16, 0.5,
+      maxBucketSize = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(explicit === uncapped)
+  }
 }
