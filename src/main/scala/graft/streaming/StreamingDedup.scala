@@ -97,8 +97,11 @@ object StreamingDedup {
     def dedupeBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
       val spark = batch.sparkSession
       val sig = Dedup.minhashSignaturesGen(batch, idCol, textCol, shingleN, numHashes)
+      // MEMORY_ONLY: banded is batch-sized and its recompute (map-side
+      // sketch kernel) is cheaper than spilling it, so eviction-recompute
+      // beats disk-backed caching here.
       val banded = Dedup.bandBuckets(sig, bands, rowsPerBand)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
       // vs index: probe the big index with the SMALL batch broadcast —
       // verified near-dup of any indexed doc -> drop.
