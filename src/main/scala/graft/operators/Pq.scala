@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PqColumns
+
+/** Product quantization ANN: compress each d-dim embedding to `m` byte
+  * codes (one per subspace, k<=256 sub-centroids each) and score probes
+  * against the compressed corpus with asymmetric distance computation.
+  *
+  * The 100 TB story this adds on top of IVF/LSH bucketing: those prune
+  * WHICH vectors a probe reads; PQ shrinks WHAT is read per vector —
+  * 64-dim float32 (256 B) -> 8 codes (8 B), a 32x scan-size reduction, so
+  * an exhaustive compressed scan of a 100 TB corpus touches ~3 TB, and a
+  * cluster-pruned one touches gigabytes. Encode is write-time map work;
+  * probes never decompress (one m-step table walk per row, codegen'd).
+  * Compose with [[Ivf]] (partition by cluster, PQ-score within probed
+  * partitions) for the standard IVF-PQ layout.
+  *
+  * Training reuses the deterministic DataFrame-native Lloyd loop of
+  * [[Ivf.train]] once per subspace — offline, metadata-sized output.
+  */
+object Pq {
+
+  final case class Model(m: Int, dsub: Int, codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.length == m)
+
+    /** Per-query ADC lookup table: table(j)(c) = |q_j - codebook(j)(c)|^2. */
+    def adcTable(query: Seq[Double]): Array[Array[Double]] =
+      Array.tabulate(m) { j =>
+        val qj = query.slice(j * dsub, (j + 1) * dsub).toArray
+        codebooks(j).map { cent =>
+          var d = 0.0; var i = 0
+          while (i < dsub) { val x = qj(i) - cent(i); d += x * x; i += 1 }
+          d
+        }
+      }
+  }
+
+  private def q(n: String): Column = col(s"`$n`")
+
+  /** Train m sub-quantizers of k centroids each over `vecCol` (dim d,
+    * d % m == 0). Deterministic (seedless init from the k smallest ids,
+    * like [[Ivf.train]]); ALL subspaces advance together — one Spark job
+    * per Lloyd iteration, not per (subspace x iteration).
+    */
+  def train(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+            m: Int = 8, k: Int = 16, iters: Int = 5): Model = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    val vecs = df.select(q(idCol).as("__id"), q(vecCol).cast("array<double>").as("__v"))
+
+    // init: sub-centroid c of subspace j = slice j of the vector with the
+    // c-th smallest id (identical to running Ivf.train's init per slice)
+    val init = vecs.orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => init.map(_.slice(j * dsub, (j + 1) * dsub)))
+
+    for (_ <- 1 to iters) {
+      // per-row cluster per subspace: argmin over k of (-2 v_j.c + |c|^2)
+      val clusterCols = (0 until m).map { j =>
+        val sub = slice(col("__v"), j * dsub + 1, dsub)
+        val scored = codebooks(j).zipWithIndex.map { case (c, ci) =>
+          val cNorm2 = c.map(x => x * x).sum
+          struct(
+            (graft.functions.VectorFns.dot(sub, graft.functions.VectorFns.vecLit(c.toSeq)) * -2.0d + cNorm2).as("d"),
+            lit(ci).as("j"))
+        }
+        array_min(array(scored: _*)).getField("j")
+      }
+      // one shuffle: (sub, cluster, posInSub) -> mean
+      val means = vecs
+        .withColumn("__cl", array(clusterCols: _*))
+        .select(col("__cl"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .select(
+          (col("__pos") / dsub).cast("int").as("__sub"),
+          element_at(col("__cl"), (col("__pos") / dsub).cast("int") + 1).as("__c"),
+          pmod(col("__pos"), lit(dsub)).cast("int").as("__p"),
+          col("__x"))
+        .groupBy("__sub", "__c", "__p").agg(avg("__x").as("__mean"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))    // empty clusters keep their centroid
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      codebooks = next
+    }
+    Model(m, dsub, codebooks)
+  }
+
+  /** Write-time encoding: adds `codesCol` (array<byte>, length m). */
+  def encode(df: DataFrame, vecCol: String, model: Model,
+             codesCol: String = "__pq"): DataFrame =
+    df.withColumn(codesCol, PqColumns.pqEncode(q(vecCol), model.codebooks))
+
+  /** Top-k nearest (approximate, squared L2) of `query` over an encoded
+    * corpus: one compressed scan + per-partition heaps (no full sort).
+    */
+  def adcTopK(encoded: DataFrame, idCol: String, model: Model,
+              query: Seq[Double], k: Int,
+              codesCol: String = "__pq"): DataFrame =
+    encoded
+      .select(q(idCol), PqColumns.pqAdc(q(codesCol), model.adcTable(query)).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, q(idCol).asc)
+      .limit(k)
+}

@@ -73,6 +73,20 @@ object VectorQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
+    // Product-quantization ANN (rows-only): 8-byte codes per 256-byte
+    // vector, asymmetric-distance top-k over the compressed corpus. The
+    // sub-quantizers train on the same deterministic sample as q56's IVF.
+    "q59_ann_pq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val sample = emb.where(pmod(hash(col("vec_id")), lit(4)) === 0)
+      val model = graft.operators.Pq.train(sample, "embedding", "vec_id",
+        dim = 64, m = 8, k = 16, iters = 2)
+      graft.operators.Pq.adcTopK(
+          graft.operators.Pq.encode(emb, "embedding", model),
+          "vec_id", model, probe, k = 25)
+        .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+    }),
+
     // Embedding-cosine near-dup pairs — EXACT all-pairs variant
     // (oracle-checked). The synthetic embeddings have no planted near-dups
     // (max pairwise cosine ≈ 0.51 at sf0.01), so the demo threshold is low
