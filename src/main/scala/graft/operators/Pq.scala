@@ -104,4 +104,27 @@ object Pq {
       .select(q(idCol), PqColumns.pqAdc(q(codesCol), model.adcTable(query)).as("adc_dist"))
       .orderBy(col("adc_dist").asc, q(idCol).asc)
       .limit(k)
+
+  /** IVF-PQ layout: the corpus written partitioned by coarse IVF cluster
+    * with PQ codes precomputed (the raw vector column is DROPPED — codes
+    * are the probe-time representation). A probe composes both prunings:
+    * partition-pruned cluster reads x 32x-compressed rows.
+    */
+  def writeIvfPq(df: DataFrame, vecCol: String, idCol: String,
+                 ivf: Ivf.Model, pq: Model, path: String): Unit =
+    Ivf.withCluster(encode(df, vecCol, pq), vecCol, ivf)
+      .withColumnRenamed("__cluster", "cluster")
+      .select(q(idCol), col("__pq"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Partition-pruned ADC probe over a [[writeIvfPq]] layout. */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                idCol: String, ivf: Ivf.Model, pq: Model,
+                query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val probes = ivf.nearestClusters(query).take(nProbe)
+    adcTopK(
+      spark.read.parquet(path)
+        .where(col("cluster").isin(probes.map(Integer.valueOf): _*)),
+      idCol, pq, query, k)
+  }
 }

@@ -58,4 +58,29 @@ class PqSpec extends SparkSuite {
     val recall = approx.intersect(exact).size / 10.0
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
+
+  test("IVF-PQ layout: partition-pruned compressed probes, vectors not stored") {
+    import graft.operators.Ivf
+    val ivf = Ivf.train(emb, "embedding", "vec_id", k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/corpus"
+    Pq.writeIvfPq(emb, "embedding", "vec_id", ivf, model, path)
+
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.sorted.toSeq === Seq("__pq", "cluster", "vec_id"))
+    assert(stored.count() === 500)
+
+    val query = (0 until 64).map(i => math.cos(i * 0.21) * 1.5)
+    val probe = Pq.ivfPqTopK(spark, path, "vec_id", ivf, model, query, k = 10, nProbe = 3)
+    // partition pruning is in the plan, not just the result
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"), plan.linesIterator.filter(_.contains("PartitionFilters")).mkString)
+    val got = probe.select("vec_id").as[Long].collect().toSet
+    assert(got.size === 10)
+    // full-probe IVF-PQ == plain ADC over everything (pruning-only diff)
+    val all = Pq.ivfPqTopK(spark, path, "vec_id", ivf, model, query, k = 10, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val flat = Pq.adcTopK(Pq.encode(emb, "embedding", model), "vec_id", model, query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all === flat)
+  }
 }
