@@ -119,6 +119,16 @@ object TextQueries {
           "text", "doc_id", n = 3, threshold = 0.6)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Same exact semantics via AllPairs prefix filtering (the corpus-scale
+    // path) — oracle-verified against the same SQL as q38.
+    "q60_jaccard_prefix" -> ((s, dir) => {
+      Dedup.ngramJaccardPrefixFiltered(
+          Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
+          "text", "doc_id", n = 3, threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -241,6 +251,19 @@ object TextQueries {
         | SELECT doc_id, CASE WHEN n_tok = 0 OR best.score = 0 THEN 'und' ELSE best.lang END AS lang_pred
         | FROM s ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q38_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh)
+        | SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    "q60_jaccard_prefix" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
         |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
