@@ -1,0 +1,58 @@
+package graft.load
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class IdempotentParquetSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("batch retries do not duplicate rows; partial writes stay invisible") {
+    val sink = new IdempotentParquetSink(
+      Files.createTempDirectory("idem_sink").toString + "/t")
+
+    assert(sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), batchId = 0L))
+    assert(sink.append(Seq((3L, "c")).toDF("id", "v"), batchId = 1L))
+    // at-least-once delivery: batch 1 re-executes -> skipped, no dup rows
+    assert(!sink.append(Seq((3L, "c")).toDF("id", "v"), batchId = 1L))
+    assert(sink.read(spark).orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // a crashed attempt: data dir written but no marker -> reader ignores it
+    Seq((99L, "zz")).toDF("id", "v")
+      .write.mode("overwrite").parquet(sink.root + "/data/batch=7")
+    assert(sink.read(spark).where(col("id") === 99L).count() === 0L)
+    // the retry of that batch overwrites the partial and commits once
+    assert(sink.append(Seq((4L, "d")).toDF("id", "v"), batchId = 7L))
+    val all = sink.read(spark).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(all === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("streaming wire: AvailableNow + foreachBatch into the sink, restart-safe") {
+    val dir = Files.createTempDirectory("idem_docs")
+    val cp  = Files.createTempDirectory("idem_cp").toString
+    val sink = new IdempotentParquetSink(
+      Files.createTempDirectory("idem_out").toString + "/t")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(dir.toString + "/p1")
+
+    def drain(): Unit = {
+      val q = spark.readStream.schema("id LONG, v STRING")
+        .option("recursiveFileLookup", "true").parquet(dir.toString)
+        .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.append(b, id); ()
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    // a second drain with no new data re-delivers nothing; counts stable
+    drain()
+    assert(sink.read(spark).count() === 2L)
+    Seq((3L, "z")).toDF("id", "v").write.parquet(dir.toString + "/p2")
+    drain()
+    assert(sink.read(spark).orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "x"), (2L, "y"), (3L, "z")))
+  }
+}
