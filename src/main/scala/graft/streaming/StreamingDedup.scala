@@ -93,8 +93,18 @@ object StreamingDedup {
       * no verified near-dup with a smaller id exists in the same batch and
       * no verified near-dup exists in the index — the incremental analogue
       * of keeping the first-seen member of each near-dup chain.
+      *
+      * RETRY SAFETY (foreachBatch is at-least-once): index matches with
+      * the probe doc's OWN id are excluded — a re-delivered batch whose
+      * rows already reached the index re-derives the SAME survivors
+      * instead of dropping everything as "dup of itself". With `batchId`
+      * set (the streaming path), the index append is also skipped when
+      * that batch id already committed (`_batches/<id>` marker, invisible
+      * to parquet reads), so retries re-deliver identical output without
+      * re-appending.
       */
-    def dedupeBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def dedupeBatch(batch: DataFrame, textCol: String, idCol: String,
+                    batchId: Option[Long] = None): DataFrame = {
       val spark = batch.sparkSession
       val sig = Dedup.minhashSignaturesGen(batch, idCol, textCol, shingleN, numHashes)
       // MEMORY_ONLY: banded is batch-sized and its recompute (map-side
@@ -109,7 +119,8 @@ object StreamingDedup {
         if (indexExists(spark)) {
           spark.read.parquet(dir).as("ix")
             .join(broadcast(banded.as("nw")),
-              col("ix.band") === col("nw.band") && col("ix.bh") === col("nw.bh"))
+              col("ix.band") === col("nw.band") && col("ix.bh") === col("nw.bh") &&
+                col("ix.id") =!= col("nw.id"))
             .where(Dedup.estJaccard(col("ix.sig"), col("nw.sig"), numHashes) >= threshold)
             .select(col("nw.id").as("id")).distinct()
         } else spark.emptyDataFrame.withColumn("id", lit(0L)).where(lit(false))
@@ -129,9 +140,16 @@ object StreamingDedup {
       val dropIds = dupVsIndex.union(dupInBatch).distinct()
         .localCheckpoint(true)
 
-      // Append survivors' band rows (partitioned by band for pruning).
-      banded.join(broadcast(dropIds), Seq("id"), "left_anti")
-        .write.mode("append").partitionBy("band").parquet(dir)
+      // Append survivors' band rows (partitioned by band for pruning) —
+      // unless this batch id already committed (idempotent re-delivery).
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val markerPath = batchId.map(id => new org.apache.hadoop.fs.Path(s"$dir/_batches/$id"))
+      if (!markerPath.exists(fsys.exists)) {
+        banded.join(broadcast(dropIds), Seq("id"), "left_anti")
+          .write.mode("append").partitionBy("band").parquet(dir)
+        markerPath.foreach { m => fsys.mkdirs(m.getParent); fsys.create(m, true).close() }
+      }
       banded.unpersist()
 
       // Survivors keep their original columns. Docs that produced no
@@ -163,6 +181,10 @@ object StreamingDedup {
       fs.delete(old, true)
       if (!fs.rename(p, old)) sys.error(s"compact: cannot move $p aside")
       if (!fs.rename(tmp, p)) { fs.rename(old, p); sys.error(s"compact: cannot swap $tmp in") }
+      // carry the batch-id ledger across the swap (retry markers survive)
+      val oldMarkers = new org.apache.hadoop.fs.Path(old, "_batches")
+      if (fs.exists(oldMarkers))
+        fs.rename(oldMarkers, new org.apache.hadoop.fs.Path(p, "_batches"))
       fs.delete(old, true)
     }
   }
@@ -186,7 +208,7 @@ object StreamingDedup {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onSurvivors(index.dedupeBatch(batch, textCol, idCol), batchId)
+        onSurvivors(index.dedupeBatch(batch, textCol, idCol, Some(batchId)), batchId)
       }
       .start()
 }

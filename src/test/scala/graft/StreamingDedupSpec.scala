@@ -111,6 +111,25 @@ class StreamingDedupSpec extends SparkSuite {
     assert(s.select("doc_id").as[Long].collect().toSeq === Seq(98L))
   }
 
+  test("re-delivered batch yields identical survivors and no double-indexing") {
+    val dir = Files.createTempDirectory("lsh_retry").toString + "/ix"
+    val ix = new StreamingDedup.LshIndex(dir)
+    val b = Seq((1L, mut(doc, "aa")), (2L, mut(doc, "bb")),
+      (3L, "entirely distinct prose about state stores " * 8)).toDF("doc_id", "text")
+    val first = ix.dedupeBatch(b, "text", "doc_id", batchId = Some(42L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(first === Seq(1L, 3L))
+    // foreachBatch retry: same batch id, rows already indexed ->
+    // SAME survivors re-delivered (not dropped as dup-of-self),
+    // and the index is not appended a second time
+    val retry = ix.dedupeBatch(b, "text", "doc_id", batchId = Some(42L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(retry === first)
+    val perId = spark.read.parquet(dir).groupBy("id").count()
+      .select("count").distinct().as[Long].collect().toSeq
+    assert(perId === Seq(16L))   // one band-row set per doc, no dups
+  }
+
   test("nearDupAvailableNow drains a file stream through the index exactly once") {
     val root = Files.createTempDirectory("stream_docs")
     val cp   = Files.createTempDirectory("stream_cp").toString
