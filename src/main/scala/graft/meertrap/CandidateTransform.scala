@@ -1,11 +1,10 @@
 package graft.meertrap
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.UnexpectedShapeException
 import graft.functions.{Coordinates, TimeFns}
-import graft.operators.{AsOf, Dedup}
+import graft.operators.{AsOf, Dedup, Ids}
 
 /** Candidate-side transform (`meertrap/candidate/transform.py:149-237`):
   * SPCCL rows -> enriched candidates with beam FKs -> sp_candidate rows.
@@ -40,9 +39,12 @@ object CandidateTransform {
     * observed_at from MJD, coordinates to degrees, "(ra,dec)" position.
     */
   def enrich(cand: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("filename"))
-    cand
-      .withColumn("candidate_id", row_number().over(w).cast("long"))
+    // Candidates are the fact table (millions of rows at scale): ids are
+    // minted with the distributed dense-rank operator, not a global window
+    // (SURVEY W2 — the loader remaps ids, only run-local uniqueness and a
+    // deterministic order matter). Filenames are unique per candidate row
+    // (SPCCL files are single-line; multi-line files are quarantined).
+    Ids.denseId(cand, "candidate_id", Seq(col("filename")))
       .withColumn("cand.coherent", c("cand.beam_mode") === "C")
       .withColumn("cand.observed_at", TimeFns.mjdToTimestamp(c("cand.mjd")))
       .withColumn("cand.ra_deg", Coordinates.hmsToDeg(c("cand.ra")))
@@ -114,9 +116,7 @@ object CandidateTransform {
     * prefixed with the archive root and partition key.
     */
   def spCandidate(cand: DataFrame, fileRoot: String, partitionKey: String): DataFrame = {
-    val w = Window.orderBy(c("candidate_id"))
-    cand
-      .withColumn("sp_candidate_id", row_number().over(w).cast("long"))
+    Ids.denseId(cand, "sp_candidate_id", Seq(c("candidate_id")))
       .withColumn("sp_cand.plot_path",
         concat_ws("/", lit(fileRoot), lit(partitionKey), c("sp_cand.plot_path")))
   }

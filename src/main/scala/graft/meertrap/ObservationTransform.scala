@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Asserts, UnexpectedShapeException}
 import graft.functions.{Coordinates, Physics, TimeFns}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Ids}
 
 /** Observation-side transform: run-summary frame -> normalized entity frames
   * (schedule_block, meerkat_schedule_block, observation, coherent_beam_config,
@@ -138,15 +138,18 @@ object ObservationTransform {
     val first = Dedup.keepFirst(joined, Seq("obs.t_min"),
       Seq(c("schedule_block_id").asc_nulls_last))
 
-    val wId = Window.orderBy(c("obs.t_min"))
-    val withId = first
-      .drop("obs.bw", "obs.cfreq", "obs.nbit")
-      .withColumn("observation_id", row_number().over(wId).cast("long"))
+    val withId = Ids.denseId(
+      first.drop("obs.bw", "obs.cfreq", "obs.nbit"),
+      "observation_id", Seq(c("obs.t_min")))
 
-    // handle_null_stop: next observation start bounds a missing t_max.
-    // Global time order like the reference; at scale, partition this window
-    // by schedule_block_id (t_max is capped by sb.est_end_at anyway).
-    val withNext = withId.withColumn("obs.next_t_min", lead(c("obs.t_min"), 1).over(wId))
+    // handle_null_stop: next observation start bounds a missing t_max. The
+    // reference uses a frame-global time order (`transform.py:224-240`); at
+    // scale that is a single-partition sort, so the window is partitioned by
+    // schedule block — the only cross-SB divergence is an overlapping next
+    // SB starting before this SB's est_end_at, and t_max is capped by
+    // sb.est_end_at in that case anyway.
+    val wNext = Window.partitionBy(c("schedule_block_id")).orderBy(c("obs.t_min"))
+    val withNext = withId.withColumn("obs.next_t_min", lead(c("obs.t_min"), 1).over(wNext))
     withNext
       .withColumn("obs.t_max",
         when(c("obs.t_max").isNotNull, c("obs.t_max"))
@@ -176,11 +179,14 @@ object ObservationTransform {
       split_part(col("t.target"), lit(","), lit(1)).as("tiling.target"),
       Coordinates.hmsToDeg(split_part(col("t.target"), lit(","), lit(3))).as("tiling.ra"),
       Coordinates.dmsToDeg(split_part(col("t.target"), lit(","), lit(4))).as("tiling.dec"))
-    val w = Window.orderBy(c("observation_id"), c("tiling.epoch"), c("tiling.nbeams"))
-    split
-      .withColumn("obs.s_ra", c("tiling.ra"))
-      .withColumn("obs.s_dec", c("tiling.dec"))
-      .withColumn("tiling_config_id", row_number().over(w).cast("long"))
+    // Tilings grow with observations × tiles — distributed id minting, not
+    // a global window (VERDICT r2 finding #1).
+    Ids.denseId(
+      split
+        .withColumn("obs.s_ra", c("tiling.ra"))
+        .withColumn("obs.s_dec", c("tiling.dec")),
+      "tiling_config_id",
+      Seq(c("observation_id"), c("tiling.epoch"), c("tiling.nbeams")))
   }
 
   /** Beams: hostname from filename, host-beam array exploded/unnested,
@@ -206,9 +212,11 @@ object ObservationTransform {
       "host.port", "beam.ra", "beam.relnum", "beam.source", "observation_id")
     val uniq = Dedup.keepFirst(exploded, dupKeys, Seq(col("filename").asc))
       .drop("filename", "beam.relnum", "beam.source")
-    val w = Window.orderBy(c("observation_id"), c("beam.number"), c("beam.coherent"),
-      c("host.ip_address"), c("host.port"))
-    uniq.withColumn("beam_id", row_number().over(w).cast("long"))
+    // Beams scale as observations × ≤780 — distributed id minting (the
+    // dedup keys make the order unique per row).
+    Ids.denseId(uniq, "beam_id",
+      Seq(c("observation_id"), c("beam.number"), c("beam.coherent"),
+        c("host.ip_address"), c("host.port")))
   }
 
   /** Unique hosts (`transform.py:519-527`). */

@@ -124,11 +124,13 @@ object RelationalQueries {
         .orderBy("l_suppkey")
     }),
 
-    // W2: surrogate-id minting via ranking over a total order.
+    // W2: surrogate-id minting — the distributed dense-rank operator
+    // (range partition + partition-local ranks + broadcast offsets), not a
+    // single-partition global window. Same values, oracle-checked.
     "q11_surrogate_ids" -> ((s, dir) => {
-      val w = Window.orderBy("p_brand")
-      Tables(s, dir, "part").select("p_brand").distinct()
-        .withColumn("brand_id", row_number().over(w).cast("long"))
+      graft.operators.Ids.denseId(
+          Tables(s, dir, "part").select("p_brand").distinct(),
+          "brand_id", Seq(col("p_brand")))
         .select("brand_id", "p_brand")
         .orderBy("brand_id")
     }),

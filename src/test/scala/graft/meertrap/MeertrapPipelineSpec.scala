@@ -153,6 +153,27 @@ class MeertrapPipelineSpec extends SparkSuite {
         "pos", "ra", "snr", "width"))
   }
 
+  test("candidate path: no single-partition window over unaggregated rows (W2 at scale)") {
+    // VERDICT r2 #1: surrogate ids on the fact-table path must not funnel
+    // the frame through one partition. The only global windows allowed are
+    // (a) over an Aggregate (the denseId partition-count prefix sum, ≤
+    // numPartitions rows) or (b) on frames small by construction (sb,
+    // host, cbConfig — not on this path).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWin}
+    def offenders(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWin if w.partitionSpec.isEmpty &&
+          w.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+    val spccl = graft.sources.SpcclSource.read(spark, root.toString)
+    val enriched = CandidateTransform.enrich(CandidateTransform.renameSpccl(spccl.parsed))
+    assert(offenders(enriched).isEmpty)
+    assert(offenders(out.candidates).isEmpty)
+    assert(offenders(out.observation.beam).isEmpty)
+    assert(offenders(out.observation.tiling).isEmpty)
+    assert(offenders(out.observation.obs).isEmpty)
+  }
+
   test("idempotency: re-running the transform yields identical entity counts") {
     val out2 = MeertrapPipeline.run(spark, root.toString, None, "data", "2023-11-20")
     assert(out2.observation.sb.count() === 2)
