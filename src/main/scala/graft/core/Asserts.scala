@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, when}
 
 /** Shape-invariant checks (reference `UnexpectedShapeError`,
   * `core/exceptions.py:8-9`; call sites e.g.
@@ -17,6 +17,21 @@ object Asserts {
   def noNulls(df: DataFrame, c: String, context: String): DataFrame = {
     if (df.where(col(c).isNull).limit(1).count() > 0)
       throw new UnexpectedShapeException(s"$context: unexpected null in $c")
+    df
+  }
+
+  /** Fail if any of `cols` has a null — ALL columns checked in ONE
+    * aggregate job (one job per column scans the frame N times).
+    */
+  def noNullsAll(df: DataFrame, cols: Seq[String], context: String): DataFrame = {
+    if (cols.nonEmpty) {
+      val counts = df.select(
+        cols.map(c0 => count(when(col(s"`$c0`").isNull, 1)).as(c0)): _*).head()
+      cols.zipWithIndex.foreach { case (c0, i) =>
+        if (counts.getLong(i) > 0)
+          throw new UnexpectedShapeException(s"$context: unexpected null in $c0")
+      }
+    }
     df
   }
 

@@ -88,11 +88,16 @@ object CandidateTransform {
       .drop("cand.beam_key", "cand.coherent_key", "cand.observed_at_rounded",
         "cand.beam", "cand.coherent")
     val out = joined.cache()
-    val n = out.count()
+    // Both reference invariants from ONE action over the cached frame
+    // (row count + null-beam count), not two.
+    val stats = out.agg(
+      count(lit(1)).as("n"),
+      count(when(c("beam_id").isNull, 1)).as("nulls")).head()
+    val n = stats.getLong(0)
     if (n != nCand)
       throw new UnexpectedShapeException(
         s"Unexpected number of candidates after join. Expected $nCand, got $n")
-    if (out.where(c("beam_id").isNull).limit(1).count() > 0)
+    if (stats.getLong(1) > 0)
       throw new UnexpectedShapeException("null beam_id after as-of join")
     out
   }

@@ -3,7 +3,7 @@ package graft.meertrap
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{Asserts, UnexpectedShapeException}
+import graft.core.Asserts
 import graft.functions.{Coordinates, Physics, TimeFns}
 import graft.operators.{Dedup, Ids}
 
@@ -287,11 +287,10 @@ object ObservationTransform {
     val wide = wide0.drop("beams.host_beams")
       .join(beamsWithHost, Seq("observation_id"), "full")
 
-    val idCols = wide.columns.filter(_.contains("_id"))
-    idCols.foreach { ic =>
-      if (wide.where(c(ic).isNull).limit(1).count() > 0)
-        throw new UnexpectedShapeException(s"Merge resulted in null $ic.")
-    }
+    // One aggregate job checks every id column (was one Spark job per
+    // column — VERDICT r2 finding #4).
+    Asserts.noNullsAll(wide, wide.columns.filter(_.contains("_id")).toSeq,
+      "Merge resulted in null id")
 
     Result(wide, sb, obs, cbConfig = cbCfg, tiling = tiling,
       beam = beamsWithHost, host = hosts)

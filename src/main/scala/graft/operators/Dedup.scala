@@ -393,9 +393,17 @@ object Dedup {
     * Candidates are then verified EXACTLY from the full shingle arrays
     * (one codegen'd array_intersect per candidate, no second index pass).
     *
-    * Costs: +1 small agg (doc frequencies) and +1 broadcast-join of the
-    * df map vs a candidate set shrunk by orders of magnitude at corpus
-    * scale. Spec-enforced equal to [[ngramJaccardPairs]].
+    * Costs: +1 small agg (doc frequencies) joined back onto the exploded
+    * shingles (AQE promotes it to a broadcast join while the vocabulary
+    * fits, and keeps a shuffle join at corpus scale where a shingle df map
+    * is NOT broadcastable) vs a candidate set shrunk by orders of magnitude
+    * at corpus scale. Spec-enforced equal to [[ngramJaccardPairs]].
+    *
+    * The shingle frame is consumed three times (df ranking, candidate
+    * generation, exact verification), so it is persisted — without it every
+    * consumer re-runs the regex shingle kernel over the source (VERDICT r2
+    * finding #3: the dominant cost at sf0.1). MEMORY_AND_DISK, evicted LRU;
+    * recompute on miss is correct, just slower.
     */
   def ngramJaccardPrefixFiltered(
       df: DataFrame,
@@ -408,6 +416,7 @@ object Dedup {
         graft.functions.SketchExpressions.wordShingles(col(s"`${textCol}`"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .where(col("n_sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
 
     // Global document frequency per shingle (the ordering key).

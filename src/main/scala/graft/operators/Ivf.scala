@@ -50,30 +50,37 @@ object Ivf {
   def withCluster(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("__cluster", clusterOf(q(vecCol), model.centroids))
 
-  /** Train the coarse quantizer with Lloyd iterations. */
+  /** Train the coarse quantizer with Lloyd iterations. The projected
+    * (id, vector) training frame is cached for the duration of training —
+    * every iteration runs an action, and without the cache each one
+    * re-scans (and re-filters, when the caller passes a sample of) the
+    * source parquet (VERDICT r2 finding #2: a 3.1x regression at sf0.1).
+    */
   def train(df: DataFrame, vecCol: String, idCol: String, k: Int,
             iters: Int = 5): Model = {
-    var centroids: Array[Array[Double]] = df
-      .orderBy(q(idCol)).limit(k)
-      .select(q(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    for (_ <- 1 to iters) {
-      val assigned = df.withColumn("__cluster", clusterOf(q(vecCol), centroids match {
-        case cs => cs
-      }))
-      val sums = assigned
-        .select(col("__cluster"), posexplode(q(vecCol).cast("array<double>")).as(Seq("__pos", "__v")))
-        .groupBy("__cluster", "__pos")
-        .agg(avg("__v").as("__mean"))
-        .collect()
-      val dim = centroids(0).length
-      val next = Array.tabulate(centroids.length)(j => centroids(j).clone())
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    val vecs = df
+      .select(q(idCol).as("__id"), q(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Double]] = vecs
+        .orderBy(col("__id")).limit(k)
+        .select(col("__v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 1 to iters) {
+        val assigned = vecs.withColumn("__cluster", clusterOf(col("__v"), centroids))
+        val sums = assigned
+          .select(col("__cluster"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy("__cluster", "__pos")
+          .agg(avg("__x").as("__mean"))
+          .collect()
+        val next = Array.tabulate(centroids.length)(j => centroids(j).clone())
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
+        centroids = next
       }
-      centroids = next
-    }
-    Model(centroids)
+      Model(centroids)
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Cosine top-k scanning only the `nProbe` clusters nearest the query. */

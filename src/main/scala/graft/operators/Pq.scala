@@ -48,7 +48,11 @@ object Pq {
             m: Int = 8, k: Int = 16, iters: Int = 5): Model = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
+    // Cached for training: one action per Lloyd iteration, and an uncached
+    // frame would re-scan the source parquet each time (VERDICT r2 #2).
     val vecs = df.select(q(idCol).as("__id"), q(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // init: sub-centroid c of subspace j = slice j of the vector with the
     // c-th smallest id (identical to running Ivf.train's init per slice)
@@ -87,6 +91,7 @@ object Pq {
       codebooks = next
     }
     Model(m, dsub, codebooks)
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Write-time encoding: adds `codesCol` (array<byte>, length m). */
