@@ -75,13 +75,23 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
-    // HLL sketch distinct counts (rows-only: sketch internals differ from
-    // DuckDB's) — the constant-memory path for distinct users at 100 TB.
+    // HLL sketch distinct counts — the constant-memory path for distinct
+    // users at 100 TB. Oracle-checked: the sketch internals differ from
+    // DuckDB's, so the query emits the EXACT distinct count (DuckDB
+    // mirrors it) plus a within-tolerance flag on the HLL estimate (rsd
+    // 0.01 -> 5% is a wide deterministic bound); a drifting sketch flips
+    // the flag and fails the hash compare.
     "q49_approx_distinct" -> ((s, dir) => {
       Tables(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("__approx"),
+          count_distinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n_events"))
+        .withColumn("hll_within_5pct",
+          abs(col("__approx") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05)
+        .select("event_type", "exact_users", "n_events", "hll_within_5pct")
         .orderBy("event_type")
     }),
 
@@ -100,6 +110,10 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | count(*) AS n_events, true AS hll_within_5pct
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
     "q10_dedup_keepfirst" ->
       """SELECT user_id, event_type, event_id AS first_event_id FROM (
         | SELECT user_id, event_type, event_id,

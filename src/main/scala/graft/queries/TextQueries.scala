@@ -90,12 +90,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // MinHash-LSH near-dup candidate pairs (rows-only).
+    // MinHash-LSH near-dup pairs: LSH banding does the BLOCKING, exact
+    // n-gram Jaccard verifies each blocked candidate — so the output is
+    // SQL-expressible and oracle-checked (threshold 0.5; the estimate-only
+    // variant Dedup.minhashLshPairs stays spec-verified against the
+    // kernel/agg paths). Blocking recall at the banding parameters is part
+    // of what the oracle checks: a missed true pair = hash mismatch.
     "q36_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(
+      Dedup.ngramJaccardViaLsh(
           Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
-          "text", "doc_id", shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
-        .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+          "text", "doc_id", n = 3, threshold = 0.5, numHashes = 64, bands = 16)
+        .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")
     }),
 
@@ -163,18 +168,29 @@ object TextQueries {
         "text", k = 64, topN = 10)
     }),
 
-    // Incremental near-dup (rows-only): documents arrive in two batches;
-    // each batch dedups against the persistent LSH index built by the
-    // earlier ones (the streaming corpus-registry path). Deterministic:
-    // greedy keep-lowest-id + fixed hash family.
+    // Incremental near-dup: documents arrive in two batches; each batch
+    // dedups against the persistent LSH index built by the earlier ones
+    // (the streaming corpus-registry path). Deterministic: greedy
+    // keep-lowest-id + fixed hash family. Index internals aren't SQL-
+    // mirrorable, so the plan gates on EXACT PARITY with a one-shot batch
+    // dedup over the same corpus (Gates.setParity): any incremental/batch
+    // divergence emits zero rows and fails the driver's rows-only check.
     "q57_incremental_dedup" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
-      val ixDir = java.nio.file.Files.createTempDirectory("graft_q57_ix").toString + "/ix"
-      val ix = new graft.streaming.StreamingDedup.LshIndex(
-        ixDir, shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
-      val s1 = ix.dedupeBatch(docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
-      val s2 = ix.dedupeBatch(docs.where(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id")
-      s1.select("doc_id").union(s2.select("doc_id")).orderBy("doc_id")
+      def freshIx() = new graft.streaming.StreamingDedup.LshIndex(
+        java.nio.file.Files.createTempDirectory("graft_q57_ix").toString + "/ix",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      val ix = freshIx()
+      // Batches split at the median id: arrival order consistent with the
+      // greedy keep-lowest-id order (the realistic time-ordered stream) —
+      // an id-interleaved split would legitimately diverge from one-shot
+      // (keep-first-ARRIVED vs keep-lowest-id).
+      val mid = docs.agg(expr("approx_percentile(doc_id, 0.5)")).head().getLong(0)
+      val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= mid), "text", "doc_id")
+      val s2 = ix.dedupeBatch(docs.where(col("doc_id") > mid), "text", "doc_id")
+      val incremental = s1.select("doc_id").union(s2.select("doc_id"))
+      val oneShot = freshIx().dedupeBatch(docs, "text", "doc_id").select("doc_id")
+      Gates.setParity(incremental, oneShot, "doc_id").orderBy("doc_id")
     }),
 
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
@@ -190,6 +206,19 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q36_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh)
+        | SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
     "q50_group_sample" ->
       """SELECT lang, doc_id FROM (
         | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
