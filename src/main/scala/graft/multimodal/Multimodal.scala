@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus distributed decode/feature-extract scaffolding.
   *
   * The Spark-side mechanics (schema, partition-sized batching, per-partition
-  * decoder amortization) are real and tested; the actual media decoding is
-  * STUBBED behind [[MediaCodec]] (no image/audio libraries exist in this
-  * container) with a deterministic fake so tests exercise the full path.
+  * decoder amortization) are real and tested. IMAGE decoding is REAL —
+  * `javax.imageio` ships in the JDK and handles PNG/JPEG/BMP/GIF, yielding
+  * true dimensions plus a pixel-statistics feature vector. Payloads ImageIO
+  * cannot parse (audio/video — no codec libraries exist in this container)
+  * fall back to a clearly-marked deterministic fake so the distributed path
+  * stays exercised end to end.
   */
 object Multimodal {
 
@@ -25,28 +28,67 @@ object Multimodal {
       media_type: String,
       byte_len: Long,
       sha_fingerprint: Long,
-      width: Int,               // stub-decoded
-      height: Int,              // stub-decoded
-      feature: Array[Float])    // stub feature vector
+      width: Int,               // true pixel width when ImageIO decodes
+      height: Int,
+      decoded: Boolean,         // true = real decode, false = fallback fake
+      feature: Array[Float])    // pixel statistics (real) or hash fake
 
-  /** STUB decoder — deterministic fake standing in for a real image/audio
-    * codec (???-equivalent, clearly marked). The call signature and batch
-    * shape match what a JNI/javax.imageio decoder would need: one codec
-    * instance per PARTITION (expensive init amortized), records streamed
-    * through it.
+  /** Media decoder. Images decode for REAL via `javax.imageio` (in-JDK:
+    * PNG/JPEG/BMP/GIF/WBMP) — true dimensions + an 8-dim pixel-statistics
+    * feature: mean R/G/B, mean+stddev luminance, dark-pixel fraction,
+    * aspect ratio, log-area. Pixels are sampled on a bounded grid (≤64×64
+    * strided reads) so feature cost is O(1) per image regardless of size.
+    *
+    * Non-image payloads (audio/video — no codec libs in this container)
+    * take the clearly-marked deterministic FAKE path, which keeps the
+    * distributed plumbing testable for those modalities; `decoded=false`
+    * marks such rows.
     */
   object MediaCodec {
-    final case class Decoded(width: Int, height: Int, feature: Array[Float])
+    final case class Decoded(width: Int, height: Int, decoded: Boolean,
+                             feature: Array[Float])
 
-    /** Real implementation would decode `payload`; the fake derives
-      * deterministic dimensions + a 8-dim feature from the bytes.
-      */
-    def decode(payload: Array[Byte]): Decoded = {
+    private def fake(payload: Array[Byte]): Decoded = {
       val h = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
       val w = 64 + math.floorMod(h, 1024).toInt
       val ht = 64 + math.floorMod(h >> 10, 1024).toInt
       val feat = Array.tabulate(8)(i => math.floorMod(h >> (i * 7), 1000) / 1000.0f)
-      Decoded(w, ht, feat)
+      Decoded(w, ht, decoded = false, feat)
+    }
+
+    def decode(payload: Array[Byte]): Decoded = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) fake(payload)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+        var n = 0; var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var sl = 0.0; var sl2 = 0.0; var dark = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+            val lum = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += lum; sl2 += lum * lum
+            if (lum < 32) dark += 1
+            n += 1; x += sx
+          }
+          y += sy
+        }
+        val meanL = sl / n
+        val feat = Array(
+          (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+          (meanL / 255.0).toFloat,
+          (math.sqrt(math.max(0.0, sl2 / n - meanL * meanL)) / 255.0).toFloat,
+          dark.toFloat / n,
+          (w.toDouble / h).toFloat,
+          (math.log1p(w.toDouble * h) / 20.0).toFloat)
+        Decoded(w, h, decoded = true, feat)
+      }
     }
   }
 
@@ -75,7 +117,8 @@ object Multimodal {
       it.map { r =>
         val d = MediaCodec.decode(r.payload)
         MediaFeatures(r.asset_id, r.media_type, r.payload.length.toLong,
-          r.payload.foldLeft(0L)((a, b) => a * 31 + b), d.width, d.height, d.feature)
+          r.payload.foldLeft(0L)((a, b) => a * 31 + b), d.width, d.height,
+          d.decoded, d.feature)
       }
     }
   }

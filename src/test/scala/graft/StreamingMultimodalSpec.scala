@@ -27,18 +27,47 @@ class StreamingMultimodalSpec extends SparkSuite {
     assert(n === ev.count())
   }
 
-  test("multimodal: features extracted per partition with stub codec") {
+  test("multimodal: non-image payloads take the marked deterministic fallback") {
     val media = (1L to 10L).map(i =>
-      Multimodal.MediaRecord(i, "image", Array.fill(100 + i.toInt)(i.toByte), s"mem://$i"))
+      Multimodal.MediaRecord(i, "audio", Array.fill(100 + i.toInt)(i.toByte), s"mem://$i"))
       .toDS()
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length === 10)
     assert(feats.forall(_.feature.length === 8))
     assert(feats.forall(f => f.width >= 64 && f.height >= 64))
+    assert(feats.forall(!_.decoded))    // fallback rows are marked
     // determinism: same payload -> same features
     val again = Multimodal.extractFeatures(media).collect()
     assert(feats.sortBy(_.asset_id).map(_.sha_fingerprint).toSeq ===
       again.sortBy(_.asset_id).map(_.sha_fingerprint).toSeq)
+  }
+
+  test("multimodal: real PNG decodes via ImageIO — true dims + pixel stats") {
+    // 40x20 image: left half pure red, right half pure blue.
+    val img = new java.awt.image.BufferedImage(40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val media = Seq(Multimodal.MediaRecord(1L, "image", png, "mem://real.png")).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.decoded)
+    assert(f.width === 40 && f.height === 20)
+    // mean R and mean B each ~0.5 of max, mean G = 0; aspect ratio 2.0
+    assert(math.abs(f.feature(0) - 0.5f) < 0.03f)
+    assert(f.feature(1) === 0.0f)
+    assert(math.abs(f.feature(2) - 0.5f) < 0.03f)
+    assert(math.abs(f.feature(6) - 2.0f) < 1e-6f)
+    // determinism of the real path
+    val again = Multimodal.extractFeatures(media).collect().head
+    assert(f.feature.toSeq === again.feature.toSeq)
+
+    // corrupt tail: ImageIO rejects it -> falls back, marked
+    val broken = Seq(Multimodal.MediaRecord(2L, "image",
+      png.take(30) ++ Array.fill(10)(0.toByte), "mem://broken.png")).toDS()
+    assert(!Multimodal.extractFeatures(broken).collect().head.decoded)
   }
 
   test("multimodal: binaryFile dir scan -> typed records -> features, end to end") {
