@@ -152,11 +152,17 @@ object JdbcUpsertSink {
         conn.createStatement().execute(dialect.truncateSql(t))
         // 3. Executors write stage rows on their own autocommitted
         //    connections (parallel, unblocked).
-        view.write.mode("append").jdbc(jdbcUrl, s"${t.table}__stage", props)
+        SinkIntegrityException.translate(t.table) {
+          view.write.mode("append").jdbc(jdbcUrl, s"${t.table}__stage", props)
+        }
         // 4. Single-statement merge: atomic by itself, committed here. On
         //    failure nothing reached the target; stale stage rows are
-        //    truncated by the next run.
-        conn.createStatement().execute(dialect.mergeSql(t, view.columns.toSeq))
+        //    truncated by the next run. Integrity failures surface as the
+        //    typed contract (unique / FK / other-23) like the reference's
+        //    error mapping (`core/insert.py:34-73`).
+        SinkIntegrityException.translate(t.table) {
+          conn.createStatement().execute(dialect.mergeSql(t, view.columns.toSeq))
+        }
         // 5. Natural-key -> id map read back through Spark (distributed
         //    read) — sees the committed merge, including fresh inserts.
         val km = spark.read.jdbc(jdbcUrl, s"(${keyMapSql(t)}) AS km", props)

@@ -69,4 +69,45 @@ class JdbcSinkIntegrationSpec extends SparkSuite {
     assert(query("SELECT count(*) FROM book").head.head === 2)
     assert(query("SELECT author_id FROM book WHERE title='letters'").head.head === 100L)
   }
+
+  test("typed error mapping: FK violation during merge -> ForeignKeyViolationException") {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE dept (dept_id BIGINT PRIMARY KEY, " +
+        "dname VARCHAR(50) NOT NULL UNIQUE)")
+      st.execute("CREATE TABLE emp (emp_id BIGINT PRIMARY KEY, " +
+        "ename VARCHAR(50) NOT NULL UNIQUE, " +
+        "dept_id BIGINT NOT NULL REFERENCES dept (dept_id))")
+    } finally conn.close()
+
+    val empTarget = TargetInfo("emp", "", "emp_id", Seq("ename"), Seq("dept_id"))
+    // No parent load in this call -> dept_id 999 dangles; Derby raises
+    // SQLState 23503 inside the merge, which must surface typed.
+    val emps = Seq((1L, "eve", 999L)).toDF("emp_id", "ename", "dept_id")
+    val ex = intercept[ForeignKeyViolationException] {
+      JdbcUpsertSink.load(spark, url, props, Seq(empTarget -> emps), DerbyDialect)
+    }
+    assert(ex.table === "emp")
+    assert(ex.getCause.asInstanceOf[java.sql.SQLException].getSQLState === "23503")
+  }
+
+  test("typed error mapping: secondary unique violation -> UniqueViolationException") {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.createStatement().execute("CREATE TABLE person (person_id BIGINT PRIMARY KEY, " +
+        "pname VARCHAR(50) NOT NULL UNIQUE, email VARCHAR(50) NOT NULL UNIQUE)")
+    } finally conn.close()
+
+    val personTarget = TargetInfo("person", "", "person_id", Seq("pname"), Nil)
+    // Natural keys differ (no conflict-skip), but both rows share an email —
+    // the SECONDARY unique constraint fires: SQLState 23505, surfaced typed.
+    val people = Seq((1L, "ann", "x@y"), (2L, "amy", "x@y"))
+      .toDF("person_id", "pname", "email")
+    val ex = intercept[UniqueViolationException] {
+      JdbcUpsertSink.load(spark, url, props, Seq(personTarget -> people), DerbyDialect)
+    }
+    assert(ex.table === "person")
+    assert(ex.getCause.asInstanceOf[java.sql.SQLException].getSQLState === "23505")
+  }
 }
