@@ -139,38 +139,126 @@ object JdbcUpsertSink {
     try {
       var keyMaps = Map.empty[String, DataFrame]
       targets.foreach { case (t, view0) =>
-        // FK propagation: remap any FK whose parent already loaded.
-        val view = t.foreignKeys.foldLeft(view0) { (acc, fk) =>
-          keyMaps.get(fk.stripSuffix("_id")) match {
-            case Some(km) => remapForeignKey(acc, fk, km)
-            case None     => acc
-          }
-        }
-        // 1+2. Stage DDL + TRUNCATE, each committed immediately so no lock
-        //      outlives this statement.
-        dialect.createStage(conn, t)
-        conn.createStatement().execute(dialect.truncateSql(t))
-        // 3. Executors write stage rows on their own autocommitted
-        //    connections (parallel, unblocked).
-        SinkIntegrityException.translate(t.table) {
-          view.write.mode("append").jdbc(jdbcUrl, s"${t.table}__stage", props)
-        }
-        // 4. Single-statement merge: atomic by itself, committed here. On
-        //    failure nothing reached the target; stale stage rows are
-        //    truncated by the next run. Integrity failures surface as the
-        //    typed contract (unique / FK / other-23) like the reference's
-        //    error mapping (`core/insert.py:34-73`).
-        SinkIntegrityException.translate(t.table) {
-          conn.createStatement().execute(dialect.mergeSql(t, view.columns.toSeq))
-        }
-        // 5. Natural-key -> id map read back through Spark (distributed
-        //    read) — sees the committed merge, including fresh inserts.
-        val km = spark.read.jdbc(jdbcUrl, s"(${keyMapSql(t)}) AS km", props)
-        val local = view.select(
-          (t.uniqueConstraint.map(n => col(s"`$n`")) :+ col(s"`${t.primaryKey}`").as("local_id")): _*)
-        keyMaps += t.table -> local.join(km, t.uniqueConstraint)
-          .select(col("local_id"), col(s"`${t.primaryKey}`").as("db_id"))
+        keyMaps += t.table -> loadOne(spark, jdbcUrl, props, conn, dialect,
+          t, view0, keyMaps)
       }
+    } finally conn.close()
+  }
+
+  /** Load one target (stages, merges, reads back the key-map) and return
+    * its (local_id -> db_id) key-map frame. Shared by [[load]] and
+    * [[loadAllOrNothing]].
+    */
+  private def loadOne(
+      spark: SparkSession, jdbcUrl: String, props: java.util.Properties,
+      conn: java.sql.Connection, dialect: SinkDialect,
+      t: TargetInfo, view0: DataFrame,
+      keyMaps: Map[String, DataFrame]): DataFrame = {
+    // FK propagation: remap any FK whose parent already loaded.
+    val view = t.foreignKeys.foldLeft(view0) { (acc, fk) =>
+      keyMaps.get(fk.stripSuffix("_id")) match {
+        case Some(km) => remapForeignKey(acc, fk, km)
+        case None     => acc
+      }
+    }
+    // 1+2. Stage DDL + TRUNCATE, each committed immediately so no lock
+    //      outlives this statement.
+    dialect.createStage(conn, t)
+    conn.createStatement().execute(dialect.truncateSql(t))
+    // 3. Executors write stage rows on their own autocommitted
+    //    connections (parallel, unblocked).
+    SinkIntegrityException.translate(t.table) {
+      view.write.mode("append").jdbc(jdbcUrl, s"${t.table}__stage", props)
+    }
+    // 4. Single-statement merge: atomic by itself, committed here. On
+    //    failure nothing reached the target; stale stage rows are
+    //    truncated by the next run. Integrity failures surface as the
+    //    typed contract (unique / FK / other-23) like the reference's
+    //    error mapping (`core/insert.py:34-73`).
+    SinkIntegrityException.translate(t.table) {
+      conn.createStatement().execute(dialect.mergeSql(t, view.columns.toSeq))
+    }
+    // 5. Natural-key -> id map read back through Spark (distributed
+    //    read) — sees the committed merge, including fresh inserts.
+    val km = spark.read.jdbc(jdbcUrl, s"(${keyMapSql(t)}) AS km", props)
+    val local = view.select(
+      (t.uniqueConstraint.map(n => col(s"`$n`")) :+ col(s"`${t.primaryKey}`").as("local_id")): _*)
+    local.join(km, t.uniqueConstraint)
+      .select(col("local_id"), col(s"`${t.primaryKey}`").as("db_id"))
+  }
+
+  private def preTable(t: TargetInfo) = s"${t.table}__pre"
+
+  /** SQL for the compensation scheme of [[loadAllOrNothing]]: snapshot the
+    * natural keys that existed BEFORE the merge, and the reverse-order
+    * delete of rows this run inserted (in stage, not in the snapshot).
+    * Pure server-side set operations — no per-row driver traffic, scales
+    * with the database, works on both dialects (correlated EXISTS).
+    */
+  def preSnapshotSql(t: TargetInfo): Seq[String] = {
+    val nk = t.uniqueConstraint.mkString(", ")
+    Seq(
+      s"CREATE TABLE ${preTable(t)} AS SELECT $nk FROM ${t.table} WITH NO DATA",
+      s"INSERT INTO ${preTable(t)} SELECT $nk FROM ${t.table}")
+  }
+
+  def compensateSql(t: TargetInfo): String = {
+    def corr(alias: String) =
+      t.uniqueConstraint.map(k => s"$alias.$k = ${t.table}.$k").mkString(" AND ")
+    s"DELETE FROM ${t.table} WHERE EXISTS " +
+      s"(SELECT 1 FROM ${t.table}__stage s WHERE ${corr("s")}) " +
+      s"AND NOT EXISTS (SELECT 1 FROM ${preTable(t)} p WHERE ${corr("p")})"
+  }
+
+  /** Multi-target load with the reference's all-or-nothing guarantee (S10,
+    * `meertrap/meertrap.py:169-199`, nested savepoints) — WITHOUT holding a
+    * driver transaction across Spark jobs (which deadlocks the stage writes
+    * and blinds the key-map read; see [[load]]'s transaction discipline).
+    *
+    * Scheme: before each target's merge, snapshot its existing natural keys
+    * server-side (`<table>__pre`). If any later target fails, compensate in
+    * REVERSE FK order: delete exactly the rows this run inserted — present
+    * in the run's stage table but absent from the pre-snapshot — one
+    * server-side statement per target, then rethrow. Children delete before
+    * parents, so FK constraints hold throughout the rollback. The window
+    * where a concurrent reader sees a partial load exists (unlike a true
+    * transaction) — the trade for never blocking distributed writes; the
+    * reference's own guarantee is equally post-hoc for its bulk path.
+    */
+  def loadAllOrNothing(
+      spark: SparkSession,
+      jdbcUrl: String,
+      props: java.util.Properties,
+      targets: Seq[(TargetInfo, DataFrame)],
+      dialect: SinkDialect = PostgresDialect
+  ): Unit = {
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
+    conn.setAutoCommit(true)
+    def dropPre(t: TargetInfo): Unit =
+      try conn.createStatement().execute(s"DROP TABLE ${preTable(t)}")
+      catch { case _: java.sql.SQLException => () }
+    var loaded = List.empty[TargetInfo]   // reverse order already
+    try {
+      var keyMaps = Map.empty[String, DataFrame]
+      targets.foreach { case (t, view0) =>
+        dropPre(t)                         // stale snapshot from a crash
+        preSnapshotSql(t).foreach(conn.createStatement().execute)
+        loaded ::= t
+        keyMaps += t.table -> loadOne(spark, jdbcUrl, props, conn, dialect,
+          t, view0, keyMaps)
+      }
+      loaded.foreach(dropPre)
+    } catch {
+      case e: Throwable =>
+        // Children first (reverse load order): FKs stay valid while rows
+        // from this run disappear. A compensation failure (e.g. the failing
+        // target never got a stage table) must not mask the original error.
+        loaded.foreach { t =>
+          try conn.createStatement().execute(compensateSql(t))
+          catch { case ce: java.sql.SQLException => e.addSuppressed(ce) }
+          dropPre(t)
+        }
+        throw e
     } finally conn.close()
   }
 }

@@ -34,6 +34,52 @@ class AtnfCheckpointSpec extends SparkSuite {
     assert(view.count() === 2)
   }
 
+  test("live HTTP catalogue fetch: retry on 5xx, snapshot reuse, 4xx typed (S7)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val csvBody =
+      """NAME,RAJ,DECJ,DM,W50,P0
+        |J0437-4715,04:37:15.99,-47:15:09.7,2.64,0.141,0.005757
+        |""".stripMargin.getBytes("UTF-8")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/cat.csv", (x: HttpExchange) => {
+      // first attempt 503s — the adapter must retry
+      if (hits.incrementAndGet() == 1) { x.sendResponseHeaders(503, -1); x.close() }
+      else {
+        x.sendResponseHeaders(200, csvBody.length)
+        x.getResponseBody.write(csvBody); x.close()
+      }
+    })
+    server.createContext("/gone.csv", (x: HttpExchange) => {
+      x.sendResponseHeaders(404, -1); x.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val snap = Files.createTempDirectory("atnf_live").resolve("snapshot.csv")
+      val visited = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val df = graft.atnf.CatalogueFetch.extractLive(spark,
+        s"http://127.0.0.1:$port/cat.csv", snap, visited)
+      assert(df.count() === 1)
+      assert(hits.get() === 2)                       // 503 then 200
+      // snapshot reuse: no new request without refresh
+      graft.atnf.CatalogueFetch.extractLive(spark,
+        s"http://127.0.0.1:$port/cat.csv", snap, visited).count()
+      assert(hits.get() === 2)
+      // refresh forces a refetch
+      graft.atnf.CatalogueFetch.extractLive(spark,
+        s"http://127.0.0.1:$port/cat.csv", snap, visited, refresh = true).count()
+      assert(hits.get() === 3)
+      // 4xx is typed and NOT retried
+      val before = hits.get()
+      intercept[graft.atnf.CatalogueFetchException] {
+        graft.atnf.CatalogueFetch.fetch(s"http://127.0.0.1:$port/gone.csv",
+          snap.getParent.resolve("gone.csv"))
+      }
+      assert(hits.get() === before)                  // different context counter
+    } finally server.stop(0)
+  }
+
   test("checkpoint: computes once, then reads back (reference read_or_parse_parquet)") {
     val dir = Files.createTempDirectory("cp").toString + "/stage"
     var computed = 0

@@ -70,6 +70,47 @@ class JdbcSinkIntegrationSpec extends SparkSuite {
     assert(query("SELECT author_id FROM book WHERE title='letters'").head.head === 100L)
   }
 
+  test("loadAllOrNothing: failed child target rolls back the parent's fresh rows") {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE band (band_id BIGINT PRIMARY KEY, " +
+        "bname VARCHAR(50) NOT NULL UNIQUE)")
+      st.execute("CREATE TABLE album (album_id BIGINT PRIMARY KEY, " +
+        "aname VARCHAR(50) NOT NULL UNIQUE, " +
+        "band_id BIGINT NOT NULL REFERENCES band (band_id))")
+      st.execute("INSERT INTO band VALUES (100, 'queen')")    // pre-existing
+    } finally conn.close()
+
+    val bandT  = TargetInfo("band", "", "band_id", Seq("bname"), Nil)
+    val albumT = TargetInfo("album", "", "album_id", Seq("aname"), Seq("band_id"))
+    val bands  = Seq((1L, "queen"), (2L, "kraftwerk")).toDF("band_id", "bname")
+    // 'radio' dangles: band_id 999 has no parent -> the album merge fails
+    // AFTER the band merge committed 'kraftwerk'.
+    val albums = Seq((10L, "radio", 999L)).toDF("album_id", "aname", "band_id")
+
+    intercept[ForeignKeyViolationException] {
+      JdbcUpsertSink.loadAllOrNothing(spark, url, props,
+        Seq(bandT -> bands, albumT -> albums), DerbyDialect)
+    }
+    // All-or-nothing: this run's fresh parent row was compensated away;
+    // the PRE-EXISTING row survived. No partial load remains.
+    assert(query("SELECT band_id, bname FROM band") === Seq(Seq(100L, "queen")))
+    assert(query("SELECT count(*) FROM album").head.head === 0)
+    // Snapshot tables are cleaned up on both paths.
+    assert(query("SELECT count(*) FROM SYS.SYSTABLES WHERE TABLENAME LIKE '%__PRE'")
+      .head.head === 0)
+
+    // The same load with the child fixed converges (idempotent re-run
+    // machinery unchanged).
+    val okAlbums = Seq((10L, "radio", 2L)).toDF("album_id", "aname", "band_id")
+    JdbcUpsertSink.loadAllOrNothing(spark, url, props,
+      Seq(bandT -> bands, albumT -> okAlbums), DerbyDialect)
+    assert(query("SELECT bname FROM band ORDER BY bname") ===
+      Seq(Seq("kraftwerk"), Seq("queen")))
+    assert(query("SELECT aname, band_id FROM album") === Seq(Seq("radio", 2L)))
+  }
+
   test("typed error mapping: FK violation during merge -> ForeignKeyViolationException") {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
