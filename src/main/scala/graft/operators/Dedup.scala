@@ -448,6 +448,39 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Containment pairs: documents whose ENTIRE shingle set appears inside
+    * another document's (directed: id_a contained in id_b). The dedup case
+    * a symmetric Jaccard threshold misses — a short document fully embedded
+    * in a longer one (quotes, concatenated crawls, boilerplate wrappers)
+    * has LOW Jaccard but is pure redundancy for training.
+    *
+    * Same single-shuffle inverted-index shape as [[ngramJaccardPairs]]:
+    * a pair is containment iff the shared-shingle count equals |shingles(A)|.
+    * The join is directed (a != b, not a < b) so mutual containment (equal
+    * shingle sets) emits both directions. Hot-shingle skew carries the same
+    * caveat as the Jaccard index-join; the prefix/LSH-blocked paths apply
+    * when a corpus needs them.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val sh = df.select(col(s"`${idCol}`").as("id"),
+        graft.functions.SketchExpressions.wordShingles(col(s"`${textCol}`"), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .where(col("n_sh") > 0)
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") === col("na"))
+      .select("id_a", "id_b", "n_common")
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,

@@ -159,6 +159,117 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** EXACT sparse token-cosine similarity pairs over raw text — the
+    * bag-of-words cosine between token-count vectors, computed through an
+    * inverted token index (one shuffle on the token, one on the pair):
+    * dot(A,B) = Σ_t cnt_A(t)·cnt_B(t) — only tokens the pair SHARES
+    * contribute, so the posting-list self-join enumerates exactly the
+    * nonzero terms. This is the lexical analogue of [[cosineDupPairsExact]]
+    * with no embedding model required.
+    *
+    * Scale shape: linear in the postings except for hot tokens (stopwords:
+    * df n → n² join rows). `maxTokenDf > 0` drops tokens above that
+    * document frequency from the index — with stopword-dominated corpora
+    * that bounds the quadratic term at a small cosine error (standard
+    * practice); 0 keeps the computation exact (the oracle-checked mode).
+    */
+  def tokenCosinePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      maxTokenDf: Long = 0L
+  ): DataFrame = {
+    val toks = df
+      .where(col(s"`${textCol}`").isNotNull && length(trim(col(s"`${textCol}`"))) > 0)
+      .select(col(s"`${idCol}`").as("id"),
+        explode(split(trim(col(s"`${textCol}`")), "\\s+")).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("c"))
+    // Norms over ALL tokens (exact even when the index is df-capped).
+    val norms = toks.groupBy("id")
+      .agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+    val index =
+      if (maxTokenDf <= 0) toks
+      else toks.withColumn("__df",
+          count(lit(1)).over(Window.partitionBy("t")))
+        .where(col("__df") <= maxTokenDf).drop("__df")
+    val a = index.as("a"); val b = index.as("b")
+    val dots = a.join(b, col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("__dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("__na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__dot").cast("double") / (col("__na") * col("__nb"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** EXACT sparse token-cosine pairs via the AllPairs prefix filter
+    * (Bayardo et al., WWW'07) — the corpus-scale path that [[tokenCosinePairs]]
+    * is the baseline for, and the cosine analogue of the rarest-prefix
+    * Jaccard index (`Dedup.ngramJaccardPrefixFiltered`).
+    *
+    * Soundness: order each document's tokens rarest-first (global df, then
+    * token) and index the minimal prefix whose indexed squared mass exceeds
+    * (1-t²)·‖A‖² — then the UNINDEXED suffix has L2 mass ≤ t·‖A‖, so a pair
+    * sharing no indexed token of A has cos(A,B) ≤ ‖Â_suffix‖·‖B̂‖ < t.
+    * Candidates are therefore (indexed token) ⋈ (all postings); hot
+    * stopword tokens never enter the index unless a document's mass is
+    * concentrated in them, which is what kills the naive join (every doc
+    * pair shares "the" → n² pair keys). Verification computes the FULL dot
+    * from per-doc token-count maps — exact, linear in candidates.
+    */
+  def tokenCosinePairsPrefix(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "prefix filter needs t in (0,1]")
+    val toks = df
+      .where(col(s"`${textCol}`").isNotNull && length(trim(col(s"`${textCol}`"))) > 0)
+      .select(col(s"`${idCol}`").as("id"),
+        explode(split(trim(col(s"`${textCol}`")), "\\s+")).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val dfreq = toks.groupBy("t").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df").asc, col("t").asc)
+    val ordered = toks.join(dfreq, "t")
+      .withColumn("c2", (col("c") * col("c")).cast("double"))
+      .withColumn("cum2", sum(col("c2")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot2", sum(col("c2")).over(
+        Window.partitionBy("id").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // Keep a row iff BEFORE it the suffix could still reach t (strictly,
+    // with an epsilon so boundary-exact pairs are never missed).
+    val indexed = ordered.where(
+      col("tot2") - (col("cum2") - col("c2")) >=
+        (lit(threshold * threshold) - lit(1e-9)) * col("tot2"))
+      .select(col("id"), col("t"))
+
+    val candidates = indexed.as("a")
+      .join(toks.select(col("id"), col("t")).as("b"),
+        col("a.t") === col("b.t") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val maps = toks.groupBy("id").agg(
+      map_from_entries(collect_list(struct(col("t"), col("c")))).as("m"),
+      sqrt(sum(col("c") * col("c"))).as("nrm"))
+    val dot = aggregate(
+      map_entries(col("__ma")), lit(0.0d),
+      (acc, e) => acc + e.getField("value").cast("double") *
+        coalesce(try_element_at(col("__mb"), e.getField("key")), lit(0L)).cast("double"))
+    candidates
+      .join(maps.select(col("id").as("id_a"), col("m").as("__ma"), col("nrm").as("__na")), "id_a")
+      .join(maps.select(col("id").as("id_b"), col("m").as("__mb"), col("nrm").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"), (dot / (col("__na") * col("__nb"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs (blocked by LSH sign-bucket to
     * avoid the quadratic all-pairs join; exact cosine verification inside
     * buckets). Recall < 1 for pairs split across buckets — acceptable for

@@ -193,6 +193,34 @@ object TextQueries {
       Gates.setParity(incremental, oneShot, "doc_id").orderBy("doc_id")
     }),
 
+    // Containment dedup: documents whose whole shingle set lives inside
+    // another document's — the redundancy case Jaccard thresholds miss
+    // (short doc embedded in a long one). Oracle: same inverted-index
+    // semantics in SQL.
+    "q61_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(
+          Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
+          "text", "doc_id", n = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Exact sparse token-cosine pairs — the lexical similarity measure
+    // SimHash approximates; this exact path IS SQL-expressible, so it
+    // carries the oracle q37 cannot (see COVERAGE.md). Runs the AllPairs
+    // prefix-filtered index (spec-equal to the naive posting join at 3
+    // thresholds). Scoped to a 20% corpus slice: the synthetic corpus has
+    // a 31-word vocabulary with NO Zipf tail, so every doc pair shares
+    // "rare" tokens and ANY exact lexical method degenerates to all-pairs
+    // (measured: 12.3M candidates of 12.5M possible at sf0.1) — real
+    // corpora are Zipfian, which is exactly what the prefix filter prunes.
+    "q62_token_cosine" -> ((s, dir) => {
+      graft.operators.Similarity.tokenCosinePairsPrefix(
+          Tables(s, dir, "documents").where(pmod(col("doc_id"), lit(5)) === 0),
+          "text", "doc_id", threshold = 0.9)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
     // positional word 3-gram (registered in the function registry).
     "q51_ngram_generator" -> ((s, dir) => {
@@ -279,6 +307,32 @@ object TextQueries {
         |  ])[-1] AS best FROM t)
         | SELECT doc_id, CASE WHEN n_tok = 0 OR best.score = 0 THEN 'und' ELSE best.lang END AS lang_pred
         | FROM s ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q61_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh)
+        | SELECT id_a, id_b, n_common FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
+        |    any_value(a.n_sh) AS na
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | WHERE n_common = na ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    "q62_token_cosine" ->
+      """WITH tok AS (SELECT doc_id, tok, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 5 = 0)
+        |  GROUP BY doc_id, tok),
+        | nrm AS (SELECT doc_id, sqrt(sum(c*c)) AS n FROM tok GROUP BY doc_id)
+        | SELECT id_a, id_b, round(cosine, 4) AS cosine FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.c*b.c) AS DOUBLE) / (any_value(na.n) * any_value(nb.n)) AS cosine
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  JOIN nrm na ON na.doc_id = a.doc_id JOIN nrm nb ON nb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
     "q38_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
