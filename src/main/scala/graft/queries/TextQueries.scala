@@ -176,7 +176,10 @@ object TextQueries {
     // dedup over the same corpus (Gates.setParity): any incremental/batch
     // divergence emits zero rows and fails the driver's rows-only check.
     "q57_incremental_dedup" -> ((s, dir) => {
+      // Cached: three dedupeBatch passes (two incremental + the parity
+      // comparator) each scan the corpus for signatures.
       val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def freshIx() = new graft.streaming.StreamingDedup.LshIndex(
         java.nio.file.Files.createTempDirectory("graft_q57_ix").toString + "/ix",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)

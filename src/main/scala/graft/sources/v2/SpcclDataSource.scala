@@ -1,0 +1,252 @@
+package graft.sources.v2
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.meertrap.Schemas
+
+/** SPCCL as a native DataSourceV2 — the source-side extension idiom
+  * (`TableProvider` + `ScanBuilder` + `PartitionReader`), complementing the
+  * expression/aggregator/generator/whole-plan idioms elsewhere
+  * (SURVEY §2.11). The V1 composition (`graft.sources.SpcclSource`) stays
+  * the pipeline's source because it also emits the quarantine frame; this
+  * provider demonstrates what a production V2 connector buys at scale:
+  *
+  *   - COLUMN PRUNING reaches the PARSER ([[SupportsPushDownRequiredColumns]]):
+  *     a `select(snr)` parses one field per line instead of 13 — on a
+  *     100 TB candidate archive that is the difference between I/O-bound
+  *     and parse-bound,
+  *   - FILTER PUSHDOWN into the reader ([[SupportsPushDownFilters]]):
+  *     numeric predicates (snr > x, dm ranges, beam =) drop rows during
+  *     the scan, before they ever become InternalRows,
+  *   - file-granular [[InputPartition]]s bin-packed to a target group size
+  *     — many small files per task, the layout MeerTRAP actually has
+  *     (one TSV per candidate directory).
+  *
+  * Usage: `spark.read.format("graft.sources.v2.SpcclDataSource")
+  *   .load(dir)` — same single-line-per-file semantics as V1 (multi-line
+  *   files are skipped; the reference fails them, `extract.py:40-42`).
+  */
+class SpcclDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SpcclV2.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SpcclTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SpcclV2 {
+  /** V1 schema minus the positional `index` column, plus the derived
+    * `filename` (V1 drops `index` after parsing too).
+    */
+  val fullSchema: StructType = StructType(
+    StructField("filename", StringType) +:
+      Schemas.spccl.fields.toSeq.filterNot(_.name == "index"))
+
+  /** Raw TSV position of each schema field (index occupies position 0). */
+  val tsvPos: Map[String, Int] =
+    Schemas.spccl.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+}
+
+final class SpcclTable(path: String) extends Table with SupportsRead {
+  require(path != null, "path option is required")
+  override def name(): String = s"spccl($path)"
+  override def schema(): StructType = SpcclV2.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SpcclScanBuilder(path)
+}
+
+final class SpcclScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = SpcclV2.fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Comparison/null filters on scalar columns evaluate inside the reader;
+    * anything else stays a Spark-side residual. Pushed filters are ALSO
+    * returned as residuals (cheap re-check, standard for V2 file sources —
+    * correctness never depends on the reader's evaluation).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(SpcclFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SpcclScan(path, required, pushed)
+}
+
+final class SpcclScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SpcclScan path=$path, ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** Driver-side file listing, bin-packed into partitions of up to
+    * `filesPerPartition` files (candidate archives are many tiny files —
+    * one task per file would be scheduler-bound).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.contains("spccl"))
+        files += f.getPath.toString
+    }
+    val filesPerPartition = 64
+    files.sorted.grouped(filesPerPartition)
+      .map(g => SpcclInputPartition(g.toArray): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Hadoop Configuration is not serializable — ship the entries and
+    // rebuild executor-side (what SerializableConfiguration does inside
+    // Spark, which is private[spark]).
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    val entries = {
+      val it = hconf.iterator()
+      val b = ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.toArray
+    }
+    new SpcclReaderFactory(required.fieldNames, pushed, entries)
+  }
+}
+
+final case class SpcclInputPartition(files: Array[String]) extends InputPartition
+
+final class SpcclReaderFactory(columns: Array[String], pushed: Array[Filter],
+                               confEntries: Array[(String, String)])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SpcclPartitionReader(partition.asInstanceOf[SpcclInputPartition].files,
+      columns, pushed, confEntries)
+}
+
+/** Executor-side reader: one file = one candidate line. Parses ONLY the
+  * TSV fields the pruned schema needs, evaluates pushed filters on the
+  * typed values, skips files that are not exactly one line.
+  */
+final class SpcclPartitionReader(files: Array[String], columns: Array[String],
+                                 pushed: Array[Filter],
+                                 confEntries: Array[(String, String)])
+    extends PartitionReader[InternalRow] {
+
+  private var i = 0
+  private var current: InternalRow = _
+  private lazy val fs: Path => FileSystem = {
+    val hconf = new org.apache.hadoop.conf.Configuration(false)
+    confEntries.foreach { case (k, v) => hconf.set(k, v) }
+    p => p.getFileSystem(hconf)
+  }
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && i < files.length) {
+      current = readOne(files(i))
+      i += 1
+    }
+    current != null
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+
+  private def readOne(file: String): InternalRow = {
+    val p = new Path(file)
+    val in = fs(p).open(p)
+    val content =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        in.transferTo(out)
+        out.toString("UTF-8")
+      } finally in.close()
+    val lines = content.split("\n").filter(_.nonEmpty)
+    if (lines.length != 1) return null        // reference: 1 line per file
+    val cells = lines(0).split("\t", -1)
+
+    val candDir = p.getParent.getName
+    val stem = p.getName.replaceAll("\\.[^.]*$", "")
+
+    def cell(name: String): String = {
+      val pos = SpcclV2.tsvPos(name)
+      if (pos < cells.length && cells(pos).nonEmpty) cells(pos) else null
+    }
+    def typed(name: String): Any = name match {
+      case "filename" => s"$candDir/$stem"
+      case "fil_file" | "plot_file" =>
+        Option(cell(name)).map(v => s"$candDir/$v").orNull
+      case n =>
+        val raw = cell(n)
+        if (raw == null) null
+        else SpcclV2.fullSchema(n).dataType match {
+          case DoubleType  => raw.toDouble
+          case IntegerType => raw.toInt
+          case LongType    => raw.toLong
+          case _           => raw
+        }
+    }
+
+    if (!pushed.forall(f => SpcclFilters.eval(f, typed))) return null
+
+    new GenericInternalRow(columns.map { c =>
+      typed(c) match {
+        case s: String => UTF8String.fromString(s)
+        case other     => other
+      }
+    })
+  }
+}
+
+/** Pushed-filter evaluation over typed column accessors. */
+object SpcclFilters {
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
+    case (x: Int, y: Number)    => Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
+    case (x: Long, y: Number)   => Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  def eval(f: Filter, col: String => Any): Boolean = f match {
+    case EqualTo(a, v)            => cmp(col(a), v).contains(0)
+    case GreaterThan(a, v)        => cmp(col(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(col(a), v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(col(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(col(a), v).exists(_ <= 0)
+    case IsNotNull(a)             => col(a) != null
+    case IsNull(a)                => col(a) == null
+    case And(l, r)                => eval(l, col) && eval(r, col)
+    case _                        => true
+  }
+}

@@ -84,6 +84,32 @@ class PlanQualitySpec extends SparkSuite {
     assert("hashpartitioning".r.findAllIn(plan).size <= 9)
   }
 
+  test("q11 dense-id minting has no single-partition exchange") {
+    val plan = formatted("q11_surrogate_ids")
+    // The distributed id operator: a RANGE exchange does the ordering work
+    // in parallel; the only SinglePartition exchange allowed is the final
+    // tiny orderBy of the ≤N-brand result / offsets prefix-sum, never an
+    // exchange feeding a Window over the input rows.
+    assert(plan.contains("rangepartitioning"))
+    assert(plan.contains("monotonically_increasing_id"))
+  }
+
+  test("q61 containment join is the single-shuffle inverted-index shape") {
+    val plan = formatted("q61_containment")
+    // shingle kernel map-side; one hash exchange pair for the index
+    // self-join + one for the aggregate — no extra repartition creep.
+    assert(plan.contains("word_shingles"))
+    assert("hashpartitioning".r.findAllIn(plan).size <= 3)
+  }
+
+  test("q62 prefix-cosine never indexes past the threshold mass budget") {
+    // Structural: the candidate join's build side is the PREFIX index
+    // (filtered on the cumulative-mass predicate), not the full postings.
+    val plan = formatted("q62_token_cosine")
+    assert(plan.contains("map_from_entries"))   // verification from maps
+    assert(plan.toLowerCase.contains("least"))  // normalized pair ordering
+  }
+
   test("q32/q33 text metrics run fully inside whole-stage codegen") {
     Seq("q32_token_count", "q33_quality").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf("sf0.01"))
