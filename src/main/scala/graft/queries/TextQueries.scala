@@ -224,6 +224,29 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Deterministic hash sampling: reproducible 25% corpus sample keyed on
+    // the row (md5), not on RNG/partition layout — stable across runs,
+    // engines and corpus growth. Oracle mirrors the predicate verbatim.
+    "q63_hash_sample" -> ((s, dir) => {
+      graft.operators.Sampling.byHash(
+          Tables(s, dir, "documents"), "doc_id", fraction = 0.25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("min_doc_id"))
+        .orderBy("lang")
+    }),
+
+    // Gopher-style repetition filter: documents whose single most frequent
+    // word 2-gram takes > 10% of all their 2-grams (boilerplate /
+    // generated-text signal).
+    "q65_repetition" -> ((s, dir) => {
+      graft.operators.TextStats.topNgramFraction(
+          Tables(s, dir, "documents"), "text", "doc_id", n = 2)
+        .where(col("top_fraction") > 0.1)
+        .select(col("id").as("doc_id"), col("n_ngrams"),
+          round(col("top_fraction"), 6).as("top_fraction"))
+        .orderBy("doc_id")
+    }),
+
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
     // positional word 3-gram (registered in the function registry).
     "q51_ngram_generator" -> ((s, dir) => {
@@ -310,6 +333,22 @@ object TextQueries {
         |  ])[-1] AS best FROM t)
         | SELECT doc_id, CASE WHEN n_tok = 0 OR best.score = 0 THEN 'und' ELSE best.lang END AS lang_pred
         | FROM s ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q63_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc_id
+        | FROM documents
+        | WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
+        | GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
+    "q65_repetition" ->
+      """SELECT doc_id, n_ngrams, round(top_fraction, 6) AS top_fraction FROM (
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |   CAST(max(c) AS DOUBLE)/sum(c) AS top_fraction FROM (
+        |  SELECT doc_id, bg, count(*) AS c FROM (
+        |   SELECT doc_id, unnest(CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+        |     ELSE list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) END) AS bg
+        |   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |         WHERE text IS NOT NULL AND trim(text) <> ''))
+        |  GROUP BY doc_id, bg) GROUP BY doc_id)
+        | WHERE top_fraction > 0.1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q61_containment" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]

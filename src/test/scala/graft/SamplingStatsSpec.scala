@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextStats}
+
+class SamplingStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hexThreshold is the base-16 expansion of the fraction") {
+    assert(Sampling.hexThreshold(0.25) === "4" + "0" * 31)
+    assert(Sampling.hexThreshold(0.5)  === "8" + "0" * 31)
+    assert(Sampling.hexThreshold(0.2)  === "3" * 32)
+    assert(Sampling.hexThreshold(1.0)  === "f" * 32)   // floor-capped at 15
+    assert(Sampling.hexThreshold(0.0)  === "0" * 32)
+  }
+
+  test("hash sample is deterministic and partition-layout independent") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.byHash(df, "id", 0.25).select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.byHash(df.repartition(13), "id", 0.25)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // within 5% of the target fraction on 10k uniform keys
+    assert(math.abs(a.length / 10000.0 - 0.25) < 0.05)
+  }
+
+  test("hash sample decisions are append-stable (growing corpus)") {
+    val small = Sampling.byHash(spark.range(1000).toDF("id"), "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    val large = Sampling.byHash(spark.range(10000).toDF("id"), "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+    assert(large.filter(_ < 1000) === small)
+  }
+
+  test("top-ngram fraction: repeated phrase dominates; short docs degenerate to 1.0") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),              // bigram "spam spam" x4
+      (2L, "one two three four five"),               // all bigrams unique
+      (3L, "hi")                                      // <= n words -> whole text
+    ).toDF("doc_id", "text")
+    val out = TextStats.topNgramFraction(docs, "text", "doc_id", n = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((4L, 1.0)))                  // 4 identical bigrams
+    assert(out(2L)._1 === 4L && math.abs(out(2L)._2 - 0.25) < 1e-12)
+    assert(out(3L) === ((1L, 1.0)))
+  }
+}
