@@ -64,7 +64,7 @@ final class SpcclTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"spccl($path)"
   override def schema(): StructType = SpcclV2.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SpcclScanBuilder(path)
 }
@@ -125,6 +125,70 @@ final class SpcclScan(path: String, required: StructType, pushed: Array[Filter])
     // Hadoop Configuration is not serializable — ship the entries and
     // rebuild executor-side (what SerializableConfiguration does inside
     // Spark, which is private[spark]).
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    val entries = {
+      val it = hconf.iterator()
+      val b = ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.toArray
+    }
+    new SpcclReaderFactory(required.fieldNames, pushed, entries)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String) =
+    new SpcclMicroBatchStream(path, required, pushed)
+}
+
+/** Micro-batch streaming over the candidate archive: the offset is the
+  * COUNT of files in the lexicographically-sorted listing processed so
+  * far, so each batch reads exactly the files that appeared since the last
+  * one. Contract: the archive is append-only and file paths sort after
+  * already-processed ones — true for MeerTRAP candidate dirs, which embed
+  * a unix timestamp (`<host>_<unixts>/...`). (Spark's built-in file source
+  * keeps a seen-files log instead; the sorted high-watermark trades that
+  * unbounded state for the monotonic-naming contract.)
+  */
+final class SpcclMicroBatchStream(path: String, required: StructType,
+                                  pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FileCountOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  private def listSorted(): Array[String] = {
+    val spark = SparkSession.active
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.contains("spccl"))
+        files += f.getPath.toString
+    }
+    files.sorted.toArray
+  }
+
+  // Listing snapshot per latestOffset() call; partitions planned from a
+  // fresh sorted listing sliced by [start, end) — stable under the
+  // monotonic-naming contract.
+  override def initialOffset(): Offset = FileCountOffset(0L)
+  override def latestOffset(): Offset = FileCountOffset(listSorted().length.toLong)
+  override def deserializeOffset(json: String): Offset =
+    FileCountOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileCountOffset].n.toInt
+    val e = end.asInstanceOf[FileCountOffset].n.toInt
+    val slice = listSorted().slice(s, e)
+    slice.grouped(64).map(g => SpcclInputPartition(g): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     val entries = {
       val it = hconf.iterator()

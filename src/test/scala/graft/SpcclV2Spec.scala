@@ -42,6 +42,39 @@ class SpcclV2Spec extends SparkSuite {
     assert(vals.length === 5)          // 5 parseable single-line files
   }
 
+  test("micro-batch stream drains the archive, then picks up only new files") {
+    import java.nio.file.{Files, Paths}
+    // fresh fixture — this test appends files, the suite's shared root
+    // must stay untouched for the other assertions
+    val streamRoot = graft.meertrap.FixtureGen.generate().toString
+    val cp = Files.createTempDirectory("spccl_v2_cp").toString
+    def drainOnce(): Long = {
+      var total = 0L
+      val q = spark.readStream.format("graft.sources.v2.SpcclDataSource")
+        .load(streamRoot)
+        .writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          total += batch.count())
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      total
+    }
+    assert(drainOnce() === 5)          // all current single-line files
+
+    // Append a new candidate dir whose path sorts AFTER the processed ones
+    // (the source's monotonic-naming contract; MeerTRAP dirs embed a unix
+    // timestamp). Only the new file arrives in the next drain.
+    val dir = Paths.get(streamRoot, "zz_tpn-9-99_1800000000")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("9999_spccl.log"),
+      "1\t60000.5\t99.5\t4.0\t12.5\t7\tC\t04:37:15.99\t-47:15:09.7\t1\t0.9\tf.fil\tp.jpg\n")
+    assert(drainOnce() === 1)
+    // re-drain with nothing new: zero rows
+    assert(drainOnce() === 0)
+  }
+
   test("file-level single-line quarantine semantics match the reference") {
     // FixtureGen plants one 2-line spccl file; V2 skips it silently
     // (V1 quarantines it — both exclude it from parsed rows).
