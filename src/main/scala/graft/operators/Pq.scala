@@ -110,6 +110,32 @@ object Pq {
       .orderBy(col("adc_dist").asc, q(idCol).asc)
       .limit(k)
 
+  /** Per-row residual against the row's coarse centroid: v - c(cluster).
+    * A when-chain over the k centroid literals + one codegen'd zip_with —
+    * no join, no shuffle (centroids are metadata).
+    */
+  def residualCol(vecCol: Column, clusterCol: Column, ivf: Ivf.Model): Column = {
+    val centroid = ivf.centroids.zipWithIndex.tail.foldLeft(
+      graft.functions.VectorFns.vecLit(ivf.centroids(0).toSeq)) {
+      case (acc, (c, j)) =>
+        when(clusterCol === j, graft.functions.VectorFns.vecLit(c.toSeq)).otherwise(acc)
+    }
+    zip_with(vecCol.cast("array<double>"), centroid, (a, b) => a - b)
+  }
+
+  /** Train sub-quantizers on RESIDUALS (v - coarse centroid) — the
+    * textbook IVF-PQ composition: residuals concentrate near the origin,
+    * so the same code bits carry materially more precision than on raw
+    * vectors (Jégou et al., PAMI'11 — "product quantization for nearest
+    * neighbor search", IVFADC).
+    */
+  def trainResidual(df: DataFrame, vecCol: String, idCol: String, ivf: Ivf.Model,
+                    dim: Int, m: Int = 8, k: Int = 16, iters: Int = 5): Model = {
+    val withRes = Ivf.withCluster(df, vecCol, ivf)
+      .withColumn("__res", residualCol(q(vecCol), col("__cluster"), ivf))
+    train(withRes, "__res", idCol, dim, m, k, iters)
+  }
+
   /** IVF-PQ layout: the corpus written partitioned by coarse IVF cluster
     * with PQ codes precomputed (the raw vector column is DROPPED — codes
     * are the probe-time representation). A probe composes both prunings:
@@ -131,5 +157,37 @@ object Pq {
       spark.read.parquet(path)
         .where(col("cluster").isin(probes.map(Integer.valueOf): _*)),
       idCol, pq, query, k)
+  }
+
+  /** Residual IVF-PQ layout: codes encode v - centroid(cluster), written
+    * partitioned by cluster. Use with [[trainResidual]].
+    */
+  def writeIvfPqResidual(df: DataFrame, vecCol: String, idCol: String,
+                         ivf: Ivf.Model, pq: Model, path: String): Unit = {
+    val clustered = Ivf.withCluster(df, vecCol, ivf)
+      .withColumn("__res", residualCol(q(vecCol), col("__cluster"), ivf))
+    encode(clustered, "__res", pq)
+      .withColumnRenamed("__cluster", "cluster")
+      .select(q(idCol), col("__pq"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** Residual probe (IVFADC): each probed cluster is scored with its OWN
+    * ADC table built from the query's residual against that cluster's
+    * centroid (q - c_j); per-cluster partition-pruned top-k, then a global
+    * top-k over the union. nProbe small scans, one tiny final sort.
+    */
+  def ivfPqResidualTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                        idCol: String, ivf: Ivf.Model, pq: Model,
+                        query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val probes = ivf.nearestClusters(query).take(nProbe)
+    val perCluster = probes.map { j =>
+      val qRes = query.zip(ivf.centroids(j)).map { case (a, b) => a - b }
+      adcTopK(spark.read.parquet(path).where(col("cluster") === j),
+        idCol, pq, qRes, k)
+    }
+    perCluster.reduce(_.unionAll(_))
+      .orderBy(col("adc_dist").asc, q(idCol).asc)
+      .limit(k)
   }
 }

@@ -95,6 +95,17 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Funnel analysis: users progressing view -> click -> purchase in
+    // order (subsequence). One shuffle regardless of funnel depth (the
+    // naive k-step funnel is k-1 self-joins); ordered-letter aggregation
+    // + per-prefix regex, mirrored verbatim by the oracle.
+    "q66_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.funnelCounts(
+          Tables(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage_k")
+    }),
+
     // Conditional aggregation (pivot shape, deterministic column set).
     "q28_pivot_counts" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
@@ -110,6 +121,20 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_funnel" ->
+      """WITH seqs AS (
+        |  SELECT user_id, string_agg(CASE event_type WHEN 'view' THEN 'a'
+        |    WHEN 'click' THEN 'b' WHEN 'purchase' THEN 'c' END, ''
+        |    ORDER BY ts, event_id) AS s
+        |  FROM events WHERE event_type IN ('view','click','purchase')
+        |  GROUP BY user_id),
+        | st AS (SELECT user_id, CASE
+        |   WHEN regexp_matches(s, 'a.*b.*c') THEN 3
+        |   WHEN regexp_matches(s, 'a.*b') THEN 2
+        |   WHEN regexp_matches(s, 'a') THEN 1 ELSE 0 END AS stage FROM seqs)
+        | SELECT stage_k, count(*) AS n_users
+        | FROM st, unnest(generate_series(1, 3)) AS g(stage_k)
+        | WHERE stage >= stage_k GROUP BY stage_k ORDER BY stage_k""".stripMargin.replaceAll("\n", " "),
     "q49_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | count(*) AS n_events, true AS hll_within_5pct

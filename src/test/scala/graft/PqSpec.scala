@@ -83,4 +83,62 @@ class PqSpec extends SparkSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(all === flat)
   }
+
+  test("residual IVF-PQ (IVFADC): residual ADC == exact reconstruction, pruned probes") {
+    import graft.operators.Ivf
+    import graft.functions.VectorFns
+    val ivf = Ivf.train(emb, "embedding", "vec_id", k = 8, iters = 2)
+    val resModel = Pq.trainResidual(emb, "embedding", "vec_id", ivf,
+      dim = 64, m = 8, k = 16, iters = 3)
+
+    val rawPath = java.nio.file.Files.createTempDirectory("ivfpq_raw").toString + "/c"
+    val resPath = java.nio.file.Files.createTempDirectory("ivfpq_res").toString + "/c"
+    Pq.writeIvfPq(emb, "embedding", "vec_id", ivf, model, rawPath)
+    Pq.writeIvfPqResidual(emb, "embedding", "vec_id", ivf, resModel, resPath)
+
+    def exactTop(query: Seq[Double], k: Int): Set[Long] =
+      emb.select(col("vec_id"),
+          (VectorFns.dot(col("embedding"), col("embedding")) -
+            VectorFns.dot(col("embedding"), VectorFns.vecLit(query)) * 2.0).as("d"))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+
+    // MECHANISM parity (the IVFADC invariant): for every stored row, the
+    // per-cluster residual ADC distance equals the exact distance from the
+    // query to (centroid + decoded residual). Recall COMPARISONS vs raw
+    // codes are not asserted — residual coding wins on clustered data, and
+    // these synthetic embeddings are near-uniform (coarse clusters capture
+    // no structure), so either ordering is statistically legitimate.
+    val query = (0 until 64).map(i => math.sin(i * 0.53) * 1.2)
+    val stored = spark.read.parquet(resPath)
+      .select(col("vec_id"), col("__pq"), col("cluster"))
+      .as[(Long, Seq[Byte], Int)].collect()
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    stored.take(100).foreach { case (id, codes, cl) =>
+      val qRes = query.zip(ivf.centroids(cl)).map { case (a, b) => a - b }
+      val table = resModel.adcTable(qRes)
+      val adc = codes.zipWithIndex.map { case (c, j) => table(j)(c & 0xFF) }.sum
+      val recon = codes.zipWithIndex.flatMap { case (c, j) =>
+        resModel.codebooks(j)(c & 0xFF)
+      }
+      // exact |(q - centroid) - decodedResidual|^2 == |q - (centroid + decoded)|^2
+      val exactD = qRes.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(adc - exactD) < 1e-9, s"row $id cluster $cl")
+    }
+
+    // Retrieval sanity: a corpus vector's own id is its nearest neighbor
+    // through the residual path, and the probe's plan partition-prunes.
+    Seq(3L, 42L, 250L).foreach { id =>
+      val q0 = vecs(id)
+      val res = Pq.ivfPqResidualTopK(spark, resPath, "vec_id", ivf, resModel, q0, 10, nProbe = 8)
+      val got = res.select("vec_id").as[Long].collect().toSet
+      assert(got.contains(id), s"self-retrieval failed for $id")
+      assert(got.intersect(exactTop(q0, 10)).nonEmpty)
+    }
+    val pruned = Pq.ivfPqResidualTopK(spark, resPath, "vec_id", ivf, resModel, query, 5, nProbe = 2)
+    assert(pruned.queryExecution.executedPlan.toString.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cluster")))
+    assert(pruned.count() === 5)
+  }
 }
