@@ -256,16 +256,17 @@ object Similarity {
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val maps = toks.groupBy("id").agg(
-      map_from_entries(collect_list(struct(col("t"), col("c")))).as("m"),
+    // Verification from token-SORTED posting arrays with the codegen'd
+    // two-pointer merge kernel (TokenDotExpr): O(|A|+|B|) per pair inside
+    // whole-stage codegen, vs the interpreted HOF-over-map formulation's
+    // linear lookup per entry.
+    val lists = toks.groupBy("id").agg(
+      sort_array(collect_list(struct(col("t"), col("c")))).as("pl"),
       sqrt(sum(col("c") * col("c"))).as("nrm"))
-    val dot = aggregate(
-      map_entries(col("__ma")), lit(0.0d),
-      (acc, e) => acc + e.getField("value").cast("double") *
-        coalesce(try_element_at(col("__mb"), e.getField("key")), lit(0L)).cast("double"))
+    val dot = graft.functions.TokenDotColumns.tokenDot(col("__pa"), col("__pb"))
     candidates
-      .join(maps.select(col("id").as("id_a"), col("m").as("__ma"), col("nrm").as("__na")), "id_a")
-      .join(maps.select(col("id").as("id_b"), col("m").as("__mb"), col("nrm").as("__nb")), "id_b")
+      .join(lists.select(col("id").as("id_a"), col("pl").as("__pa"), col("nrm").as("__na")), "id_a")
+      .join(lists.select(col("id").as("id_b"), col("pl").as("__pb"), col("nrm").as("__nb")), "id_b")
       .select(col("id_a"), col("id_b"), (dot / (col("__na") * col("__nb"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }

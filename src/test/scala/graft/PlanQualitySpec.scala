@@ -102,11 +102,10 @@ class PlanQualitySpec extends SparkSuite {
     assert("hashpartitioning".r.findAllIn(plan).size <= 3)
   }
 
-  test("q62 prefix-cosine never indexes past the threshold mass budget") {
-    // Structural: the candidate join's build side is the PREFIX index
-    // (filtered on the cumulative-mass predicate), not the full postings.
+  test("q62 prefix-cosine verifies with the codegen'd sorted-merge kernel") {
     val plan = formatted("q62_token_cosine")
-    assert(plan.contains("map_from_entries"))   // verification from maps
+    assert(plan.contains("token_dot"))          // not the interpreted HOF
+    assert(plan.contains("sort_array"))         // posting lists token-sorted
     assert(plan.toLowerCase.contains("least"))  // normalized pair ordering
   }
 
