@@ -177,8 +177,12 @@ object TextQueries {
     // divergence emits zero rows and fails the driver's rows-only check.
     "q57_incremental_dedup" -> ((s, dir) => {
       // Cached: three dedupeBatch passes (two incremental + the parity
-      // comparator) each scan the corpus for signatures.
+      // comparator) share one corpus scan and ONE signature computation —
+      // the sketch kernel is the dominant map cost.
       val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = graft.operators.Dedup
+        .minhashSignaturesGen(docs, "doc_id", "text", 3, 64)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def freshIx() = new graft.streaming.StreamingDedup.LshIndex(
         java.nio.file.Files.createTempDirectory("graft_q57_ix").toString + "/ix",
@@ -189,10 +193,13 @@ object TextQueries {
       // an id-interleaved split would legitimately diverge from one-shot
       // (keep-first-ARRIVED vs keep-lowest-id).
       val mid = docs.agg(expr("approx_percentile(doc_id, 0.5)")).head().getLong(0)
-      val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= mid), "text", "doc_id")
-      val s2 = ix.dedupeBatch(docs.where(col("doc_id") > mid), "text", "doc_id")
+      val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= mid), "text", "doc_id",
+        precomputedSig = Some(sig.where(col("id") <= mid)))
+      val s2 = ix.dedupeBatch(docs.where(col("doc_id") > mid), "text", "doc_id",
+        precomputedSig = Some(sig.where(col("id") > mid)))
       val incremental = s1.select("doc_id").union(s2.select("doc_id"))
-      val oneShot = freshIx().dedupeBatch(docs, "text", "doc_id").select("doc_id")
+      val oneShot = freshIx().dedupeBatch(docs, "text", "doc_id",
+        precomputedSig = Some(sig)).select("doc_id")
       Gates.setParity(incremental, oneShot, "doc_id").orderBy("doc_id")
     }),
 

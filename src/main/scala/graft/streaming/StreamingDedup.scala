@@ -104,9 +104,14 @@ object StreamingDedup {
       * re-appending.
       */
     def dedupeBatch(batch: DataFrame, textCol: String, idCol: String,
-                    batchId: Option[Long] = None): DataFrame = {
+                    batchId: Option[Long] = None,
+                    precomputedSig: Option[DataFrame] = None): DataFrame = {
       val spark = batch.sparkSession
-      val sig = Dedup.minhashSignaturesGen(batch, idCol, textCol, shingleN, numHashes)
+      // Callers running several passes over overlapping corpora (e.g. the
+      // q57 parity gate) can precompute + cache one (id, sig) frame and
+      // slice it per batch — the sketch kernel is the map-side hot spot.
+      val sig = precomputedSig.getOrElse(
+        Dedup.minhashSignaturesGen(batch, idCol, textCol, shingleN, numHashes))
       // MEMORY_ONLY: banded is batch-sized and its recompute (map-side
       // sketch kernel) is cheaper than spilling it, so eviction-recompute
       // beats disk-backed caching here.
