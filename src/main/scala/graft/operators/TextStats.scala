@@ -28,4 +28,38 @@ object TextStats {
       sum(col("c")).as("n_ngrams"),
       (max(col("c")).cast("double") / sum(col("c"))).as("top_fraction"))
   }
+
+  /** Gopher-style quality-rule battery (Rae et al., "Scaling Language
+    * Models: ... Gopher", 2021, §A1.1 — re-derived): per-document verdict
+    * over 4 rules: minimum token count, mean token length within bounds,
+    * stopword-ratio floor (gibberish signal), top-2-gram repetition cap.
+    * Returns (id, n_fail, pass) — the signals come from the single-pass
+    * `text_metrics` kernel plus [[topNgramFraction]], so the battery adds
+    * one small join over the per-row metric columns, no extra corpus scan.
+    */
+  def gopherVerdicts(df: DataFrame, textCol: String, idCol: String,
+                     minTokens: Long = 5L,
+                     meanLenBounds: (Double, Double) = (2.0, 10.0),
+                     minStopwordRatio: Double = 0.01,
+                     maxTopBigramFraction: Double = 0.1): DataFrame = {
+    val metrics = df
+      .where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"),
+        graft.functions.TextFns.tokenCount(col(s"`$textCol`")).cast("long").as("n_tok"),
+        graft.functions.TextMetricsExpr.textMetrics(col(s"`$textCol`")).as("m"))
+      .select(col("id"), col("n_tok"),
+        col("m.mean_token_len").as("mean_len"),
+        col("m.stopword_ratio").as("stop_ratio"))
+    val rep = topNgramFraction(df, textCol, idCol, n = 2)
+      .select(col("id"), col("top_fraction"))
+    val fails =
+      when(col("n_tok") < minTokens, 1L).otherwise(0L) +
+      when(col("mean_len") < meanLenBounds._1 || col("mean_len") > meanLenBounds._2, 1L).otherwise(0L) +
+      when(col("stop_ratio") < minStopwordRatio, 1L).otherwise(0L) +
+      // empty/whitespace docs have no bigram row: treat as maximally
+      // repetitive is wrong — they already fail min-tokens; count 0 here.
+      when(coalesce(col("top_fraction"), lit(0.0)) > maxTopBigramFraction, 1L).otherwise(0L)
+    metrics.join(rep, Seq("id"), "left")
+      .select(col("id"), fails.as("n_fail"), (fails === 0L).as("pass"))
+  }
 }

@@ -254,6 +254,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style quality battery: 4-rule verdict per document (token
+    // floor, mean token length bounds, stopword-ratio floor, top-bigram
+    // repetition cap) — the classic pre-training quality filter, composed
+    // from the single-pass metrics kernel + the repetition aggregate.
+    "q67_gopher_rules" -> ((s, dir) => {
+      graft.operators.TextStats.gopherVerdicts(
+          Tables(s, dir, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_fail"), col("pass"))
+        .orderBy("doc_id")
+    }),
+
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
     // positional word 3-gram (registered in the function registry).
     "q51_ngram_generator" -> ((s, dir) => {
@@ -340,6 +351,33 @@ object TextQueries {
         |  ])[-1] AS best FROM t)
         | SELECT doc_id, CASE WHEN n_tok = 0 OR best.score = 0 THEN 'und' ELSE best.lang END AS lang_pred
         | FROM s ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q67_gopher_rules" ->
+      """WITH base AS (SELECT doc_id, text,
+        |   CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        | m AS (SELECT doc_id, n_tok,
+        |   CASE WHEN n_tok=0 THEN 0.0 ELSE list_aggregate(list_transform(regexp_split_to_array(trim(text),'\s+'), t -> length(t)), 'sum')::DOUBLE / n_tok END AS mean_len,
+        |   CASE WHEN n_tok=0 THEN 0.0 ELSE len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
+        |     t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be'], t)))::DOUBLE / n_tok END AS stop_ratio
+        |  FROM base),
+        | rep AS (SELECT doc_id, max(c)::DOUBLE/sum(c) AS top_fraction FROM (
+        |   SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) END) AS bg
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |          WHERE text IS NOT NULL AND trim(text) <> ''))
+        |   GROUP BY doc_id, bg) GROUP BY doc_id)
+        | SELECT m.doc_id,
+        |  (CASE WHEN n_tok < 5 THEN 1 ELSE 0 END
+        |   + CASE WHEN mean_len < 2.0 OR mean_len > 10.0 THEN 1 ELSE 0 END
+        |   + CASE WHEN stop_ratio < 0.01 THEN 1 ELSE 0 END
+        |   + CASE WHEN coalesce(top_fraction, 0.0) > 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+        |  (CASE WHEN n_tok < 5 THEN 1 ELSE 0 END
+        |   + CASE WHEN mean_len < 2.0 OR mean_len > 10.0 THEN 1 ELSE 0 END
+        |   + CASE WHEN stop_ratio < 0.01 THEN 1 ELSE 0 END
+        |   + CASE WHEN coalesce(top_fraction, 0.0) > 0.1 THEN 1 ELSE 0 END) = 0 AS pass
+        | FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
+        | ORDER BY m.doc_id""".stripMargin.replaceAll("\n", " "),
     "q63_hash_sample" ->
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc_id
         | FROM documents
