@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point: runs every registered query on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query timings.
+  *
+  * Each query is executed `SPARK_GRAFT_REPS` times (default 3) and the
+  * reported number is the MEDIAN — single-shot timings at this scale carry
+  * ±5s of run-to-run noise, which repeatedly faked regressions in earlier
+  * rounds. `"queries"` holds the medians (and `total` their sum);
+  * `"queries_min"` is kept as a secondary signal.
+  *
+  * `SPARK_GRAFT_QUERIES` (comma-separated substring filter) restricts the
+  * set for local iteration, e.g. SPARK_GRAFT_QUERIES=q50,q57.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').map(_.trim).filter(_.nonEmpty))
     val spark = Sessions.init(Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/file-listing paths so the first measured query
@@ -12,15 +27,21 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      filter.forall(_.exists(name.contains))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> (times(times.length / 2), times.head)
+    }
+    def jsonMap(f: ((Double, Double)) => Double) = results
+      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

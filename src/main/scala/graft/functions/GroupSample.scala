@@ -23,14 +23,42 @@ object GroupSample {
   final class TopKByRank(k: Int) extends Aggregator[RankedId, SampleBuf, Sampled] {
     override def zero: SampleBuf = SampleBuf(Nil)
 
+    // Invariant: `items` is always sorted ascending by rank and has ≤ k
+    // entries, so reduce can reject a losing row with ONE comparison against
+    // the current max and zero allocation. The common case (row loses) is
+    // O(1); a winning row pays one O(k) splice. The old formulation sorted
+    // the whole buffer per input row (O(k log k) + allocation every row).
     override def reduce(buf: SampleBuf, v: RankedId): SampleBuf = {
-      val merged = (v +: buf.items).sortBy(_.rank)
-      SampleBuf(if (merged.length > k) merged.take(k) else merged)
+      val items = buf.items
+      if (items.length < k) SampleBuf(insertSorted(items, v))
+      else if (v.rank < items.last.rank) SampleBuf(insertSorted(items, v).take(k))
+      else buf
     }
 
     override def merge(a: SampleBuf, b: SampleBuf): SampleBuf = {
-      val merged = (a.items ++ b.items).sortBy(_.rank)
-      SampleBuf(if (merged.length > k) merged.take(k) else merged)
+      if (a.items.isEmpty) b
+      else if (b.items.isEmpty) a
+      else {
+        // Both sides sorted → linear merge, cap at k.
+        val out   = Seq.newBuilder[RankedId]
+        var (i, j, n) = (0, 0, 0)
+        val (xs, ys)  = (a.items, b.items)
+        while (n < k && (i < xs.length || j < ys.length)) {
+          if (j >= ys.length || (i < xs.length && xs(i).rank <= ys(j).rank)) {
+            out += xs(i); i += 1
+          } else { out += ys(j); j += 1 }
+          n += 1
+        }
+        SampleBuf(out.result())
+      }
+    }
+
+    private def insertSorted(items: Seq[RankedId], v: RankedId): Seq[RankedId] = {
+      val idx = items.indexWhere(_.rank > v.rank) match {
+        case -1 => items.length
+        case i  => i
+      }
+      (items.take(idx) :+ v) ++ items.drop(idx)
     }
 
     override def finish(buf: SampleBuf): Sampled = Sampled(buf.items.map(_.id))
