@@ -276,9 +276,14 @@ object Dedup {
     blocked
       .join(sets.select(col("__jid").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sets.select(col("__jid").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      // Shingle arrays are distinct + binary-sorted (word_shingles), so
+      // |A∪B| = |A|+|B|-|A∩B| and the sorted two-pointer kernel replaces
+      // the array_intersect/array_union hash builds.
+      .withColumn("__inter",
+        graft.functions.SketchExpressions.sortedIntersectSize(col("__sh_a"), col("__sh_b"))
+          .cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))))
+        col("__inter") / (size(col("__sh_a")) + size(col("__sh_b")) - col("__inter")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -370,13 +375,16 @@ object Dedup {
     labels
   }
 
-  /** EXACT n-gram Jaccard pairs via the inverted shingle index: explode
-    * distinct shingles, self-join on the shingle, count intersections via
-    * groupBy. COMPLETE for any threshold > 0 (a qualifying pair shares at
-    * least one shingle) — one shuffle on the shingle, no quadratic scan.
-    * Hot-shingle skew is the scale risk (use [[ngramJaccardViaLsh]] on
-    * highly repetitive corpora); AQE skew-join handles moderate cases.
+  /** Shingle frame shared by the exact-Jaccard family: (id, sh, n_sh) with
+    * empty-shingle docs dropped (they cannot pair — a qualifying pair shares
+    * at least one shingle).
     */
+  private def shingleFrame(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(s"`${idCol}`").as("id"),
+        graft.functions.SketchExpressions.wordShingles(col(s"`${textCol}`"), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .where(col("n_sh") > 0)
+
   /** Exact n-gram Jaccard pairs via AllPairs-style PREFIX FILTERING — the
     * 100 TB path for exact similarity join (Bayardo et al., WWW'07 /
     * Chaudhuri et al., ICDE'06 pattern, re-derived for Spark).
@@ -412,16 +420,25 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.6
   ): DataFrame = {
-    val sh = df.select(col(s"`${idCol}`").as("id"),
-        graft.functions.SketchExpressions.wordShingles(col(s"`${textCol}`"), n).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .where(col("n_sh") > 0)
+    val sh = shingleFrame(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Frames.releaseAfterNextAction(df.sparkSession, sh)
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-
     // Global document frequency per shingle (the ordering key).
     val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+    prefixFilteredFrom(sh, exploded, dfreq, threshold)
+  }
 
+  /** Prefix-filter body over prepared frames, so the skew-guarded
+    * [[ngramJaccardPairs]] can reuse its already-persisted shingles and the
+    * document-frequency aggregate it computed for the guard decision.
+    */
+  private def prefixFilteredFrom(
+      sh: DataFrame,
+      exploded: DataFrame,
+      dfreq: DataFrame,
+      threshold: Double
+  ): DataFrame = {
     // Rarest-first rank within each doc; keep the prefix
     // |X| - ceil(t*|X|) + 1. ceil(t*x) = -floor(-t*x) avoids fp drift.
     val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
@@ -437,11 +454,14 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Exact verification from the full shingle arrays.
+    // Exact verification from the full shingle arrays — word_shingles emits
+    // them binary-sorted, so the codegen'd two-pointer sorted_intersect_size
+    // kernel does O(|A|+|B|) per pair with no per-row hash-set build.
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
     val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.SketchExpressions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -481,17 +501,55 @@ object Dedup {
       .select("id_a", "id_b", "n_common")
   }
 
+  /** EXACT n-gram Jaccard pairs via the inverted shingle index: explode
+    * shingles, self-join on the shingle, count intersections via groupBy.
+    * COMPLETE for any threshold > 0 (a qualifying pair shares at least one
+    * shingle) — one shuffle on the shingle, no quadratic scan.
+    *
+    * SKEW GUARD: the index self-join is quadratic in the hottest shingle's
+    * posting length (a boilerplate shingle shared by d docs alone emits
+    * d·(d-1)/2 candidate rows — license headers and templated pages hit
+    * exactly this). Before joining, the operator computes per-shingle
+    * document frequencies; if the hottest posting exceeds `maxPostingLen`
+    * it routes the SAME inputs through the AllPairs prefix filter
+    * ([[ngramJaccardPrefixFiltered]]'s body, spec- and oracle-equal),
+    * which indexes only each doc's globally-rarest shingles and so
+    * collapses precisely the buckets that blow up here. The default cap
+    * (1024) bounds any single shingle's candidate contribution at ~0.5M
+    * pairs. The guard costs one df aggregation — reused as the prefix
+    * filter's ordering key when it trips; ≤0 disables the guard (and the
+    * extra aggregation) entirely.
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       n: Int = 3,
-      threshold: Double = 0.6
+      threshold: Double = 0.6,
+      maxPostingLen: Long = 1024L
   ): DataFrame = {
-    val sh = df.select(col(s"`${idCol}`").as("id"),
-        graft.functions.SketchExpressions.wordShingles(col(s"`${textCol}`"), n).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    if (maxPostingLen <= 0) {
+      val exploded = shingleFrame(df, textCol, idCol, n)
+        .select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+      invertedIndexJaccard(exploded, threshold)
+    } else {
+      val sh = shingleFrame(df, textCol, idCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+      val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxRow = dfreq.agg(max(col("df"))).head()
+      val maxDf  = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      // Register AFTER the eager probe above, or the probe's own action
+      // would release the frames before the real query runs.
+      graft.core.Frames.releaseAfterNextAction(df.sparkSession, sh, dfreq)
+      if (maxDf > maxPostingLen) prefixFilteredFrom(sh, exploded, dfreq, threshold)
+      else invertedIndexJaccard(exploded, threshold)
+    }
+  }
+
+  /** The naive exact inverted-index join (the pre-guard q38 plan). */
+  private def invertedIndexJaccard(exploded: DataFrame, threshold: Double): DataFrame = {
     val a = exploded.as("a"); val b = exploded.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),

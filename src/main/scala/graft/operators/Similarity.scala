@@ -219,12 +219,34 @@ object Similarity {
     * concentrated in them, which is what kills the naive join (every doc
     * pair shares "the" → n² pair keys). Verification computes the FULL dot
     * from per-doc token-count maps — exact, linear in candidates.
+    *
+    * ADAPTIVE DENSE ROUTE: prefix filtering prunes by token RARITY, so a
+    * corpus with a tiny vocabulary and no Zipf tail defeats it — every doc
+    * pair shares "rare" tokens and the candidate set degenerates to ~n²/2
+    * (measured on the synthetic bench corpus: 12.3M of 12.5M pairs survive
+    * the filter). But a vocabulary small enough to defeat the filter is
+    * small enough to MATERIALIZE: token-count vectors over V dims are
+    * dense V-vectors, and the exact all-pairs dense-cosine join (codegen'd
+    * `vec_dot`, the [[cosineDupPairsExact]] shape) computes the same pairs
+    * with an O(V) dot per pair and no inverted index at all. The operator
+    * probes vocabulary size and row count on the persisted token frame
+    * (two cheap bounded actions) and routes: V ≤ `denseMaxVocab` and
+    * n ≤ `denseMaxRows` → dense all-pairs; otherwise → prefix index. Both
+    * routes are EXACT — identical pairs, identical arithmetic — so the
+    * routing is a pure physical-plan choice, like Catalyst picking
+    * broadcast vs sort-merge. `denseMaxRows` bounds the dense route's
+    * inherent n²/2 pair enumeration (beyond it on a degenerate corpus,
+    * exact all-pairs similarity is irreducibly quadratic in ANY
+    * formulation — an index only hides the same pair count);
+    * `denseMaxVocab = 0` disables the probe and forces the prefix path.
     */
   def tokenCosinePairsPrefix(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      threshold: Double
+      threshold: Double,
+      denseMaxVocab: Int = 1024,
+      denseMaxRows: Long = 100000L
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "prefix filter needs t in (0,1]")
     val toks = df
@@ -235,6 +257,56 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val dfreq = toks.groupBy("t").agg(count(lit(1)).as("df"))
+
+    val denseVocab: Option[Array[String]] =
+      if (denseMaxVocab <= 0) None
+      else {
+        // limit(V+1) keeps the probe O(denseMaxVocab) however large the
+        // true vocabulary is.
+        val vs = dfreq.select("t").limit(denseMaxVocab + 1).collect().map(_.getString(0))
+        if (vs.length > denseMaxVocab) None
+        // Routing probe only — approx distinct (no shuffle-by-id) is fine:
+        // the bound guards quadratic blowup, not correctness.
+        else if (toks.agg(approx_count_distinct("id")).head().getLong(0) > denseMaxRows) None
+        else Some(vs.sorted)
+      }
+    // Registered AFTER the probe actions — they must not trigger release.
+    graft.core.Frames.releaseAfterNextAction(df.sparkSession, toks)
+
+    denseVocab match {
+      case Some(dims) => denseTokenCosine(toks, dims, threshold)
+      case None       => prefixTokenCosine(toks, dfreq, threshold)
+    }
+  }
+
+  /** Dense route: scatter each doc's token counts into a V-dim vector
+    * (broadcast dim table + map-lookup scatter) and run the exact
+    * all-pairs dense-cosine join. Exactly the sparse cosine — zero dims
+    * contribute nothing to dot or norm.
+    */
+  private def denseTokenCosine(
+      toks: DataFrame,
+      dims: Array[String],
+      threshold: Double
+  ): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val dimDf = dims.zipWithIndex.toSeq.toDF("t", "__dim")
+    val vecs = toks.join(broadcast(dimDf), "t")
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(
+        struct(col("__dim"), col("c").cast("double")))).as("__m"))
+      .select(col("id"), transform(sequence(lit(0), lit(dims.length - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0.0))).as("__vec"))
+    cosineDupPairsExact(vecs, "__vec", "id", threshold)
+  }
+
+  /** Prefix-index route over the prepared (persisted) token frame. */
+  private def prefixTokenCosine(
+      toks: DataFrame,
+      dfreq: DataFrame,
+      threshold: Double
+  ): DataFrame = {
     val wDoc = Window.partitionBy("id").orderBy(col("df").asc, col("t").asc)
     val ordered = toks.join(dfreq, "t")
       .withColumn("c2", (col("c") * col("c")).cast("double"))

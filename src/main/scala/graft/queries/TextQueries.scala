@@ -214,18 +214,18 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // Exact sparse token-cosine pairs — the lexical similarity measure
-    // SimHash approximates; this exact path IS SQL-expressible, so it
-    // carries the oracle q37 cannot (see COVERAGE.md). Runs the AllPairs
-    // prefix-filtered index (spec-equal to the naive posting join at 3
-    // thresholds). Scoped to a 20% corpus slice: the synthetic corpus has
-    // a 31-word vocabulary with NO Zipf tail, so every doc pair shares
-    // "rare" tokens and ANY exact lexical method degenerates to all-pairs
-    // (measured: 12.3M candidates of 12.5M possible at sf0.1) — real
-    // corpora are Zipfian, which is exactly what the prefix filter prunes.
+    // Exact sparse token-cosine pairs over the FULL corpus — the lexical
+    // similarity measure SimHash approximates; exact, so it carries the
+    // oracle q37 cannot. The operator routes adaptively: this synthetic
+    // corpus has a 31-word vocabulary with no Zipf tail, so the AllPairs
+    // prefix filter cannot prune (12.3M of 12.5M candidates survive) and
+    // the probe densifies token counts into 31-dim vectors and runs the
+    // exact all-pairs vec_dot join instead; a Zipfian corpus routes to the
+    // prefix index (spec-equal at 3 thresholds). Same pairs either way —
+    // the oracle checks the unsliced full-corpus answer.
     "q62_token_cosine" -> ((s, dir) => {
       graft.operators.Similarity.tokenCosinePairsPrefix(
-          Tables(s, dir, "documents").where(pmod(col("doc_id"), lit(5)) === 0),
+          Tables(s, dir, "documents"),
           "text", "doc_id", threshold = 0.9)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("id_a", "id_b")
@@ -410,7 +410,7 @@ object TextQueries {
     "q62_token_cosine" ->
       """WITH tok AS (SELECT doc_id, tok, count(*) AS c FROM (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 5 = 0)
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
         |  GROUP BY doc_id, tok),
         | nrm AS (SELECT doc_id, sqrt(sum(c*c)) AS n FROM tok GROUP BY doc_id)
         | SELECT id_a, id_b, round(cosine, 4) AS cosine FROM (

@@ -22,6 +22,43 @@ object Profile {
       .where(length(trim(col("text"))) > 0).cache()
     time("docs cache")(docs.count())
 
+    // q60 prefix-path decomposition
+    {
+      import org.apache.spark.sql.expressions.Window
+      val sh = docs.select(col("doc_id").as("id"),
+          graft.functions.SketchExpressions.wordShingles(col("text"), 3).as("sh"))
+        .withColumn("n_sh", size(col("sh")))
+        .where(col("n_sh") > 0)
+        .persist()
+      time("q60a shingles persist")(sh.count())
+      val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+      val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df")).persist()
+      time("q60b dfreq")(dfreq.count())
+      val prefixLen = (col("n_sh") - ceil(col("n_sh") * 0.6) + 1).cast("int")
+      val ranked = exploded.join(dfreq, "s")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
+        .where(col("rk") <= prefixLen)
+        .select("id", "s").persist()
+      time("q60c ranked prefix")(ranked.count())
+      val ca = ranked.as("a"); val cb = ranked.as("b")
+      val candidates = ca.join(cb,
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b").persist()
+      time("q60d candidates")(println(s"  candidates=${candidates.count()}"))
+      val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
+      val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
+      val verified = candidates.join(shA, "id_a").join(shB, "id_b")
+        .withColumn("inter",
+          graft.functions.SketchExpressions.sortedIntersectSize(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .where(col("jaccard") >= 0.6)
+      time("q60e verify")(verified.count())
+      Seq(sh, dfreq, ranked, candidates).foreach(_.unpersist())
+    }
+
     // q36 decomposition
     val sig = Dedup.minhashSignaturesGen(docs, "doc_id", "text", 3, 64)
     time("q36a signatures")(sig.count())
@@ -52,6 +89,7 @@ object Profile {
     time("q37 full")(Dedup.simhashPairs(docs, "text", "doc_id").count())
     time("q38 exact inverted-index")(Dedup.ngramJaccardPairs(docs, "text", "doc_id").count())
     time("q38 lsh-blocked")(Dedup.ngramJaccardViaLsh(docs, "text", "doc_id").count())
+
 
     // q52 decomposition
     val cfg = graft.corpus.CorpusPipeline.Config(

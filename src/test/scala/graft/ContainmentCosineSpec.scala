@@ -45,16 +45,24 @@ class ContainmentCosineSpec extends SparkSuite {
     assert(math.abs(pairs((1L, 2L)) - 4.0 / (2.0 * math.sqrt(6.0))) < 1e-12)
   }
 
-  test("token cosine: prefix-filtered path equals the naive exact join") {
+  test("token cosine: dense AND prefix routes equal the naive exact join") {
+    // The corpus's 31-token vocabulary dense-routes by default; forcing
+    // denseMaxVocab = 0 exercises the prefix-index route. Both must equal
+    // the naive posting join — routing is a physical choice only.
     val corpus = Tables(spark, sf("sf0.001"), "documents")
     Seq(0.5, 0.8, 0.95).foreach { t =>
       val naive = Similarity.tokenCosinePairs(corpus, "text", "doc_id", t)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("c"))
         .as[(Long, Long, Double)].collect().toSet
-      val prefix = Similarity.tokenCosinePairsPrefix(corpus, "text", "doc_id", t)
+      val dense = Similarity.tokenCosinePairsPrefix(corpus, "text", "doc_id", t)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("c"))
         .as[(Long, Long, Double)].collect().toSet
-      assert(prefix === naive, s"threshold $t")
+      val prefix = Similarity.tokenCosinePairsPrefix(corpus, "text", "doc_id", t,
+          denseMaxVocab = 0)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("c"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(dense === naive, s"dense route, threshold $t")
+      assert(prefix === naive, s"prefix route, threshold $t")
     }
   }
 

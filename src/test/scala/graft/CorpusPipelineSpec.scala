@@ -59,6 +59,24 @@ class CorpusPipelineSpec extends SparkSuite {
     }
   }
 
+  test("skew-guarded ngram jaccard: cap-tripped path equals the uncapped result") {
+    // maxPostingLen = 1 trips on ANY shared shingle, forcing the prefix
+    // fallback for the entire corpus; ≤0 disables the guard (pure
+    // inverted-index join). Same pairs at three thresholds.
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .where(length(trim(col("text"))) > 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e4) / 1e4)).toSet
+    Seq(0.4, 0.6, 0.85).foreach { t =>
+      val uncapped = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+        threshold = t, maxPostingLen = 0L))
+      val tripped  = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+        threshold = t, maxPostingLen = 1L))
+      assert(tripped === uncapped, s"threshold $t")
+    }
+  }
+
   test("LSH-blocked cosine dup pairs are a subset of the exact all-pairs result") {
     import graft.operators.Similarity
     val emb = Tables(spark, sf("sf0.001"), "embeddings")

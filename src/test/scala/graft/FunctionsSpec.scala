@@ -167,10 +167,14 @@ class FunctionsSpec extends SparkSuite {
       TextFns.normalize($"t").as("norm_col"),
       graft.functions.SketchExpressions.normText($"t").as("norm_kernel"),
       array_distinct(TextFns.wordShingles($"t", 3)).as("sh_col"),
-      graft.functions.SketchExpressions.wordShingles($"t", 3).as("sh_kernel"))
+      graft.functions.SketchExpressions.wordShingles($"t", 3).as("sh_kernel"),
+      sort_array(graft.functions.SketchExpressions.wordShingles($"t", 3)).as("sh_sorted"))
     df.collect().foreach { r =>
       assert(r.getString(0) === r.getString(1))
-      assert(r.getSeq[String](2) === r.getSeq[String](3))
+      // same shingle SET; the kernel additionally emits them binary-sorted
+      // (sort_array order) for the two-pointer intersect kernel
+      assert(r.getSeq[String](2).toSet === r.getSeq[String](3).toSet)
+      assert(r.getSeq[String](3) === r.getSeq[String](4))
     }
     // and over the real corpus
     val docs = Tables(spark, sf("sf0.001"), "documents").where($"text".isNotNull)

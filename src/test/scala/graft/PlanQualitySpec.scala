@@ -102,8 +102,22 @@ class PlanQualitySpec extends SparkSuite {
     assert("hashpartitioning".r.findAllIn(plan).size <= 3)
   }
 
-  test("q62 prefix-cosine verifies with the codegen'd sorted-merge kernel") {
+  test("q62 routes the degenerate-vocabulary corpus to the dense vec_dot join") {
+    // 31-token vocab, no Zipf tail -> the adaptive probe must densify:
+    // codegen'd vec_dot all-pairs, no inverted-index machinery in the plan.
     val plan = formatted("q62_token_cosine")
+    assert(plan.contains("vec_dot"))
+    assert(!plan.contains("token_dot"))
+  }
+
+  test("prefix-forced token cosine verifies with the codegen'd sorted-merge kernel") {
+    // denseMaxVocab = 0 disables the dense probe: the prefix-index route
+    // must keep its plan shape (token_dot kernel, sorted posting lists).
+    val df = graft.operators.Similarity.tokenCosinePairsPrefix(
+      Tables(spark, sf("sf0.01"), "documents"), "text", "doc_id",
+      threshold = 0.9, denseMaxVocab = 0)
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("token_dot"))          // not the interpreted HOF
     assert(plan.contains("sort_array"))         // posting lists token-sorted
     assert(plan.toLowerCase.contains("least"))  // normalized pair ordering
