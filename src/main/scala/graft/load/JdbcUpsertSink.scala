@@ -224,6 +224,21 @@ object JdbcUpsertSink {
     * where a concurrent reader sees a partial load exists (unlike a true
     * transaction) — the trade for never blocking distributed writes; the
     * reference's own guarantee is equally post-hoc for its bulk path.
+    *
+    * CRASH WINDOW: if the DRIVER dies between a committed merge and the
+    * compensation (power loss, OOM-kill — not an exception, which the
+    * catch below handles), the partial load persists until the next run.
+    * The leftover `__pre`/`__stage` pair is the durable record of that
+    * state, so startup runs compensate-then-drop over any such pair
+    * (children first) BEFORE loading — never drop-only, which would
+    * fossilize the partial load as committed data.
+    *
+    * SINGLE-WRITER assumption (same as the reference's Dagster-serialized
+    * runs): compensation identifies "rows this run inserted" by natural
+    * key (stage minus pre-snapshot). A CONCURRENT writer inserting the
+    * same natural keys between merge and compensation would lose its rows
+    * to our delete — serialize writers per target table (advisory lock,
+    * scheduler) if that topology ever appears.
     */
   def loadAllOrNothing(
       spark: SparkSession,
@@ -237,11 +252,24 @@ object JdbcUpsertSink {
     def dropPre(t: TargetInfo): Unit =
       try conn.createStatement().execute(s"DROP TABLE ${preTable(t)}")
       catch { case _: java.sql.SQLException => () }
+    def exists(table: String): Boolean =
+      try { conn.createStatement().execute(s"SELECT 1 FROM $table WHERE 1=0"); true }
+      catch { case _: java.sql.SQLException => false }
+    // Crash recovery: a leftover __pre + __stage pair means a prior run
+    // died after a committed merge but before compensating. Compensate
+    // (children first — reverse FK order) and only then drop the snapshot;
+    // a __pre without its stage never merged, so dropping it is enough.
+    targets.reverse.foreach { case (t, _) =>
+      if (exists(preTable(t))) {
+        if (exists(s"${t.table}__stage"))
+          conn.createStatement().execute(compensateSql(t))
+        dropPre(t)
+      }
+    }
     var loaded = List.empty[TargetInfo]   // reverse order already
     try {
       var keyMaps = Map.empty[String, DataFrame]
       targets.foreach { case (t, view0) =>
-        dropPre(t)                         // stale snapshot from a crash
         preSnapshotSql(t).foreach(conn.createStatement().execute)
         loaded ::= t
         keyMaps += t.table -> loadOne(spark, jdbcUrl, props, conn, dialect,

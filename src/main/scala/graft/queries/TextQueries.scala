@@ -198,8 +198,16 @@ object TextQueries {
       val s2 = ix.dedupeBatch(docs.where(col("doc_id") > mid), "text", "doc_id",
         precomputedSig = Some(sig.where(col("id") > mid)))
       val incremental = s1.select("doc_id").union(s2.select("doc_id"))
+      // Comparator pass: same semantics, but its index would never be
+      // probed — skip the partitioned parquet append (and the tempdir).
       val oneShot = freshIx().dedupeBatch(docs, "text", "doc_id",
-        precomputedSig = Some(sig)).select("doc_id")
+        precomputedSig = Some(sig), appendToIndex = false).select("doc_id")
+      // dedupeBatch's heavy work (probes, appends, drop-set checkpoints)
+      // ran EAGERLY above; the frames returned here only re-read docs for
+      // the final anti-joins. Release the shared persists after the action
+      // that consumes this query — not before (the passes above already
+      // completed, so registration here cannot fire early).
+      graft.core.Frames.releaseAfterNextAction(s, docs, sig)
       Gates.setParity(incremental, oneShot, "doc_id").orderBy("doc_id")
     }),
 

@@ -147,14 +147,24 @@ final class SpcclScan(path: String, required: StructType, pushed: Array[Filter])
   * a unix timestamp (`<host>_<unixts>/...`). (Spark's built-in file source
   * keeps a seen-files log instead; the sorted high-watermark trades that
   * unbounded state for the monotonic-naming contract.)
+  *
+  * The contract is VALIDATED, not assumed: the offset also records the
+  * last processed path, and partition planning fails loudly if the
+  * re-listed archive disagrees (a deletion, rename, or non-monotonic new
+  * name would otherwise silently skip or double-read files — corrupting
+  * exactly-once with no error).
   */
 final class SpcclMicroBatchStream(path: String, required: StructType,
                                   pushed: Array[Filter])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private case class FileCountOffset(n: Long) extends Offset {
-    override def json(): String = n.toString
+  private case class FileCountOffset(n: Long, last: String) extends Offset {
+    override def json(): String = {
+      import org.json4s.JsonDSL._
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(("n" -> n) ~ ("last" -> last)))
+    }
   }
 
   private def listSorted(): Array[String] = {
@@ -173,18 +183,47 @@ final class SpcclMicroBatchStream(path: String, required: StructType,
 
   // Listing snapshot per latestOffset() call; partitions planned from a
   // fresh sorted listing sliced by [start, end) — stable under the
-  // monotonic-naming contract.
-  override def initialOffset(): Offset = FileCountOffset(0L)
-  override def latestOffset(): Offset = FileCountOffset(listSorted().length.toLong)
-  override def deserializeOffset(json: String): Offset =
-    FileCountOffset(json.toLong)
+  // (validated) monotonic-naming contract.
+  override def initialOffset(): Offset = FileCountOffset(0L, "")
+  override def latestOffset(): Offset = {
+    val files = listSorted()
+    FileCountOffset(files.length.toLong, files.lastOption.getOrElse(""))
+  }
+  override def deserializeOffset(json: String): Offset = {
+    // Legacy bare-count offsets (pre-validation checkpoints) deserialize
+    // with no last-path pin; validation resumes from the next commit.
+    if (!json.trim.startsWith("{")) FileCountOffset(json.trim.toLong, "")
+    else {
+      val j = org.json4s.jackson.JsonMethods.parse(json)
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      FileCountOffset((j \ "n").extract[Long], (j \ "last").extract[String])
+    }
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileCountOffset].n.toInt
-    val e = end.asInstanceOf[FileCountOffset].n.toInt
-    val slice = listSorted().slice(s, e)
+    val st = start.asInstanceOf[FileCountOffset]
+    val en = end.asInstanceOf[FileCountOffset]
+    val all = listSorted()
+    // Cheap contract check: the file AT position start.n-1 must still be
+    // the recorded last-processed path. Any deletion, rename, or new name
+    // sorting before the watermark shifts that position and fails here
+    // instead of silently double-reading or skipping.
+    if (st.n > 0 && st.last.nonEmpty) {
+      if (all.length < st.n)
+        throw new IllegalStateException(
+          s"SPCCL archive shrank below the committed offset (${all.length} < ${st.n}): " +
+            "files were deleted or renamed under an append-only stream")
+      val atWatermark = all(st.n.toInt - 1)
+      if (atWatermark != st.last)
+        throw new IllegalStateException(
+          "SPCCL archive violated the append-only monotonic-naming contract: " +
+            s"offset pinned last=${st.last} at position ${st.n - 1}, but the listing now has " +
+            s"$atWatermark there. Files were deleted/renamed, or new names do not sort " +
+            "after processed ones; the count offset can no longer be trusted.")
+    }
+    val slice = all.slice(st.n.toInt, en.n.toInt)
     slice.grouped(64).map(g => SpcclInputPartition(g): InputPartition).toArray
   }
 
@@ -247,7 +286,8 @@ final class SpcclPartitionReader(files: Array[String], columns: Array[String],
         in.transferTo(out)
         out.toString("UTF-8")
       } finally in.close()
-    val lines = content.split("\n").filter(_.nonEmpty)
+    // \r?\n: CRLF archives must not leave \r glued to the last cell.
+    val lines = content.split("\r?\n").filter(_.nonEmpty)
     if (lines.length != 1) return null        // reference: 1 line per file
     val cells = lines(0).split("\t", -1)
 
@@ -265,12 +305,16 @@ final class SpcclPartitionReader(files: Array[String], columns: Array[String],
       case n =>
         val raw = cell(n)
         if (raw == null) null
-        else SpcclV2.fullSchema(n).dataType match {
-          case DoubleType  => raw.toDouble
-          case IntegerType => raw.toInt
-          case LongType    => raw.toLong
-          case _           => raw
-        }
+        else
+          // PERMISSIVE parity with the V1 CSV read: a malformed numeric
+          // cell nulls that VALUE; it must not fail the whole scan (or the
+          // micro-batch stream it feeds).
+          try SpcclV2.fullSchema(n).dataType match {
+            case DoubleType  => raw.toDouble
+            case IntegerType => raw.toInt
+            case LongType    => raw.toLong
+            case _           => raw
+          } catch { case _: NumberFormatException => null }
     }
 
     if (!pushed.forall(f => SpcclFilters.eval(f, typed))) return null

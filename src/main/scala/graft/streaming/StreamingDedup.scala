@@ -103,9 +103,15 @@ object StreamingDedup {
       * to parquet reads), so retries re-deliver identical output without
       * re-appending.
       */
+    /** @param appendToIndex false runs the SAME dedup semantics but skips
+      *   the index append — for one-shot comparator passes (e.g. the q57
+      *   batch-parity gate) whose index would never be probed, the
+      *   partitioned parquet write is pure waste.
+      */
     def dedupeBatch(batch: DataFrame, textCol: String, idCol: String,
                     batchId: Option[Long] = None,
-                    precomputedSig: Option[DataFrame] = None): DataFrame = {
+                    precomputedSig: Option[DataFrame] = None,
+                    appendToIndex: Boolean = true): DataFrame = {
       val spark = batch.sparkSession
       // Callers running several passes over overlapping corpora (e.g. the
       // q57 parity gate) can precompute + cache one (id, sig) frame and
@@ -147,13 +153,15 @@ object StreamingDedup {
 
       // Append survivors' band rows (partitioned by band for pruning) —
       // unless this batch id already committed (idempotent re-delivery).
-      val fsys = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val markerPath = batchId.map(id => new org.apache.hadoop.fs.Path(s"$dir/_batches/$id"))
-      if (!markerPath.exists(fsys.exists)) {
-        banded.join(broadcast(dropIds), Seq("id"), "left_anti")
-          .write.mode("append").partitionBy("band").parquet(dir)
-        markerPath.foreach { m => fsys.mkdirs(m.getParent); fsys.create(m, true).close() }
+      if (appendToIndex) {
+        val fsys = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val markerPath = batchId.map(id => new org.apache.hadoop.fs.Path(s"$dir/_batches/$id"))
+        if (!markerPath.exists(fsys.exists)) {
+          banded.join(broadcast(dropIds), Seq("id"), "left_anti")
+            .write.mode("append").partitionBy("band").parquet(dir)
+          markerPath.foreach { m => fsys.mkdirs(m.getParent); fsys.create(m, true).close() }
+        }
       }
       banded.unpersist()
 

@@ -16,10 +16,12 @@ import org.apache.spark.sql.streaming._
   * funnel dashboards aggregate transitions, not raw events.
   *
   * Scale: state is ONE integer per user (RocksDB-backed, disk-spillable),
-  * no timers, no per-event retention. Order within a micro-batch follows
-  * the batch's iterator order — callers needing strict event-time order
-  * across out-of-order delivery should sort upstream per trigger or widen
-  * to event-time timers; the parity spec feeds ordered batches.
+  * no timers, no per-event retention. Each user's rows are sorted by
+  * event time WITHIN a micro-batch before advancing stages, so arbitrary
+  * shuffle delivery order cannot diverge from the batch semantics; only
+  * lateness ACROSS micro-batches (an earlier-ts event arriving a batch
+  * later) still needs event-time timers/watermarking, which this
+  * processing-time tracker deliberately trades away.
   */
 object StreamingFunnel {
 
@@ -38,7 +40,13 @@ object StreamingFunnel {
                                  tv: TimerValues): Iterator[Transition] = {
       var s = if (stage.exists()) stage.get() else 0
       val out = Seq.newBuilder[Transition]
-      rows.foreach { e =>
+      // Event-time order within the micro-batch: network/shuffle delivery
+      // order is arbitrary, and consuming out-of-order events would diverge
+      // from the batch Funnel's ts-ordered semantics (an A→B funnel must
+      // not fire on a B delivered before its A). The buffer is one user's
+      // share of one micro-batch — bounded by batch sizing, not stream
+      // lifetime. Stable sort: equal-ts events keep arrival order.
+      rows.toSeq.sortBy(_.ts_ms).foreach { e =>
         if (s < steps.size && e.event_type == steps(s)) {
           s += 1
           out += Transition(user, s, e.ts_ms)

@@ -75,6 +75,59 @@ class SpcclV2Spec extends SparkSuite {
     assert(drainOnce() === 0)
   }
 
+  test("malformed numeric cells null the VALUE; CRLF files parse cleanly") {
+    import java.nio.file.{Files, Paths}
+    val r = graft.meertrap.FixtureGen.generate().toString
+    // dm (pos 2) unparseable; snr (pos 4) fine; CRLF line endings, whose \r
+    // must not corrupt the last cell (plot_file).
+    val dir = Paths.get(r, "tpn-bad-1_1700000001")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("7777_spccl.log"),
+      "1\t60000.5\tNOT_A_NUMBER\t4.25\t12.5\t7\tC\t04:37:15.99\t-47:15:09.7\t1\t0.9\tf.fil\tp.jpg\r\n")
+    val df = spark.read.format("graft.sources.v2.SpcclDataSource").load(r)
+      .where(col("filename").contains("7777"))
+    val row = df.select("dm", "snr", "plot_file").collect()
+    assert(row.length === 1)                       // scan survived the cell
+    assert(row(0).isNullAt(0))                     // dm -> null
+    assert(row(0).getDouble(1) === 12.5)           // snr intact
+    assert(row(0).getString(2).endsWith("p.jpg"))  // no trailing \r
+  }
+
+  test("stream fails loudly when the archive violates the append-only contract") {
+    import java.nio.file.{Files, Paths}
+    val streamRoot = graft.meertrap.FixtureGen.generate().toString
+    val cp = Files.createTempDirectory("spccl_v2_cp_viol").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.v2.SpcclDataSource")
+        .load(streamRoot)
+        .writeStream
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()  // commits offset n=5 pinned to the last sorted path
+    // Delete one processed file: the re-listed position of the pinned path
+    // shifts, which MUST fail the next batch instead of double-reading.
+    val victim = Files.walk(Paths.get(streamRoot)).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val toDelete = scala.jdk.CollectionConverters.IteratorHasAsScala(victim)
+      .asScala.filter(p => p.toString.contains("spccl") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString).head
+    Files.delete(toDelete)
+    // New file so latestOffset moves and a batch is actually planned.
+    val dir = Paths.get(streamRoot, "zz_tpn-9-99_1800000001")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("8888_spccl.log"),
+      "1\t60000.5\t99.5\t4.0\t12.5\t7\tC\t04:37:15.99\t-47:15:09.7\t1\t0.9\tf.fil\tp.jpg\n")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage).exists(_.contains("append-only"))))
+  }
+
   test("file-level single-line quarantine semantics match the reference") {
     // FixtureGen plants one 2-line spccl file; V2 skips it silently
     // (V1 quarantines it — both exclude it from parsed rows).

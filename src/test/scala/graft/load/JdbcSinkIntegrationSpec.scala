@@ -111,6 +111,36 @@ class JdbcSinkIntegrationSpec extends SparkSuite {
     assert(query("SELECT aname, band_id FROM album") === Seq(Seq("radio", 2L)))
   }
 
+  test("loadAllOrNothing: startup compensates a crashed run's fossil rows before loading") {
+    // Simulate a driver death BETWEEN a committed merge and its
+    // compensation: the __pre snapshot and __stage table survive, and a
+    // 'ghost' row this crashed run inserted sits committed in the target.
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE city (city_id BIGINT PRIMARY KEY, " +
+        "cname VARCHAR(50) NOT NULL UNIQUE)")
+      st.execute("INSERT INTO city VALUES (100, 'oldtown')")   // pre-existed
+      st.execute("INSERT INTO city VALUES (55, 'ghost')")      // crashed run's insert
+      st.execute("CREATE TABLE city__pre (cname VARCHAR(50))")
+      st.execute("INSERT INTO city__pre VALUES ('oldtown')")   // snapshot before merge
+      st.execute("CREATE TABLE city__stage (city_id BIGINT, cname VARCHAR(50))")
+      st.execute("INSERT INTO city__stage VALUES (1, 'oldtown')")
+      st.execute("INSERT INTO city__stage VALUES (55, 'ghost')")
+    } finally conn.close()
+
+    val cityT = TargetInfo("city", "", "city_id", Seq("cname"), Nil)
+    val cities = Seq((1L, "oldtown"), (2L, "newtown")).toDF("city_id", "cname")
+    JdbcUpsertSink.loadAllOrNothing(spark, url, props, Seq(cityT -> cities), DerbyDialect)
+
+    // The fossil was compensated away (stage-minus-pre), the pre-existing
+    // row survived, and the fresh load merged normally on top.
+    assert(query("SELECT city_id, cname FROM city ORDER BY cname") ===
+      Seq(Seq(2L, "newtown"), Seq(100L, "oldtown")))
+    assert(query("SELECT count(*) FROM SYS.SYSTABLES WHERE TABLENAME LIKE '%__PRE'")
+      .head.head === 0)
+  }
+
   test("typed error mapping: FK violation during merge -> ForeignKeyViolationException") {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
