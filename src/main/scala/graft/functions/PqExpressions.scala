@@ -81,7 +81,62 @@ case class PqAdcExpr(child: Expression, table: Array[Array[Double]])
   override def prettyName: String = "pq_adc"
 }
 
+/** `mat_vec(vec)` with a constant row-major matrix — the OPQ rotation
+  * x' = R x applied per row inside whole-stage codegen (same
+  * addReferenceObj pattern as the codebook kernels). Output array<double>.
+  */
+case class MatVecExpr(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private def elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"mat_vec expects array<float|double>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PqKernel.matVec(
+      input.asInstanceOf[ArrayData], matrix, elemFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mref = ctx.addReferenceObj("matVecMatrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqKernel.matVec($v, $mref, $elemFloat));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "mat_vec"
+}
+
 object PqKernel {
+
+  /** out[i] = Σ_j matrix[i][j] · v[j] — dense row-major mat-vec. */
+  def matVec(v: ArrayData, matrix: Array[Array[Double]],
+             floatElems: Boolean): Array[Double] = {
+    val d = matrix.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val row = matrix(i)
+      var s = 0.0
+      var j = 0
+      while (j < row.length) {
+        s += row(j) * (if (floatElems) v.getFloat(j).toDouble else v.getDouble(j))
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
 
   /** argmin sub-centroid per subspace; returns m codes (k <= 256). */
   def encode(v: ArrayData, codebooks: Array[Array[Array[Double]]],
@@ -132,4 +187,6 @@ object PqColumns {
     GraftSqlShim.column(PqEncodeExpr(GraftSqlShim.expression(vec), codebooks))
   def pqAdc(codes: Column, table: Array[Array[Double]]): Column =
     GraftSqlShim.column(PqAdcExpr(GraftSqlShim.expression(codes), table))
+  def matVec(vec: Column, matrix: Array[Array[Double]]): Column =
+    GraftSqlShim.column(MatVecExpr(GraftSqlShim.expression(vec), matrix))
 }

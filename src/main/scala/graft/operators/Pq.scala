@@ -22,19 +22,42 @@ import graft.functions.PqColumns
   */
 object Pq {
 
-  final case class Model(m: Int, dsub: Int, codebooks: Array[Array[Array[Double]]]) {
+  /** @param rotation optional OPQ rotation R (d x d orthonormal, row-major):
+    *   codes quantize R·v and queries are rotated before table build.
+    *   Orthonormality makes rotated L2 equal raw L2, so ADC still
+    *   approximates the SAME distances — the rotation only redistributes
+    *   variance so every sub-quantizer carries comparable information.
+    *   None = identity (the pre-OPQ behavior, bit-for-bit).
+    */
+  final case class Model(m: Int, dsub: Int, codebooks: Array[Array[Array[Double]]],
+                         rotation: Option[Array[Array[Double]]] = None) {
     require(codebooks.length == m)
 
-    /** Per-query ADC lookup table: table(j)(c) = |q_j - codebook(j)(c)|^2. */
-    def adcTable(query: Seq[Double]): Array[Array[Double]] =
+    private[Pq] def rotate(query: Seq[Double]): Seq[Double] = rotation match {
+      case None    => query
+      case Some(r) =>
+        val q = query.toArray
+        r.map { row =>
+          var s = 0.0; var j = 0
+          while (j < row.length) { s += row(j) * q(j); j += 1 }
+          s
+        }.toSeq
+    }
+
+    /** Per-query ADC lookup table: table(j)(c) = |q'_j - codebook(j)(c)|^2
+      * with q' = R·q under an OPQ rotation.
+      */
+    def adcTable(query: Seq[Double]): Array[Array[Double]] = {
+      val rq = rotate(query)
       Array.tabulate(m) { j =>
-        val qj = query.slice(j * dsub, (j + 1) * dsub).toArray
+        val qj = rq.slice(j * dsub, (j + 1) * dsub).toArray
         codebooks(j).map { cent =>
           var d = 0.0; var i = 0
           while (i < dsub) { val x = qj(i) - cent(i); d += x * x; i += 1 }
           d
         }
       }
+    }
   }
 
   private def q(n: String): Column = col(s"`$n`")
@@ -45,12 +68,17 @@ object Pq {
     * per Lloyd iteration, not per (subspace x iteration).
     */
   def train(df: DataFrame, vecCol: String, idCol: String, dim: Int,
-            m: Int = 8, k: Int = 16, iters: Int = 5): Model = {
+            m: Int = 8, k: Int = 16, iters: Int = 5,
+            rotation: Option[Array[Array[Double]]] = None): Model = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
+    val vecCol0 = rotation match {
+      case None    => q(vecCol).cast("array<double>")
+      case Some(r) => graft.functions.PqColumns.matVec(q(vecCol), r)
+    }
     // Cached for training: one action per Lloyd iteration, and an uncached
     // frame would re-scan the source parquet each time (VERDICT r2 #2).
-    val vecs = df.select(q(idCol).as("__id"), q(vecCol).cast("array<double>").as("__v"))
+    val vecs = df.select(q(idCol).as("__id"), vecCol0.as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 
@@ -90,14 +118,93 @@ object Pq {
       }
       codebooks = next
     }
-    Model(m, dsub, codebooks)
+    Model(m, dsub, codebooks, rotation)
     } finally vecs.unpersist(blocking = false)
   }
 
-  /** Write-time encoding: adds `codesCol` (array<byte>, length m). */
+  /** OPQ-P rotation (Ge et al., CVPR'13 "Optimized Product Quantization",
+    * parametric variant — public method, re-derived for Spark): rotate into
+    * the centered-PCA basis, allocating principal directions to subspaces
+    * so the PRODUCT of eigenvalues per subspace balances (greedy on log
+    * sums, largest eigenvalue first). Each 8-bit sub-quantizer then carries
+    * comparable variance instead of one subspace hoarding the signal —
+    * measurably better recall at an identical code budget.
+    *
+    * Execution shape: one distributed treeAggregate builds the d-vector
+    * mean and d x d second-moment (metadata-sized: 64x64 doubles); the
+    * eigendecomposition is driver-side (breeze eigSym, symmetric d x d).
+    * Returns the row-major orthonormal R for [[train]]/[[Model]].
+    */
+  def trainRotation(df: DataFrame, vecCol: String, dim: Int, m: Int): Array[Array[Double]] = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    val data = df.select(q(vecCol).cast("array<double>").as("__v"))
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val zero = (0L, new Array[Double](dim), Array.ofDim[Double](dim, dim))
+    val (n, sum, mom) = data.treeAggregate(zero)(
+      seqOp = { case ((n0, s, mm), v) =>
+        var i = 0
+        while (i < dim) {
+          s(i) += v(i)
+          val row = mm(i); val vi = v(i)
+          var j = 0
+          while (j < dim) { row(j) += vi * v(j); j += 1 }
+          i += 1
+        }
+        (n0 + 1, s, mm)
+      },
+      combOp = { case ((na, sa, ma), (nb, sb, mb)) =>
+        var i = 0
+        while (i < dim) {
+          sa(i) += sb(i)
+          val ra = ma(i); val rb = mb(i)
+          var j = 0
+          while (j < dim) { ra(j) += rb(j); j += 1 }
+          i += 1
+        }
+        (na + nb, sa, ma)
+      })
+    require(n > 0, "trainRotation needs a non-empty frame")
+    // centered covariance C = E[xxT] - mu muT (column-major for breeze;
+    // symmetric, so the layout choice is moot)
+    val mu = sum.map(_ / n)
+    val flat = new Array[Double](dim * dim)
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) { flat(j * dim + i) = mom(i)(j) / n - mu(i) * mu(j); j += 1 }
+      i += 1
+    }
+    val es = breeze.linalg.eigSym(new breeze.linalg.DenseMatrix(dim, dim, flat))
+    // Greedy eigenvalue balancing: descending eigenvalues, each assigned to
+    // the unfilled subspace with the smallest log-product so far.
+    val order = (0 until dim).sortBy(d => -es.eigenvalues(d))
+    val cap = Array.fill(m)(dsub)
+    val logSum = Array.fill(m)(0.0)
+    val assigned = Array.fill(m)(List.empty[Int])
+    order.foreach { e =>
+      val j = (0 until m).filter(cap(_) > 0).minBy(logSum)
+      assigned(j) = e :: assigned(j)
+      cap(j) -= 1
+      logSum(j) += math.log(math.max(es.eigenvalues(e), 1e-12))
+    }
+    // Row i of R = the eigenvector for the i-th output dimension
+    // (subspace-major): R x projects x onto the permuted PCA basis.
+    val rows = assigned.toSeq.flatMap(_.reverse)
+    rows.map(e => Array.tabulate(dim)(d => es.eigenvectors(d, e))).toArray
+  }
+
+  /** Write-time encoding: adds `codesCol` (array<byte>, length m). Applies
+    * the model's OPQ rotation (if any) inside the same codegen stage.
+    */
   def encode(df: DataFrame, vecCol: String, model: Model,
-             codesCol: String = "__pq"): DataFrame =
-    df.withColumn(codesCol, PqColumns.pqEncode(q(vecCol), model.codebooks))
+             codesCol: String = "__pq"): DataFrame = {
+    val v = model.rotation match {
+      case None    => q(vecCol)
+      case Some(r) => PqColumns.matVec(q(vecCol), r)
+    }
+    df.withColumn(codesCol, PqColumns.pqEncode(v, model.codebooks))
+  }
 
   /** Top-k nearest (approximate, squared L2) of `query` over an encoded
     * corpus: one compressed scan + per-partition heaps (no full sort).
@@ -109,6 +216,29 @@ object Pq {
       .select(q(idCol), PqColumns.pqAdc(q(codesCol), model.adcTable(query)).as("adc_dist"))
       .orderBy(col("adc_dist").asc, q(idCol).asc)
       .limit(k)
+
+  /** ADC shortlist + EXACT re-rank (Jégou et al., TPAMI'11 §VII — the
+    * standard PQ serving pattern): scan the compressed corpus for a
+    * `shortlist`-deep ADC top, then re-rank ONLY those rows with the exact
+    * squared-L2 score from their raw vectors. Quantization error then only
+    * costs recall when a true neighbor falls outside the whole shortlist —
+    * recall@k approaches exact while the corpus scan stays 32x compressed;
+    * the raw-vector reads are `shortlist` point lookups, not a scan.
+    * Emitted `dist` = |v|² - 2·v·q (monotone in L2; the |q|² constant is
+    * dropped), matching the exact baseline's ranking exactly.
+    */
+  def adcTopKRerank(encoded: DataFrame, raw: DataFrame, vecCol: String,
+                    idCol: String, model: Model, query: Seq[Double], k: Int,
+                    shortlist: Int = 100, codesCol: String = "__pq"): DataFrame = {
+    import graft.functions.VectorFns
+    val short = adcTopK(encoded, idCol, model, query, shortlist).select(q(idCol))
+    val v = q(vecCol)
+    raw.join(broadcast(short), Seq(idCol))
+      .select(q(idCol),
+        (VectorFns.dot(v, v) - VectorFns.dot(v, VectorFns.vecLit(query)) * 2.0d).as("dist"))
+      .orderBy(col("dist").asc, q(idCol).asc)
+      .limit(k)
+  }
 
   /** Per-row residual against the row's coarse centroid: v - c(cluster).
     * A when-chain over the k centroid literals + one codegen'd zip_with —

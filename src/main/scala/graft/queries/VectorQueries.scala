@@ -86,28 +86,30 @@ object VectorQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
-    // Product-quantization ANN: 8-byte codes per 256-byte vector,
-    // asymmetric-distance top-k over the compressed corpus. The
-    // sub-quantizers train on the same deterministic sample as q56's IVF.
-    // Quantization is lossy by design; the plan gates on recall@25 >= 0.6
-    // vs the in-plan exact squared-L2 top-25 (ADC approximates L2).
+    // Product-quantization ANN, full serving stack: OPQ rotation (centered
+    // PCA, eigenvalue-balanced subspaces) -> 8-byte codes per 256-byte
+    // vector -> ADC shortlist over the compressed corpus -> EXACT re-rank
+    // of the 200-row shortlist from raw vectors (Jégou et al. §VII).
+    // Quantization error then only costs recall when a true neighbor
+    // misses the whole shortlist; the corpus scan stays 32x compressed.
+    // The plan gates on recall@25 >= 12 vs the in-plan exact squared-L2
+    // top-25 — observed 15-23 hits at sf0.01/sf0.1 (was 5-7 pre-re-rank,
+    // floor 4), with margin for codebook sensitivity.
     "q59_ann_pq" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val sample = emb.where(pmod(hash(col("vec_id")), lit(4)) === 0)
+      val rot = graft.operators.Pq.trainRotation(sample, "embedding", dim = 64, m = 8)
       val model = graft.operators.Pq.train(sample, "embedding", "vec_id",
-        dim = 64, m = 8, k = 16, iters = 2)
-      val approx = graft.operators.Pq.adcTopK(
-        graft.operators.Pq.encode(emb, "embedding", model),
-        "vec_id", model, probe, k = 25)
+        dim = 64, m = 8, k = 16, iters = 2, rotation = Some(rot))
+      val approx = graft.operators.Pq.adcTopKRerank(
+        graft.operators.Pq.encode(emb, "embedding", model), emb,
+        "embedding", "vec_id", model, probe, k = 25, shortlist = 200)
       val exact = emb.select(col("vec_id"),
           (VectorFns.dot(col("embedding"), col("embedding")) -
             VectorFns.dot(col("embedding"), VectorFns.vecLit(probe)) * 2.0d).as("__d"))
         .orderBy(col("__d").asc, col("vec_id").asc).limit(25)
-      // Floor 4 ~ observed 5/7 hits at sf0.01/sf0.1 with margin (16-way
-      // codebooks on 8 subspaces are a coarse quantizer at this dimension;
-      // random overlap would be k²/N ≈ 1).
-      Gates.recallFloor(approx, exact, "vec_id", minHits = 4)
-        .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"), col("recall_hits"))
+      Gates.recallFloor(approx, exact, "vec_id", minHits = 12)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"), col("recall_hits"))
     }),
 
     // Embedding-cosine near-dup pairs — EXACT all-pairs variant

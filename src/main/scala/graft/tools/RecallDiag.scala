@@ -34,6 +34,18 @@ object RecallDiag {
           VectorFns.dot(col("embedding"), VectorFns.vecLit(probe)) * 2.0d).as("__d"))
       .orderBy(col("__d").asc, col("vec_id").asc).limit(25).select("vec_id")
     println(s"PQ    rows=${pq.count()} hits=${hits(pq, exactL2)} hitsVsCos=${hits(pq, exactCos)}")
+
+    val rot = Pq.trainRotation(sample, "embedding", dim = 64, m = 8)
+    val opqM = Pq.train(sample, "embedding", "vec_id", dim = 64, m = 8, k = 16,
+      iters = 2, rotation = Some(rot))
+    val opq = Pq.adcTopK(Pq.encode(emb, "embedding", opqM), "vec_id", opqM, probe, 25)
+    println(s"OPQ   rows=${opq.count()} hits=${hits(opq, exactL2)} hitsVsCos=${hits(opq, exactCos)}")
+
+    for (sl <- Seq(50, 100, 200)) {
+      val rr = Pq.adcTopKRerank(Pq.encode(emb, "embedding", opqM), emb,
+        "embedding", "vec_id", opqM, probe, 25, shortlist = sl)
+      println(s"OPQ+rerank($sl) rows=${rr.count()} hits=${hits(rr, exactL2)}")
+    }
     spark.stop()
   }
 }

@@ -59,6 +59,66 @@ class PqSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("OPQ: identity rotation reproduces the unrotated model bit-for-bit") {
+    val eye = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    val rotModel = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8, k = 16,
+      iters = 3, rotation = Some(eye))
+    // identical codebooks (identity rotation changes no training input)...
+    assert(rotModel.codebooks.flatten.flatten.toSeq === model.codebooks.flatten.flatten.toSeq)
+    // ...identical codes and ADC tables
+    val plain = Pq.encode(emb, "embedding", model)
+      .select("vec_id", "__pq").as[(Long, Seq[Byte])].collect().toMap
+    val rot = Pq.encode(emb, "embedding", rotModel)
+      .select("vec_id", "__pq").as[(Long, Seq[Byte])].collect().toMap
+    assert(rot === plain)
+    val query = (0 until 64).map(i => math.sin(i * 0.19))
+    assert(rotModel.adcTable(query).flatten.toSeq === model.adcTable(query).flatten.toSeq)
+  }
+
+  test("OPQ: learned rotation is orthonormal and preserves distances") {
+    val r = Pq.trainRotation(emb, "embedding", dim = 64, m = 8)
+    assert(r.length === 64 && r.forall(_.length === 64))
+    // R · Rᵀ == I (rows orthonormal)
+    for (i <- 0 until 64; j <- i until 64) {
+      val dot = (0 until 64).map(d => r(i)(d) * r(j)(d)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j)")
+    }
+    // rotation invariance: |R a - R b| == |a - b| on a sample pair
+    val vs = emb.where(col("vec_id").isin(1L, 2L))
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def rot(v: Array[Double]) = r.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val raw = vs(0).zip(vs(1)).map { case (a, b) => (a - b) * (a - b) }.sum
+    val rotd = rot(vs(0)).zip(rot(vs(1))).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(math.abs(raw - rotd) < 1e-9)
+  }
+
+  test("ADC shortlist + exact re-rank: recall dominates plain ADC, exact scores") {
+    import graft.functions.VectorFns
+    val query = (0 until 64).map(i => math.cos(i * 0.31) * 1.3)
+    val encoded = Pq.encode(emb, "embedding", model)
+    val exact = emb.select(col("vec_id"),
+        (VectorFns.dot(col("embedding"), col("embedding")) -
+          VectorFns.dot(col("embedding"), VectorFns.vecLit(query)) * 2.0).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(25)
+      .select("vec_id").as[Long].collect().toSet
+    val plain = Pq.adcTopK(encoded, "vec_id", model, query, 25)
+      .select("vec_id").as[Long].collect().toSet
+    val rr = Pq.adcTopKRerank(encoded, emb, "embedding", "vec_id", model,
+      query, 25, shortlist = 200)
+    val rrIds = rr.select("vec_id").as[Long].collect().toSet
+    assert(rrIds.intersect(exact).size >= plain.intersect(exact).size)
+    assert(rrIds.intersect(exact).size >= 15)     // shortlist-200 regime
+    // re-ranked scores are EXACT (match the brute-force formula per id)
+    val exactD = emb.select(col("vec_id"),
+        (VectorFns.dot(col("embedding"), col("embedding")) -
+          VectorFns.dot(col("embedding"), VectorFns.vecLit(query)) * 2.0).as("d"))
+      .as[(Long, Double)].collect().toMap
+    rr.as[(Long, Double)].collect().foreach { case (id, d) =>
+      assert(math.abs(d - exactD(id)) < 1e-9)
+    }
+  }
+
   test("IVF-PQ layout: partition-pruned compressed probes, vectors not stored") {
     import graft.operators.Ivf
     val ivf = Ivf.train(emb, "embedding", "vec_id", k = 8, iters = 2)
