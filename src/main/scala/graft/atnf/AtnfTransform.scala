@@ -23,6 +23,9 @@ object AtnfTransform {
     */
   def extract(spark: SparkSession, csvPath: String, visitedAt: java.sql.Timestamp): DataFrame = {
     val raw = spark.read.option("header", "true").schema(Schemas.atnf).csv(csvPath)
+    // Global window — BOUNDED BY CONSTRUCTION: the ATNF catalogue is
+    // ~3.5k known pulsars (a reference dataset, not a fact stream).
+    // Fact-table paths must use Ids.denseId; do not copy this pattern.
     val w = Window.orderBy(c("known_ps.name"))
     raw
       .select(

@@ -88,6 +88,10 @@ object ObservationTransform {
     val fixed = sel.withColumn("sb.expected_duration_seconds",
       when(c("sb.expected_duration_seconds") === 0, scriptDurationSum)
         .otherwise(c("sb.expected_duration_seconds")))
+    // Global (unpartitioned) window — BOUNDED BY CONSTRUCTION: schedule
+    // blocks are deduped on meerkat_id, one row per observing session
+    // (thousands, not billions, at any archive scale). Fact-table paths
+    // must use Ids.denseId instead; do not copy this pattern.
     val w = Window.orderBy(c("sb.start_at"), c("mk_sb.meerkat_id"))
     fixed
       .withColumn("sb.est_end_at",
@@ -103,6 +107,9 @@ object ObservationTransform {
   def cbConfigDf(obsUniq: DataFrame): DataFrame = {
     val keys = Seq("cb.angle", "cb.fraction_overlap", "cb.x", "cb.y")
     val sel  = obsUniq.select((("obs.t_min" +: keys).map(c)): _*)
+    // Global window — BOUNDED BY CONSTRUCTION: beam-config rows are
+    // DISTINCT tuning tuples (a handful per telescope configuration).
+    // Fact-table paths must use Ids.denseId; do not copy this pattern.
     val w    = Window.orderBy(keys.map(c): _*)
     val uniqCfg = sel.drop("obs.t_min").dropDuplicates(keys)
       .withColumn("coherent_beam_config_id", row_number().over(w).cast("long"))
@@ -222,6 +229,9 @@ object ObservationTransform {
   /** Unique hosts (`transform.py:519-527`). */
   def hostDf(beams: DataFrame): DataFrame = {
     val keys = Seq("host.ip_address", "host.hostname", "host.port")
+    // Global window — BOUNDED BY CONSTRUCTION: hosts are the distinct
+    // physical machines of the cluster (hundreds at most). Fact-table
+    // paths must use Ids.denseId; do not copy this pattern.
     val w = Window.orderBy(keys.map(c): _*)
     beams.select(keys.map(c): _*).dropDuplicates(keys)
       .withColumn("host_id", row_number().over(w).cast("long"))

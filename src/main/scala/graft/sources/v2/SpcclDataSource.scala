@@ -6,9 +6,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,16 +59,33 @@ object SpcclV2 {
   /** Raw TSV position of each schema field (index occupies position 0). */
   val tsvPos: Map[String, Int] =
     Schemas.spccl.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+
+  /** Hadoop convention: `_`/`.`-prefixed path segments are metadata, not
+    * data — skipping them keeps scans blind to the writer's `_temporary`
+    * staging and `_quarantine` rejects.
+    */
+  def isHidden(p: Path): Boolean = {
+    var cur = p
+    while (cur != null) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      cur = cur.getParent
+    }
+    false
+  }
 }
 
-final class SpcclTable(path: String) extends Table with SupportsRead {
+final class SpcclTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null, "path option is required")
   override def name(): String = s"spccl($path)"
   override def schema(): StructType = SpcclV2.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SpcclScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SpcclWriteBuilder(path, info.schema())
 }
 
 final class SpcclScanBuilder(path: String) extends ScanBuilder
@@ -113,7 +132,7 @@ final class SpcclScan(path: String, required: StructType, pushed: Array[Filter])
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.contains("spccl"))
+      if (f.isFile && f.getPath.getName.contains("spccl") && !SpcclV2.isHidden(f.getPath))
         files += f.getPath.toString
     }
     val filesPerPartition = 64
@@ -175,7 +194,7 @@ final class SpcclMicroBatchStream(path: String, required: StructType,
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.contains("spccl"))
+      if (f.isFile && f.getPath.getName.contains("spccl") && !SpcclV2.isHidden(f.getPath))
         files += f.getPath.toString
     }
     files.sorted.toArray
@@ -326,6 +345,180 @@ final class SpcclPartitionReader(files: Array[String], columns: Array[String],
       }
     })
   }
+}
+
+/** Write side of the connector: each row becomes one single-line TSV file
+  * named by its `filename` column — the archive's real layout (one SPCCL
+  * file per candidate), so a written directory is immediately readable by
+  * this same source, V1, and the reference's parser.
+  *
+  * Commit protocol: executors write every file under
+  * `_temporary/<writeId>/...` (hidden from scans) and report
+  * (temp, final) pairs; the driver renames on job commit and deletes the
+  * staging tree on abort — a failed/speculative task can never surface
+  * half-written archive files.
+  *
+  * QUARANTINE contract (the write-side mirror of the read-side single-line
+  * rule): a row whose string cells embed `\t`/`\n`/`\r` would corrupt the
+  * one-line TSV format, so it is committed under `_quarantine/` (readable
+  * for inspection, invisible to scans) instead of failing the job or
+  * silently writing a malformed archive file.
+  *
+  * Streaming: the same factory serves `writeStream` epochs; re-delivered
+  * epochs rename onto the SAME final names (filename-keyed), so retries
+  * are idempotent.
+  */
+final class SpcclWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new SpcclWrite(path, schema)
+}
+
+final class SpcclWrite(path: String, schema: StructType) extends Write {
+  private def confEntries: Array[(String, String)] = {
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    val it = hconf.iterator()
+    val b = ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.toArray
+  }
+
+  override def toBatch: BatchWrite = new SpcclBatchWrite(path, schema, confEntries)
+  override def toStreaming: StreamingWrite = new SpcclStreamingWrite(path, schema, confEntries)
+}
+
+final case class SpcclCommit(pairs: Array[(String, String)]) extends WriterCommitMessage
+
+final class SpcclBatchWrite(path: String, schema: StructType,
+                            confEntries: Array[(String, String)]) extends BatchWrite {
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SpcclWriterFactory(path, schema, confEntries, writeId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    SpcclWriteCommit.commit(path, writeId, messages, confEntries)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SpcclWriteCommit.abort(path, writeId, confEntries)
+}
+
+final class SpcclStreamingWrite(path: String, schema: StructType,
+                                confEntries: Array[(String, String)]) extends StreamingWrite {
+  // Epoch-scoped staging: a retried epoch restages and renames onto the
+  // same filename-derived final paths (idempotent overwrite).
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new SpcclWriterFactory(path, schema, confEntries, "epoch")
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    SpcclWriteCommit.commit(path, s"epoch-$epochId", messages, confEntries)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    SpcclWriteCommit.abort(path, s"epoch-$epochId", confEntries)
+}
+
+object SpcclWriteCommit {
+  private def fs(path: String, confEntries: Array[(String, String)]): FileSystem = {
+    val hconf = new org.apache.hadoop.conf.Configuration(false)
+    confEntries.foreach { case (k, v) => hconf.set(k, v) }
+    new Path(path).getFileSystem(hconf)
+  }
+
+  def commit(path: String, writeId: String, messages: Array[WriterCommitMessage],
+             confEntries: Array[(String, String)]): Unit = {
+    val f = fs(path, confEntries)
+    messages.foreach { case SpcclCommit(pairs) =>
+      pairs.foreach { case (tmp, fin) =>
+        val finPath = new Path(fin)
+        f.mkdirs(finPath.getParent)
+        if (f.exists(finPath)) f.delete(finPath, false)   // idempotent re-delivery
+        if (!f.rename(new Path(tmp), finPath))
+          sys.error(s"spccl write commit: cannot rename $tmp -> $fin")
+      }
+    }
+    f.delete(new Path(path, s"_temporary/$writeId"), true)
+  }
+
+  def abort(path: String, writeId: String, confEntries: Array[(String, String)]): Unit =
+    fs(path, confEntries).delete(new Path(path, s"_temporary/$writeId"), true)
+}
+
+final class SpcclWriterFactory(path: String, schema: StructType,
+                               confEntries: Array[(String, String)], writeId: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SpcclDataWriter(path, schema, confEntries, writeId, partitionId, taskId)
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new SpcclDataWriter(path, schema, confEntries, s"epoch-$epochId", partitionId, taskId)
+}
+
+final class SpcclDataWriter(root: String, schema: StructType,
+                            confEntries: Array[(String, String)],
+                            writeId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val fs: FileSystem = {
+    val hconf = new org.apache.hadoop.conf.Configuration(false)
+    confEntries.foreach { case (k, v) => hconf.set(k, v) }
+    new Path(root).getFileSystem(hconf)
+  }
+  private val pairs = ArrayBuffer.empty[(String, String)]
+  private var seq = 0
+
+  private val fieldIdx: Map[String, Int] =
+    schema.fieldNames.zipWithIndex.toMap
+
+  private def cellOf(row: InternalRow, name: String): String =
+    fieldIdx.get(name) match {
+      case None => ""
+      case Some(i) if row.isNullAt(i) => ""
+      case Some(i) => SpcclV2.fullSchema(name).dataType match {
+        case StringType  => row.getUTF8String(i).toString
+        case DoubleType  => row.getDouble(i).toString
+        case IntegerType => row.getInt(i).toString
+        case LongType    => row.getLong(i).toString
+        case t           => sys.error(s"unsupported spccl write type $t")
+      }
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val filename = cellOf(row, "filename") match {
+      case "" => s"unnamed/${partitionId}_${taskId}_$seq"
+      case f  => f
+    }
+    val candDir = filename.split('/').head
+    // On read, fil_file/plot_file were prefixed with the candidate dir —
+    // strip it again so a round-tripped file equals the original cell.
+    def unprefixed(n: String): String = {
+      val v = cellOf(row, n)
+      if (v.startsWith(s"$candDir/")) v.stripPrefix(s"$candDir/") else v
+    }
+    val cells = Schemas.spccl.fields.map(_.name).map {
+      case "index"                  => "1"   // positional; V2 drops it on read
+      case n @ ("fil_file" | "plot_file") => unprefixed(n)
+      case n                        => cellOf(row, n)
+    }
+    val dirty = cells.exists(c => c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'))
+    val line = cells.mkString("\t") + "\n"
+    // Canonical archive naming: the reader's filename column is the path
+    // with ONE extension stripped, so `<base>.spccl` names round-trip
+    // exactly as `<base>.spccl.log`; other names are canonicalized by
+    // appending `.spccl` (the listing filter requires it).
+    val rel = if (filename.endsWith(".spccl")) s"$filename.log"
+              else s"$filename.spccl.log"
+    val fin =
+      if (dirty) new Path(root, s"_quarantine/$rel")
+      else new Path(root, rel)
+    val tmp = new Path(root, s"_temporary/$writeId/$partitionId-$taskId/$seq")
+    seq += 1
+    fs.mkdirs(tmp.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(line.getBytes("UTF-8")) finally out.close()
+    pairs += tmp.toString -> fin.toString
+  }
+
+  override def commit(): WriterCommitMessage = SpcclCommit(pairs.toArray)
+  override def abort(): Unit =
+    pairs.foreach { case (tmp, _) =>
+      try fs.delete(new Path(tmp), false) catch { case _: Exception => () }
+    }
+  override def close(): Unit = ()
 }
 
 /** Pushed-filter evaluation over typed column accessors. */

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+/** Smoke coverage for the standalone job entry points (reference
+  * `meertrap/main.py` / `atnf/main.py`): argument parsing, the
+  * partition-key path narrowing, and parquet output.
+  */
+class CliSpec extends SparkSuite {
+
+  test("meertrap CLI: fixture run writes all five parquet outputs") {
+    val fixture = graft.meertrap.FixtureGen.generate().toString
+    val out = Files.createTempDirectory("meertrap_cli_out").toString
+    val args = graft.meertrap.Main.parse(Array(
+      "--input", fixture, "--partition-key", "2023-11-20", "--out", out))
+    assert(args.partitionKey === "2023-11-20")
+    graft.meertrap.Main.run(spark, args)
+    val candidates = spark.read.parquet(s"$out/candidate")
+    assert(candidates.count() > 0)
+    assert(spark.read.parquet(s"$out/observation").count() > 0)
+    assert(spark.read.parquet(s"$out/beam").count() > 0)
+    // quarantine/corrupt frames exist even when empty (schema written)
+    assert(Files.exists(java.nio.file.Paths.get(out, "quarantined_spccl")))
+    assert(Files.exists(java.nio.file.Paths.get(out, "corrupt_run_summaries")))
+  }
+
+  test("meertrap CLI: --partition-key narrows to the partition subdirectory when present") {
+    // two partition dirs, each a full fixture; a keyed run must only see
+    // its own partition's candidates
+    val root = Files.createTempDirectory("meertrap_cli_parts")
+    val p1 = graft.meertrap.FixtureGen.generate()
+    java.nio.file.Files.move(p1, root.resolve("2023-11-20"))
+    val all = graft.meertrap.Main.run(spark,
+      graft.meertrap.Main.Args(input = root.toString))
+    val keyed = graft.meertrap.Main.run(spark,
+      graft.meertrap.Main.Args(input = root.toString, partitionKey = "2023-11-20"))
+    assert(keyed.candidates.count() === all.candidates.count())
+    assert(keyed.candidates.count() > 0)
+  }
+
+  test("atnf CLI: snapshot run transforms and writes parquet") {
+    val csv = Files.createTempDirectory("atnf_cli").resolve("cat.csv")
+    Files.writeString(csv,
+      """NAME,RAJ,DECJ,DM,W50,P0
+        |J0437-4715,04:37:15.99,-47:15:09.7,2.64,0.141,0.005757
+        |J0534+2200,05:34:31.97,+22:00:52.06,56.77,3.0,0.033392
+        |""".stripMargin)
+    val out = Files.createTempDirectory("atnf_cli_out").toString + "/catalogue"
+    val args = graft.atnf.Main.parse(Array(
+      "--snapshot", csv.toString, "--version", "9.9", "--out", out))
+    graft.atnf.Main.run(spark, args)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2)
+    assert(back.select("`cat.version`").head().getString(0) === "9.9")
+  }
+
+  test("CLI arg parsing rejects unknown flags and missing required ones") {
+    intercept[RuntimeException] { graft.meertrap.Main.parse(Array("--bogus", "x")) }
+    intercept[IllegalArgumentException] { graft.meertrap.Main.parse(Array.empty) }
+    intercept[RuntimeException] { graft.atnf.Main.parse(Array("--nope", "y")) }
+    intercept[IllegalArgumentException] { graft.atnf.Main.parse(Array.empty) }
+  }
+}

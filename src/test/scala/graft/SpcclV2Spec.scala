@@ -7,6 +7,7 @@ import graft.sources.SpcclSource
   * pruning reaching the parser, filter pushdown into the reader.
   */
 class SpcclV2Spec extends SparkSuite {
+  import spark.implicits._
 
   private lazy val root = graft.meertrap.FixtureGen.generate().toString
   private def v2 = spark.read.format("graft.sources.v2.SpcclDataSource").load(root)
@@ -126,6 +127,55 @@ class SpcclV2Spec extends SparkSuite {
       if (t == null) Nil else t +: chain(t.getCause)
     assert(chain(ex).exists(_.getMessage != null) &&
       chain(ex).exists(t => Option(t.getMessage).exists(_.contains("append-only"))))
+  }
+
+  test("V2 write: round-trip (write -> read) reproduces the source frame") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("spccl_v2_write").toString
+    v2.write.format("graft.sources.v2.SpcclDataSource").mode("append").save(out)
+    val back = spark.read.format("graft.sources.v2.SpcclDataSource").load(out)
+    val cols = v2.columns.sorted.map(col).toSeq
+    assert(back.select(cols: _*).orderBy("filename").collect().toSeq ===
+      v2.select(cols: _*).orderBy("filename").collect().toSeq)
+    // one single-line file per row, archive layout preserved
+    assert(back.count() === v2.count())
+    // no staging debris survives the commit
+    assert(!Files.exists(java.nio.file.Paths.get(out, "_temporary")) ||
+      Files.list(java.nio.file.Paths.get(out, "_temporary")).count() === 0)
+  }
+
+  test("V2 write: rows that would break the one-line TSV contract are quarantined") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("spccl_v2_wq").toString
+    val rows = Seq(
+      ("good/cand1.spccl", 60000.5, 4.0, 1.5, 12.5, 7, "C", "04:37", "-47:15", 1, 0.9, "f.fil", "p.jpg"),
+      ("bad/cand2.spccl", 60000.6, 4.1, 1.5, 12.6, 7, "C", "04:38", "evil\tdec", 1, 0.9, "f.fil", "p.jpg"))
+      .toDF("filename", "mjd", "dm", "width", "snr", "beam", "beam_mode",
+        "ra", "dec", "label", "probability", "fil_file", "plot_file")
+    rows.write.format("graft.sources.v2.SpcclDataSource").mode("append").save(out)
+    // scan sees only the clean row; the dirty one sits under _quarantine
+    val back = spark.read.format("graft.sources.v2.SpcclDataSource").load(out)
+    assert(back.select("filename").as[String].collect().toSeq === Seq("good/cand1.spccl"))
+    assert(Files.exists(Paths.get(out, "_quarantine/bad/cand2.spccl.log")))
+  }
+
+  test("V2 streaming sink: archive-to-archive stream write is readable and complete") {
+    import java.nio.file.Files
+    val srcRoot = graft.meertrap.FixtureGen.generate().toString
+    val out = Files.createTempDirectory("spccl_v2_sink").toString
+    val cp = Files.createTempDirectory("spccl_v2_sink_cp").toString
+    val q = spark.readStream.format("graft.sources.v2.SpcclDataSource").load(srcRoot)
+      .writeStream.format("graft.sources.v2.SpcclDataSource")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val back = spark.read.format("graft.sources.v2.SpcclDataSource").load(out)
+    val src = spark.read.format("graft.sources.v2.SpcclDataSource").load(srcRoot)
+    val cols = src.columns.sorted.map(col).toSeq
+    assert(back.select(cols: _*).orderBy("filename").collect().toSeq ===
+      src.select(cols: _*).orderBy("filename").collect().toSeq)
   }
 
   test("file-level single-line quarantine semantics match the reference") {
