@@ -474,12 +474,9 @@ object Dedup {
     * in a longer one (quotes, concatenated crawls, boilerplate wrappers)
     * has LOW Jaccard but is pure redundancy for training.
     *
-    * Same single-shuffle inverted-index shape as [[ngramJaccardPairs]]:
-    * a pair is containment iff the shared-shingle count equals |shingles(A)|.
-    * The join is directed (a != b, not a < b) so mutual containment (equal
-    * shingle sets) emits both directions. Hot-shingle skew carries the same
-    * caveat as the Jaccard index-join; the prefix/LSH-blocked paths apply
-    * when a corpus needs them.
+    * A pair is containment iff the shared-shingle count equals
+    * |shingles(A)|. The join is directed (a != b, not a < b) so mutual
+    * containment (equal shingle sets) emits both directions.
     */
   def containmentPairs(
       df: DataFrame,
@@ -487,10 +484,47 @@ object Dedup {
       idCol: String,
       n: Int = 3
   ): DataFrame = {
-    val sh = df.select(col(s"`${idCol}`").as("id"),
-        graft.functions.SketchExpressions.wordShingles(col(s"`${textCol}`"), n).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .where(col("n_sh") > 0)
+    // RAREST-SHINGLE index — the containment-specific prefix filter, and
+    // strictly better than the full posting self-join: A ⊆ B requires
+    // EVERY shingle of A in B, so A's single globally-rarest shingle
+    // must be among B's postings — indexing ONE row per contained-side
+    // doc is complete. Candidates collapse from Σ df² (quadratic in the
+    // hottest posting, the q38 failure mode) to Σ rarest-df, and the
+    // boilerplate shingles that blow up the naive join are exactly the
+    // ones this index never picks. Verification is one codegen'd
+    // sorted-merge intersect per candidate: |A∩B| == |A|.
+    val sh = shingleFrame(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Frames.releaseAfterNextAction(df.sparkSession, sh)
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+    val rarest = exploded.join(dfreq, "s")
+      .groupBy("id")
+      .agg(min(struct(col("df"), col("s"))).getField("s").as("s"))
+    val candidates = rarest.as("a")
+      .join(exploded.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("n_common",
+        graft.functions.SketchExpressions.sortedIntersectSize(col("sh_a"), col("sh_b"))
+          .cast("long"))
+      .where(col("n_common") === col("na"))
+      .select("id_a", "id_b", "n_common")
+  }
+
+  /** The naive full posting self-join formulation of [[containmentPairs]] —
+    * kept as the spec baseline the rarest-shingle index is proven against.
+    */
+  private[graft] def containmentPairsIndexJoin(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val sh = shingleFrame(df, textCol, idCol, n)
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val a = exploded.as("a"); val b = exploded.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))

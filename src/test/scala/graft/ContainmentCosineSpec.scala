@@ -35,6 +35,21 @@ class ContainmentCosineSpec extends SparkSuite {
     assert(pairs.contains((2L, 5L)) && pairs.contains((5L, 2L)))
   }
 
+  test("containment: rarest-shingle index equals the full posting self-join") {
+    // the production operator (one index row per doc) vs the naive
+    // formulation — identical directed pairs on both the synthetic corpus
+    // and the fixture (mutual containment, subsets, unrelated docs)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "n_common").as[(Long, Long, Long)].collect().toSet
+    val fixture = docs.where(length(trim(col("text"))) > 0)
+    assert(pairs(Dedup.containmentPairs(fixture, "text", "doc_id")) ===
+      pairs(Dedup.containmentPairsIndexJoin(fixture, "text", "doc_id")))
+    val corpus = Tables(spark, sf("sf0.001"), "documents")
+      .where(length(trim(col("text"))) > 0)
+    assert(pairs(Dedup.containmentPairs(corpus, "text", "doc_id")) ===
+      pairs(Dedup.containmentPairsIndexJoin(corpus, "text", "doc_id")))
+  }
+
   test("token cosine: identical docs score 1.0, disjoint docs absent") {
     val pairs = Similarity.tokenCosinePairs(docs, "text", "doc_id", threshold = 0.0)
       .as[(Long, Long, Double)].collect()

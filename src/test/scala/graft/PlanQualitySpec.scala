@@ -94,12 +94,14 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("monotonically_increasing_id"))
   }
 
-  test("q61 containment join is the single-shuffle inverted-index shape") {
+  test("q61 containment runs the rarest-shingle index + sorted-merge verify") {
     val plan = formatted("q61_containment")
-    // shingle kernel map-side; one hash exchange pair for the index
-    // self-join + one for the aggregate — no extra repartition creep.
+    // shingle kernel map-side; ONE index row per contained-side doc
+    // (min-struct aggregate), verification via the codegen'd two-pointer
+    // kernel — not a full posting self-join, no repartition creep.
     assert(plan.contains("word_shingles"))
-    assert("hashpartitioning".r.findAllIn(plan).size <= 3)
+    assert(plan.contains("sorted_intersect_size"))
+    assert("hashpartitioning".r.findAllIn(plan).size <= 6)
   }
 
   test("q62 routes the degenerate-vocabulary corpus to the dense vec_dot join") {
