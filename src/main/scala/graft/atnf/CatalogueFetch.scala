@@ -65,6 +65,22 @@ object CatalogueFetch {
     if (refresh || !Files.exists(snapshotPath)) fetch(url, snapshotPath)
     AtnfTransform.extract(spark, snapshotPath.toString, visitedAt)
   }
+
+  /** VERSION-PINNED fetch-or-reuse (the reference pins the catalogue
+    * version through psrqpy, `atnf/atnf.py:25-27`): the version
+    * participates in both the request URL (`?version=V`) and the snapshot
+    * filename, so a version bump can never silently reuse an older
+    * download, and every historical version stays cached side by side.
+    */
+  def extractLiveVersioned(spark: SparkSession, baseUrl: String, version: String,
+                           snapshotDir: Path, visitedAt: java.sql.Timestamp,
+                           refresh: Boolean = false): DataFrame = {
+    require(version.nonEmpty && version.forall(c => c.isLetterOrDigit || c == '.' || c == '-'),
+      s"catalogue version must be a simple token, got '$version'")
+    val sep = if (baseUrl.contains("?")) "&" else "?"
+    extractLive(spark, s"$baseUrl${sep}version=$version",
+      snapshotDir.resolve(s"atnf_v$version.csv"), visitedAt, refresh)
+  }
 }
 
 final class CatalogueFetchException(msg: String, cause: Throwable)

@@ -80,6 +80,58 @@ class AtnfCheckpointSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("parameterized catalogue query: param subset projects, NAME always kept") {
+    val csv = Files.createTempDirectory("atnf_params").resolve("cat.csv")
+    Files.writeString(csv,
+      """NAME,RAJ,DECJ,DM,W50,P0
+        |J0437-4715,04:37:15.99,-47:15:09.7,2.64,0.141,0.005757
+        |""".stripMargin)
+    val visited = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val subset = AtnfTransform.extract(spark, csv.toString, visited,
+      params = Seq("DM", "P0"))
+    assert(subset.columns.toSet === Set("known_ps.name", "known_ps.dm",
+      "known_ps.period", "known_pulsar_id", "visit.visited_at"))
+    intercept[IllegalArgumentException] {
+      AtnfTransform.extract(spark, csv.toString, visited, params = Seq("BOGUS"))
+    }
+  }
+
+  test("version-pinned live fetch: version in URL and snapshot name, no stale reuse") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val served = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/cat.csv", (x: HttpExchange) => {
+      served.add(x.getRequestURI.toString)
+      val v = Option(x.getRequestURI.getQuery).getOrElse("")
+        .split("&").find(_.startsWith("version=")).map(_.drop(8)).getOrElse("?")
+      val body = s"NAME,RAJ,DECJ,DM,W50,P0\nJ$v,04:37:15.99,-47:15:09.7,1.0,1.0,1.0\n"
+        .getBytes("UTF-8")
+      x.sendResponseHeaders(200, body.length)
+      x.getResponseBody.write(body); x.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/cat.csv"
+      val dir = Files.createTempDirectory("atnf_ver")
+      val visited = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val v1 = graft.atnf.CatalogueFetch.extractLiveVersioned(spark, base, "2.3.0", dir, visited)
+      assert(v1.select("`known_ps.name`").head().getString(0) === "J2.3.0")
+      // a DIFFERENT version must fetch anew (own URL + own snapshot file)…
+      val v2 = graft.atnf.CatalogueFetch.extractLiveVersioned(spark, base, "2.4.0", dir, visited)
+      assert(v2.select("`known_ps.name`").head().getString(0) === "J2.4.0")
+      assert(Files.exists(dir.resolve("atnf_v2.3.0.csv")))
+      assert(Files.exists(dir.resolve("atnf_v2.4.0.csv")))
+      assert(served.size() === 2)
+      assert(served.stream().anyMatch(_.contains("version=2.3.0")))
+      // …while the SAME version reuses its snapshot (no third request).
+      graft.atnf.CatalogueFetch.extractLiveVersioned(spark, base, "2.3.0", dir, visited).count()
+      assert(served.size() === 2)
+      intercept[IllegalArgumentException] {
+        graft.atnf.CatalogueFetch.extractLiveVersioned(spark, base, "../evil", dir, visited)
+      }
+    } finally server.stop(0)
+  }
+
   test("checkpoint: computes once, then reads back (reference read_or_parse_parquet)") {
     val dir = Files.createTempDirectory("cp").toString + "/stage"
     var computed = 0
