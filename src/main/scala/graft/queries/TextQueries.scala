@@ -239,6 +239,20 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Train/test decontamination (the GPT-3/PaLM n-gram overlap rule):
+    // docs with id % 97 == 0 play the evaluation benchmark; every other
+    // doc sharing ANY word 3-gram with it is flagged with its distinct-
+    // gram hit count. Benchmark shingles broadcast — the corpus is never
+    // shuffled; oracle mirrors the rule exactly.
+    "q68_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Decontaminate.contaminationHits(
+          docs.where(pmod(col("doc_id"), lit(97)) =!= 0), "text", "doc_id",
+          docs.where(pmod(col("doc_id"), lit(97)) === 0), "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash sampling: reproducible 25% corpus sample keyed on
     // the row (md5), not on RNG/partition layout — stable across runs,
     // engines and corpus growth. Oracle mirrors the predicate verbatim.
@@ -428,6 +442,16 @@ object TextQueries {
         |  JOIN nrm na ON na.doc_id = a.doc_id JOIN nrm nb ON nb.doc_id = b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         | WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    "q68_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        | corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+        | SELECT doc_id, count(*) AS n_hits FROM corpus JOIN bench USING (g)
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q38_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
