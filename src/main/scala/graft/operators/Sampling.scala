@@ -46,4 +46,28 @@ object Sampling {
     */
   def byHashPredicate(idCol: Column, fraction: Double): Column =
     md5(idCol.cast("string")) < lit(hexThreshold(fraction))
+
+  /** WEIGHTED STRATIFIED sampling — the corpus-MIXING primitive of a
+    * training-data pipeline ("30% of web, 100% of books, 5% of logs"):
+    * each stratum keeps its own deterministic hash fraction, as one
+    * map-side CASE predicate over the broadcast-free weights literal.
+    * Strata absent from `fractions` fall back to `defaultFraction`
+    * (0 = drop unknown sources — the safe default for curated mixes).
+    * Same reproducibility contract as [[byHash]]: the decision is a pure
+    * function of (id, stratum weights); re-partitioning, re-running, or
+    * growing the corpus never flips a row, so mixture re-builds are
+    * incremental by construction. Zero shuffle.
+    */
+  def stratifiedByHash(
+      df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0
+  ): DataFrame = {
+    val h = md5(col(s"`$idCol`").cast("string"))
+    val pred = fractions.toSeq.sortBy(_._1).foldLeft(
+      when(lit(false), lit(false))) { case (acc, (stratum, f)) =>
+        acc.when(col(s"`$strataCol`") === stratum, h < lit(hexThreshold(f)))
+      }.otherwise(h < lit(hexThreshold(defaultFraction)))
+    df.where(pred)
+  }
 }

@@ -264,6 +264,19 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Weighted corpus mixing: per-stratum deterministic hash fractions
+    // ("keep all English, 40% German, 10% of everything else") — one
+    // map-side CASE predicate, reproducible across runs/partitionings/
+    // corpus growth. Oracle mirrors the thresholds verbatim.
+    "q69_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedByHash(
+          Tables(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 1.0, "de" -> 0.4), defaultFraction = 0.1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_doc_id"))
+        .orderBy("lang")
+    }),
+
     // Gopher-style repetition filter: documents whose single most frequent
     // word 2-gram takes > 10% of all their 2-grams (boilerplate /
     // generated-text signal).
@@ -404,6 +417,14 @@ object TextQueries {
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc_id
         | FROM documents
         | WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
+        | GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
+    "q69_stratified_sample" ->
+      """SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc_id
+        | FROM documents
+        | WHERE md5(CAST(doc_id AS VARCHAR)) < CASE lang
+        |   WHEN 'en' THEN 'ffffffffffffffffffffffffffffffff'
+        |   WHEN 'de' THEN '66666666666666666666666666666666'
+        |   ELSE '19999999999999999999999999999999' END
         | GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
     "q65_repetition" ->
       """SELECT doc_id, n_ngrams, round(top_fraction, 6) AS top_fraction FROM (

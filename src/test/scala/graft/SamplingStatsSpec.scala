@@ -33,6 +33,28 @@ class SamplingStatsSpec extends SparkSuite {
     assert(large.filter(_ < 1000) === small)
   }
 
+  test("stratified mixing: per-stratum fractions honored, defaults drop unknowns") {
+    val df = spark.range(30000)
+      .select(col("id"), element_at(array(lit("web"), lit("books"), lit("logs")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("src"))
+    val mixed = Sampling.stratifiedByHash(df, "src", "id",
+      Map("web" -> 0.3, "books" -> 1.0))   // logs absent -> default 0 -> dropped
+    val counts = mixed.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("logs"))
+    assert(counts("books") === 10000L)                         // keep-all stratum
+    assert(math.abs(counts("web") / 10000.0 - 0.3) < 0.05)
+    // per-stratum decisions match the single-stratum operator exactly
+    val webOnly = Sampling.byHash(df.where(col("src") === "web"), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(mixed.where(col("src") === "web").select("id").as[Long].collect().toSet === webOnly)
+    // defaultFraction applies to strata without an explicit weight
+    val withDefault = Sampling.stratifiedByHash(df, "src", "id",
+      Map("books" -> 1.0), defaultFraction = 0.5)
+    val dcounts = withDefault.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(math.abs(dcounts("logs") / 10000.0 - 0.5) < 0.05)
+    assert(math.abs(dcounts("web") / 10000.0 - 0.5) < 0.05)
+  }
+
   test("top-ngram fraction: repeated phrase dominates; short docs degenerate to 1.0") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),              // bigram "spam spam" x4
