@@ -37,6 +37,20 @@ object Gates {
       .where(col("recall_hits") >= minHits)
   }
 
+  /** Emit `df` unchanged iff an aggregate statistic over it clears
+    * `floor` — e.g. the MEAN exact cosine of SimHash-surfaced pairs must
+    * sit well above the corpus's random-pair baseline (per-row floors
+    * don't discriminate when the estimator's tail overlaps the baseline;
+    * the aggregate collapses to the baseline the moment bucketing
+    * breaks). An empty `df` emits empty (failing the rows-check) — no
+    * pairs is itself a regression.
+    */
+  def aggFloor(df: DataFrame, stat: org.apache.spark.sql.Column, floor: Double): DataFrame = {
+    val s = df.agg(stat.cast("double").as("__stat"))
+    df.crossJoin(broadcast(s))
+      .where(col("__stat") >= floor).drop("__stat")
+  }
+
   /** Emit `got` unchanged iff its `idCol` multiset EQUALS `want`'s —
     * an exact-parity gate (e.g. incremental result == batch result).
     */

@@ -104,11 +104,33 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs (rows-only).
+    // SimHash near-dup pairs. Not SQL-expressible (E[hamming]≈64·angle/π
+    // defeats any cosine-threshold oracle), so the plan GATES itself:
+    // each emitted pair's EXACT token cosine is computed in-plan
+    // (codegen'd token_dot over the pair's posting lists — pairs are
+    // few, the join is tiny) and the result collapses to zero rows
+    // unless the MEAN cosine clears 0.8. The floor is aggregate, not
+    // per-row: this corpus's RANDOM-pair cosine baseline is ~0.63
+    // (31-token vocabulary), estimator tails overlap it (observed pair
+    // min 0.63/0.85, mean 0.90 at sf0.1/sf0.01), and broken bucketing
+    // drags the mean to the baseline — which is exactly what trips the
+    // gate.
     "q37_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(
-          Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
-          "text", "doc_id", maxDist = 3)
+      val docs = Tables(s, dir, "documents").where(length(trim(col("text"))) > 0)
+      val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+      val toks = docs.select(col("doc_id").as("id"),
+          explode(split(trim(col("text")), "\\s+")).as("t"))
+        .groupBy("id", "t").agg(count(lit(1)).as("c"))
+      val lists = toks.groupBy("id").agg(
+        sort_array(collect_list(struct(col("t"), col("c")))).as("pl"),
+        sqrt(sum(col("c") * col("c"))).as("nrm"))
+      val dot = graft.functions.TokenDotColumns.tokenDot(col("__pa"), col("__pb"))
+      val scored = pairs
+        .join(lists.select(col("id").as("id_a"), col("pl").as("__pa"), col("nrm").as("__na")), "id_a")
+        .join(lists.select(col("id").as("id_b"), col("pl").as("__pb"), col("nrm").as("__nb")), "id_b")
+        .withColumn("cosine", round(dot / (col("__na") * col("__nb")), 4))
+      Gates.aggFloor(scored, avg(col("cosine")), 0.8)
+        .select("id_a", "id_b", "hamming", "cosine")
         .orderBy("id_a", "id_b")
     }),
 

@@ -1,0 +1,12 @@
+package graft.tools
+/** Dev-only: row counts of named queries at a given SF (gate sanity). */
+object RowProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.init(graft.Sessions.builder("local[16]", 16).getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    args.tail.foreach { q =>
+      println(s"[rowprobe] $q rows=" + graft.SparkEntry.queries(q)(spark, args.head).count())
+    }
+    spark.stop()
+  }
+}
