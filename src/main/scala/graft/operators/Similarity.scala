@@ -264,7 +264,7 @@ object Similarity {
         // limit(V+1) keeps the probe O(denseMaxVocab) however large the
         // true vocabulary is.
         val vs = dfreq.select("t").limit(denseMaxVocab + 1).collect().map(_.getString(0))
-        if (vs.length > denseMaxVocab) None
+        if (vs.isEmpty || vs.length > denseMaxVocab) None // empty corpus -> prefix (trivially empty)
         // Routing probe only — approx distinct (no shuffle-by-id) is fine:
         // the bound guards quadratic blowup, not correctness.
         else if (toks.agg(approx_count_distinct("id")).head().getLong(0) > denseMaxRows) None
