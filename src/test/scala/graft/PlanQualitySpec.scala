@@ -125,6 +125,26 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.toLowerCase.contains("least"))  // normalized pair ordering
   }
 
+  test("q69 stratified mixing is one map-side predicate + one aggregation shuffle") {
+    val plan = formatted("q69_stratified_sample")
+    // the per-stratum CASE predicate filters during the scan stage; the
+    // only exchanges belong to the groupBy + tiny final sort — a
+    // repartition or join here would mean the mixer stopped being
+    // map-side.
+    assert(!plan.contains("Join"))
+    assert("hashpartitioning".r.findAllIn(plan).size === 1)
+  }
+
+  test("q59 serves ADC shortlist via per-partition heaps and broadcast re-rank") {
+    val plan = formatted("q59_ann_pq")
+    // compressed scan -> TakeOrderedAndProject (no full sort of the
+    // corpus); the exact re-rank joins the SHORTLIST broadcast against
+    // raw vectors, never shuffling the corpus.
+    assert(plan.contains("pq_adc"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("q32/q33 text metrics run fully inside whole-stage codegen") {
     Seq("q32_token_count", "q33_quality").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf("sf0.01"))
