@@ -123,6 +123,61 @@ object Multimodal {
     }
   }
 
+  /** One resized asset: payload swapped for the re-encoded image, true
+    * output dimensions, `resized=false` marks pass-through rows.
+    */
+  final case class ResizedMedia(
+      asset_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      resized: Boolean)
+
+  /** REAL image resize, in-JDK end to end: ImageIO decode → bilinear
+    * `Graphics2D` scale into a `maxDim` bounding box (aspect preserved,
+    * never upscaled) → PNG re-encode. Payloads ImageIO cannot parse
+    * (audio/video) pass through byte-identical with `resized=false` —
+    * the same marked-fallback contract as [[MediaCodec.decode]]. Runs in
+    * `mapPartitions` like [[extractFeatures]]: per-partition codec
+    * amortization, rows stream through, the shape `mapInPandas` batching
+    * takes on a Python stack.
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedMedia] = {
+    require(maxDim > 0, "maxDim must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          ResizedMedia(r.asset_id, r.media_type, r.payload, -1, -1, resized = false)
+        else {
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          if (scale >= 1.0)   // already inside the box — keep original bytes
+            ResizedMedia(r.asset_id, r.media_type, r.payload,
+              img.getWidth, img.getHeight, resized = true)
+          else {
+            val w = math.max(1, math.rint(img.getWidth * scale).toInt)
+            val h = math.max(1, math.rint(img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedMedia(r.asset_id, r.media_type, bos.toByteArray, w, h, resized = true)
+          }
+        }
+      }
+    }
+  }
+
   /** Frame/chunk sampling plumbing: split a payload into fixed-size chunks
     * (video frame extraction stand-in) — explode keeps it distributed, chunk
     * index is carried for downstream ordering.

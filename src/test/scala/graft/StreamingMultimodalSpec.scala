@@ -70,6 +70,35 @@ class StreamingMultimodalSpec extends SparkSuite {
     assert(!Multimodal.extractFeatures(broken).collect().head.decoded)
   }
 
+  test("multimodal: real resize — bounding box honored, re-decodable PNG, fallback marked") {
+    // 80x40 gradient image; resize into a 20px box -> 20x10 output.
+    val img = new java.awt.image.BufferedImage(80, 40, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 40; x <- 0 until 80) img.setRGB(x, y, (x * 3) << 16 | (y * 6))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png, "mem://big.png"),
+      Multimodal.MediaRecord(2L, "audio", Array.fill(100)(7.toByte), "mem://a.wav")
+    ).toDS()
+    val out = Multimodal.resizeImages(media, maxDim = 20).collect()
+      .map(r => r.asset_id -> r).toMap
+    val r1 = out(1L)
+    assert(r1.resized && r1.width === 20 && r1.height === 10)
+    // the payload is a REAL png of the new size — ImageIO round-trips it
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r1.payload))
+    assert(back.getWidth === 20 && back.getHeight === 10)
+    // non-image pass-through: byte-identical, marked
+    val r2 = out(2L)
+    assert(!r2.resized && r2.payload.toSeq === Array.fill(100)(7.toByte).toSeq)
+    // already-inside-the-box images keep their original bytes
+    val small = Multimodal.resizeImages(
+      Seq(Multimodal.MediaRecord(3L, "image", png, "mem://same.png")).toDS(),
+      maxDim = 500).collect().head
+    assert(small.resized && small.width === 80 && small.payload.toSeq === png.toSeq)
+  }
+
   test("multimodal: binaryFile dir scan -> typed records -> features, end to end") {
     val dir = Files.createTempDirectory("media")
     (1 to 5).foreach { i =>
