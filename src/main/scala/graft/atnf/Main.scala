@@ -10,10 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   graft.atnf.Main --snapshot CSV [--url URL] [--version V] [--out DIR]
   *
   * With `--url` the snapshot is fetched live (retry/backoff, atomic
-  * write) and reused on later runs; without it the CSV at `--snapshot`
-  * is read as-is. `--out` writes the transformed catalogue as parquet;
-  * otherwise the row count is printed (the reference main's smoke
-  * behavior).
+  * write) version-pinned — `--snapshot` is treated as the snapshot
+  * DIRECTORY and `--version` participates in both the request URL and
+  * the per-version snapshot filename, so a version bump re-fetches
+  * instead of silently reusing a stale file. Without `--url` the CSV at
+  * `--snapshot` is read as-is. `--out` writes the transformed catalogue
+  * as parquet; otherwise the row count is printed (the reference main's
+  * smoke behavior).
   */
 object Main {
 
@@ -39,7 +42,7 @@ object Main {
   def run(spark: SparkSession, a: Args,
           visitedAt: java.sql.Timestamp = new java.sql.Timestamp(0L)): DataFrame = {
     val extracted = a.url match {
-      case Some(u) => CatalogueFetch.extractLive(spark, u,
+      case Some(u) => CatalogueFetch.extractLiveVersioned(spark, u, a.version,
         java.nio.file.Paths.get(a.snapshot), visitedAt)
       case None => AtnfTransform.extract(spark, a.snapshot, visitedAt)
     }

@@ -24,9 +24,19 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Callers that run eager actions INSIDE an operator (e.g. the skew-guard
   * df probe) must register AFTER those actions, or the probe itself would
   * trigger the release.
+  *
+  * Registration is race-safe against those probes: listener events are
+  * delivered asynchronously, so a probe that completed just before
+  * registration could still deliver its `onSuccess` to the new listener —
+  * releasing the frames before the real query runs (correct but slow: the
+  * consumer silently recomputes) and, with no later action, leaking the
+  * listener for the session lifetime. [[releaseAfterNextAction]] therefore
+  * drains the listener bus BEFORE registering, so only actions that start
+  * after registration can fire the release.
   */
 object Frames {
   def releaseAfterNextAction(spark: SparkSession, frames: DataFrame*): Unit = {
+    org.apache.spark.GraftSparkShim.drainListenerBus(spark.sparkContext)
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         release()

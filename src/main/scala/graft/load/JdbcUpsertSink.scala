@@ -189,6 +189,12 @@ object JdbcUpsertSink {
 
   private def preTable(t: TargetInfo) = s"${t.table}__pre"
 
+  /** Durable success record for [[loadAllOrNothing]] — see the Scaladoc.
+    * One marker per database under the SINGLE-WRITER assumption the whole
+    * compensation scheme already requires.
+    */
+  val markerTable = "graft__load_ok"
+
   /** SQL for the compensation scheme of [[loadAllOrNothing]]: snapshot the
     * natural keys that existed BEFORE the merge, and the reverse-order
     * delete of rows this run inserted (in stage, not in the snapshot).
@@ -233,6 +239,22 @@ object JdbcUpsertSink {
     * (children first) BEFORE loading — never drop-only, which would
     * fossilize the partial load as committed data.
     *
+    * SUCCESS MARKER: the pair alone is AMBIGUOUS — a driver death during
+    * the success-path cleanup would leave the same pairs, and compensating
+    * them would delete rows of a fully COMMITTED load (and only for the
+    * targets whose cleanup hadn't run: a partial rollback, the exact
+    * violation this method exists to prevent). So the transition from
+    * "in-flight" to "succeeded" is one atomic statement: after ALL merges
+    * commit, `CREATE TABLE graft__load_ok` is the durable success record.
+    * Startup that finds the marker knows every leftover pair belongs to a
+    * successful run and cleans up (truncate stage, drop snapshot) instead
+    * of compensating; without it, pairs mean an in-flight death and are
+    * compensated. A death after the last merge but BEFORE the marker rolls
+    * the whole run back consistently (every pair is present) — still
+    * all-or-nothing, converging on re-run. Cleanup order (truncate stage,
+    * then drop pre, marker dropped last) keeps every intermediate state
+    * recoverable: a pre with an empty stage compensates to a no-op.
+    *
     * SINGLE-WRITER assumption (same as the reference's Dagster-serialized
     * runs): compensation identifies "rows this run inserted" by natural
     * key (stage minus pre-snapshot). A CONCURRENT writer inserting the
@@ -255,11 +277,27 @@ object JdbcUpsertSink {
     def exists(table: String): Boolean =
       try { conn.createStatement().execute(s"SELECT 1 FROM $table WHERE 1=0"); true }
       catch { case _: java.sql.SQLException => false }
-    // Crash recovery: a leftover __pre + __stage pair means a prior run
-    // died after a committed merge but before compensating. Compensate
-    // (children first — reverse FK order) and only then drop the snapshot;
-    // a __pre without its stage never merged, so dropping it is enough.
-    targets.reverse.foreach { case (t, _) =>
+    def truncateStage(t: TargetInfo): Unit =
+      try conn.createStatement().execute(dialect.truncateSql(t))
+      catch { case _: java.sql.SQLException => () } // stage may not exist
+    def dropMarker(): Unit =
+      try conn.createStatement().execute(s"DROP TABLE $markerTable")
+      catch { case _: java.sql.SQLException => () }
+    // Neutralize-then-drop: once a target's stage is empty, its leftover
+    // snapshot can never compensate anything away (delete matches stage
+    // rows) — every intermediate state of this cleanup is safe to re-run.
+    def cleanupPair(t: TargetInfo): Unit = { truncateStage(t); dropPre(t) }
+    // Crash recovery. The success marker disambiguates leftover pairs:
+    //  - marker present: the prior run COMMITTED everything and died during
+    //    cleanup — finish the cleanup, compensate nothing.
+    //  - no marker: a pair means the prior run died after a committed merge
+    //    but before compensating. Compensate (children first — reverse FK
+    //    order) and only then drop the snapshot; a __pre without its stage
+    //    never merged, so dropping it is enough.
+    if (exists(markerTable)) {
+      targets.reverse.foreach { case (t, _) => cleanupPair(t) }
+      dropMarker()
+    } else targets.reverse.foreach { case (t, _) =>
       if (exists(preTable(t))) {
         if (exists(s"${t.table}__stage"))
           conn.createStatement().execute(compensateSql(t))
@@ -275,7 +313,11 @@ object JdbcUpsertSink {
         keyMaps += t.table -> loadOne(spark, jdbcUrl, props, conn, dialect,
           t, view0, keyMaps)
       }
-      loaded.foreach(dropPre)
+      // Atomic success point: from here on, recovery cleans up instead of
+      // compensating. Created BEFORE any pre/stage is touched.
+      conn.createStatement().execute(s"CREATE TABLE $markerTable (ok INT)")
+      loaded.foreach(cleanupPair)
+      dropMarker() // last: while it exists, leftover pairs are drop-only
     } catch {
       case e: Throwable =>
         // Children first (reverse load order): FKs stay valid while rows

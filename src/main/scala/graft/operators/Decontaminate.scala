@@ -46,8 +46,16 @@ object Decontaminate {
   }
 
   /** The decontaminated corpus: rows whose document shares NO word n-gram
-    * with the benchmark (broadcast anti-join on the hit set — corpus
-    * columns pass through untouched).
+    * with the benchmark (anti-join on the hit set — corpus columns pass
+    * through untouched).
+    *
+    * The BENCHMARK shingle set is bounded by construction (eval suites),
+    * so [[contaminationHits]] force-broadcasts it. The HIT set is not: on
+    * a heavily contaminated corpus it scales with the corpus, and a forced
+    * `broadcast()` hint would bypass Spark's size threshold — driver OOM
+    * instead of a plan change. So the anti-join carries no hint: AQE
+    * broadcasts it when its runtime size is under the threshold (the
+    * common case) and falls back to a shuffled anti-join when it isn't.
     */
   def clean(
       corpus: DataFrame, textCol: String, idCol: String,
@@ -56,6 +64,6 @@ object Decontaminate {
   ): DataFrame = {
     val hits = contaminationHits(corpus, textCol, idCol, benchmark, benchTextCol, n)
       .select(col("id").as("__contaminated_id"))
-    corpus.join(broadcast(hits), q(idCol) === col("__contaminated_id"), "left_anti")
+    corpus.join(hits, q(idCol) === col("__contaminated_id"), "left_anti")
   }
 }

@@ -422,6 +422,18 @@ object SpcclWriteCommit {
   def commit(path: String, writeId: String, messages: Array[WriterCommitMessage],
              confEntries: Array[(String, String)]): Unit = {
     val f = fs(path, confEntries)
+    // The exists/delete below makes RE-DELIVERED epochs idempotent, but it
+    // would also silently keep only the last writer when two rows in the
+    // SAME batch map to one final path (duplicate `filename` keys) —
+    // undetected data loss. All commit messages are on the driver, so
+    // detect intra-batch collisions up front and fail the job instead.
+    val finals = messages.flatMap { case SpcclCommit(pairs) => pairs.map(_._2) }
+    val dups = finals.groupBy(identity).filter(_._2.length > 1).keys
+    if (dups.nonEmpty) {
+      abort(path, writeId, confEntries)
+      sys.error("spccl write commit: multiple rows in one batch map to the " +
+        s"same output file (duplicate filename keys): ${dups.take(5).mkString(", ")}")
+    }
     messages.foreach { case SpcclCommit(pairs) =>
       pairs.foreach { case (tmp, fin) =>
         val finPath = new Path(fin)

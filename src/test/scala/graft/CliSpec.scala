@@ -54,6 +54,35 @@ class CliSpec extends SparkSuite {
     assert(back.select("`cat.version`").head().getString(0) === "9.9")
   }
 
+  test("atnf CLI: --url fetches VERSION-PINNED — a version bump re-fetches") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val versionsServed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/cat.csv", (x: HttpExchange) => {
+      versionsServed.add(x.getRequestURI.getQuery)
+      val body = "NAME,RAJ,DECJ,DM,W50,P0\nJ0437-4715,04:37:15.99,-47:15:09.7,2.64,0.141,0.005757\n"
+        .getBytes("UTF-8")
+      x.sendResponseHeaders(200, body.length)
+      x.getResponseBody.write(body); x.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/cat.csv"
+      val snapDir = Files.createTempDirectory("atnf_cli_live")
+      def runV(v: String) = graft.atnf.Main.run(spark, graft.atnf.Main.Args(
+        snapshot = snapDir.toString, url = Some(url), version = v))
+      assert(runV("1.0").select("`cat.version`").head().getString(0) === "1.0")
+      // the version reached the request URL, and the snapshot is per-version
+      assert(versionsServed.toArray.toSeq === Seq("version=1.0"))
+      assert(Files.exists(snapDir.resolve("atnf_v1.0.csv")))
+      runV("1.0")          // same version: snapshot reused, no new request
+      assert(versionsServed.size === 1)
+      runV("2.0")          // version bump: MUST re-fetch, not reuse v1.0
+      assert(versionsServed.toArray.toSeq === Seq("version=1.0", "version=2.0"))
+      assert(Files.exists(snapDir.resolve("atnf_v2.0.csv")))
+    } finally server.stop(0)
+  }
+
   test("CLI arg parsing rejects unknown flags and missing required ones") {
     intercept[RuntimeException] { graft.meertrap.Main.parse(Array("--bogus", "x")) }
     intercept[IllegalArgumentException] { graft.meertrap.Main.parse(Array.empty) }

@@ -33,6 +33,20 @@ class FramesSpec extends SparkSuite {
     eventually { assert(df.storageLevel === StorageLevel.NONE) }
   }
 
+  test("an action completed just before registration cannot fire the release") {
+    val df = spark.range(800).toDF("id").persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    // An eager "probe" action that completes immediately before
+    // registration — its async listener event must NOT be delivered to the
+    // new listener (Frames drains the bus before registering).
+    spark.range(100).count()
+    graft.core.Frames.releaseAfterNextAction(spark, df)
+    Thread.sleep(500) // window for a stale event to (wrongly) deliver
+    assert(df.storageLevel !== StorageLevel.NONE)
+    spark.range(10).count() // first post-registration action fires it
+    eventually { assert(df.storageLevel === StorageLevel.NONE) }
+  }
+
   test("release is one-shot: later persists of the same plan are untouched") {
     val df = spark.range(500).toDF("id").persist(StorageLevel.MEMORY_AND_DISK)
     df.count()

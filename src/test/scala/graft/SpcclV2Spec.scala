@@ -159,6 +159,30 @@ class SpcclV2Spec extends SparkSuite {
     assert(Files.exists(Paths.get(out, "_quarantine/bad/cand2.spccl.log")))
   }
 
+  test("V2 write: duplicate filename keys in one batch fail the commit (no silent last-writer-wins)") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("spccl_v2_dup").toString
+    // Two DIFFERENT rows mapping to the SAME final path: the idempotent
+    // exists/delete in commit must not mask this as a quiet overwrite.
+    val rows = Seq(
+      ("same/cand.spccl", 60000.5, 4.0, 1.5, 12.5, 7, "C", "04:37", "-47:15", 1, 0.9, "f.fil", "p.jpg"),
+      ("same/cand.spccl", 60000.6, 4.1, 1.5, 12.6, 8, "C", "04:38", "-47:16", 1, 0.8, "f.fil", "p.jpg"))
+      .toDF("filename", "mjd", "dm", "width", "snr", "beam", "beam_mode",
+        "ra", "dec", "label", "probability", "fil_file", "plot_file")
+    val e = intercept[Exception] {
+      rows.repartition(2).write.format("graft.sources.v2.SpcclDataSource")
+        .mode("append").save(out)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("duplicate filename keys"))))
+    // the commit aborted: nothing (clean or staged) survives at the target
+    assert(!Files.exists(Paths.get(out, "same")))
+    assert(!Files.exists(Paths.get(out, "_temporary")) ||
+      Files.list(Paths.get(out, "_temporary")).count() === 0)
+  }
+
   test("V2 streaming sink: archive-to-archive stream write is readable and complete") {
     import java.nio.file.Files
     val srcRoot = graft.meertrap.FixtureGen.generate().toString

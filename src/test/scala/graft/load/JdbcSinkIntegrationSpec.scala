@@ -141,6 +141,41 @@ class JdbcSinkIntegrationSpec extends SparkSuite {
       .head.head === 0)
   }
 
+  test("loadAllOrNothing: a post-SUCCESS crash is cleaned up, never compensated") {
+    // Simulate a driver death AFTER all merges committed and the success
+    // marker was written, but BEFORE cleanup finished: __pre + __stage are
+    // leftover exactly as in the mid-load crash — only the marker
+    // disambiguates. Startup must keep the committed rows (drop-only),
+    // not compensate them away as a partial load.
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE port (port_id BIGINT PRIMARY KEY, " +
+        "pname VARCHAR(50) NOT NULL UNIQUE)")
+      st.execute("INSERT INTO port VALUES (100, 'old')")   // pre-existed
+      st.execute("INSERT INTO port VALUES (55, 'fresh')")  // committed by the crashed run
+      st.execute("CREATE TABLE port__pre (pname VARCHAR(50))")
+      st.execute("INSERT INTO port__pre VALUES ('old')")
+      st.execute("CREATE TABLE port__stage (port_id BIGINT, pname VARCHAR(50))")
+      st.execute("INSERT INTO port__stage VALUES (1, 'old')")
+      st.execute("INSERT INTO port__stage VALUES (55, 'fresh')")
+      st.execute(s"CREATE TABLE ${JdbcUpsertSink.markerTable} (ok INT)")
+    } finally conn.close()
+
+    val portT = TargetInfo("port", "", "port_id", Seq("pname"), Nil)
+    val ports = Seq((1L, "old"), (2L, "newer")).toDF("port_id", "pname")
+    JdbcUpsertSink.loadAllOrNothing(spark, url, props, Seq(portT -> ports), DerbyDialect)
+
+    // 'fresh' SURVIVED (it was a committed success, not a fossil), and the
+    // new load merged on top; marker and snapshots are gone.
+    assert(query("SELECT port_id, pname FROM port ORDER BY pname") ===
+      Seq(Seq(55L, "fresh"), Seq(2L, "newer"), Seq(100L, "old")))
+    assert(query("SELECT count(*) FROM SYS.SYSTABLES WHERE TABLENAME LIKE '%__PRE'")
+      .head.head === 0)
+    assert(query(s"SELECT count(*) FROM SYS.SYSTABLES WHERE TABLENAME = " +
+      s"'${JdbcUpsertSink.markerTable.toUpperCase}'").head.head === 0)
+  }
+
   test("typed error mapping: FK violation during merge -> ForeignKeyViolationException") {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
