@@ -112,14 +112,21 @@ object VectorQueries {
         .select(col("vec_id"), round(col("dist"), 6).as("dist"), col("recall_hits"))
     }),
 
-    // Embedding-cosine near-dup pairs — EXACT all-pairs variant
-    // (oracle-checked). The synthetic embeddings have no planted near-dups
-    // (max pairwise cosine ≈ 0.51 at sf0.01), so the demo threshold is low
-    // enough to surface real pairs. The LSH-blocked scale path
-    // (Similarity.cosineDupPairs) is spec-verified as a subset of this one.
+    // Embedding-cosine dup pairs — EXACT, oracle-checked, through the
+    // BLOCK-PARTITIONED equi-join (no BroadcastNestedLoopJoin: each row
+    // hashes to an id-block, pairs enumerate via a shuffled join on
+    // block-pair keys — see Similarity.cosineDupPairsExactBlocked). The
+    // threshold must sit at 0.35 to surface any pairs at all (the
+    // synthetic embeddings have no planted near-dups; max pairwise cosine
+    // ≈ 0.51), which is BELOW the regime where angular blocking can prune
+    // without dropping true pairs — qualifying pairs form a gapless tail
+    // over the random baseline, so the O(n²) work is irreducible for an
+    // exact answer and explicitly bounded. At near-dup thresholds the
+    // banded-LSH Similarity.cosineDupPairs is the scale path,
+    // planted-pair spec-verified against this exact baseline.
     "q44_embed_dup_pairs" -> ((s, dir) => {
-      Similarity.cosineDupPairsExact(Tables(s, dir, "embeddings"),
-          "embedding", "vec_id", threshold = 0.35)
+      Similarity.cosineDupPairsExactBlocked(Tables(s, dir, "embeddings"),
+          "embedding", "vec_id", threshold = 0.35, blocks = 16)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     }),

@@ -83,9 +83,48 @@ class CorpusPipelineSpec extends SparkSuite {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Similarity.cosineDupPairsExact(emb, "embedding", "vec_id", 0.35))
-    val lsh   = pairs(Similarity.cosineDupPairs(emb, "embedding", "vec_id", 0.35, nBits = 4))
+    val lsh   = pairs(Similarity.cosineDupPairs(emb, "embedding", "vec_id", 0.35,
+      bandBits = 8, bands = 16))
     assert(lsh.subsetOf(exact))
     assert(exact.nonEmpty)
+  }
+
+  test("blocked exact cosine pairs == naive exact (pairs AND cosines), any orientation") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf("sf0.001"), "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // bit-identical cosines required (the q44 oracle hashes them)
+    assert(rows(Similarity.cosineDupPairsExactBlocked(emb, "embedding", "vec_id", 0.35,
+        blocks = 7)) ===
+      rows(Similarity.cosineDupPairsExact(emb, "embedding", "vec_id", 0.35)))
+  }
+
+  test("banded-LSH cosine dup pairs: FULL recall on planted near-dups (its intended regime)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // 200 base vectors (deterministic hash noise, near-orthogonal) + 40
+    // planted near-duplicates (small deterministic perturbation — cosine
+    // vs their source ≥ ~0.95).
+    def vec(seed: Long, dim: Int): Seq[Float] =
+      (0 until dim).map { i =>
+        val h = ((seed * 2654435761L + i * 40503L) & 0xffffL).toFloat
+        (h / 65535.0f) * 2.0f - 1.0f
+      }
+    val base = (0L until 200L).map(s => (s, vec(s, 32)))
+    val dups = (0L until 40L).map { j =>
+      val src = base(j.toInt * 5)
+      (1000L + j, src._2.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 7 == 0) 0.02f else 0.0f) })
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact   = pairs(Similarity.cosineDupPairsExact(emb, "embedding", "vec_id", 0.9))
+    val blocked = pairs(Similarity.cosineDupPairs(emb, "embedding", "vec_id", 0.9))
+    assert(exact.size >= 40)             // every planted dup qualifies
+    assert(blocked === exact)            // banding recalls ALL of them
   }
 
   test("corpus pipeline: monotonic reductions, no surviving exact dups") {

@@ -135,6 +135,21 @@ class PlanQualitySpec extends SparkSuite {
     assert("hashpartitioning".r.findAllIn(plan).size === 1)
   }
 
+  test("q44 exact cosine pairs enumerate through the blocked equi-join — never a nested loop") {
+    val plan = formatted("q44_embed_dup_pairs")
+    // The id_a < id_b all-pairs formulation plans as a
+    // BroadcastNestedLoopJoin (one side broadcast whole to every task) —
+    // the one shape that cannot survive scale. The blocked triangle join
+    // must keep pair enumeration on a shuffled equi-join over block-pair
+    // keys.
+    // Any EQUI-join operator is the correct shape (Catalyst picks broadcast
+    // at this SF because the exploded side is megabytes; at scale the same
+    // plan resolves to a shuffled sort-merge on the block-pair key).
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("q59 serves ADC shortlist via per-partition heaps and broadcast re-rank") {
     val plan = formatted("q59_ann_pq")
     // compressed scan -> TakeOrderedAndProject (no full sort of the
