@@ -257,13 +257,65 @@ object Pq {
     * textbook IVF-PQ composition: residuals concentrate near the origin,
     * so the same code bits carry materially more precision than on raw
     * vectors (Jégou et al., PAMI'11 — "product quantization for nearest
-    * neighbor search", IVFADC).
+    * neighbor search", IVFADC). `withRotation` additionally trains an OPQ
+    * rotation ON THE RESIDUALS (the composed OPQ+IVFADC stack).
     */
   def trainResidual(df: DataFrame, vecCol: String, idCol: String, ivf: Ivf.Model,
-                    dim: Int, m: Int = 8, k: Int = 16, iters: Int = 5): Model = {
+                    dim: Int, m: Int = 8, k: Int = 16, iters: Int = 5,
+                    withRotation: Boolean = false): Model = {
     val withRes = Ivf.withCluster(df, vecCol, ivf)
       .withColumn("__res", residualCol(q(vecCol), col("__cluster"), ivf))
-    train(withRes, "__res", idCol, dim, m, k, iters)
+    val rot = if (withRotation) Some(trainRotation(withRes, "__res", dim, m)) else None
+    train(withRes, "__res", idCol, dim, m, k, iters, rot)
+  }
+
+  /** The COMPOSED in-plan IVFADC serving stack (Jégou et al., TPAMI'11
+    * §VII, IVFADC + re-rank): coarse-cluster pruning feeds a residual-code
+    * ADC scan, the shortlist re-ranks exactly from raw vectors.
+    *
+    *   1. cluster pruning: rows are assigned their coarse cluster (argmin
+    *      over centroid literals, map-side) and FILTERED to the `nProbe`
+    *      clusters nearest the query before anything else runs — the
+    *      in-plan analogue of the partition-pruned read over a
+    *      [[writeIvfPqResidual]] layout ([[ivfPqResidualTopK]]), where the
+    *      same predicate prunes directories instead;
+    *   2. residual ADC: surviving rows encode their residual
+    *      (v - centroid) with the residual codebooks, and the ADC distance
+    *      uses the table of the row's OWN cluster — the per-cluster tables
+    *      (query-residual vs that centroid) branch in one CASE chain, so
+    *      each row pays exactly one table walk;
+    *   3. shortlist top via per-partition heaps (TakeOrderedAndProject),
+    *      then the exact re-rank joins the broadcast shortlist against raw
+    *      vectors — identical to [[adcTopKRerank]]'s tail.
+    */
+  def ivfAdcTopKRerank(raw: DataFrame, vecCol: String, idCol: String,
+                       ivf: Ivf.Model, pq: Model, query: Seq[Double], k: Int,
+                       nProbe: Int, shortlist: Int = 100): DataFrame = {
+    import graft.functions.VectorFns
+    val probes = ivf.nearestClusters(query).take(nProbe)
+    val pruned = Ivf.withCluster(raw, vecCol, ivf)
+      .where(col("__cluster").isin(probes.map(Integer.valueOf): _*))
+    val encoded = encode(
+      pruned.withColumn("__res", residualCol(q(vecCol), col("__cluster"), ivf)),
+      "__res", pq)
+    // Per-cluster ADC table on the query's residual against THAT centroid;
+    // CASE evaluates only the matching branch, so one table walk per row.
+    val dist = probes.map { j =>
+      val qRes = query.zip(ivf.centroids(j)).map { case (a, b) => a - b }
+      (j, PqColumns.pqAdc(col("__pq"), pq.adcTable(qRes)))
+    }.foldRight(lit(Double.MaxValue): Column) { case ((j, d), acc) =>
+      when(col("__cluster") === j, d).otherwise(acc)
+    }
+    val short = encoded.select(q(idCol), dist.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, q(idCol).asc)
+      .limit(shortlist)
+      .select(q(idCol))
+    val v = q(vecCol)
+    raw.join(broadcast(short), Seq(idCol))
+      .select(q(idCol),
+        (VectorFns.dot(v, v) - VectorFns.dot(v, VectorFns.vecLit(query)) * 2.0d).as("dist"))
+      .orderBy(col("dist").asc, q(idCol).asc)
+      .limit(k)
   }
 
   /** IVF-PQ layout: the corpus written partitioned by coarse IVF cluster

@@ -169,14 +169,38 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     }),
 
-    // Composite corpus-prep pipeline (rows-only): annotate -> quality
-    // filter -> exact dedup -> LSH near-dup clusters -> representatives.
+    // Composite corpus-prep pipeline: annotate -> quality filter -> exact
+    // dedup -> LSH near-dup clusters -> representatives. The composite
+    // itself is not SQL-expressible (LSH internals), but every stage is
+    // individually oracle-checked — so the plan GATES on exact id-parity
+    // with an independent stage-by-stage recomposition built from those
+    // oracled formulations (tokenCount/q32, qualityScore via the composed
+    // Columns rather than the kernel, exactByFingerprint/q31, then the
+    // same LSH clustering). Any drift in how run() threads the stages
+    // (filter ordering, column plumbing, anti-join orientation) breaks
+    // parity and fails the driver's rows-check.
     "q52_corpus_pipeline" -> ((s, dir) => {
-      graft.corpus.CorpusPipeline.run(
-          Tables(s, dir, "documents"),
-          graft.corpus.CorpusPipeline.Config(
-            minTokens = 3, minQuality = 0.1, nearDupThreshold = 0.9))
-        .corpus
+      val docs = Tables(s, dir, "documents")
+      val res = graft.corpus.CorpusPipeline.run(docs,
+        graft.corpus.CorpusPipeline.Config(
+          minTokens = 3, minQuality = 0.1, nearDupThreshold = 0.9))
+      val refiltered = docs.where(col("text").isNotNull)
+        .where(TextFns.tokenCount(col("text")) >= 3 &&
+          TextFns.qualityScore(col("text")) >= 0.1)
+      // Persisted: consumed twice — eagerly by connectedComponents' edge
+      // collect (through the LSH pair pipeline) and lazily by the final
+      // anti-join under the parity gate.
+      val reExact = Dedup.exactByFingerprint(refiltered, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rePairs = Dedup.minhashLshPairs(reExact, "text", "doc_id",
+        shingleN = 3, threshold = 0.9)
+      val reDrop = Dedup.connectedComponents(rePairs)
+        .where(col("id") =!= col("label")).select("id")
+      val reCorpus = reExact.join(reDrop,
+        reExact("doc_id") === reDrop("id"), "left_anti").select("doc_id")
+      // Registered AFTER connectedComponents' eager edge collect.
+      graft.core.Frames.releaseAfterNextAction(s, reExact)
+      Gates.setParity(res.corpus, reCorpus, "doc_id")
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("lang_pred"), round(col("quality"), 6).as("quality"))
         .orderBy("doc_id")
@@ -206,9 +230,14 @@ object TextQueries {
       val sig = graft.operators.Dedup
         .minhashSignaturesGen(docs, "doc_id", "text", 3, 64)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def freshIx() = new graft.streaming.StreamingDedup.LshIndex(
-        java.nio.file.Files.createTempDirectory("graft_q57_ix").toString + "/ix",
-        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      val ixRoots = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+      def freshIx() = {
+        val root = java.nio.file.Files.createTempDirectory("graft_q57_ix")
+        ixRoots += root
+        new graft.streaming.StreamingDedup.LshIndex(
+          root.toString + "/ix",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      }
       val ix = freshIx()
       // Batches split at the median id: arrival order consistent with the
       // greedy keep-lowest-id order (the realistic time-ordered stream) —
@@ -230,6 +259,14 @@ object TextQueries {
       // that consumes this query — not before (the passes above already
       // completed, so registration here cannot fire early).
       graft.core.Frames.releaseAfterNextAction(s, docs, sig)
+      // The index dirs are likewise DEAD already: every index read/write
+      // happened inside the eager dedupeBatch passes, and the returned
+      // frames anti-join only the localCheckpoint'd drop-sets. Delete the
+      // temp indexes now instead of leaking one pair per invocation.
+      ixRoots.foreach { root =>
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       Gates.setParity(incremental, oneShot, "doc_id").orderBy("doc_id")
     }),
 

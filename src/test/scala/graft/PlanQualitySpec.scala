@@ -150,14 +150,21 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
-  test("q59 serves ADC shortlist via per-partition heaps and broadcast re-rank") {
+  test("q59 composes cluster pruning -> residual ADC -> heap shortlist -> broadcast re-rank") {
     val plan = formatted("q59_ann_pq")
+    // the IVF cluster-pruning predicate gates the scan BEFORE the ADC
+    // projection runs (the in-plan analogue of the layout's partition
+    // pruning)
+    assert(plan.contains(" IN ("))
     // compressed scan -> TakeOrderedAndProject (no full sort of the
     // corpus); the exact re-rank joins the SHORTLIST broadcast against
     // raw vectors, never shuffling the corpus.
     assert(plan.contains("pq_adc"))
     assert(plan.contains("TakeOrderedAndProject"))
     assert(plan.contains("BroadcastHashJoin"))
+    // cluster pruning must FEED the ADC scan: the IN filter sits upstream
+    // of the first pq_adc occurrence in the formatted plan's detail section
+    assert(plan.indexOf(" IN (") < plan.indexOf("pq_adc"))
   }
 
   test("q32/q33 text metrics run fully inside whole-stage codegen") {

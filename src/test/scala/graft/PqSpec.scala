@@ -201,4 +201,32 @@ class PqSpec extends SparkSuite {
       l.contains("PartitionFilters") && l.contains("cluster")))
     assert(pruned.count() === 5)
   }
+
+  test("composed in-plan IVFADC+rerank: full probe + full shortlist == exact top-k") {
+    import graft.operators.Ivf
+    import graft.functions.VectorFns
+    val ivf = Ivf.train(emb, "embedding", "vec_id", k = 8, iters = 2)
+    val resModel = Pq.trainResidual(emb, "embedding", "vec_id", ivf,
+      dim = 64, m = 8, k = 16, iters = 2, withRotation = true)
+    val query = (0 until 64).map(i => math.cos(i * 0.41) * 1.5)
+    // With every cluster probed and the shortlist spanning the corpus, the
+    // ADC stage cannot lose a neighbor — the exact re-rank must reproduce
+    // the exact top-k EXACTLY (ids, order and scores).
+    val exact = emb.select(col("vec_id"),
+        (VectorFns.dot(col("embedding"), col("embedding")) -
+          VectorFns.dot(col("embedding"), VectorFns.vecLit(query)) * 2.0).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      .as[(Long, Double)].collect().toSeq
+    val composed = Pq.ivfAdcTopKRerank(emb, "embedding", "vec_id", ivf, resModel,
+        query, k = 10, nProbe = 8, shortlist = 500)
+      .as[(Long, Double)].collect().toSeq
+    assert(composed === exact)
+    // Restricted probes still recall most of the exact top (near-uniform
+    // corpus, 3 of 8 clusters probed).
+    val prunedTop = Pq.ivfAdcTopKRerank(emb, "embedding", "vec_id", ivf, resModel,
+        query, k = 10, nProbe = 3, shortlist = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(prunedTop.size === 10)
+    assert(prunedTop.intersect(exact.map(_._1).toSet).size >= 3)
+  }
 }
