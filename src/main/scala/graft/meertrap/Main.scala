@@ -56,11 +56,13 @@ object Main {
         out.candidates.write.mode("overwrite").parquet(s"$root/candidate")
         out.corruptRunSummaries.write.mode("overwrite").parquet(s"$root/corrupt_run_summaries")
         out.quarantinedSpccl.write.mode("overwrite").parquet(s"$root/quarantined_spccl")
-      case None =>
-        println(s"[meertrap] observations=${out.observation.obs.count()} " +
-          s"beams=${out.observation.beam.count()} candidates=${out.candidates.count()} " +
-          s"corrupt=${out.corruptRunSummaries.count()} quarantined=${out.quarantinedSpccl.count()}")
+      case None => ()
     }
+    // Per-run metrics emission on BOTH paths — the CLI analogue of the
+    // reference's per-partition metrics asset (assets.py:55-77).
+    val m = MeertrapPipeline.metrics(out)
+    println("[meertrap-metrics] " +
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
     out
   }
 

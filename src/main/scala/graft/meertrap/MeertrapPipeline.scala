@@ -52,4 +52,28 @@ object MeertrapPipeline {
     */
   def firstSpCandidate(out: Output): DataFrame =
     out.candidates.orderBy(col("sp_candidate_id")).limit(1)
+
+  /** Per-run metrics artifact — the numbers behind the reference's Dagster
+    * `plot_cand_obs_count` asset (`pipelines/meertrap/assets.py:55-77`:
+    * distinct observations + candidate rows per partition run), extended
+    * with rows-per-output and the fault-tolerance counters so a scheduler
+    * can alert on quarantine spikes. Eager by design: a metrics emission
+    * is an action, like the reference's MaterializeResult.
+    */
+  def metrics(out: Output): Map[String, Long] = Map(
+    "num_obs" -> out.observation.obs.select(col("observation_id")).distinct().count(),
+    "num_cands" -> out.candidates.count(),
+    "beams" -> out.observation.beam.count(),
+    "cands_per_obs_max" -> {
+      // candidates carry beam_id; observation attribution goes through the
+      // beam frame (broadcast: beams are dimension-sized)
+      val top = out.candidates.select(col("beam_id"))
+        .join(broadcast(out.observation.beam.select(col("beam_id"), col("observation_id"))),
+          Seq("beam_id"))
+        .groupBy(col("observation_id"))
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+      if (top.isNullAt(0)) 0L else top.getLong(0)
+    },
+    "corrupt_run_summaries" -> out.corruptRunSummaries.count(),
+    "quarantined_spccl" -> out.quarantinedSpccl.count())
 }

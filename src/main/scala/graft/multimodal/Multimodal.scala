@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus distributed decode/feature-extract scaffolding.
   *
   * The Spark-side mechanics (schema, partition-sized batching, per-partition
-  * decoder amortization) are real and tested. IMAGE decoding is REAL —
-  * `javax.imageio` ships in the JDK and handles PNG/JPEG/BMP/GIF, yielding
-  * true dimensions plus a pixel-statistics feature vector. Payloads ImageIO
-  * cannot parse (audio/video — no codec libraries exist in this container)
-  * fall back to a clearly-marked deterministic fake so the distributed path
-  * stays exercised end to end.
+  * decoder amortization) are real and tested. IMAGE decoding is REAL
+  * (`javax.imageio`: PNG/JPEG/BMP/GIF — true dimensions + pixel statistics)
+  * and AUDIO decoding is REAL (`javax.sound.sampled`: WAV/AIFF/AU PCM —
+  * true sample rate/channels/duration + amplitude stats); both ship in the
+  * JDK. Only payloads the JDK cannot parse (compressed audio, video — those
+  * need codec libraries absent from this container) fall back to a
+  * clearly-marked deterministic fake so the distributed path stays
+  * exercised end to end for every modality.
   */
 object Multimodal {
 
@@ -119,6 +121,96 @@ object Multimodal {
         MediaFeatures(r.asset_id, r.media_type, r.payload.length.toLong,
           r.payload.foldLeft(0L)((a, b) => a * 31 + b), d.width, d.height,
           d.decoded, d.feature)
+      }
+    }
+  }
+
+  /** One decoded audio asset: true stream parameters + amplitude stats
+    * when `javax.sound.sampled` parses the payload (WAV/AIFF/AU PCM —
+    * in-JDK, no codec libraries needed); `decoded=false` marks the
+    * deterministic fallback for payloads it cannot parse (MP3/OGG/video —
+    * those DO need codec libs absent from this container).
+    */
+  final case class AudioFeatures(
+      asset_id: Long,
+      media_type: String,
+      byte_len: Long,
+      sample_rate: Int,
+      channels: Int,
+      frames: Long,
+      duration_sec: Double,
+      rms: Double,              // over samples normalized to [-1, 1]
+      peak: Double,
+      decoded: Boolean)
+
+  /** REAL audio decoding, in-JDK end to end: `AudioSystem` parses the
+    * container, a format conversion normalizes any PCM flavor (8-bit
+    * unsigned, big-endian, multi-channel) to 16-bit signed little-endian,
+    * and one streaming pass computes RMS + peak amplitude — no codec
+    * libraries, the same "real where the JDK reaches, marked fake beyond"
+    * contract as [[MediaCodec]].
+    */
+  object AudioCodec {
+    final case class Decoded(sampleRate: Int, channels: Int, frames: Long,
+                             durationSec: Double, rms: Double, peak: Double,
+                             decoded: Boolean)
+
+    private def fake(payload: Array[Byte]): Decoded = {
+      val h = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+      Decoded(8000 + math.floorMod(h, 40000).toInt, 1 + math.floorMod(h >> 3, 2).toInt,
+        math.floorMod(h >> 5, 100000), math.floorMod(h >> 5, 100000) / 8000.0,
+        math.floorMod(h >> 7, 1000) / 1000.0, math.floorMod(h >> 11, 1000) / 1000.0,
+        decoded = false)
+    }
+
+    def decode(payload: Array[Byte]): Decoded = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+          fmt.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        val buf = new Array[Byte](8192)
+        var sum2 = 0.0; var peak = 0.0; var samples = 0L
+        var read = pcm.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val s = ((buf(i) & 0xFF) | (buf(i + 1) << 8)).toShort / 32768.0
+            sum2 += s * s
+            val a = math.abs(s); if (a > peak) peak = a
+            samples += 1; i += 2
+          }
+          read = pcm.read(buf)
+        }
+        val channels = fmt.getChannels
+        val frames = samples / math.max(1, channels)
+        Decoded(fmt.getSampleRate.toInt, channels, frames,
+          frames.toDouble / fmt.getSampleRate,
+          if (samples == 0) 0.0 else math.sqrt(sum2 / samples), peak,
+          decoded = true)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => fake(payload)
+        case _: java.io.IOException                               => fake(payload)
+        case _: IllegalArgumentException                          => fake(payload) // unconvertible format
+      }
+    }
+  }
+
+  /** Distributed audio decode + amplitude stats — the audio analogue of
+    * [[extractFeatures]]: `mapPartitions` streams rows through one decoder
+    * per partition.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val d = AudioCodec.decode(r.payload)
+        AudioFeatures(r.asset_id, r.media_type, r.payload.length.toLong,
+          d.sampleRate, d.channels, d.frames, d.durationSec, d.rms, d.peak,
+          d.decoded)
       }
     }
   }

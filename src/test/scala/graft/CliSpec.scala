@@ -14,7 +14,7 @@ class CliSpec extends SparkSuite {
     val args = graft.meertrap.Main.parse(Array(
       "--input", fixture, "--partition-key", "2023-11-20", "--out", out))
     assert(args.partitionKey === "2023-11-20")
-    graft.meertrap.Main.run(spark, args)
+    val result = graft.meertrap.Main.run(spark, args)
     val candidates = spark.read.parquet(s"$out/candidate")
     assert(candidates.count() > 0)
     assert(spark.read.parquet(s"$out/observation").count() > 0)
@@ -22,6 +22,14 @@ class CliSpec extends SparkSuite {
     // quarantine/corrupt frames exist even when empty (schema written)
     assert(Files.exists(java.nio.file.Paths.get(out, "quarantined_spccl")))
     assert(Files.exists(java.nio.file.Paths.get(out, "corrupt_run_summaries")))
+    // per-run metrics (the reference's plot_cand_obs_count numbers)
+    val m = graft.meertrap.MeertrapPipeline.metrics(result)
+    assert(m("num_obs") === result.observation.obs
+      .select("observation_id").distinct().count())
+    assert(m("num_cands") === candidates.count())
+    assert(m("cands_per_obs_max") >= 1L)
+    assert(m.keySet === Set("num_obs", "num_cands", "beams",
+      "cands_per_obs_max", "corrupt_run_summaries", "quarantined_spccl"))
   }
 
   test("meertrap CLI: --partition-key narrows to the partition subdirectory when present") {

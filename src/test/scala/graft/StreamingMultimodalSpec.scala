@@ -99,6 +99,45 @@ class StreamingMultimodalSpec extends SparkSuite {
     assert(small.resized && small.width === 80 && small.payload.toSeq === png.toSeq)
   }
 
+  test("multimodal: real WAV decodes via javax.sound — true rate/duration/RMS") {
+    // 0.5s mono 8kHz sine at amplitude 0.5 -> RMS = 0.5/sqrt(2), peak ~0.5.
+    def wav(rate: Float, seconds: Double, amp: Double, freq: Double): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toInt.toShort
+        pcm(2 * i) = (s & 0xFF).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val good = wav(8000f, 0.5, 0.5, 440.0)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", good, "mem://tone.wav"),
+      Multimodal.MediaRecord(2L, "audio", good.take(20) ++ Array.fill(30)(9.toByte),
+        "mem://broken.wav")).toDS()
+    val out = Multimodal.extractAudioFeatures(media).collect()
+      .map(f => f.asset_id -> f).toMap
+    val f1 = out(1L)
+    assert(f1.decoded)
+    assert(f1.sample_rate === 8000 && f1.channels === 1)
+    assert(f1.frames === 4000L)
+    assert(math.abs(f1.duration_sec - 0.5) < 1e-9)
+    assert(math.abs(f1.rms - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(f1.peak - 0.5) < 0.01)
+    // corrupt payload: marked fallback, mirroring the image path
+    assert(!out(2L).decoded)
+    // determinism of the real path
+    val again = Multimodal.extractAudioFeatures(media).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(f1.rms === again(1L).rms && f1.frames === again(1L).frames)
+  }
+
   test("multimodal: binaryFile dir scan -> typed records -> features, end to end") {
     val dir = Files.createTempDirectory("media")
     (1 to 5).foreach { i =>
