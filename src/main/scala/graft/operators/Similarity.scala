@@ -420,6 +420,15 @@ object Similarity {
     */
   def withSignBands(df: DataFrame, vecCol: String, idCol: String,
                     bandBits: Int, bands: Int): DataFrame = {
+    val buckets = signBands(df, vecCol, idCol, bandBits, bands)
+    df.join(buckets, df(idCol) === buckets("__id")).drop("__id")
+  }
+
+  /** (__id, __bands) only — consumers that re-join vectors themselves
+    * (the candidate pipeline) skip [[withSignBands]]'s join-back.
+    */
+  private def signBands(df: DataFrame, vecCol: String, idCol: String,
+                        bandBits: Int, bands: Int): DataFrame = {
     val nBits = bandBits * bands
     val pe = df.select(col(s"`${idCol}`").as("__id"),
       posexplode(col(s"`${vecCol}`").cast("array<double>")).as(Seq("__pos", "__v")))
@@ -432,8 +441,7 @@ object Similarity {
         when(col(s"__p${b * bandBits + i}") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
         .reduce(_ + _)
     }
-    val buckets = proj.select(col("__id"), array(bandCols: _*).as("__bands"))
-    df.join(buckets, df(idCol) === buckets("__id")).drop("__id")
+    proj.select(col("__id"), array(bandCols: _*).as("__bands"))
   }
 
   /** Embedding-cosine near-duplicate pairs, BANDED sign-LSH blocked — the
@@ -468,8 +476,8 @@ object Similarity {
   ): DataFrame = {
     val base = df.select(col(s"`${idCol}`").as("id"), col(s"`${vecCol}`").as("v"))
       .withColumn("n", VectorFns.norm2(col("v")))
-    val banded = withSignBands(base, "v", "id", bandBits, bands)
-      .select(col("id"), posexplode(col("__bands")).as(Seq("__band", "__bucket")))
+    val banded = signBands(base, "v", "id", bandBits, bands)
+      .select(col("__id").as("id"), posexplode(col("__bands")).as(Seq("__band", "__bucket")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.__band") === col("b.__band") &&

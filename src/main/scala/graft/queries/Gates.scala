@@ -37,6 +37,20 @@ object Gates {
       .where(col("recall_hits") >= minHits)
   }
 
+  /** Emit `emit` unchanged iff `probe` recalls at least `minHits` of
+    * `want` — the stripe-gated variant of [[recallFloor]]: the recall
+    * check runs over a cheap sampled slice while the emitted result stays
+    * the full computation (`recall_hits` column attached).
+    */
+  def recallFloorOn(emit: DataFrame, probe: DataFrame, want: DataFrame,
+                    idCol: String, minHits: Int): DataFrame = {
+    val hits = probe
+      .join(want.select(col(s"`$idCol`")), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("recall_hits"))
+    emit.crossJoin(broadcast(hits))
+      .where(col("recall_hits") >= minHits)
+  }
+
   /** Emit `df` unchanged iff an aggregate statistic over it clears
     * `floor` — e.g. the MEAN exact cosine of SimHash-surfaced pairs must
     * sit well above the corpus's random-pair baseline (per-row floors

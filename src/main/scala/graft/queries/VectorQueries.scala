@@ -138,6 +138,39 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Banded sign-LSH cosine dup pairs — the near-dup SCALE path benched
+    // as its own query (q44 benches the exact blocked join). On this
+    // corpus the qualifying pairs sit far below the LSH-viable regime
+    // (gapless tail over the random baseline), so banding is legitimately
+    // partial here: emitted pairs are exact-verified (never false
+    // positives — the oracle-free analogue of q36's verify step) and the
+    // plan GATES on recall over a sampled stripe vs the in-plan exact
+    // blocked baseline (Gates.recallFloorOn). Analytic per-pair recall at
+    // c=0.35 is ~27% (1-(1-p^8)^16, p=1-θ/π≈0.614); the mod-3 stripe
+    // holds ~30 exact pairs at sf0.01 -> ~8 expected hits; floor 3 pins
+    // the machinery (broken banding collapses hits toward 0), not tuning.
+    "q70_cosine_banded" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val banded = Similarity.cosineDupPairs(emb, "embedding", "vec_id",
+        threshold = 0.35)
+      // Gate on a SAMPLED STRIPE (ids ≡ 0 mod 3): the exact baseline runs
+      // over ~1/3 of the corpus (1/9 of the pair work), and the banded
+      // result restricted to stripe-only pairs must recall a floor of it.
+      val stripe = Similarity.cosineDupPairsExactBlocked(
+        emb.where(pmod(col("vec_id"), lit(3)) === 0), "embedding", "vec_id",
+        threshold = 0.35, blocks = 8)
+      val inStripe = banded
+        .where(pmod(col("id_a"), lit(3)) === 0 && pmod(col("id_b"), lit(3)) === 0)
+        .select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
+      Gates.recallFloorOn(
+          banded.select(col("id_a"), col("id_b"),
+            round(col("cosine"), 6).as("cosine")),
+          inStripe,
+          stripe.select(concat_ws(":", col("id_a"), col("id_b")).as("pair")),
+          "pair", minHits = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // kNN join: 5 nearest base vectors for each of the first 10 probe rows
     // (exact brute-force; oracle = quadratic SQL over the same split).
     "q45_knn_join" -> ((s, dir) => {

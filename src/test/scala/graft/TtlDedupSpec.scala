@@ -21,7 +21,7 @@ class TtlDedupSpec extends SparkSuite {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TtlDedup.FpDoc]
 
-    def drain(): Seq[TtlDedup.Verdict] = {
+    def drain(expect: Int): Seq[TtlDedup.Verdict] = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[TtlDedup.Verdict]
       val out = TtlDedup.verdicts(in.toDS(), Duration.ofMinutes(10))
       val q = out.writeStream
@@ -31,18 +31,31 @@ class TtlDedupSpec extends SparkSuite {
           buf.synchronized { buf ++= batch.collect() }; ()
         }
         .start()
-      try { q.awaitTermination(120000); buf.toSeq } finally q.stop()
+      // The transformWithState query never self-terminates under
+      // AvailableNow (pending ProcessingTime timers keep scheduling
+      // batches, so both awaitTermination(timeout) and
+      // processAllAvailable wait forever / the whole timeout — measured
+      // 4 of the suite's 18 minutes were exactly these burned timeouts).
+      // Poll for the EXPECTED row count instead, with a grace window so
+      // over-emission still reaches the exact-equality asserts.
+      try {
+        val deadline = System.currentTimeMillis() + 90000
+        while (buf.synchronized(buf.size) < expect &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        Thread.sleep(500)
+        buf.toSeq
+      } finally q.stop()
     }
 
     try {
       in.addData(TtlDedup.FpDoc("a", 1L), TtlDedup.FpDoc("a", 2L), TtlDedup.FpDoc("b", 3L))
-      val r1 = drain().sortBy(_.doc_id)
+      val r1 = drain(expect = 3).sortBy(_.doc_id)
       assert(r1.map(v => (v.doc_id, v.is_first, v.n_seen)) === Seq(
         (1L, true, 1L), (2L, false, 2L), (3L, true, 1L)))
 
       // restart from the same checkpoint: fingerprint "a" is remembered
       in.addData(TtlDedup.FpDoc("a", 4L), TtlDedup.FpDoc("c", 5L))
-      val r2 = drain().sortBy(_.doc_id)
+      val r2 = drain(expect = 2).sortBy(_.doc_id)
       assert(r2.map(v => (v.doc_id, v.is_first, v.n_seen)) === Seq(
         (4L, false, 3L), (5L, true, 1L)))
       // every duplicate names the kept representative
