@@ -30,7 +30,11 @@ object MeertrapPipeline {
     val flat = checkpointDir match {
       case Some(cp) => Checkpoint.readOrCompute(spark, s"$cp/obs_raw")(
         ObservationTransform.flatten(runSummaries.parsed))
-      case None => ObservationTransform.flatten(runSummaries.parsed)
+      // No checkpoint: cache the flattened parse instead — the transform
+      // fans out into several consumers (sb/base/est-join) and the write
+      // stage runs one action per target, each of which would otherwise
+      // re-run the recursive JSON scan + parse + content-hash dedup.
+      case None => ObservationTransform.flatten(runSummaries.parsed).cache()
     }
 
     val obsResult = ObservationTransform.transform(flat)
@@ -60,20 +64,29 @@ object MeertrapPipeline {
     * can alert on quarantine spikes. Eager by design: a metrics emission
     * is an action, like the reference's MaterializeResult.
     */
-  def metrics(out: Output): Map[String, Long] = Map(
-    "num_obs" -> out.observation.obs.select(col("observation_id")).distinct().count(),
-    "num_cands" -> out.candidates.count(),
-    "beams" -> out.observation.beam.count(),
-    "cands_per_obs_max" -> {
-      // candidates carry beam_id; observation attribution goes through the
-      // beam frame (broadcast: beams are dimension-sized)
-      val top = out.candidates.select(col("beam_id"))
-        .join(broadcast(out.observation.beam.select(col("beam_id"), col("observation_id"))),
-          Seq("beam_id"))
-        .groupBy(col("observation_id"))
-        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
-      if (top.isNullAt(0)) 0L else top.getLong(0)
-    },
-    "corrupt_run_summaries" -> out.corruptRunSummaries.count(),
-    "quarantined_spccl" -> out.quarantinedSpccl.count())
+  def metrics(out: Output): Map[String, Long] = {
+    def scalar(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), coalesce(col(df.columns.head), lit(0L))
+        .cast("long").as("value"))
+    // candidates carry beam_id; observation attribution goes through the
+    // beam frame (broadcast: beams are dimension-sized)
+    val candsPerObs = out.candidates.select(col("beam_id"))
+      .join(broadcast(out.observation.beam.select(col("beam_id"), col("observation_id"))),
+        Seq("beam_id"))
+      .groupBy(col("observation_id"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n")))
+    // ONE action for all six numbers — per-metric counts each re-planned
+    // and re-ran sizable subtrees (measured: 33 Spark jobs / 18s on the
+    // fixture for six scalars).
+    Seq(
+      scalar("num_obs", out.observation.obs.select(col("observation_id"))
+        .distinct().agg(count(lit(1)))),
+      scalar("num_cands", out.candidates.agg(count(lit(1)))),
+      scalar("beams", out.observation.beam.agg(count(lit(1)))),
+      scalar("cands_per_obs_max", candsPerObs),
+      scalar("corrupt_run_summaries", out.corruptRunSummaries.agg(count(lit(1)))),
+      scalar("quarantined_spccl", out.quarantinedSpccl.agg(count(lit(1)))))
+      .reduce(_ unionAll _)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 }

@@ -135,6 +135,33 @@ class PlanQualitySpec extends SparkSuite {
     assert("hashpartitioning".r.findAllIn(plan).size === 1)
   }
 
+  test("NO query plans a nested-loop or cartesian join, except gate broadcasts and q45") {
+    // The engine's flagship scale claim: pair enumeration is never
+    // all-pairs-shaped. Allowed exceptions, each deliberate and bounded:
+    //  - the Gates crossJoins broadcast ONE-ROW aggregate frames
+    //    (recall/parity/floor gates) — q37/q43/q56/q57/q59/q70,
+    //  - q45's knnJoin crossJoin has a documented 10-row probe side.
+    // Everything else must plan pure equi-joins. A new query that
+    // reintroduces a BroadcastNestedLoopJoin outside this list fails here.
+    val gateQueries = Set("q37_simhash", "q43_ann_lsh", "q52_corpus_pipeline",
+      "q56_ann_ivf", "q57_incremental_dedup", "q59_ann_pq", "q70_cosine_banded",
+      "q45_knn_join")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(gateQueries)
+      .filter { name =>
+        val plan = formatted(name)
+        plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty, s"nested-loop joins in: ${offenders.mkString(", ")}")
+    // and the allowed ones carry at most ONE such operator (the 1-row
+    // gate broadcast / the bounded probe crossJoin). FormattedMode names
+    // each operator twice (tree line + detail header), hence <= 2 hits.
+    gateQueries.toSeq.sorted.foreach { name =>
+      val n = "BroadcastNestedLoopJoin".r.findAllIn(formatted(name)).size
+      assert(n <= 2, s"$name has ${n / 2} nested-loop joins (expected <= 1)")
+    }
+  }
+
   test("q44 exact cosine pairs enumerate through the blocked equi-join — never a nested loop") {
     val plan = formatted("q44_embed_dup_pairs")
     // The id_a < id_b all-pairs formulation plans as a
