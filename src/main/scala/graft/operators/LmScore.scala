@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model quality scoring — the shape of CCNet's
+  * perplexity filter (Wenzek et al., LREC'20) with the KenLM replaced by a
+  * corpus-trained unigram model: documents whose tokens are improbable
+  * under the background distribution (gibberish, boilerplate codes, wrong
+  * language) score low and get filtered.
+  *
+  * Two stages, both linear:
+  *   1. TRAIN: one hash aggregation over exploded tokens builds the
+  *      unigram table p(t) = c(t) / N (plus an unseen-token floor of
+  *      1/(N+|V|) — effectively add-one mass for OOV at score time);
+  *      the table is vocabulary-sized — broadcastable metadata up to
+  *      tens of millions of types.
+  *   2. SCORE: explode -> broadcast-join the table -> per-doc mean of
+  *      log10 p(t). One shuffle on the doc id; the corpus is never
+  *      joined against itself.
+  *
+  * At 100 TB the table is trained once offline on a sample and reused —
+  * the scoring pass is the only full-corpus scan.
+  */
+object LmScore {
+
+  private def toks(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Unigram table (token, logp) with log10 probabilities. */
+  def trainUnigram(df: DataFrame, textCol: String): DataFrame = {
+    val t = df.where(col(s"`$textCol`").isNotNull)
+      .select(explode(toks(col(s"`$textCol`"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val total = t.agg(sum("c")).head().getLong(0)
+    t.select(col("token"), log10(col("c").cast("double") / total).as("logp"))
+  }
+
+  /** Per-document mean token log-probability under `unigram` (broadcast).
+    * Unseen tokens take the floor `log10(1/(N+1))`-style penalty passed in
+    * `oovLogp`. Blank docs score the floor (nothing to attest quality).
+    */
+  def scoreDocs(df: DataFrame, textCol: String, idCol: String,
+                unigram: DataFrame, oovLogp: Double): DataFrame = {
+    val exploded = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"), explode(toks(col(s"`$textCol`"))).as("token"))
+    val scored = exploded.join(broadcast(unigram), Seq("token"), "left")
+      .groupBy("id")
+      .agg(avg(coalesce(col("logp"), lit(oovLogp))).as("mean_logp"),
+        count(lit(1)).as("n_tokens"))
+    // blank/whitespace docs produced no exploded rows — re-attach at floor
+    df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("mean_logp"), lit(oovLogp)).as("mean_logp"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+}

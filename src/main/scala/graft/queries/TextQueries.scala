@@ -359,6 +359,43 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PII redaction (the C4/CCNet release-scrub pass): per-doc match
+    // counts per rule + the md5 of the redacted text. The synthetic corpus
+    // carries no PII, so each doc gets a DETERMINISTIC contact line
+    // synthesized in-plan (identically in the oracle) — the redaction
+    // rules then have real work on every row. Map-side regexp chains,
+    // zero shuffle; patterns are RE2-safe so the oracle runs them
+    // verbatim.
+    "q71_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or +1 555-0"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-1234 from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".77"))
+      Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.operators.Pii.matchCount(aug, graft.operators.Pii.rules(0)._1)
+            .cast("long").as("n_emails"),
+          graft.operators.Pii.matchCount(aug, graft.operators.Pii.rules(1)._1)
+            .cast("long").as("n_ips"),
+          graft.operators.Pii.matchCount(aug, graft.operators.Pii.rules(2)._1)
+            .cast("long").as("n_phones"),
+          md5(graft.operators.Pii.redact(aug)).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Unigram-LM quality score (CCNet's perplexity filter with the KenLM
+    // swapped for a corpus-trained unigram model): train = one token
+    // aggregation (vocab-sized table), score = explode + broadcast-join +
+    // one shuffle on the doc id. Low scores = improbable token streams.
+    "q72_unigram_logprob" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val uni = graft.operators.LmScore.trainUnigram(docs, "text")
+      graft.operators.LmScore.scoreDocs(docs, "text", "doc_id", uni, oovLogp = -12.0)
+        .select(col("id").as("doc_id"), round(col("mean_logp"), 6).as("mean_logp"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
     // positional word 3-gram (registered in the function registry).
     "q51_ngram_generator" -> ((s, dir) => {
@@ -371,7 +408,36 @@ object TextQueries {
     })
   )
 
+  // q71's augmented-text expression and rule patterns, shared verbatim
+  // between the Spark plan and the DuckDB oracle (patterns are RE2-safe).
+  private val piiAugSql =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-0' || " +
+      "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234 from 10.0.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.77'"
+  private val Seq(emailPat, ipPat, phonePat) = graft.operators.Pii.rules.map(_._1)
+
   val oracles: Map[String, String] = Map(
+    "q71_pii_redact" ->
+      s"""SELECT doc_id,
+        | CAST(len(regexp_extract_all(aug, '$emailPat')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(aug, '$ipPat')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(aug, '$phonePat')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |   '$emailPat', '<EMAIL>', 'g'), '$ipPat', '<IP>', 'g'),
+        |   '$phonePat', '<PHONE>', 'g')) AS redacted_md5
+        | FROM (SELECT doc_id, $piiAugSql AS aug
+        |   FROM documents WHERE text IS NOT NULL) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q72_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        | uni AS (SELECT token, log10(count(*)::DOUBLE / (SELECT count(*) FROM tok)) AS logp
+        |  FROM tok GROUP BY token),
+        | sc AS (SELECT doc_id, avg(coalesce(logp, -12.0)) AS mean_logp, count(*) AS n
+        |  FROM tok LEFT JOIN uni USING (token) GROUP BY doc_id)
+        | SELECT d.doc_id, round(coalesce(sc.mean_logp, -12.0), 6) AS mean_logp,
+        |  CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens
+        | FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        | LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     "q36_minhash_lsh" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LmScore, Pii}
+
+/** Direct behavior pins for the release-scrub + LM-score operators (their
+  * end-to-end numbers are oracle-checked as q71/q72).
+  */
+class PiiLmSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("PII redaction: emails, phones and IPs are replaced; prose survives") {
+    val doc = "mail a.b+tag@foo-bar.org or call +44 20 7946 0958, host 192.168.0.1, " +
+      "versions 1.2.3 and 10.4 stay, year 2024 stays"
+    val out = Seq(doc).toDF("text").select(Pii.redact(col("text"))).head().getString(0)
+    assert(out.contains("<EMAIL>") && !out.contains("@"))
+    assert(out.contains("<PHONE>") && !out.contains("7946"))
+    assert(out.contains("<IP>") && !out.contains("192.168.0.1"))
+    // structure anchors hold: short dotted versions and years are NOT PII
+    assert(out.contains("versions 1.2.3 and 10.4 stay"))
+    assert(out.contains("year 2024 stays"))
+  }
+
+  test("PII match counts audit each rule independently") {
+    val doc = "x@y.io and z@w.dev meet at 10.0.0.1"
+    val row = Seq(doc).toDF("text").select(
+      Pii.matchCount(col("text"), Pii.rules(0)._1).as("e"),
+      Pii.matchCount(col("text"), Pii.rules(1)._1).as("i"),
+      Pii.matchCount(col("text"), Pii.rules(2)._1).as("p")).head()
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) === ((2, 1, 0)))
+  }
+
+  test("unigram LM score: common-token docs outscore rare/OOV-laden docs") {
+    val corpus = (Seq.fill(50)("the cat sat on the mat") ++
+      Seq("the dog sat", "zyx qwv jkl")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val uni = LmScore.trainUnigram(corpus, "text")
+    val scores = LmScore.scoreDocs(corpus, "text", "doc_id", uni, oovLogp = -12.0)
+      .select("id", "mean_logp").as[(Long, Double)].collect().toMap
+    val common = scores(0L)      // pure high-frequency tokens
+    val mixed  = scores(50L)     // mostly common + one rarer token
+    val rare   = scores(51L)     // all near-singleton tokens
+    assert(common > mixed && mixed > rare)
+    // scoring docs with tokens the model never saw takes the OOV floor
+    val oov = LmScore.scoreDocs(Seq((99L, "zz qq")).toDF("doc_id", "text"),
+      "text", "doc_id", uni, oovLogp = -12.0)
+      .select("mean_logp").head().getDouble(0)
+    assert(oov === -12.0)
+  }
+}
