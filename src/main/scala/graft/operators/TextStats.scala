@@ -62,4 +62,46 @@ object TextStats {
     metrics.join(rep, Seq("id"), "left")
       .select(col("id"), fails.as("n_fail"), (fails === 0L).as("pass"))
   }
+
+  /** Per-document DUPLICATED-SPAN coverage — the core signal of exact
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22 — public method, re-derived
+    * for Spark): the fraction of a document's token positions covered by
+    * some k-token span whose text occurs MORE THAN ONCE in the corpus
+    * (in another document, or repeated within the same one). Their
+    * suffix-array pass marks byte ranges; the Spark-shaped equivalent
+    * marks token ranges through the positional k-gram index:
+    *
+    *   1. one generator pass emits (doc, pos, k-gram) — map-side,
+    *   2. one aggregation finds grams with corpus occurrence > 1,
+    *   3. the dup grams join back (shuffle on the gram) and their spans
+    *      [pos, pos+k) union per document via countDistinct.
+    *
+    * Three keyed shuffles, no windows, no driver state. At 100 TB the
+    * gram join keys on xxhash64(gram) with verification instead of raw
+    * strings; here strings keep it exact and oracle-checkable. Docs
+    * shorter than k tokens emit the whole-doc gram (covering every
+    * position), consistent with the shingle family.
+    */
+  def dupSpanCoverage(df: DataFrame, textCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    val grams = df
+      .where(col(s"`$textCol`").isNotNull && length(trim(col(s"`$textCol`"))) > 0)
+      .select(col(s"`$idCol`").as("id"),
+        graft.functions.TextFns.tokenCount(col(s"`$textCol`")).as("n_tokens"),
+        expr(s"ngram_tuples(`$textCol`, $k)"))
+    val dupGrams = grams.groupBy("ngram").agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") > 1).select("ngram")
+    val covered = grams.join(dupGrams, Seq("ngram"))
+      .select(col("id"), explode(sequence(col("pos"),
+        least(col("pos") + (k - 1), col("n_tokens") - 1))).as("p"))
+      .groupBy("id").agg(countDistinct(col("p")).as("covered_tokens"))
+    grams.groupBy("id").agg(max("n_tokens").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_coverage"))
+  }
 }

@@ -396,6 +396,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact-substring dedup signal (Lee et al. ACL'22): per-doc fraction
+    // of token positions covered by a 5-token span occurring more than
+    // once in the corpus. The positional k-gram analogue of their
+    // suffix-array byte ranges — see TextStats.dupSpanCoverage.
+    "q73_dup_spans" -> ((s, dir) => {
+      graft.operators.TextStats.dupSpanCoverage(
+          Tables(s, dir, "documents"), "text", "doc_id", k = 5)
+        .select(col("id").as("doc_id"), col("covered_tokens"),
+          col("n_tokens"), col("dup_coverage"))
+        .orderBy("doc_id")
+    }),
+
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
     // positional word 3-gram (registered in the function registry).
     "q51_ngram_generator" -> ((s, dir) => {
@@ -427,6 +439,24 @@ object TextQueries {
         |   '$phonePat', '<PHONE>', 'g')) AS redacted_md5
         | FROM (SELECT doc_id, $piiAugSql AS aug
         |   FROM documents WHERE text IS NOT NULL) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q73_dup_spans" ->
+      """WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        | g AS (SELECT doc_id, n_tok, u.pos AS pos, u.ngram AS ngram FROM (
+        |  SELECT doc_id, len(w) AS n_tok,
+        |    unnest(CASE WHEN len(w) <= 5 THEN [struct_pack(pos := 1, ngram := array_to_string(w, ' '))]
+        |      ELSE list_transform(generate_series(1, len(w)-4),
+        |        i -> struct_pack(pos := i, ngram := array_to_string(list_slice(w, i, i+4), ' '))) END) AS u
+        |  FROM base)),
+        | dup AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) > 1),
+        | cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM (
+        |  SELECT g.doc_id, unnest(generate_series(g.pos, least(g.pos + 4, g.n_tok))) AS p
+        |  FROM g JOIN dup USING (ngram)) GROUP BY doc_id)
+        | SELECT t.doc_id, CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+        |  CAST(t.n_tok AS BIGINT) AS n_tokens,
+        |  round(coalesce(cov.covered, 0)::DOUBLE / t.n_tok, 6) AS dup_coverage
+        | FROM (SELECT doc_id, len(w) AS n_tok FROM base) t
+        | LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q72_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),

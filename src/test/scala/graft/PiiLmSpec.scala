@@ -30,6 +30,28 @@ class PiiLmSpec extends SparkSuite {
     assert((row.getInt(0), row.getInt(1), row.getInt(2)) === ((2, 1, 0)))
   }
 
+  test("duplicated-span coverage: planted shared paragraph is marked, unique text is not") {
+    import graft.operators.TextStats
+    // docs 1 and 2 share a 6-token boilerplate prefix; doc 3 is unique.
+    val docs = Seq(
+      (1L, "all rights reserved by the corp alpha beta gamma delta"),
+      (2L, "all rights reserved by the corp epsilon zeta eta theta"),
+      (3L, "completely original writing with no repeats anywhere at all then")
+    ).toDF("doc_id", "text")
+    val out = TextStats.dupSpanCoverage(docs, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the shared prefix spans k-grams at pos 0 and 1 -> tokens 0..5 covered
+    assert(out(1L) === ((6L, 10L)))
+    assert(out(2L) === ((6L, 10L)))
+    assert(out(3L) === ((0L, 10L)))
+    // a doc repeating ITS OWN span is fully covered (k=5, repeated 5-gram)
+    val self = Seq((9L, "one two three four five one two three four five"))
+      .toDF("doc_id", "text")
+    val r = TextStats.dupSpanCoverage(self, "text", "doc_id", k = 5)
+      .collect().head
+    assert(r.getLong(1) === 10L && r.getDouble(3) === 1.0)
+  }
+
   test("unigram LM score: common-token docs outscore rare/OOV-laden docs") {
     val corpus = (Seq.fill(50)("the cat sat on the mat") ++
       Seq("the dog sat", "zyx qwv jkl")).zipWithIndex
