@@ -171,6 +171,27 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup (Abbas et al. '23): k-means clusters block the pair search,
+    // within-cluster cosine >= t pairs are semantic dups, lowest id
+    // survives. Clustering is trained k-means (not SQL-expressible), so
+    // the plan gates on the method's own INVARIANT: greedy keep-lowest-id
+    // leaves NO surviving same-cluster pair at or above the threshold —
+    // broken clustering/drop plumbing re-creates violations and the gate
+    // collapses the result to zero rows.
+    "q74_semdedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val ivf = graft.core.Memo.cached(s"q74_ivf:$dir") {
+        Ivf.train(emb.where(pmod(hash(col("vec_id")), lit(4)) === 0),
+          "embedding", "vec_id", k = 8, iters = 2)
+      }
+      val kept = graft.operators.SemDedup.semDedup(emb, "embedding", "vec_id",
+        ivf, threshold = 0.4)
+      val leftover = graft.operators.SemDedup.clusterPairs(
+        kept, "embedding", "vec_id", ivf, threshold = 0.4)
+      Gates.requireEmpty(kept.select(col("vec_id"), col("label")), leftover)
+        .orderBy("vec_id")
+    }),
+
     // kNN join: 5 nearest base vectors for each of the first 10 probe rows
     // (exact brute-force; oracle = quadratic SQL over the same split).
     "q45_knn_join" -> ((s, dir) => {

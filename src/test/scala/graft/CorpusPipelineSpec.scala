@@ -101,6 +101,33 @@ class CorpusPipelineSpec extends SparkSuite {
       rows(Similarity.cosineDupPairsExact(emb, "embedding", "vec_id", 0.35)))
   }
 
+  test("SemDeDup: planted semantic duplicates collapse to the lowest id; invariant holds") {
+    import graft.operators.{Ivf, SemDedup}
+    import spark.implicits._
+    def vec(seed: Long): Seq[Float] = (0 until 16).map { i =>
+      val h = ((seed * 2654435761L + i * 40503L) & 0xffffL).toFloat
+      (h / 65535.0f) * 2.0f - 1.0f
+    }
+    // 60 base vectors + 3 near-copies of vector 7 (same direction, tiny
+    // perturbation -> same k-means cell, cosine ~1).
+    val base = (0L until 60L).map(s => (s, vec(s)))
+    val copies = (0 until 3).map(j =>
+      (100L + j, vec(7L).zipWithIndex.map { case (x, i) =>
+        x + (if (i % 5 == j % 5) 0.01f else 0.0f) }))
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+    val ivf = Ivf.train(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val kept = SemDedup.semDedup(emb, "embedding", "vec_id", ivf, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // all three copies dropped, their source (lowest id of the group) kept
+    assert(kept.contains(7L))
+    assert(Seq(100L, 101L, 102L).forall(!kept.contains(_)))
+    // the self-check invariant: survivors contain no same-cluster pair >= t
+    val leftover = SemDedup.clusterPairs(
+      emb.where(col("vec_id").isin(kept.toSeq: _*)), "embedding", "vec_id",
+      ivf, threshold = 0.95)
+    assert(leftover.count() === 0)
+  }
+
   test("banded-LSH cosine dup pairs: FULL recall on planted near-dups (its intended regime)") {
     import graft.operators.Similarity
     import spark.implicits._
