@@ -408,6 +408,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing (concat-and-chunk, the GPT-style training layout):
+    // each doc's token span in the id-ordered concatenated stream + the
+    // 512-token chunk its first token lands in. Runs the DISTRIBUTED
+    // prefix sum (range partition + pinned partition index + metadata
+    // offsets) — never a single-partition global window.
+    "q75_pack_chunks" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("len"))
+      graft.operators.Packing.packChunks(docs, "doc_id", "len", capacity = 512L)
+        .select(col("doc_id"), col("n_tokens"), col("start_token"),
+          col("end_token"), col("chunk_id"), col("offset_in_chunk"))
+        .orderBy("doc_id")
+    }),
+
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
     // positional word 3-gram (registered in the function registry).
     "q51_ngram_generator" -> ((s, dir) => {
@@ -439,6 +454,20 @@ object TextQueries {
         |   '$phonePat', '<PHONE>', 'g')) AS redacted_md5
         | FROM (SELECT doc_id, $piiAugSql AS aug
         |   FROM documents WHERE text IS NOT NULL) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q75_pack_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(CASE WHEN trim(text)='' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL)
+        | SELECT doc_id, n_tokens,
+        |  CAST(st AS BIGINT) AS start_token,
+        |  CAST(st + n_tokens AS BIGINT) AS end_token,
+        |  CAST(st // 512 AS BIGINT) AS chunk_id,
+        |  CAST(st % 512 AS BIGINT) AS offset_in_chunk
+        | FROM (SELECT doc_id, n_tokens,
+        |   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |  FROM d) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q73_dup_spans" ->
       """WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+/** The distributed prefix sum must be ARITHMETICALLY identical to the
+  * single-partition global window it replaces (q75's oracle re-checks it
+  * against DuckDB; this pins the equivalence standalone, across skewed
+  * partition layouts).
+  */
+class PackingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("distributed prefix sum == global-window cumsum, on a skewed frame") {
+    // skewed lengths + non-contiguous ids, shuffled input order
+    val rows = ((0L until 500L).map(i => (i * 7 % 1000, (i % 13) * (i % 7) + 1)) ++
+      Seq((5000L, 100000L), (5001L, 1L))).sortBy(t => t._1 % 17)
+    val df = rows.toDF("id", "len").repartition(7)
+    val dist = Packing.withPrefixSum(df, "id", "len")
+      .select("id", "start_token").as[(Long, Long)].collect().toMap
+    val naive = df.select(col("id"),
+        coalesce(sum("len").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(dist === naive)
+  }
+
+  test("packChunks: spans tile the stream; chunk assignment consistent") {
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 10L), (4L, 500L))
+      .toDF("doc_id", "len")
+    val out = Packing.packChunks(df, "doc_id", "len", capacity = 512L)
+      .orderBy("doc_id")
+      .select("doc_id", "start_token", "end_token", "chunk_id", "offset_in_chunk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 300L, 0L, 0L),
+      (2L, 300L, 600L, 0L, 300L),   // straddles the chunk boundary
+      (3L, 600L, 610L, 1L, 88L),
+      (4L, 610L, 1110L, 1L, 98L)))
+  }
+}

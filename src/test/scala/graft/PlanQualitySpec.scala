@@ -194,6 +194,15 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.indexOf(" IN (") < plan.indexOf("pq_adc"))
   }
 
+  test("q75 prefix sum never plans a single-partition exchange") {
+    // the naive global-window cumsum sorts the corpus on ONE executor; the
+    // distributed prefix sum must keep every exchange partitioned
+    val plan = formatted("q75_pack_chunks")
+    assert(!plan.contains("SinglePartition"),
+      "global-window shape leaked into the packing plan")
+    assert(plan.toLowerCase.contains("spark_partition_id"))
+  }
+
   test("q32/q33 text metrics run fully inside whole-stage codegen") {
     Seq("q32_token_count", "q33_quality").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf("sf0.01"))
