@@ -33,7 +33,10 @@ object LmScore {
     val t = df.where(col(s"`$textCol`").isNotNull)
       .select(explode(toks(col(s"`$textCol`"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
-    val total = t.agg(sum("c")).head().getLong(0)
+    val totalRow = t.agg(sum("c")).head()
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
+      "trainUnigram needs a corpus with at least one token")
+    val total = totalRow.getLong(0)
     t.select(col("token"), log10(col("c").cast("double") / total).as("logp"))
   }
 

@@ -264,8 +264,10 @@ object TextQueries {
       // frames anti-join only the localCheckpoint'd drop-sets. Delete the
       // temp indexes now instead of leaking one pair per invocation.
       ixRoots.foreach { root =>
-        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       }
       Gates.setParity(incremental, oneShot, "doc_id").orderBy("doc_id")
     }),
