@@ -322,11 +322,17 @@ object JdbcUpsertSink {
       case e: Throwable =>
         // Children first (reverse load order): FKs stay valid while rows
         // from this run disappear. A compensation failure (e.g. the failing
-        // target never got a stage table) must not mask the original error.
+        // target never got a stage table) must not mask the original error
+        // — and must KEEP that target's __pre snapshot: dropping it would
+        // fossilize the partial load (startup recovery only compensates
+        // targets whose pre survives). A target with no stage table never
+        // merged, so dropping its pre alone is correct.
         loaded.foreach { t =>
-          try conn.createStatement().execute(compensateSql(t))
-          catch { case ce: java.sql.SQLException => e.addSuppressed(ce) }
-          dropPre(t)
+          val compensated =
+            if (!exists(s"${t.table}__stage")) true // nothing merged: pre-only
+            else try { conn.createStatement().execute(compensateSql(t)); true }
+            catch { case ce: java.sql.SQLException => e.addSuppressed(ce); false }
+          if (compensated) dropPre(t)
         }
         throw e
     } finally conn.close()

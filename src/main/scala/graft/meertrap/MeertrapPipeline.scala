@@ -30,11 +30,11 @@ object MeertrapPipeline {
     val flat = checkpointDir match {
       case Some(cp) => Checkpoint.readOrCompute(spark, s"$cp/obs_raw")(
         ObservationTransform.flatten(runSummaries.parsed))
-      // No checkpoint: cache the flattened parse instead — the transform
-      // fans out into several consumers (sb/base/est-join) and the write
-      // stage runs one action per target, each of which would otherwise
-      // re-run the recursive JSON scan + parse + content-hash dedup.
-      case None => ObservationTransform.flatten(runSummaries.parsed).cache()
+      // No checkpoint: the un-cached parse re-runs per consumer, but a
+      // cache here has no release point (the Output's frames outlive this
+      // call) and measured no win on the fixture — callers that need the
+      // parse materialized pass a checkpoint dir.
+      case None => ObservationTransform.flatten(runSummaries.parsed)
     }
 
     val obsResult = ObservationTransform.transform(flat)

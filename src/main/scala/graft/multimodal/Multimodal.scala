@@ -157,8 +157,12 @@ object Multimodal {
 
     private def fake(payload: Array[Byte]): Decoded = {
       val h = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
-      Decoded(8000 + math.floorMod(h, 40000).toInt, 1 + math.floorMod(h >> 3, 2).toInt,
-        math.floorMod(h >> 5, 100000), math.floorMod(h >> 5, 100000) / 8000.0,
+      val rate = 8000 + math.floorMod(h, 40000).toInt
+      val frames = math.floorMod(h >> 5, 100000)
+      // duration stays consistent with (frames, rate) — fake rows mirror
+      // the real shape, so frames/rate sanity checks hold on them too
+      Decoded(rate, 1 + math.floorMod(h >> 3, 2).toInt,
+        frames, frames.toDouble / rate,
         math.floorMod(h >> 7, 1000) / 1000.0, math.floorMod(h >> 11, 1000) / 1000.0,
         decoded = false)
     }

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Two stages, both linear:
   *   1. TRAIN: one hash aggregation over exploded tokens builds the
-  *      unigram table p(t) = c(t) / N (plus an unseen-token floor of
-  *      1/(N+|V|) — effectively add-one mass for OOV at score time);
-  *      the table is vocabulary-sized — broadcastable metadata up to
-  *      tens of millions of types.
+  *      unigram table p(t) = c(t) / N; the table is vocabulary-sized —
+  *      broadcastable metadata up to tens of millions of types. Unseen
+  *      tokens take the CALLER-SUPPLIED `oovLogp` floor at score time
+  *      (pick e.g. log10(1/(N+|V|)) for add-one-style mass).
   *   2. SCORE: explode -> broadcast-join the table -> per-doc mean of
   *      log10 p(t). One shuffle on the doc id; the corpus is never
   *      joined against itself.

@@ -33,12 +33,21 @@ object Packing {
   /** Adds `start_token` (tokens strictly before this row in id order). */
   def withPrefixSum(df: DataFrame, idCol: String, lenCol: String): DataFrame = {
     val spark = df.sparkSession
+    // PERSISTED: the frame is executed twice (the subtotal collect below,
+    // then the output job), and RangePartitioner SAMPLES its bounds with
+    // an RDD-id-dependent seed — two independent executions could place
+    // boundary rows in different partitions, silently corrupting offsets.
+    // The persist pins one placement for both consumers; the release
+    // listener frees it after the consuming action.
     val parts = df
       .repartitionByRange(col(s"`$idCol`"))
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = parts.groupBy("__pid")
       .agg(sum(col(s"`$lenCol`")).as("__tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // registered AFTER the eager subtotal collect
+    graft.core.Frames.releaseAfterNextAction(spark, parts)
     val offsets = totals.map(_._1).zip(
       totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
     import spark.implicits._

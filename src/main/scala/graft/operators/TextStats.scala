@@ -85,11 +85,16 @@ object TextStats {
     */
   def dupSpanCoverage(df: DataFrame, textCol: String, idCol: String,
                       k: Int): DataFrame = {
+    // persisted: consumed by the dup-gram aggregation, the coverage join
+    // and the per-doc total — unpersisted, the generator pass over the
+    // corpus would run once per consumer
     val grams = df
       .where(col(s"`$textCol`").isNotNull && length(trim(col(s"`$textCol`"))) > 0)
       .select(col(s"`$idCol`").as("id"),
         graft.functions.TextFns.tokenCount(col(s"`$textCol`")).as("n_tokens"),
         expr(s"ngram_tuples(`$textCol`, $k)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Frames.releaseAfterNextAction(df.sparkSession, grams)
     val dupGrams = grams.groupBy("ngram").agg(count(lit(1)).as("__occ"))
       .where(col("__occ") > 1).select("ngram")
     val covered = grams.join(dupGrams, Seq("ngram"))

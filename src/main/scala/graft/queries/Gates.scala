@@ -65,17 +65,6 @@ object Gates {
       .where(col("__stat") >= floor).drop("__stat")
   }
 
-  /** Emit `df` unchanged iff `violations` is EMPTY — for results defined
-    * by an invariant ("no surviving within-cluster pair above the
-    * threshold"): the machinery breaking re-creates violations, which
-    * collapses the query to zero rows and fails the driver's rows-check.
-    */
-  def requireEmpty(df: DataFrame, violations: DataFrame): DataFrame = {
-    val v = violations.agg(count(lit(1)).as("__viol"))
-    df.crossJoin(broadcast(v))
-      .where(col("__viol") === 0).drop("__viol")
-  }
-
   /** Emit `got` unchanged iff its `idCol` multiset EQUALS `want`'s —
     * an exact-parity gate (e.g. incremental result == batch result).
     */

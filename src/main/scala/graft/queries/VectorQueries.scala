@@ -174,21 +174,30 @@ object VectorQueries {
     // SemDeDup (Abbas et al. '23): k-means clusters block the pair search,
     // within-cluster cosine >= t pairs are semantic dups, lowest id
     // survives. Clustering is trained k-means (not SQL-expressible), so
-    // the plan gates on the method's own INVARIANT: greedy keep-lowest-id
-    // leaves NO surviving same-cluster pair at or above the threshold —
-    // broken clustering/drop plumbing re-creates violations and the gate
-    // collapses the result to zero rows.
+    // the plan gates TWO-SIDED: (a) the method's own INVARIANT — greedy
+    // keep-lowest-id leaves NO surviving same-cluster pair at or above
+    // the threshold, catching drop-plumbing breakage that leaves dups
+    // behind; (b) a DROP FLOOR — the pair search must find at least 5
+    // dups on this corpus (observed 26-28 at sf0.001/0.01), catching the
+    // symmetric failure where a broken pair search reports nothing and
+    // the invariant holds vacuously. One combined 1-row check frame.
     "q74_semdedup" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val ivf = graft.core.Memo.cached(s"q74_ivf:$dir") {
         Ivf.train(emb.where(pmod(hash(col("vec_id")), lit(4)) === 0),
           "embedding", "vec_id", k = 8, iters = 2)
       }
-      val kept = graft.operators.SemDedup.semDedup(emb, "embedding", "vec_id",
-        ivf, threshold = 0.4)
+      val drops = graft.operators.SemDedup.dropIds(emb, "embedding", "vec_id",
+        ivf, threshold = 0.4).withColumnRenamed("id", "__drop_id")
+      val kept = emb.join(drops, col("vec_id") === col("__drop_id"), "left_anti")
       val leftover = graft.operators.SemDedup.clusterPairs(
         kept, "embedding", "vec_id", ivf, threshold = 0.4)
-      Gates.requireEmpty(kept.select(col("vec_id"), col("label")), leftover)
+      val check = leftover.agg(count(lit(1)).as("__viol"))
+        .crossJoin(drops.agg(count(lit(1)).as("__drops")))
+      kept.select(col("vec_id"), col("label"))
+        .crossJoin(broadcast(check))
+        .where(col("__viol") === 0 && col("__drops") >= 5)
+        .drop("__viol", "__drops")
         .orderBy("vec_id")
     }),
 

@@ -154,11 +154,14 @@ class PlanQualitySpec extends SparkSuite {
       }
     assert(offenders.isEmpty, s"nested-loop joins in: ${offenders.mkString(", ")}")
     // and the allowed ones carry at most ONE such operator (the 1-row
-    // gate broadcast / the bounded probe crossJoin). FormattedMode names
-    // each operator twice (tree line + detail header), hence <= 2 hits.
+    // gate broadcast / the bounded probe crossJoin) — except q74, whose
+    // two-sided gate joins two 1-row check aggregates before gating.
+    // FormattedMode names each operator twice (tree line + detail
+    // header), hence hits = 2 x operators.
     gateQueries.toSeq.sorted.foreach { name =>
+      val allowed = if (name == "q74_semdedup") 2 else 1
       val n = "BroadcastNestedLoopJoin".r.findAllIn(formatted(name)).size
-      assert(n <= 2, s"$name has ${n / 2} nested-loop joins (expected <= 1)")
+      assert(n <= 2 * allowed, s"$name has ${n / 2} nested-loop joins (expected <= $allowed)")
     }
   }
 
