@@ -85,16 +85,17 @@ object TextStats {
     */
   def dupSpanCoverage(df: DataFrame, textCol: String, idCol: String,
                       k: Int): DataFrame = {
-    // persisted: consumed by the dup-gram aggregation, the coverage join
-    // and the per-doc total — unpersisted, the generator pass over the
-    // corpus would run once per consumer
+    // Deliberately NOT persisted despite three consumers: the exploded
+    // gram frame is LARGER than its source text (one row per token
+    // position), so materializing it costs more than re-running the
+    // cheap map-side generator per consumer — measured 10x slower with a
+    // persist at sf0.1. Caching pays when the cached form is smaller or
+    // the producer is expensive; neither holds for a codegen'd explode.
     val grams = df
       .where(col(s"`$textCol`").isNotNull && length(trim(col(s"`$textCol`"))) > 0)
       .select(col(s"`$idCol`").as("id"),
         graft.functions.TextFns.tokenCount(col(s"`$textCol`")).as("n_tokens"),
         expr(s"ngram_tuples(`$textCol`, $k)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.Frames.releaseAfterNextAction(df.sparkSession, grams)
     val dupGrams = grams.groupBy("ngram").agg(count(lit(1)).as("__occ"))
       .where(col("__occ") > 1).select("ngram")
     val covered = grams.join(dupGrams, Seq("ngram"))
