@@ -411,21 +411,14 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
-  /** Attach ALL band bucket ids (`__bands`: array of `bands` longs) — the
-    * multi-table generalization of [[withSignBucket]]: band `b` packs sign
-    * bits of projections `b·bandBits .. (b+1)·bandBits-1` from the same
-    * hash-Rademacher family, so distinct bands are independent hash tables.
-    * Same shuffle shape as the single-bucket version: one posexplode +
-    * one groupBy on the row id computes every projection in one pass.
-    */
-  def withSignBands(df: DataFrame, vecCol: String, idCol: String,
-                    bandBits: Int, bands: Int): DataFrame = {
-    val buckets = signBands(df, vecCol, idCol, bandBits, bands)
-    df.join(buckets, df(idCol) === buckets("__id")).drop("__id")
-  }
-
-  /** (__id, __bands) only — consumers that re-join vectors themselves
-    * (the candidate pipeline) skip [[withSignBands]]'s join-back.
+  /** (__id, __bands: array of `bands` longs) — the multi-table
+    * generalization of [[withSignBucket]]: band `b` packs sign bits of
+    * projections `b·bandBits .. (b+1)·bandBits-1` from the same
+    * hash-Rademacher family, so distinct bands are independent hash
+    * tables. Same shuffle shape as the single-bucket version: one
+    * posexplode + one groupBy on the row id computes every projection in
+    * one pass. Consumers re-join vectors by id where they need them
+    * ([[cosineDupPairs]]'s verify stage).
     */
   private def signBands(df: DataFrame, vecCol: String, idCol: String,
                         bandBits: Int, bands: Int): DataFrame = {
