@@ -141,6 +141,13 @@ class JdbcSinkIntegrationSpec extends SparkSuite {
       .head.head === 0)
   }
 
+  test("the success-marker table name is a cross-version contract") {
+    // Recovery decides compensate-vs-cleanup by this NAME: renaming it
+    // would orphan markers written by a previous version mid-crash and
+    // compensate their fully committed loads away.
+    assert(JdbcUpsertSink.markerTable === "graft__load_ok")
+  }
+
   test("loadAllOrNothing: a post-SUCCESS crash is cleaned up, never compensated") {
     // Simulate a driver death AFTER all merges committed and the success
     // marker was written, but BEFORE cleanup finished: __pre + __stage are
