@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus distributed decode/feature-extract scaffolding.
   *
   * The Spark-side mechanics (schema, partition-sized batching, per-partition
-  * decoder amortization) are real and tested. IMAGE decoding is REAL
-  * (`javax.imageio`: PNG/JPEG/BMP/GIF — true dimensions + pixel statistics)
-  * and AUDIO decoding is REAL (`javax.sound.sampled`: WAV/AIFF/AU PCM —
-  * true sample rate/channels/duration + amplitude stats); both ship in the
-  * JDK. Only payloads the JDK cannot parse (compressed audio, video — those
-  * need codec libraries absent from this container) fall back to a
-  * clearly-marked deterministic fake so the distributed path stays
-  * exercised end to end for every modality.
+  * decoder amortization) are real and tested, and so is every decode the
+  * JDK can express: IMAGES via `javax.imageio` (PNG/JPEG/BMP/GIF — true
+  * dimensions + pixel statistics + bilinear resize), AUDIO via
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM — true rate/channels/duration +
+  * amplitude stats), and VIDEO-style FRAME EXTRACTION for multi-frame
+  * containers (`sampleFrames`: animated GIF frames re-encoded as PNGs that
+  * feed the image operators downstream). Only codec formats the JDK cannot
+  * parse (MP3/OGG, MP4/H.264 — codec libraries absent from this container)
+  * fall back to a clearly-marked deterministic fake so the distributed
+  * path stays exercised end to end for every modality.
   */
 object Multimodal {
 
@@ -274,9 +276,69 @@ object Multimodal {
     }
   }
 
+  /** One sampled video frame: re-encoded as PNG so the frame feeds the
+    * IMAGE operators downstream (decode -> features -> resize), the
+    * composition a real video pipeline runs. `decoded=false` marks the
+    * fallback row for payloads the JDK cannot parse.
+    */
+  final case class FrameRecord(
+      asset_id: Long,
+      frame_idx: Int,
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      decoded: Boolean,
+      frame_png: Array[Byte])
+
+  /** REAL frame extraction for MULTI-FRAME images (animated GIF — the one
+    * video-like container the JDK decodes natively): `ImageReader`
+    * enumerates frames, every `everyNth` is re-encoded as PNG. True
+    * per-frame dimensions and count; codec formats (MP4/H.264 — no codec
+    * libs in this container) take a single clearly-marked fallback row,
+    * mirroring the image/audio contract. `mapPartitions` streams rows
+    * through one reader per partition.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyNth: Int): Dataset[FrameRecord] = {
+    require(everyNth > 0, "everyNth must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val frames: Seq[FrameRecord] =
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (iis == null || !readers.hasNext) Nil
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                (0 until n by everyNth).map { i =>
+                  val img = reader.read(i)
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  FrameRecord(r.asset_id, i, n, img.getWidth, img.getHeight,
+                    decoded = true, bos.toByteArray)
+                }
+              } finally { reader.dispose(); iis.close() }
+            }
+          } catch { case _: java.io.IOException => Nil }
+        if (frames.nonEmpty) frames
+        else {
+          // marked deterministic fallback, one row per asset
+          val h = r.payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+          Seq(FrameRecord(r.asset_id, 0, 0,
+            64 + math.floorMod(h, 1024).toInt, 64 + math.floorMod(h >> 10, 1024).toInt,
+            decoded = false, Array.empty[Byte]))
+        }
+      }
+    }
+  }
+
   /** Frame/chunk sampling plumbing: split a payload into fixed-size chunks
-    * (video frame extraction stand-in) — explode keeps it distributed, chunk
-    * index is carried for downstream ordering.
+    * (byte-level stand-in for containers the JDK cannot parse) — explode
+    * keeps it distributed, chunk index is carried for downstream ordering.
     */
   def sampleChunks(media: DataFrame, chunkBytes: Int, everyNth: Int): DataFrame = {
     val nChunks = ceil(length(col("payload")).cast("double") / chunkBytes).cast("int")

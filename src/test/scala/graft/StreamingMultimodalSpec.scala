@@ -138,6 +138,49 @@ class StreamingMultimodalSpec extends SparkSuite {
     assert(f1.rms === again(1L).rms && f1.frames === again(1L).frames)
   }
 
+  test("multimodal: real frame extraction from an animated GIF; frames feed the image path") {
+    // build a 3-frame animated GIF in-JDK (distinct solid colors)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(16, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, c)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", gif, "mem://anim.gif"),
+      Multimodal.MediaRecord(2L, "video", Array.fill(64)(3.toByte), "mem://fake.mp4")
+    ).toDS()
+    val frames = Multimodal.sampleFrames(media, everyNth = 1).collect()
+    val real = frames.filter(_.asset_id == 1L).sortBy(_.frame_idx)
+    assert(real.length === 3 && real.forall(_.decoded))
+    assert(real.forall(f => f.n_frames === 3 && f.width === 16 && f.height === 8))
+    // the frames ARE images: the existing image codec decodes them with
+    // the planted colors (frame 0 pure red -> mean R ~1, G/B 0)
+    val asImages = real.zipWithIndex.map { case (f, i) =>
+      Multimodal.MediaRecord(10L + i, "image", f.frame_png, s"mem://f$i.png") }
+    val feats = Multimodal.extractFeatures(asImages.toSeq.toDS()).collect()
+      .sortBy(_.asset_id)
+    assert(feats.forall(_.decoded))
+    assert(feats(0).feature(0) > 0.9f && feats(0).feature(1) < 0.1f) // red
+    assert(feats(1).feature(1) > 0.9f)                               // green
+    assert(feats(2).feature(2) > 0.9f)                               // blue
+    // every-2nd sampling keeps frames 0 and 2
+    assert(Multimodal.sampleFrames(media.filter(_.asset_id == 1L), everyNth = 2)
+      .collect().map(_.frame_idx).sorted.toSeq === Seq(0, 2))
+    // the undecodable payload takes ONE marked fallback row
+    val fake = frames.filter(_.asset_id == 2L)
+    assert(fake.length === 1 && !fake.head.decoded && fake.head.n_frames === 0)
+  }
+
   test("multimodal: binaryFile dir scan -> typed records -> features, end to end") {
     val dir = Files.createTempDirectory("media")
     (1 to 5).foreach { i =>
