@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** End-to-end composition of the training-data RELEASE pipeline from the
+  * individual operators — the workflow a user of this library actually
+  * runs before shipping a corpus:
+  *
+  *   PII scrub -> quality battery -> exact + near dedup ->
+  *   benchmark decontamination -> LM-score floor -> sequence packing.
+  *
+  * Each stage is individually oracled/spec'd elsewhere; this pins that
+  * they COMPOSE (column contracts line up, filters stack, the packed
+  * output tiles exactly the surviving token stream).
+  */
+class ReleasePipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("scrub -> quality -> dedup -> decontaminate -> score -> pack, end to end") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .where(col("text").isNotNull)
+
+    // 1. PII scrub: pure projection, row count unchanged
+    val scrubbed = docs.select(col("doc_id"), col("lang"),
+      Pii.redact(col("text")).as("text"))
+    assert(scrubbed.count() === docs.count())
+
+    // 2. Gopher-style quality battery
+    val quality = TextStats.gopherVerdicts(scrubbed, "text", "doc_id")
+      .where(col("pass")).select(col("id").as("doc_id"))
+    val qualified = scrubbed.join(quality, "doc_id")
+    val nQualified = qualified.count()
+    assert(nQualified > 0 && nQualified <= docs.count())
+
+    // 3. exact dedup then LSH near-dedup
+    val exact = Dedup.exactByFingerprint(qualified, "text", "doc_id")
+    val pairs = Dedup.minhashLshPairs(exact, "text", "doc_id",
+      shingleN = 3, threshold = 0.9)
+    val drops = Dedup.connectedComponents(pairs)
+      .where(col("id") =!= col("label")).select("id")
+    val deduped = exact.join(drops, exact("doc_id") === drops("id"), "left_anti")
+    val nDeduped = deduped.count()
+    assert(nDeduped > 0 && nDeduped <= nQualified)
+
+    // 4. decontaminate against a benchmark (docs ending in 0 play eval)
+    val clean = Decontaminate.clean(
+      deduped.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id",
+      docs.where(pmod(col("doc_id"), lit(10)) === 0), "text", n = 3)
+    val nClean = clean.count()
+    assert(nClean > 0)
+
+    // 5. unigram-LM floor (drop the bottom: scores strictly below median)
+    val uni = LmScore.trainUnigram(clean, "text")
+    val scored = LmScore.scoreDocs(clean, "text", "doc_id", uni, oovLogp = -12.0)
+    val cut = scored.agg(expr("approx_percentile(mean_logp, 0.1)")).head().getDouble(0)
+    val kept = clean.join(
+      scored.where(col("mean_logp") >= cut).select(col("id").as("doc_id")), "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= nClean)
+
+    // 6. pack the survivors; spans must tile the total token stream exactly
+    val sized = kept.select(col("doc_id"),
+      graft.functions.TextFns.tokenCount(col("text")).cast("long").as("len"))
+    val packed = Packing.packChunks(sized, "doc_id", "len", capacity = 256L)
+    val rows = packed.orderBy("start_token")
+      .select("start_token", "end_token").as[(Long, Long)].collect()
+    val totalTokens = sized.agg(sum("len")).head().getLong(0)
+    assert(rows.length === nKept)
+    assert(rows.head._1 === 0L && rows.last._2 === totalTokens)
+    rows.sliding(2).foreach {
+      case Array((_, e), (s, _)) => assert(e === s) // gapless, no overlap
+      case _ => ()
+    }
+  }
+}
