@@ -307,23 +307,33 @@ object Multimodal {
           try {
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(r.payload))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (iis == null || !readers.hasNext) Nil
+            // null check BEFORE handing the stream to getImageReaders —
+            // that call throws (uncaught) on null input.
+            if (iis == null) Nil
             else {
-              val reader = readers.next()
-              try {
-                reader.setInput(iis)
-                val n = reader.getNumImages(true)
-                (0 until n by everyNth).map { i =>
-                  val img = reader.read(i)
-                  val bos = new java.io.ByteArrayOutputStream()
-                  javax.imageio.ImageIO.write(img, "png", bos)
-                  FrameRecord(r.asset_id, i, n, img.getWidth, img.getHeight,
-                    decoded = true, bos.toByteArray)
-                }
-              } finally { reader.dispose(); iis.close() }
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) { iis.close(); Nil }
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis)
+                  val n = reader.getNumImages(true)
+                  (0 until n by everyNth).map { i =>
+                    val img = reader.read(i)
+                    val bos = new java.io.ByteArrayOutputStream()
+                    javax.imageio.ImageIO.write(img, "png", bos)
+                    FrameRecord(r.asset_id, i, n, img.getWidth, img.getHeight,
+                      decoded = true, bos.toByteArray)
+                  }
+                } finally { reader.dispose(); iis.close() }
+              }
             }
-          } catch { case _: java.io.IOException => Nil }
+            // NonFatal, not just IOException: ImageIO readers throw
+            // RuntimeExceptions (e.g. IndexOutOfBounds on corrupt GIF frame
+            // tables) — every undecodable payload must take the marked
+            // fallback row instead of failing the task, matching the
+            // image/audio contract.
+          } catch { case scala.util.control.NonFatal(_) => Nil }
         if (frames.nonEmpty) frames
         else {
           // marked deterministic fallback, one row per asset

@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   *
   * Two stages, both linear:
   *   1. TRAIN: one hash aggregation over exploded tokens builds the
-  *      unigram table p(t) = c(t) / N; the table is vocabulary-sized —
-  *      broadcastable metadata up to tens of millions of types. Unseen
-  *      tokens take the CALLER-SUPPLIED `oovLogp` floor at score time
-  *      (pick e.g. log10(1/(N+|V|)) for add-one-style mass).
-  *   2. SCORE: explode -> broadcast-join the table -> per-doc mean of
-  *      log10 p(t). One shuffle on the doc id; the corpus is never
-  *      joined against itself.
+  *      unigram table p(t) = c(t) / N; the table is vocabulary-sized.
+  *      Unseen tokens take the CALLER-SUPPLIED `oovLogp` floor at score
+  *      time (pick e.g. log10(1/(N+|V|)) for add-one-style mass).
+  *   2. SCORE: explode -> join the table -> per-doc mean of log10 p(t).
+  *      The join side is NOT force-broadcast: a curated vocabulary is
+  *      metadata-sized and AQE broadcasts it on its own, but a web-scale
+  *      corpus's whitespace-token vocabulary is unbounded (typos, URLs,
+  *      ids) — forcing the hint would bypass Spark's size threshold and
+  *      OOM the driver instead of degrading to a shuffled hash join.
+  *      One shuffle on the doc id; the corpus is never joined against
+  *      itself.
   *
   * At 100 TB the table is trained once offline on a sample and reused —
   * the scoring pass is the only full-corpus scan.
@@ -40,15 +44,19 @@ object LmScore {
     t.select(col("token"), log10(col("c").cast("double") / total).as("logp"))
   }
 
-  /** Per-document mean token log-probability under `unigram` (broadcast).
-    * Unseen tokens take the floor `log10(1/(N+1))`-style penalty passed in
+  /** Per-document mean token log-probability under `unigram`. Unseen
+    * tokens take the floor `log10(1/(N+1))`-style penalty passed in
     * `oovLogp`. Blank docs score the floor (nothing to attest quality).
+    *
+    * The unigram join carries NO broadcast hint: AQE broadcasts a small
+    * vocabulary automatically and falls back to a shuffled join when the
+    * vocabulary is too large to ship — the safe default at corpus scale.
     */
   def scoreDocs(df: DataFrame, textCol: String, idCol: String,
                 unigram: DataFrame, oovLogp: Double): DataFrame = {
     val exploded = df.where(col(s"`$textCol`").isNotNull)
       .select(col(s"`$idCol`").as("id"), explode(toks(col(s"`$textCol`"))).as("token"))
-    val scored = exploded.join(broadcast(unigram), Seq("token"), "left")
+    val scored = exploded.join(unigram, Seq("token"), "left")
       .groupBy("id")
       .agg(avg(coalesce(col("logp"), lit(oovLogp))).as("mean_logp"),
         count(lit(1)).as("n_tokens"))

@@ -146,21 +146,27 @@ object VectorQueries {
     // positives — the oracle-free analogue of q36's verify step) and the
     // plan GATES on recall over a sampled stripe vs the in-plan exact
     // blocked baseline (Gates.recallFloorOn). Analytic per-pair recall at
-    // c=0.35 is ~27% (1-(1-p^8)^16, p=1-θ/π≈0.614); the mod-3 stripe
-    // holds ~30 exact pairs at sf0.01 -> ~8 expected hits; floor 3 pins
-    // the machinery (broken banding collapses hits toward 0), not tuning.
+    // c=0.35 is ~27% (1-(1-p^8)^16, p=1-θ/π≈0.614); the stripe holds
+    // ~30 exact pairs at sf0.01 -> ~8 expected hits; floor 3 pins the
+    // machinery (broken banding collapses hits toward 0), not tuning.
     "q70_cosine_banded" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val banded = Similarity.cosineDupPairs(emb, "embedding", "vec_id",
         threshold = 0.35)
-      // Gate on a SAMPLED STRIPE (ids ≡ 0 mod 3): the exact baseline runs
-      // over ~1/3 of the corpus (1/9 of the pair work), and the banded
-      // result restricted to stripe-only pairs must recall a floor of it.
+      // Gate on a CARDINALITY-BOUNDED stripe: the hash-mod modulus is
+      // derived from a corpus count so the stripe holds ~170 ids at ANY
+      // scale — the gate's exact blocked baseline does constant work as
+      // the corpus grows (the id%3 FRACTION it replaces grew the gate
+      // quadratically: (n/3)² pair work at 100× = 10,000× the gate cost
+      // while the banded operator under test stays near-linear).
+      val stripeMod = math.max(3L, math.round(emb.count() / 170.0))
+      def inStripeId(c: org.apache.spark.sql.Column) =
+        pmod(hash(c), lit(stripeMod)) === 0
       val stripe = Similarity.cosineDupPairsExactBlocked(
-        emb.where(pmod(col("vec_id"), lit(3)) === 0), "embedding", "vec_id",
+        emb.where(inStripeId(col("vec_id"))), "embedding", "vec_id",
         threshold = 0.35, blocks = 8)
       val inStripe = banded
-        .where(pmod(col("id_a"), lit(3)) === 0 && pmod(col("id_b"), lit(3)) === 0)
+        .where(inStripeId(col("id_a")) && inStripeId(col("id_b")))
         .select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
       Gates.recallFloorOn(
           banded.select(col("id_a"), col("id_b"),
@@ -183,9 +189,14 @@ object VectorQueries {
     // the invariant holds vacuously. One combined 1-row check frame.
     "q74_semdedup" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val ivf = graft.core.Memo.cached(s"q74_ivf:$dir") {
+      // k GROWS WITH THE CORPUS (SemDeDup's design point — the within-
+      // cluster pair join is (n/k)² per cluster, so a pinned k turns the
+      // blocking quadratic at scale): target ~64 vectors per cluster,
+      // floor 8. One metadata-sized count derives it.
+      val k = math.max(8, (emb.count() / 64L).toInt)
+      val ivf = graft.core.Memo.cached(s"q74_ivf:$dir:$k") {
         Ivf.train(emb.where(pmod(hash(col("vec_id")), lit(4)) === 0),
-          "embedding", "vec_id", k = 8, iters = 2)
+          "embedding", "vec_id", k = k, iters = 2)
       }
       val drops = graft.operators.SemDedup.dropIds(emb, "embedding", "vec_id",
         ivf, threshold = 0.4).withColumnRenamed("id", "__drop_id")
