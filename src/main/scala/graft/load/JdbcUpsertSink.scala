@@ -248,8 +248,10 @@ object JdbcUpsertSink {
     * commit, `CREATE TABLE graft__load_ok` is the durable success record.
     * Startup that finds the marker knows every leftover pair belongs to a
     * successful run and cleans up (truncate stage, drop snapshot) instead
-    * of compensating; without it, pairs mean an in-flight death and are
-    * compensated. A death after the last merge but BEFORE the marker rolls
+    * of compensating — discovering the pairs from CATALOG METADATA rather
+    * than this call's target list, because the marked run may have loaded
+    * a different target set; without it, pairs mean an in-flight death and
+    * are compensated. A death after the last merge but BEFORE the marker rolls
     * the whole run back consistently (every pair is present) — still
     * all-or-nothing, converging on re-run. Cleanup order (truncate stage,
     * then drop pre, marker dropped last) keeps every intermediate state
@@ -289,13 +291,38 @@ object JdbcUpsertSink {
     def cleanupPair(t: TargetInfo): Unit = { truncateStage(t); dropPre(t) }
     // Crash recovery. The success marker disambiguates leftover pairs:
     //  - marker present: the prior run COMMITTED everything and died during
-    //    cleanup — finish the cleanup, compensate nothing.
+    //    cleanup — finish the cleanup, compensate nothing. The marked
+    //    run's TARGET SET may differ from this call's (single-writer does
+    //    not imply single target-set per database), so the pairs to clean
+    //    are DISCOVERED from catalog metadata (every `*__pre` table), not
+    //    taken from `targets`: cleaning only this call's pairs would leave
+    //    the other run's pairs marker-less, and a later run covering them
+    //    would compensate fully committed rows away. Cleanup is
+    //    neutralize-then-drop per pair, order-independent — safe without
+    //    knowing the other run's FK order.
     //  - no marker: a pair means the prior run died after a committed merge
     //    but before compensating. Compensate (children first — reverse FK
     //    order) and only then drop the snapshot; a __pre without its stage
-    //    never merged, so dropping it is enough.
+    //    never merged, so dropping it is enough. Compensation needs the
+    //    run's FK ORDER, so this branch covers this call's targets — a
+    //    mid-flight crash of a DIFFERENT target set must be recovered by a
+    //    run of that same target set (documented single-writer contract).
     if (exists(markerTable)) {
-      targets.reverse.foreach { case (t, _) => cleanupPair(t) }
+      val md = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val pres = scala.collection.mutable.ListBuffer.empty[String]
+      try while (md.next()) {
+        val n = md.getString("TABLE_NAME")
+        if (n != null && n.toLowerCase.endsWith("__pre")) pres += n
+      } finally md.close()
+      pres.foreach { pre =>
+        val base = pre.substring(0, pre.length - "__pre".length)
+        // dialect-free neutralize (stage is small post-success); stage may
+        // already be gone — both statements are individually safe to re-run
+        try conn.createStatement().execute(s"DELETE FROM ${base}__stage")
+        catch { case _: java.sql.SQLException => () }
+        try conn.createStatement().execute(s"DROP TABLE $pre")
+        catch { case _: java.sql.SQLException => () }
+      }
       dropMarker()
     } else targets.reverse.foreach { case (t, _) =>
       if (exists(preTable(t))) {

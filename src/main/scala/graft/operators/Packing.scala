@@ -15,50 +15,60 @@ import org.apache.spark.sql.functions._
   * window `sum(len) over (order by id)` — plans as a single-partition
   * window: one executor sorts the corpus. Here:
   *
-  *   1. range-repartition by the order key (partition p holds an id range
-  *      strictly below partition p+1's),
-  *   2. pin each row's partition index as DATA (`spark_partition_id` —
-  *      evaluated before any further exchange can move rows),
-  *   3. per-partition subtotals collect to the driver — #partitions longs,
-  *      metadata at any scale — and prefix into per-partition offsets,
-  *   4. the within-partition running sum is a window PARTITIONED by the
-  *      pinned index (bounded work per partition), plus the broadcast
-  *      offset.
+  *   1. bucket boundaries come from `approxQuantile` over the order key —
+  *      a deterministic sketch (no RNG), so each row's bucket is a PURE
+  *      FUNCTION OF ITS KEY, independent of physical placement,
+  *   2. per-bucket subtotals collect to the driver — #buckets longs,
+  *      metadata at any scale — and prefix into per-bucket offsets,
+  *   3. the within-bucket running sum is a window PARTITIONED by the
+  *      bucket (bounded work per bucket), plus the broadcast offset.
   *
-  * Identical arithmetic to the global window (spec + oracle-checked),
-  * shuffle cost of one range exchange + one hash exchange.
+  * Because the bucket never depends on `spark_partition_id`, the result
+  * is stable under recomputation: the frame can be consumed by any number
+  * of actions, cache-evicted, or re-planned without the offsets drifting
+  * (the earlier range-partition formulation pinned placement with a
+  * persist whose release contract was single-consuming-action — fragile
+  * for library users). Identical arithmetic to the global window (spec +
+  * oracle-checked); shuffle cost of one hash exchange on the bucket.
   */
 object Packing {
 
-  /** Adds `start_token` (tokens strictly before this row in id order). */
+  /** Adds `start_token` (tokens strictly before this row in id order).
+    * `idCol` must be numeric (the bucket boundaries are quantiles) and
+    * unique per row (it is the total order of the concatenated stream).
+    */
   def withPrefixSum(df: DataFrame, idCol: String, lenCol: String): DataFrame = {
     val spark = df.sparkSession
-    // PERSISTED: the frame is executed twice (the subtotal collect below,
-    // then the output job), and RangePartitioner SAMPLES its bounds with
-    // an RDD-id-dependent seed — two independent executions could place
-    // boundary rows in different partitions, silently corrupting offsets.
-    // The persist pins one placement for both consumers; the release
-    // listener frees it after the consuming action.
-    val parts = df
-      .repartitionByRange(col(s"`$idCol`"))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = parts.groupBy("__pid")
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+    // Deterministic, data-derived split points (Greenwald-Khanna sketch —
+    // same input, same splits, every execution).
+    val splits = df.stat
+      .approxQuantile(idCol, (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+      .distinct.sorted
+    val bucket = splits
+      .foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(s"`$idCol`").cast("double") > lit(b), 1).otherwise(0)
+      }
+    val parts = df.withColumn("__b", bucket)
+    // Per-bucket subtotals: #buckets longs — driver-side metadata at any
+    // scale. Safe to compute in a separate action because the bucket
+    // assignment above is deterministic: any later recomputation of
+    // `parts` reproduces the same buckets, so the offsets stay valid for
+    // the frame's whole lifetime (no persist / release contract needed).
+    val totals = parts.groupBy("__b")
       .agg(sum(col(s"`$lenCol`")).as("__tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // registered AFTER the eager subtotal collect
-    graft.core.Frames.releaseAfterNextAction(spark, parts)
     val offsets = totals.map(_._1).zip(
       totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
     import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__offset")
-    val w = Window.partitionBy("__pid").orderBy(col(s"`$idCol`"))
+    val offDf = offsets.toSeq.toDF("__b", "__offset")
+    val w = Window.partitionBy("__b").orderBy(col(s"`$idCol`"))
       .rowsBetween(Window.unboundedPreceding, -1)
     parts
-      .join(broadcast(offDf), Seq("__pid"))
+      .join(broadcast(offDf), Seq("__b"))
       .withColumn("start_token",
         col("__offset") + coalesce(sum(col(s"`$lenCol`")).over(w), lit(0L)))
-      .drop("__pid", "__offset")
+      .drop("__b", "__offset")
   }
 
   /** Per-document packing assignment: span in the concatenated stream and
@@ -74,7 +84,9 @@ object Packing {
         col(s"`$lenCol`").cast("long").as("n_tokens"),
         col("start_token"),
         (col("start_token") + col(s"`$lenCol`")).as("end_token"),
-        (col("start_token") / capacity).cast("long").as("chunk_id"),
+        // integer division (Long / Long in Spark SQL is DOUBLE division,
+        // exact only below 2^53 — `div` is exact at any stream length)
+        expr(s"start_token div ${capacity}L").as("chunk_id"),
         pmod(col("start_token"), lit(capacity)).as("offset_in_chunk"))
   }
 }

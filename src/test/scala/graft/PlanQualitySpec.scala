@@ -199,11 +199,17 @@ class PlanQualitySpec extends SparkSuite {
 
   test("q75 prefix sum never plans a single-partition exchange") {
     // the naive global-window cumsum sorts the corpus on ONE executor; the
-    // distributed prefix sum must keep every exchange partitioned
+    // distributed prefix sum must keep every exchange partitioned — the
+    // within-bucket window rides a HASH exchange on the data-derived
+    // bucket column (placement-independent; no spark_partition_id, no
+    // persist contract)
     val plan = formatted("q75_pack_chunks")
     assert(!plan.contains("SinglePartition"),
       "global-window shape leaked into the packing plan")
-    assert(plan.toLowerCase.contains("spark_partition_id"))
+    assert(plan.contains("hashpartitioning(__b"),
+      "bucket-partitioned window missing from the packing plan")
+    assert(!plan.toLowerCase.contains("spark_partition_id"),
+      "placement-derived bucket leaked back into the packing plan")
   }
 
   test("q32/q33 text metrics run fully inside whole-stage codegen") {

@@ -183,6 +183,45 @@ class JdbcSinkIntegrationSpec extends SparkSuite {
       s"'${JdbcUpsertSink.markerTable.toUpperCase}'").head.head === 0)
   }
 
+  test("loadAllOrNothing: post-SUCCESS cleanup covers a DIFFERENT target set's pairs") {
+    // The marker is database-global but a crashed run's TARGET SET may
+    // differ from the next caller's. Recovery must discover the marked
+    // run's pairs from catalog metadata — cleaning only the current
+    // call's pairs would leave the other set's pairs marker-less, and a
+    // later run covering them would compensate fully committed rows away.
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE pier (pier_id BIGINT PRIMARY KEY, " +
+        "qname VARCHAR(50) NOT NULL UNIQUE)")
+      st.execute("INSERT INTO pier VALUES (55, 'done')")  // committed by the crashed run
+      st.execute("CREATE TABLE pier__pre (qname VARCHAR(50))")
+      st.execute("CREATE TABLE pier__stage (pier_id BIGINT, qname VARCHAR(50))")
+      st.execute("INSERT INTO pier__stage VALUES (55, 'done')")
+      st.execute(s"CREATE TABLE ${JdbcUpsertSink.markerTable} (ok INT)")
+      // the next caller loads a DIFFERENT table entirely
+      st.execute("CREATE TABLE dock (dock_id BIGINT PRIMARY KEY, " +
+        "dname VARCHAR(50) NOT NULL UNIQUE)")
+    } finally conn.close()
+
+    val dockT = TargetInfo("dock", "", "dock_id", Seq("dname"), Nil)
+    val docks = Seq((1L, "north")).toDF("dock_id", "dname")
+    JdbcUpsertSink.loadAllOrNothing(spark, url, props, Seq(dockT -> docks), DerbyDialect)
+
+    // pier's pair was cleaned (stage emptied, pre dropped) even though
+    // pier was not in this call's targets — and its committed row
+    // survived. A later pier-covering run now finds nothing to compensate.
+    assert(query("SELECT count(*) FROM SYS.SYSTABLES WHERE TABLENAME = 'PIER__PRE'")
+      .head.head === 0)
+    assert(query("SELECT count(*) FROM pier__stage").head.head === 0)
+    assert(query("SELECT pier_id, qname FROM pier") === Seq(Seq(55L, "done")))
+    assert(query("SELECT dname FROM dock") === Seq(Seq("north")))
+    val pierT = TargetInfo("pier", "", "pier_id", Seq("qname"), Nil)
+    val piers = Seq((1L, "done")).toDF("pier_id", "qname")
+    JdbcUpsertSink.loadAllOrNothing(spark, url, props, Seq(pierT -> piers), DerbyDialect)
+    assert(query("SELECT pier_id, qname FROM pier") === Seq(Seq(55L, "done")))
+  }
+
   test("typed error mapping: FK violation during merge -> ForeignKeyViolationException") {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
