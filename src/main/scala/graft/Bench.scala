@@ -30,18 +30,33 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       filter.forall(_.exists(name.contains))
     }
-    val results = selected.map { case (name, fn) =>
+    def medianMin(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) = {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> (times(times.length / 2), times.head)
+      (times(times.length / 2), times.head)
+    }
+    val results = selected.map { case (name, fn) => name -> medianMin(fn) }
+    // Serving/gate split for the gated queries: time the gate-free
+    // (serving-only) variant too, so a regression in the real operator
+    // can't hide inside verification-gate noise. gate = full - serving,
+    // clamped at 0 (run-to-run noise can invert tiny differences).
+    val splits = selected.flatMap { case (name, _) =>
+      SparkEntry.servingQueries.get(name).map { sfn =>
+        val full = results.toMap.apply(name)._1
+        val serv = medianMin(sfn)._1
+        name -> (serv, math.max(0.0, full - serv))
+      }
     }
     def jsonMap(f: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val splitJson = splits
+      .map { case (k, (s, g)) => s"\"$k\":{\"serving\":$s,\"gate\":$g}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},"serving_split":$splitJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

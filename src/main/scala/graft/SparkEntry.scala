@@ -32,4 +32,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
+
+  /** Serving-only (gate-free) variants of the gated queries, keyed by the
+    * same names as [[queries]] — measurement surface for Bench's
+    * serving/gate split; NOT part of the correctness contract.
+    */
+  def servingQueries: Map[String, (SparkSession, String) => DataFrame] =
+    (TextQueries.serving ++ VectorQueries.serving)
+      .map { case (name, fn) =>
+        name -> ((s: SparkSession, dir: String) => fn(Sessions.init(s), dir))
+      }
 }

@@ -31,12 +31,15 @@ object Ivf {
 
   private def q(n: String): Column = col(s"`$n`")
 
-  /** Squared-L2 argmin assignment expression over literal centroids.
+  /** Squared-L2 argmin assignment over literal centroids.
     * dist_j = |v|^2 - 2 v.c_j + |c_j|^2; |v|^2 is constant per row, so the
-    * argmin needs only -2 v.c_j + |c_j|^2 — one codegen'd dot per centroid.
-    * Ties break to the lower cluster id (struct ordering).
+    * argmin needs only -2 v.c_j + |c_j|^2. Ties break to the lower cluster
+    * id (struct ordering). Small-k formulation: one struct per centroid,
+    * k codegen'd `vec_dot` nodes — fine while k is a constant (q56/q59's
+    * k=16); spec-agreed with the mat_vec path below.
     */
-  private def clusterOf(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+  private[graft] def clusterOfStruct(vecCol: Column,
+                                     centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, j) =>
       val cNorm2 = c.map(x => x * x).sum
       struct(
@@ -45,6 +48,26 @@ object Ivf {
     }
     array_min(array(scored: _*)).getField("j")
   }
+
+  /** Large-k assignment: ALL centroid dot products through one codegen'd
+    * `mat_vec` kernel (FAISS's flat-IVF assignment shape — one primitive
+    * loop over a k×d matrix) instead of k separate expression nodes. At
+    * derived-k scale (k grows with the corpus, e.g. SemDeDup's
+    * k = n/64) the struct formulation becomes a k-wide expression tree —
+    * plan bloat and a codegen-size hazard; this stays one node at any k.
+    */
+  private[graft] def clusterOfMatVec(vecCol: Column,
+                                     centroids: Array[Array[Double]]): Column = {
+    val cn = centroids.map(c => c.map(x => x * x).sum).toSeq
+    val dots = graft.functions.PqColumns.matVec(vecCol, centroids)
+    val scored = transform(dots, (d, j) =>
+      struct((d * -2.0d + element_at(typedLit(cn), j + 1)).as("d"), j.as("j")))
+    array_min(scored).getField("j")
+  }
+
+  private def clusterOf(vecCol: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.length <= 16) clusterOfStruct(vecCol, centroids)
+    else clusterOfMatVec(vecCol, centroids)
 
   /** Attach the IVF cluster id. */
   def withCluster(df: DataFrame, vecCol: String, model: Model): DataFrame =

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sub-document (paragraph-granular) near-duplicate detection — the
+  * standard web-pipeline refinement over whole-document dedup: a page that
+  * copies one boilerplate paragraph from another page is invisible to
+  * doc-level Jaccard but lights up at paragraph granularity (the unit
+  * CCNet and the C4 pipeline dedup at).
+  *
+  * Deliberately COMPOSITIONAL: the splitters below emit one normalized
+  * (id, para_idx, para) stream, and [[nearDupDocPairs]] runs the existing
+  * MinHash-LSH machinery ([[Dedup.ngramJaccardViaLsh]] — banded blocking +
+  * exact-Jaccard verification) over the paragraphs, then re-aggregates
+  * paragraph hits into document verdicts. No new kernels; the paragraph
+  * stream is larger than the doc stream by a constant factor and every
+  * downstream shuffle is the dedup family's own (banding + verify).
+  */
+object Paragraphs {
+
+  /** (id, para_idx, para) by the real-world layout rule: paragraphs are
+    * blank-line-separated blocks. Map-side split + posexplode; empty
+    * blocks (runs of blank lines) are dropped, indices keep their
+    * positional order.
+    */
+  def splitBlankLines(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"),
+        posexplode(split(col(s"`$textCol`"), "\\n\\s*\\n")).as(Seq("para_idx", "para")))
+      .where(length(trim(col("para"))) > 0)
+
+  /** (id, para_idx, para) by fixed token windows — the segmentation for
+    * corpora WITHOUT layout (single-line text): window-sized token slices
+    * in order. One map-side higher-order-function projection (split →
+    * slice → rejoin), no shuffle.
+    */
+  def splitTokenWindows(df: DataFrame, textCol: String, idCol: String,
+                        window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    df.where(col(s"`$textCol`").isNotNull && length(trim(col(s"`$textCol`"))) > 0)
+      .select(col(s"`$idCol`").as("id"), split(trim(col(s"`$textCol`")), "\\s+").as("__toks"))
+      .select(col("id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(__toks)-1) div $window), " +
+            s"i -> array_join(slice(__toks, i*$window+1, $window), ' '))"))
+          .as(Seq("para_idx", "para")))
+  }
+
+  /** Document-pair near-dup verdicts from a paragraph stream: paragraph
+    * pairs at or above the Jaccard threshold aggregate to
+    * (doc_a, doc_b, n_para_pairs, max_jaccard) across DISTINCT documents
+    * (intra-document repetition is q65/q73's signal, not this one's).
+    *
+    * `viaLsh = true` blocks candidates with MinHash banding + exact
+    * verification (the corpus-scale path — emitted pairs are never false
+    * positives, but banding recall is probabilistic near the threshold:
+    * short tail-window paragraphs with 1-2 shingles sit exactly there, so
+    * an LSH run may miss borderline pairs). `viaLsh = false` runs the
+    * EXACT inverted-shingle-index path ([[Dedup.ngramJaccardPairs]], the
+    * skew-guarded q38 operator): any pair with J >= t shares a shingle,
+    * so every qualifying pair is found — the oracle-checkable route.
+    *
+    * Paragraph keys pack (id, para_idx) into one long — `id` must be a
+    * non-negative integral id and documents must hold fewer than
+    * `idxCap` paragraphs (enforced in-plan: an overflowing paragraph
+    * index would silently alias another document's key).
+    */
+  def nearDupDocPairs(paras: DataFrame, shingleN: Int, threshold: Double,
+                      viaLsh: Boolean = true,
+                      numHashes: Int = 64, bands: Int = 16,
+                      idxCap: Long = 1000000L): DataFrame = {
+    val safeIdx = when(col("para_idx").cast("long") >= idxCap,
+        raise_error(concat(lit("paragraph index overflows the packed key: "),
+          col("para_idx").cast("string"))))
+      .otherwise(col("para_idx").cast("long"))
+    val keyed = paras.select(
+      (col("id").cast("long") * idxCap + safeIdx).as("pkey"), col("para"))
+    val pairs =
+      if (viaLsh) Dedup.ngramJaccardViaLsh(keyed, "para", "pkey",
+        n = shingleN, threshold = threshold, numHashes = numHashes, bands = bands)
+      else Dedup.ngramJaccardPairs(keyed, "para", "pkey",
+        n = shingleN, threshold = threshold)
+    pairs
+      .select(expr(s"id_a div $idxCap").as("doc_a"),
+        expr(s"id_b div $idxCap").as("doc_b"), col("jaccard"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_para_pairs"), max(col("jaccard")).as("max_jaccard"))
+  }
+}

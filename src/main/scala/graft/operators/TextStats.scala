@@ -110,4 +110,47 @@ object TextStats {
         round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
           / col("n_tokens"), 6).as("dup_coverage"))
   }
+
+  /** Exact-substring dedup as a TRANSFORM, not a score — the actual pass
+    * of Lee et al. (ACL'22): REMOVE every token position covered by a
+    * k-token span that occurs more than once in the corpus and reassemble
+    * the surviving tokens into scrubbed text (their suffix-array pass cuts
+    * byte ranges; this is the positional k-gram analogue over tokens, the
+    * same index [[dupSpanCoverage]] scores with).
+    *
+    * Shape: the coverage machinery (generator pass + dup-gram aggregation
+    * + span union) plus ONE more broadcast-free step — the per-doc covered
+    * POSITION SET (bounded by doc length, collect_set per doc) joins back
+    * to the text and a higher-order-function projection drops the covered
+    * tokens in place: no token-level explode of the corpus on the rebuild
+    * side, no window, no driver state. Docs with every position covered
+    * come back as empty text (n_kept = 0), the paper's degenerate case.
+    */
+  def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    val grams = df
+      .where(col(s"`$textCol`").isNotNull && length(trim(col(s"`$textCol`"))) > 0)
+      .select(col(s"`$idCol`").as("id"),
+        graft.functions.TextFns.tokenCount(col(s"`$textCol`")).as("n_tokens"),
+        expr(s"ngram_tuples(`$textCol`, $k)"))
+    val dupGrams = grams.groupBy("ngram").agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") > 1).select("ngram")
+    // Per-doc covered-position SET: bounded by the doc's own token count —
+    // row-local metadata, not a corpus-sized structure.
+    val covSets = grams.join(dupGrams, Seq("ngram"))
+      .select(col("id"), explode(sequence(col("pos"),
+        least(col("pos") + (k - 1), col("n_tokens") - 1))).as("p"))
+      .groupBy("id").agg(collect_set(col("p")).as("__cov"))
+    val toks = split(trim(col(s"`$textCol`")), "\\s+")
+    val indexed = transform(toks, (t, i) => struct(t.as("t"), i.as("i")))
+    // null __cov (no duplicated span touches this doc) keeps everything
+    val kept = filter(indexed,
+      s => !coalesce(array_contains(col("__cov"), s("i")), lit(false)))
+    df.where(col(s"`$textCol`").isNotNull && length(trim(col(s"`$textCol`"))) > 0)
+      .select(col(s"`$idCol`").as("id"), col(s"`$textCol`"))
+      .join(covSets, Seq("id"), "left")
+      .select(col("id"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(transform(kept, s => s("t")), " ").as("scrubbed"))
+  }
 }

@@ -104,35 +104,7 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs. Not SQL-expressible (E[hamming]≈64·angle/π
-    // defeats any cosine-threshold oracle), so the plan GATES itself:
-    // each emitted pair's EXACT token cosine is computed in-plan
-    // (codegen'd token_dot over the pair's posting lists — pairs are
-    // few, the join is tiny) and the result collapses to zero rows
-    // unless the MEAN cosine clears 0.8. The floor is aggregate, not
-    // per-row: this corpus's RANDOM-pair cosine baseline is ~0.63
-    // (31-token vocabulary), estimator tails overlap it (observed pair
-    // min 0.63/0.85, mean 0.90 at sf0.1/sf0.01), and broken bucketing
-    // drags the mean to the baseline — which is exactly what trips the
-    // gate.
-    "q37_simhash" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").where(length(trim(col("text"))) > 0)
-      val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
-      val toks = docs.select(col("doc_id").as("id"),
-          explode(split(trim(col("text")), "\\s+")).as("t"))
-        .groupBy("id", "t").agg(count(lit(1)).as("c"))
-      val lists = toks.groupBy("id").agg(
-        sort_array(collect_list(struct(col("t"), col("c")))).as("pl"),
-        sqrt(sum(col("c") * col("c"))).as("nrm"))
-      val dot = graft.functions.TokenDotColumns.tokenDot(col("__pa"), col("__pb"))
-      val scored = pairs
-        .join(lists.select(col("id").as("id_a"), col("pl").as("__pa"), col("nrm").as("__na")), "id_a")
-        .join(lists.select(col("id").as("id_b"), col("pl").as("__pb"), col("nrm").as("__nb")), "id_b")
-        .withColumn("cosine", round(dot / (col("__na") * col("__nb")), 4))
-      Gates.aggFloor(scored, avg(col("cosine")), 0.8)
-        .select("id_a", "id_b", "hamming", "cosine")
-        .orderBy("id_a", "id_b")
-    }),
+    "q37_simhash" -> mkQ37(gated = true),
 
     // n-gram Jaccard pairs — EXACT via the inverted shingle index
     // (oracle-checked): any pair with J >= t shares a shingle, so the
@@ -169,42 +141,7 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     }),
 
-    // Composite corpus-prep pipeline: annotate -> quality filter -> exact
-    // dedup -> LSH near-dup clusters -> representatives. The composite
-    // itself is not SQL-expressible (LSH internals), but every stage is
-    // individually oracle-checked — so the plan GATES on exact id-parity
-    // with an independent stage-by-stage recomposition built from those
-    // oracled formulations (tokenCount/q32, qualityScore via the composed
-    // Columns rather than the kernel, exactByFingerprint/q31, then the
-    // same LSH clustering). Any drift in how run() threads the stages
-    // (filter ordering, column plumbing, anti-join orientation) breaks
-    // parity and fails the driver's rows-check.
-    "q52_corpus_pipeline" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val res = graft.corpus.CorpusPipeline.run(docs,
-        graft.corpus.CorpusPipeline.Config(
-          minTokens = 3, minQuality = 0.1, nearDupThreshold = 0.9))
-      val refiltered = docs.where(col("text").isNotNull)
-        .where(TextFns.tokenCount(col("text")) >= 3 &&
-          TextFns.qualityScore(col("text")) >= 0.1)
-      // Persisted: consumed twice — eagerly by connectedComponents' edge
-      // collect (through the LSH pair pipeline) and lazily by the final
-      // anti-join under the parity gate.
-      val reExact = Dedup.exactByFingerprint(refiltered, "text", "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val rePairs = Dedup.minhashLshPairs(reExact, "text", "doc_id",
-        shingleN = 3, threshold = 0.9)
-      val reDrop = Dedup.connectedComponents(rePairs)
-        .where(col("id") =!= col("label")).select("id")
-      val reCorpus = reExact.join(reDrop,
-        reExact("doc_id") === reDrop("id"), "left_anti").select("doc_id")
-      // Registered AFTER connectedComponents' eager edge collect.
-      graft.core.Frames.releaseAfterNextAction(s, reExact)
-      Gates.setParity(res.corpus, reCorpus, "doc_id")
-        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-          col("lang_pred"), round(col("quality"), 6).as("quality"))
-        .orderBy("doc_id")
-    }),
+    "q52_corpus_pipeline" -> mkQ52(gated = true),
 
     // Mergeable Misra-Gries heavy hitters; capacity 64 exceeds the corpus
     // vocabulary, so estimates are exact and the oracle checks them.
@@ -214,63 +151,7 @@ object TextQueries {
         "text", k = 64, topN = 10)
     }),
 
-    // Incremental near-dup: documents arrive in two batches; each batch
-    // dedups against the persistent LSH index built by the earlier ones
-    // (the streaming corpus-registry path). Deterministic: greedy
-    // keep-lowest-id + fixed hash family. Index internals aren't SQL-
-    // mirrorable, so the plan gates on EXACT PARITY with a one-shot batch
-    // dedup over the same corpus (Gates.setParity): any incremental/batch
-    // divergence emits zero rows and fails the driver's rows-only check.
-    "q57_incremental_dedup" -> ((s, dir) => {
-      // Cached: three dedupeBatch passes (two incremental + the parity
-      // comparator) share one corpus scan and ONE signature computation —
-      // the sketch kernel is the dominant map cost.
-      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = graft.operators.Dedup
-        .minhashSignaturesGen(docs, "doc_id", "text", 3, 64)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ixRoots = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
-      def freshIx() = {
-        val root = java.nio.file.Files.createTempDirectory("graft_q57_ix")
-        ixRoots += root
-        new graft.streaming.StreamingDedup.LshIndex(
-          root.toString + "/ix",
-          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
-      }
-      val ix = freshIx()
-      // Batches split at the median id: arrival order consistent with the
-      // greedy keep-lowest-id order (the realistic time-ordered stream) —
-      // an id-interleaved split would legitimately diverge from one-shot
-      // (keep-first-ARRIVED vs keep-lowest-id).
-      val mid = docs.agg(expr("approx_percentile(doc_id, 0.5)")).head().getLong(0)
-      val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= mid), "text", "doc_id",
-        precomputedSig = Some(sig.where(col("id") <= mid)))
-      val s2 = ix.dedupeBatch(docs.where(col("doc_id") > mid), "text", "doc_id",
-        precomputedSig = Some(sig.where(col("id") > mid)))
-      val incremental = s1.select("doc_id").union(s2.select("doc_id"))
-      // Comparator pass: same semantics, but its index would never be
-      // probed — skip the partitioned parquet append (and the tempdir).
-      val oneShot = freshIx().dedupeBatch(docs, "text", "doc_id",
-        precomputedSig = Some(sig), appendToIndex = false).select("doc_id")
-      // dedupeBatch's heavy work (probes, appends, drop-set checkpoints)
-      // ran EAGERLY above; the frames returned here only re-read docs for
-      // the final anti-joins. Release the shared persists after the action
-      // that consumes this query — not before (the passes above already
-      // completed, so registration here cannot fire early).
-      graft.core.Frames.releaseAfterNextAction(s, docs, sig)
-      // The index dirs are likewise DEAD already: every index read/write
-      // happened inside the eager dedupeBatch passes, and the returned
-      // frames anti-join only the localCheckpoint'd drop-sets. Delete the
-      // temp indexes now instead of leaking one pair per invocation.
-      ixRoots.foreach { root =>
-        val walk = java.nio.file.Files.walk(root)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
-      Gates.setParity(incremental, oneShot, "doc_id").orderBy("doc_id")
-    }),
+    "q57_incremental_dedup" -> mkQ57(gated = true),
 
     // Containment dedup: documents whose whole shingle set lives inside
     // another document's — the redundancy case Jaccard thresholds miss
@@ -425,6 +306,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact-substring dedup as a TRANSFORM (Lee et al. ACL'22's actual
+    // pass): remove every token position covered by a corpus-duplicated
+    // 5-token span and reassemble the scrubbed text — the removal
+    // counterpart of q73's coverage score, over the same positional-gram
+    // index. Oracle mirrors the construction exactly (1-based positions).
+    "q76_remove_dup_spans" -> ((s, dir) => {
+      graft.operators.TextStats.removeDupSpans(
+          Tables(s, dir, "documents"), "text", "doc_id", k = 5)
+        .select(col("id").as("doc_id"), col("n_kept"), col("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // Paragraph-granular near-dup: segment each doc into 16-token windows
+    // (this corpus is single-line — the blank-line splitter is the
+    // layout-aware alternative, spec-verified on a planted fixture), find
+    // paragraph pairs through the EXACT inverted-shingle index (q38's
+    // skew-guarded operator — short tail windows put true pairs exactly
+    // at the threshold, where LSH banding recall is probabilistic; the
+    // LSH route stays available and is spec-agreed on planted dups),
+    // re-aggregate verified paragraph pairs into cross-document verdicts.
+    "q77_paragraph_neardup" -> ((s, dir) => {
+      val paras = graft.operators.Paragraphs.splitTokenWindows(
+        Tables(s, dir, "documents"), "text", "doc_id", window = 16)
+      graft.operators.Paragraphs.nearDupDocPairs(paras, shingleN = 3,
+          threshold = 0.5, viaLsh = false)
+        .withColumn("max_jaccard", round(col("max_jaccard"), 4))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
     // positional word 3-gram (registered in the function registry).
     "q51_ngram_generator" -> ((s, dir) => {
@@ -437,6 +347,154 @@ object TextQueries {
     })
   )
 
+  /** SERVING-ONLY variants of the gated queries — see
+    * [[VectorQueries.serving]]: measurement-only definitions without the
+    * in-plan verification gate, benched alongside the full queries so the
+    * BENCH JSON separates operator cost from gate cost.
+    */
+  val serving: Map[String, Q] = Map(
+    "q37_simhash"          -> mkQ37(gated = false),
+    "q52_corpus_pipeline"  -> mkQ52(gated = false),
+    "q57_incremental_dedup" -> mkQ57(gated = false)
+  )
+
+  // SimHash near-dup pairs. Not SQL-expressible (E[hamming]≈64·angle/π
+  // defeats any cosine-threshold oracle), so the plan GATES itself:
+  // each emitted pair's EXACT token cosine is computed in-plan
+  // (codegen'd token_dot over the pair's posting lists — pairs are
+  // few, the join is tiny) and the result collapses to zero rows
+  // unless the MEAN cosine clears 0.8. The floor is aggregate, not
+  // per-row: this corpus's RANDOM-pair cosine baseline is ~0.63
+  // (31-token vocabulary), estimator tails overlap it (observed pair
+  // min 0.63/0.85, mean 0.90 at sf0.1/sf0.01), and broken bucketing
+  // drags the mean to the baseline — which is exactly what trips the
+  // gate.
+  private def mkQ37(gated: Boolean): Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents").where(length(trim(col("text"))) > 0)
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+    if (!gated) pairs.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+    else {
+      val toks = docs.select(col("doc_id").as("id"),
+          explode(split(trim(col("text")), "\\s+")).as("t"))
+        .groupBy("id", "t").agg(count(lit(1)).as("c"))
+      val lists = toks.groupBy("id").agg(
+        sort_array(collect_list(struct(col("t"), col("c")))).as("pl"),
+        sqrt(sum(col("c") * col("c"))).as("nrm"))
+      val dot = graft.functions.TokenDotColumns.tokenDot(col("__pa"), col("__pb"))
+      val scored = pairs
+        .join(lists.select(col("id").as("id_a"), col("pl").as("__pa"), col("nrm").as("__na")), "id_a")
+        .join(lists.select(col("id").as("id_b"), col("pl").as("__pb"), col("nrm").as("__nb")), "id_b")
+        .withColumn("cosine", round(dot / (col("__na") * col("__nb")), 4))
+      Gates.aggFloor(scored, avg(col("cosine")), 0.8)
+        .select("id_a", "id_b", "hamming", "cosine")
+        .orderBy("id_a", "id_b")
+    }
+  }
+
+  // Composite corpus-prep pipeline: annotate -> quality filter -> exact
+  // dedup -> LSH near-dup clusters -> representatives. The composite
+  // itself is not SQL-expressible (LSH internals), but every stage is
+  // individually oracle-checked — so the plan GATES on exact id-parity
+  // with an independent stage-by-stage recomposition built from those
+  // oracled formulations (tokenCount/q32, qualityScore via the composed
+  // Columns rather than the kernel, exactByFingerprint/q31, then the
+  // same LSH clustering). Any drift in how run() threads the stages
+  // (filter ordering, column plumbing, anti-join orientation) breaks
+  // parity and fails the driver's rows-check.
+  private def mkQ52(gated: Boolean): Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val res = graft.corpus.CorpusPipeline.run(docs,
+      graft.corpus.CorpusPipeline.Config(
+        minTokens = 3, minQuality = 0.1, nearDupThreshold = 0.9))
+    val out =
+      if (!gated) res.corpus
+      else {
+        val refiltered = docs.where(col("text").isNotNull)
+          .where(TextFns.tokenCount(col("text")) >= 3 &&
+            TextFns.qualityScore(col("text")) >= 0.1)
+        // Persisted: consumed twice — eagerly by connectedComponents' edge
+        // collect (through the LSH pair pipeline) and lazily by the final
+        // anti-join under the parity gate.
+        val reExact = Dedup.exactByFingerprint(refiltered, "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rePairs = Dedup.minhashLshPairs(reExact, "text", "doc_id",
+          shingleN = 3, threshold = 0.9)
+        val reDrop = Dedup.connectedComponents(rePairs)
+          .where(col("id") =!= col("label")).select("id")
+        val reCorpus = reExact.join(reDrop,
+          reExact("doc_id") === reDrop("id"), "left_anti").select("doc_id")
+        // Registered AFTER connectedComponents' eager edge collect.
+        graft.core.Frames.releaseAfterNextAction(s, reExact)
+        Gates.setParity(res.corpus, reCorpus, "doc_id")
+      }
+    out.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("lang_pred"), round(col("quality"), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // Incremental near-dup: documents arrive in two batches; each batch
+  // dedups against the persistent LSH index built by the earlier ones
+  // (the streaming corpus-registry path). Deterministic: greedy
+  // keep-lowest-id + fixed hash family. Index internals aren't SQL-
+  // mirrorable, so the plan gates on EXACT PARITY with a one-shot batch
+  // dedup over the same corpus (Gates.setParity): any incremental/batch
+  // divergence emits zero rows and fails the driver's rows-only check.
+  private def mkQ57(gated: Boolean): Q = (s, dir) => {
+    // Cached: the dedupeBatch passes (two incremental + the parity
+    // comparator when gated) share one corpus scan and ONE signature
+    // computation — the sketch kernel is the dominant map cost.
+    val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.operators.Dedup
+      .minhashSignaturesGen(docs, "doc_id", "text", 3, 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ixRoots = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+    def freshIx() = {
+      val root = java.nio.file.Files.createTempDirectory("graft_q57_ix")
+      ixRoots += root
+      new graft.streaming.StreamingDedup.LshIndex(
+        root.toString + "/ix",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
+    }
+    val ix = freshIx()
+    // Batches split at the median id: arrival order consistent with the
+    // greedy keep-lowest-id order (the realistic time-ordered stream) —
+    // an id-interleaved split would legitimately diverge from one-shot
+    // (keep-first-ARRIVED vs keep-lowest-id).
+    val mid = docs.agg(expr("approx_percentile(doc_id, 0.5)")).head().getLong(0)
+    val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= mid), "text", "doc_id",
+      precomputedSig = Some(sig.where(col("id") <= mid)))
+    val s2 = ix.dedupeBatch(docs.where(col("doc_id") > mid), "text", "doc_id",
+      precomputedSig = Some(sig.where(col("id") > mid)))
+    val incremental = s1.select("doc_id").union(s2.select("doc_id"))
+    // Comparator pass (gated only): same semantics, but its index would
+    // never be probed — skip the partitioned parquet append (and tempdir).
+    val out =
+      if (!gated) incremental
+      else {
+        val oneShot = freshIx().dedupeBatch(docs, "text", "doc_id",
+          precomputedSig = Some(sig), appendToIndex = false).select("doc_id")
+        Gates.setParity(incremental, oneShot, "doc_id")
+      }
+    // dedupeBatch's heavy work (probes, appends, drop-set checkpoints)
+    // ran EAGERLY above; the frames returned here only re-read docs for
+    // the final anti-joins. Release the shared persists after the action
+    // that consumes this query — not before (the passes above already
+    // completed, so registration here cannot fire early).
+    graft.core.Frames.releaseAfterNextAction(s, docs, sig)
+    // The index dirs are likewise DEAD already: every index read/write
+    // happened inside the eager dedupeBatch passes, and the returned
+    // frames anti-join only the localCheckpoint'd drop-sets. Delete the
+    // temp indexes now instead of leaking one pair per invocation.
+    ixRoots.foreach { root =>
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    out.orderBy("doc_id")
+  }
+
   // q71's augmented-text expression and rule patterns, shared verbatim
   // between the Spark plan and the DuckDB oracle (patterns are RE2-safe).
   private val piiAugSql =
@@ -446,6 +504,46 @@ object TextQueries {
   private val Seq(emailPat, ipPat, phonePat) = graft.operators.Pii.rules.map(_._1)
 
   val oracles: Map[String, String] = Map(
+    "q76_remove_dup_spans" ->
+      """WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        | g AS (SELECT doc_id, n_tok, u.pos AS pos, u.ngram AS ngram FROM (
+        |  SELECT doc_id, len(w) AS n_tok,
+        |    unnest(CASE WHEN len(w) <= 5 THEN [struct_pack(pos := 1, ngram := array_to_string(w, ' '))]
+        |      ELSE list_transform(generate_series(1, len(w)-4),
+        |        i -> struct_pack(pos := i, ngram := array_to_string(list_slice(w, i, i+4), ' '))) END) AS u
+        |  FROM base)),
+        | dup AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) > 1),
+        | cov AS (SELECT doc_id, list(DISTINCT p) AS cps FROM (
+        |  SELECT g.doc_id, unnest(generate_series(g.pos, least(g.pos + 4, g.n_tok))) AS p
+        |  FROM g JOIN dup USING (ngram)) GROUP BY doc_id)
+        | SELECT t.doc_id, CAST(len(t.kept) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(list_transform(t.kept, i -> t.w[i]), ' '), '') AS scrubbed
+        | FROM (SELECT b.doc_id, b.w,
+        |   list_filter(generate_series(1, len(b.w)),
+        |     i -> cov.cps IS NULL OR NOT list_contains(cov.cps, i)) AS kept
+        |  FROM base b LEFT JOIN cov USING (doc_id)) t
+        | ORDER BY t.doc_id""".stripMargin.replaceAll("\n", " "),
+    "q77_paragraph_neardup" ->
+      """WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        | paras AS (
+        |  SELECT doc_id, i AS para_idx, array_to_string(w[(i*16+1):(i*16+16)], ' ') AS para
+        |  FROM base, unnest(generate_series(0, (len(w)-1)//16)) AS t(i)),
+        | sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(pw) <= 3 THEN [array_to_string(pw, ' ')]
+        |    ELSE list_transform(generate_series(1, len(pw)-2), i -> array_to_string(list_slice(pw, i, i+2), ' ')) END) AS s,
+        |   doc_id*1000000 + para_idx AS pkey
+        |  FROM (SELECT doc_id, para_idx, regexp_split_to_array(trim(para), '\s+') AS pw
+        |        FROM paras WHERE trim(para) <> '')),
+        | ex AS (SELECT pkey, doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        | pp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS j
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.pkey < b.pkey AND a.doc_id <> b.doc_id
+        |  GROUP BY a.pkey, b.pkey, a.doc_id, b.doc_id)
+        | SELECT doc_a, doc_b, count(*) AS n_para_pairs, round(max(j), 4) AS max_jaccard
+        | FROM pp WHERE j >= 0.5 GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
     "q71_pii_redact" ->
       s"""SELECT doc_id,
         | CAST(len(regexp_extract_all(aug, '$emailPat')) AS BIGINT) AS n_emails,

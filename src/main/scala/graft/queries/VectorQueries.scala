@@ -51,73 +51,11 @@ object VectorQueries {
         .orderBy("label")
     }),
 
-    // LSH sign-bucketed ANN. Approximate by design, so no SQL oracle —
-    // instead the plan itself gates on a recall floor vs the in-plan
-    // brute-force baseline (Gates.recallFloor): a machinery regression
-    // emits zero rows and fails the driver's rows-only check. Floor 2 =
-    // observed deterministic hits (3 at both SFs) with margin; the bucket
-    // scan covers ~9/256 buckets of a corpus with near-uniform probe
-    // similarity, so hits are expected to sit near the pruning fraction.
-    "q43_ann_lsh" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      val approx = Similarity.lshTopK(emb,
-        "embedding", "vec_id", probe, k = 25, nBits = 8, multiProbe = true)
-      val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", probe, k = 25)
-      Gates.recallFloor(approx, exact, "vec_id", minHits = 2)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"), col("recall_hits"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-    }),
+    "q43_ann_lsh" -> mkQ43(gated = true),
 
-    // IVF ANN: coarse k-means quantizer, nProbe-cluster probe. Approximate
-    // by design (full-probe == brute force is spec-verified); the plan
-    // gates on recall@25 >= 0.8 vs the in-plan brute-force baseline.
-    "q56_ann_ivf" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      // Quantizer trained on a deterministic ~25% sample (standard IVF
-      // practice — centroid quality needs only a sample of the corpus).
-      val sample = emb.where(pmod(hash(col("vec_id")), lit(4)) === 0)
-      val model  = Ivf.train(sample, "embedding", "vec_id", k = 16, iters = 2)
-      val approx = Ivf.topK(emb, "embedding", "vec_id", model, probe, k = 25, nProbe = 6)
-      val exact  = Similarity.bruteForceTopK(emb, "embedding", "vec_id", probe, k = 25)
-      // Floor 12 ~ observed 15/16 hits at sf0.01/sf0.1 with margin (6 of 16
-      // clusters probed on a near-uniform corpus).
-      Gates.recallFloor(approx, exact, "vec_id", minHits = 12)
-        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"), col("recall_hits"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-    }),
+    "q56_ann_ivf" -> mkQ56(gated = true),
 
-    // Product-quantization ANN, the COMPOSED IVFADC serving stack (Jégou
-    // et al. §VII): coarse IVF cluster pruning (6 of 16 clusters, in-plan
-    // filter — the partition-pruning predicate of the written layout) ->
-    // OPQ-rotated RESIDUAL codes (8 bytes per 256-byte vector; residuals
-    // concentrate near the origin so the code budget buys more precision)
-    // -> per-cluster ADC tables over the compressed survivors -> EXACT
-    // re-rank of the 200-row shortlist from raw vectors. Quantization
-    // error then only costs recall when a true neighbor misses the whole
-    // shortlist OR its cluster is never probed; the plan gates on
-    // recall@25 >= 12 vs the in-plan exact squared-L2 top-25 (observed
-    // 17-21 hits at sf0.01/sf0.1).
-    "q59_ann_pq" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      // Index artifacts (coarse centroids + residual codebooks + OPQ
-      // rotation) are OFFLINE in a serving stack — train once per (query,
-      // corpus) and amortize over probes. Training is deterministic, so a
-      // memoized model is identical to a retrained one (graft.core.Memo).
-      val (ivf, model) = graft.core.Memo.cached(s"q59_models:$dir") {
-        val sample = emb.where(pmod(hash(col("vec_id")), lit(4)) === 0)
-        val iv = Ivf.train(sample, "embedding", "vec_id", k = 16, iters = 2)
-        (iv, graft.operators.Pq.trainResidual(sample, "embedding", "vec_id",
-          iv, dim = 64, m = 8, k = 16, iters = 2, withRotation = true))
-      }
-      val approx = graft.operators.Pq.ivfAdcTopKRerank(emb,
-        "embedding", "vec_id", ivf, model, probe, k = 25, nProbe = 8, shortlist = 200)
-      val exact = emb.select(col("vec_id"),
-          (VectorFns.dot(col("embedding"), col("embedding")) -
-            VectorFns.dot(col("embedding"), VectorFns.vecLit(probe)) * 2.0d).as("__d"))
-        .orderBy(col("__d").asc, col("vec_id").asc).limit(25)
-      Gates.recallFloor(approx, exact, "vec_id", minHits = 12)
-        .select(col("vec_id"), round(col("dist"), 6).as("dist"), col("recall_hits"))
-    }),
+    "q59_ann_pq" -> mkQ59(gated = true),
 
     // Embedding-cosine dup pairs — EXACT, oracle-checked, through the
     // BLOCK-PARTITIONED equi-join (no BroadcastNestedLoopJoin: each row
@@ -138,21 +76,137 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // Banded sign-LSH cosine dup pairs — the near-dup SCALE path benched
-    // as its own query (q44 benches the exact blocked join). On this
-    // corpus the qualifying pairs sit far below the LSH-viable regime
-    // (gapless tail over the random baseline), so banding is legitimately
-    // partial here: emitted pairs are exact-verified (never false
-    // positives — the oracle-free analogue of q36's verify step) and the
-    // plan GATES on recall over a sampled stripe vs the in-plan exact
-    // blocked baseline (Gates.recallFloorOn). Analytic per-pair recall at
-    // c=0.35 is ~27% (1-(1-p^8)^16, p=1-θ/π≈0.614); the stripe holds
-    // ~30 exact pairs at sf0.01 -> ~8 expected hits; floor 3 pins the
-    // machinery (broken banding collapses hits toward 0), not tuning.
-    "q70_cosine_banded" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      val banded = Similarity.cosineDupPairs(emb, "embedding", "vec_id",
-        threshold = 0.35)
+    "q70_cosine_banded" -> mkQ70(gated = true),
+
+    "q74_semdedup" -> mkQ74(gated = true),
+
+    // kNN join: 5 nearest base vectors for each of the first 10 probe rows
+    // (exact brute-force; oracle = quadratic SQL over the same split).
+    "q45_knn_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.knnJoin(e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+          "embedding", "vec_id", "vec_id", k = 5)
+        .select(col("probe_id"), col("base_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("probe_id"), col("cosine").desc, col("base_id"))
+    })
+  )
+
+  /** SERVING-ONLY variants of the gated queries — the operator under test
+    * without its in-plan verification gate. Benched alongside the full
+    * (gated) definitions so `BENCH_r{N}.json` separates serving cost from
+    * gate cost: a regression in the real operator can't hide inside gate
+    * noise (the full definitions stay the correctness surface — these are
+    * measurement-only and carry no gate).
+    */
+  val serving: Map[String, Q] = Map(
+    "q43_ann_lsh"       -> mkQ43(gated = false),
+    "q56_ann_ivf"       -> mkQ56(gated = false),
+    "q59_ann_pq"        -> mkQ59(gated = false),
+    "q70_cosine_banded" -> mkQ70(gated = false),
+    "q74_semdedup"      -> mkQ74(gated = false)
+  )
+
+  // LSH sign-bucketed ANN. Approximate by design, so no SQL oracle —
+  // instead the plan itself gates on a recall floor vs the in-plan
+  // brute-force baseline (Gates.recallFloor): a machinery regression
+  // emits zero rows and fails the driver's rows-only check. Floor 2 =
+  // observed deterministic hits (3 at both SFs) with margin; the bucket
+  // scan covers ~9/256 buckets of a corpus with near-uniform probe
+  // similarity, so hits are expected to sit near the pruning fraction.
+  private def mkQ43(gated: Boolean): Q = (s, dir) => {
+    val emb = Tables(s, dir, "embeddings")
+    val approx = Similarity.lshTopK(emb,
+      "embedding", "vec_id", probe, k = 25, nBits = 8, multiProbe = true)
+    if (!gated)
+      approx.select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    else {
+      val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", probe, k = 25)
+      Gates.recallFloor(approx, exact, "vec_id", minHits = 2)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"), col("recall_hits"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }
+  }
+
+  // IVF ANN: coarse k-means quantizer, nProbe-cluster probe. Approximate
+  // by design (full-probe == brute force is spec-verified); the plan
+  // gates on recall@25 >= 0.8 vs the in-plan brute-force baseline.
+  // Floor 12 ~ observed 15/16 hits at sf0.01/sf0.1 with margin (6 of 16
+  // clusters probed on a near-uniform corpus).
+  private def mkQ56(gated: Boolean): Q = (s, dir) => {
+    val emb = Tables(s, dir, "embeddings")
+    // Quantizer trained on a deterministic ~25% sample (standard IVF
+    // practice — centroid quality needs only a sample of the corpus).
+    val sample = emb.where(pmod(hash(col("vec_id")), lit(4)) === 0)
+    val model  = Ivf.train(sample, "embedding", "vec_id", k = 16, iters = 2)
+    val approx = Ivf.topK(emb, "embedding", "vec_id", model, probe, k = 25, nProbe = 6)
+    if (!gated)
+      approx.select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    else {
+      val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", probe, k = 25)
+      Gates.recallFloor(approx, exact, "vec_id", minHits = 12)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"), col("recall_hits"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }
+  }
+
+  // Product-quantization ANN, the COMPOSED IVFADC serving stack (Jégou
+  // et al. §VII): coarse IVF cluster pruning (6 of 16 clusters, in-plan
+  // filter — the partition-pruning predicate of the written layout) ->
+  // OPQ-rotated RESIDUAL codes (8 bytes per 256-byte vector; residuals
+  // concentrate near the origin so the code budget buys more precision)
+  // -> per-cluster ADC tables over the compressed survivors -> EXACT
+  // re-rank of the 200-row shortlist from raw vectors. Quantization
+  // error then only costs recall when a true neighbor misses the whole
+  // shortlist OR its cluster is never probed; the plan gates on
+  // recall@25 >= 12 vs the in-plan exact squared-L2 top-25 (observed
+  // 17-21 hits at sf0.01/sf0.1).
+  private def mkQ59(gated: Boolean): Q = (s, dir) => {
+    val emb = Tables(s, dir, "embeddings")
+    // Index artifacts (coarse centroids + residual codebooks + OPQ
+    // rotation) are OFFLINE in a serving stack — train once per (query,
+    // corpus) and amortize over probes. Training is deterministic, so a
+    // memoized model is identical to a retrained one (graft.core.Memo).
+    val (ivf, model) = graft.core.Memo.cached(s"q59_models:$dir") {
+      val sample = emb.where(pmod(hash(col("vec_id")), lit(4)) === 0)
+      val iv = Ivf.train(sample, "embedding", "vec_id", k = 16, iters = 2)
+      (iv, graft.operators.Pq.trainResidual(sample, "embedding", "vec_id",
+        iv, dim = 64, m = 8, k = 16, iters = 2, withRotation = true))
+    }
+    val approx = graft.operators.Pq.ivfAdcTopKRerank(emb,
+      "embedding", "vec_id", ivf, model, probe, k = 25, nProbe = 8, shortlist = 200)
+    if (!gated)
+      approx.select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    else {
+      val exact = emb.select(col("vec_id"),
+          (VectorFns.dot(col("embedding"), col("embedding")) -
+            VectorFns.dot(col("embedding"), VectorFns.vecLit(probe)) * 2.0d).as("__d"))
+        .orderBy(col("__d").asc, col("vec_id").asc).limit(25)
+      Gates.recallFloor(approx, exact, "vec_id", minHits = 12)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"), col("recall_hits"))
+    }
+  }
+
+  // Banded sign-LSH cosine dup pairs — the near-dup SCALE path benched
+  // as its own query (q44 benches the exact blocked join). On this
+  // corpus the qualifying pairs sit far below the LSH-viable regime
+  // (gapless tail over the random baseline), so banding is legitimately
+  // partial here: emitted pairs are exact-verified (never false
+  // positives — the oracle-free analogue of q36's verify step) and the
+  // plan GATES on recall over a sampled stripe vs the in-plan exact
+  // blocked baseline (Gates.recallFloorOn). Analytic per-pair recall at
+  // c=0.35 is ~27% (1-(1-p^8)^16, p=1-θ/π≈0.614); the stripe holds
+  // ~30 exact pairs at sf0.01 -> ~8 expected hits; floor 3 pins the
+  // machinery (broken banding collapses hits toward 0), not tuning.
+  private def mkQ70(gated: Boolean): Q = (s, dir) => {
+    val emb = Tables(s, dir, "embeddings")
+    val banded = Similarity.cosineDupPairs(emb, "embedding", "vec_id",
+      threshold = 0.35)
+    val out = banded.select(col("id_a"), col("id_b"),
+      round(col("cosine"), 6).as("cosine"))
+    if (!gated) out.orderBy("id_a", "id_b")
+    else {
       // Gate on a CARDINALITY-BOUNDED stripe: the hash-mod modulus is
       // derived from a corpus count so the stripe holds ~170 ids at ANY
       // scale — the gate's exact blocked baseline does constant work as
@@ -168,39 +222,39 @@ object VectorQueries {
       val inStripe = banded
         .where(inStripeId(col("id_a")) && inStripeId(col("id_b")))
         .select(concat_ws(":", col("id_a"), col("id_b")).as("pair"))
-      Gates.recallFloorOn(
-          banded.select(col("id_a"), col("id_b"),
-            round(col("cosine"), 6).as("cosine")),
-          inStripe,
+      Gates.recallFloorOn(out, inStripe,
           stripe.select(concat_ws(":", col("id_a"), col("id_b")).as("pair")),
           "pair", minHits = 3)
         .orderBy("id_a", "id_b")
-    }),
+    }
+  }
 
-    // SemDeDup (Abbas et al. '23): k-means clusters block the pair search,
-    // within-cluster cosine >= t pairs are semantic dups, lowest id
-    // survives. Clustering is trained k-means (not SQL-expressible), so
-    // the plan gates TWO-SIDED: (a) the method's own INVARIANT — greedy
-    // keep-lowest-id leaves NO surviving same-cluster pair at or above
-    // the threshold, catching drop-plumbing breakage that leaves dups
-    // behind; (b) a DROP FLOOR — the pair search must find at least 5
-    // dups on this corpus (observed 26-28 at sf0.001/0.01), catching the
-    // symmetric failure where a broken pair search reports nothing and
-    // the invariant holds vacuously. One combined 1-row check frame.
-    "q74_semdedup" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      // k GROWS WITH THE CORPUS (SemDeDup's design point — the within-
-      // cluster pair join is (n/k)² per cluster, so a pinned k turns the
-      // blocking quadratic at scale): target ~64 vectors per cluster,
-      // floor 8. One metadata-sized count derives it.
-      val k = math.max(8, (emb.count() / 64L).toInt)
-      val ivf = graft.core.Memo.cached(s"q74_ivf:$dir:$k") {
-        Ivf.train(emb.where(pmod(hash(col("vec_id")), lit(4)) === 0),
-          "embedding", "vec_id", k = k, iters = 2)
-      }
-      val drops = graft.operators.SemDedup.dropIds(emb, "embedding", "vec_id",
-        ivf, threshold = 0.4).withColumnRenamed("id", "__drop_id")
-      val kept = emb.join(drops, col("vec_id") === col("__drop_id"), "left_anti")
+  // SemDeDup (Abbas et al. '23): k-means clusters block the pair search,
+  // within-cluster cosine >= t pairs are semantic dups, lowest id
+  // survives. Clustering is trained k-means (not SQL-expressible), so
+  // the plan gates TWO-SIDED: (a) the method's own INVARIANT — greedy
+  // keep-lowest-id leaves NO surviving same-cluster pair at or above
+  // the threshold, catching drop-plumbing breakage that leaves dups
+  // behind; (b) a DROP FLOOR — the pair search must find at least 5
+  // dups on this corpus (observed 26-28 at sf0.001/0.01), catching the
+  // symmetric failure where a broken pair search reports nothing and
+  // the invariant holds vacuously. One combined 1-row check frame.
+  private def mkQ74(gated: Boolean): Q = (s, dir) => {
+    val emb = Tables(s, dir, "embeddings")
+    // k GROWS WITH THE CORPUS (SemDeDup's design point — the within-
+    // cluster pair join is (n/k)² per cluster, so a pinned k turns the
+    // blocking quadratic at scale): target ~64 vectors per cluster,
+    // floor 8. One metadata-sized count derives it.
+    val k = math.max(8, (emb.count() / 64L).toInt)
+    val ivf = graft.core.Memo.cached(s"q74_ivf:$dir:$k") {
+      Ivf.train(emb.where(pmod(hash(col("vec_id")), lit(4)) === 0),
+        "embedding", "vec_id", k = k, iters = 2)
+    }
+    val drops = graft.operators.SemDedup.dropIds(emb, "embedding", "vec_id",
+      ivf, threshold = 0.4).withColumnRenamed("id", "__drop_id")
+    val kept = emb.join(drops, col("vec_id") === col("__drop_id"), "left_anti")
+    if (!gated) kept.select(col("vec_id"), col("label")).orderBy("vec_id")
+    else {
       val leftover = graft.operators.SemDedup.clusterPairs(
         kept, "embedding", "vec_id", ivf, threshold = 0.4)
       val check = leftover.agg(count(lit(1)).as("__viol"))
@@ -210,18 +264,8 @@ object VectorQueries {
         .where(col("__viol") === 0 && col("__drops") >= 5)
         .drop("__viol", "__drops")
         .orderBy("vec_id")
-    }),
-
-    // kNN join: 5 nearest base vectors for each of the first 10 probe rows
-    // (exact brute-force; oracle = quadratic SQL over the same split).
-    "q45_knn_join" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      Similarity.knnJoin(e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
-          "embedding", "vec_id", "vec_id", k = 5)
-        .select(col("probe_id"), col("base_id"), round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("probe_id"), col("cosine").desc, col("base_id"))
-    })
-  )
+    }
+  }
 
   val oracles: Map[String, String] = Map(
     "q40_ann_bruteforce" ->

@@ -34,6 +34,24 @@ class IvfSpec extends SparkSuite {
     assert((ivf intersect brute).size >= 3)
   }
 
+  test("mat_vec assignment path agrees with the struct path at every k") {
+    // withCluster switches formulation on k (struct chain for constant-k
+    // serving models, one mat_vec kernel when k grows with the corpus) —
+    // the two must assign IDENTICAL clusters or derived-k queries (q74)
+    // silently diverge from the small-k-calibrated behavior.
+    val wide = Ivf.train(emb, "embedding", "vec_id", k = 20, iters = 2)
+    val base = emb.select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    val both = base
+      .withColumn("a", Ivf.clusterOfStruct(
+        org.apache.spark.sql.functions.col("embedding"), wide.centroids))
+      .withColumn("b", Ivf.clusterOfMatVec(
+        org.apache.spark.sql.functions.col("embedding"), wide.centroids))
+    assert(both.where(org.apache.spark.sql.functions.col("a") =!=
+      org.apache.spark.sql.functions.col("b")).count() === 0)
+  }
+
   test("cluster-partitioned layout prunes partitions") {
     val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/emb"
     Ivf.writeClustered(emb, "embedding", model, path)

@@ -52,6 +52,27 @@ class PiiLmSpec extends SparkSuite {
     assert(r.getLong(1) === 10L && r.getDouble(3) === 1.0)
   }
 
+  test("removeDupSpans: covered spans are cut, unique text survives verbatim") {
+    import graft.operators.TextStats
+    // same planted fixture as the coverage test: the transform must remove
+    // exactly the positions the score marks (score vs transform, one index)
+    val docs = Seq(
+      (1L, "all rights reserved by the corp alpha beta gamma delta"),
+      (2L, "all rights reserved by the corp epsilon zeta eta theta"),
+      (3L, "completely original writing with no repeats anywhere at all then")
+    ).toDF("doc_id", "text")
+    val out = TextStats.removeDupSpans(docs, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) === ((4L, "alpha beta gamma delta")))
+    assert(out(2L) === ((4L, "epsilon zeta eta theta")))
+    assert(out(3L) === ((10L, "completely original writing with no repeats anywhere at all then")))
+    // a self-repeating doc is fully covered -> scrubbed to empty text
+    val self = Seq((9L, "one two three four five one two three four five"))
+      .toDF("doc_id", "text")
+    val r = TextStats.removeDupSpans(self, "text", "doc_id", k = 5).collect().head
+    assert(r.getLong(1) === 0L && r.getString(2) === "")
+  }
+
   test("unigram LM score: common-token docs outscore rare/OOV-laden docs") {
     val corpus = (Seq.fill(50)("the cat sat on the mat") ++
       Seq("the dog sat", "zyx qwv jkl")).zipWithIndex

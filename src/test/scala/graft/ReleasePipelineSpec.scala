@@ -8,7 +8,8 @@ import graft.operators._
   * runs before shipping a corpus:
   *
   *   PII scrub -> quality battery -> exact + near dedup ->
-  *   benchmark decontamination -> LM-score floor -> sequence packing.
+  *   dup-span removal -> benchmark decontamination -> LM-score floor ->
+  *   sequence packing.
   *
   * Each stage is individually oracled/spec'd elsewhere; this pins that
   * they COMPOSE (column contracts line up, filters stack, the packed
@@ -17,7 +18,7 @@ import graft.operators._
 class ReleasePipelineSpec extends SparkSuite {
   import spark.implicits._
 
-  test("scrub -> quality -> dedup -> decontaminate -> score -> pack, end to end") {
+  test("scrub -> quality -> dedup -> despan -> decontaminate -> score -> pack, end to end") {
     val docs = Tables(spark, sf("sf0.001"), "documents")
       .where(col("text").isNotNull)
 
@@ -43,9 +44,23 @@ class ReleasePipelineSpec extends SparkSuite {
     val nDeduped = deduped.count()
     assert(nDeduped > 0 && nDeduped <= nQualified)
 
+    // 3b. exact-substring scrub (Lee et al.'s REMOVAL, not just scoring):
+    // corpus-duplicated 5-token spans are cut out and the text
+    // reassembled; the kept-token count must agree with the coverage
+    // operator's complement (same index, score vs transform), and docs
+    // scrubbed to nothing leave the stream.
+    val despanned = TextStats.removeDupSpans(deduped, "text", "doc_id", k = 5)
+    val expectKept = TextStats.dupSpanCoverage(deduped, "text", "doc_id", k = 5)
+      .agg(sum(col("n_tokens") - col("covered_tokens"))).head().getLong(0)
+    assert(despanned.agg(sum("n_kept")).head().getLong(0) === expectKept)
+    val despanDocs = despanned.where(col("n_kept") > 0)
+      .select(col("id").as("doc_id"), col("scrubbed").as("text"))
+    val nDespanned = despanDocs.count()
+    assert(nDespanned > 0 && nDespanned <= nDeduped)
+
     // 4. decontaminate against a benchmark (docs ending in 0 play eval)
     val clean = Decontaminate.clean(
-      deduped.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id",
+      despanDocs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id",
       docs.where(pmod(col("doc_id"), lit(10)) === 0), "text", n = 3)
     val nClean = clean.count()
     assert(nClean > 0)
