@@ -49,26 +49,18 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
-  /** Attach the sign-projection LSH bucket id (`__bucket`) to every row,
-    * the scalable way: posexplode the vector, compute `nBits` codegen'd
-    * projection sums in one shuffle on the row id, join back. Weight
-    * function identical to [[VectorFns.signBucket]] (hash-Rademacher on
-    * (dimension index, projection index)), so buckets computed here match
-    * buckets computed expression-side for a probe vector.
+  /** Attach the sign-projection LSH bucket id (`__bucket`) to every row:
+    * one codegen'd `sign_bands` kernel call per row — map-side, zero
+    * shuffle (it replaced a posexplode + nBits-aggregate shuffle of
+    * #rows×dim exploded values). Weight function identical to
+    * [[VectorFns.signBucket]] (hash-Rademacher on (dimension index,
+    * projection index), spec-enforced bit-for-bit), so buckets computed
+    * here match buckets computed expression-side for a probe vector.
     */
-  def withSignBucket(df: DataFrame, vecCol: String, idCol: String, nBits: Int): DataFrame = {
-    val pe = df.select(col(s"`${idCol}`").as("__id"),
-      posexplode(col(s"`${vecCol}`").cast("array<double>")).as(Seq("__pos", "__v")))
-    val aggs = (0 until nBits).map(j =>
-      sum(col("__v") *
-        when(pmod(hash(col("__pos"), lit(j)), lit(2)) === 0, 1.0d).otherwise(-1.0d)).as(s"__p$j"))
-    val buckets = pe.groupBy("__id").agg(aggs.head, aggs.tail: _*)
-      .select(col("__id"),
-        (0 until nBits).map(j =>
-          when(col(s"__p$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("__bucket"))
-    df.join(buckets, df(idCol) === buckets("__id")).drop("__id")
-  }
+  def withSignBucket(df: DataFrame, vecCol: String, idCol: String, nBits: Int): DataFrame =
+    df.withColumn("__bucket",
+      element_at(graft.functions.VectorExpressions.signBands(
+        col(s"`${vecCol}`"), nBits, 1), 1))
 
   /** LSH-bucketed ANN: restrict the scan to rows sharing the sign-projection
     * bucket of the query (optionally probing 1-bit-flip neighbor buckets).
@@ -415,27 +407,16 @@ object Similarity {
     * generalization of [[withSignBucket]]: band `b` packs sign bits of
     * projections `b·bandBits .. (b+1)·bandBits-1` from the same
     * hash-Rademacher family, so distinct bands are independent hash
-    * tables. Same shuffle shape as the single-bucket version: one
-    * posexplode + one groupBy on the row id computes every projection in
-    * one pass. Consumers re-join vectors by id where they need them
-    * ([[cosineDupPairs]]'s verify stage).
+    * tables. ALL bandBits×bands projections come from one codegen'd
+    * `sign_bands` call per row — map-side, zero shuffle. Consumers
+    * re-join vectors by id where they need them ([[cosineDupPairs]]'s
+    * verify stage).
     */
   private def signBands(df: DataFrame, vecCol: String, idCol: String,
-                        bandBits: Int, bands: Int): DataFrame = {
-    val nBits = bandBits * bands
-    val pe = df.select(col(s"`${idCol}`").as("__id"),
-      posexplode(col(s"`${vecCol}`").cast("array<double>")).as(Seq("__pos", "__v")))
-    val aggs = (0 until nBits).map(j =>
-      sum(col("__v") *
-        when(pmod(hash(col("__pos"), lit(j)), lit(2)) === 0, 1.0d).otherwise(-1.0d)).as(s"__p$j"))
-    val proj = pe.groupBy("__id").agg(aggs.head, aggs.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      (0 until bandBits).map(i =>
-        when(col(s"__p${b * bandBits + i}") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-        .reduce(_ + _)
-    }
-    proj.select(col("__id"), array(bandCols: _*).as("__bands"))
-  }
+                        bandBits: Int, bands: Int): DataFrame =
+    df.select(col(s"`${idCol}`").as("__id"),
+      graft.functions.VectorExpressions.signBands(
+        col(s"`${vecCol}`"), bandBits, bands).as("__bands"))
 
   /** Embedding-cosine near-duplicate pairs, BANDED sign-LSH blocked — the
     * corpus-scale near-dup operator. `bands` independent `bandBits`-bit

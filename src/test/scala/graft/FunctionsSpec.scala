@@ -81,15 +81,44 @@ class FunctionsSpec extends SparkSuite {
     assert(viaKernel === viaAgg)
   }
 
-  test("sign buckets: expression and explode+aggregate paths agree") {
+  test("sign buckets: codegen kernel and HOF expression paths agree") {
     val vecs = (0 until 8).map(i =>
       (i.toLong, (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray))
       .toDF("id", "v")
-    val viaAgg = Similarity.withSignBucket(vecs, "v", "id", 6)
+    // withSignBucket rides the sign_bands kernel (bands = 1)
+    val viaKernel = Similarity.withSignBucket(vecs, "v", "id", 6)
       .select($"id", $"__bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaExpr = vecs.select($"id", VectorFns.signBucket($"v", 6).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(viaAgg === viaExpr)
+    assert(viaKernel === viaExpr)
+  }
+
+  test("sign_bands: every band matches an independent HOF reconstruction") {
+    import org.apache.spark.sql.functions._
+    val bandBits = 5; val bands = 3
+    val vecs = (0 until 6).map(i =>
+      (i.toLong, (0 until 12).map(d => math.cos(i * 12 + d).toFloat).toArray))
+      .toDF("id", "v")
+    val viaKernel = vecs.select($"id",
+        graft.functions.VectorExpressions.signBands($"v", bandBits, bands).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent reference: per-projection HOF sums (same hash-Rademacher
+    // weights), packed per band in test code
+    val nBits = bandBits * bands
+    val projCols = (0 until nBits).map { j =>
+      aggregate(
+        zip_with($"v".cast("array<double>"), sequence(lit(0), size($"v") - 1),
+          (x, i) => x * when(pmod(hash(i, lit(j)), lit(2)) === 0, 1.0d).otherwise(-1.0d)),
+        lit(0.0d), (acc, x) => acc + x).as(s"p$j")
+    }
+    val viaHof = vecs.select(($"id" +: projCols): _*).collect().map { r =>
+      val sums = (0 until nBits).map(j => r.getDouble(1 + j))
+      r.getLong(0) -> (0 until bands).map { b =>
+        (0 until bandBits).map(t =>
+          if (sums(b * bandBits + t) >= 0) 1L << t else 0L).sum
+      }
+    }.toMap
+    assert(viaKernel === viaHof)
   }
 
   test("cosine: known identities") {
