@@ -44,6 +44,90 @@ object LmScore {
     t.select(col("token"), log10(col("c").cast("double") / total).as("logp"))
   }
 
+  /** Linear-space unigram probabilities (token, p_uni) — the backoff
+    * table for [[scoreDocsBigram]]'s interpolation (kept linear so the
+    * interpolated sum λ·p_cond + (1−λ)·p_uni is computed exactly as
+    * written, without a pow(10, log10(p)) round-trip).
+    */
+  def unigramProbs(df: DataFrame, textCol: String): DataFrame = {
+    val t = df.where(col(s"`$textCol`").isNotNull)
+      .select(explode(toks(col(s"`$textCol`"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val totalRow = t.agg(sum("c")).head()
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
+      "unigramProbs needs a corpus with at least one token")
+    val total = totalRow.getLong(0)
+    t.select(col("token"), (col("c").cast("double") / total).as("p_uni"))
+  }
+
+  /** Conditional bigram probabilities (w1, w2, p_cond) with
+    * p_cond = c(w1,w2) / Σ_w c(w1,w) — the maximum-likelihood conditional
+    * over observed contexts. Two hash aggregations over the exploded
+    * bigram stream (both map-side combinable), one broadcast-eligible
+    * join of the context totals; vocabulary²-bounded output but Zipf-thin
+    * in practice (only OBSERVED bigrams appear).
+    */
+  def bigramProbs(df: DataFrame, textCol: String): DataFrame = {
+    val pairs = bigramPairs(df, textCol)
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c"))
+    val cs = c2.groupBy("w1").agg(sum("__c").as("__s"))
+    c2.join(cs, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (col("__c").cast("double") / col("__s")).as("p_cond"))
+  }
+
+  /** (w1, w2) adjacent-token pairs of every document (docs with fewer
+    * than two tokens emit none) — one map-side higher-order-function
+    * projection + posexplode, no shuffle.
+    */
+  private def bigramPairs(df: DataFrame, textCol: String): DataFrame =
+    df.where(col(s"`$textCol`").isNotNull)
+      .select(col("*"), toks(col(s"`$textCol`")).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+      .select(col("*"), explode(expr(
+        "transform(sequence(1, size(__toks)-1), " +
+          "i -> named_struct('w1', __toks[i-1], 'w2', __toks[i]))")).as("__bg"))
+      .select(col("*"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .drop("__toks", "__bg")
+
+  /** Per-document mean BIGRAM log-probability under interpolation backoff
+    * — the CCNet-faithful upgrade of [[scoreDocs]]: each adjacent pair
+    * scores log10(λ·p(w2|w1) + (1−λ)·p(w2)), so unseen bigrams degrade
+    * to the unigram channel instead of a hard floor and word-salad text
+    * (every unigram common, bigrams improbable) scores low where the
+    * unigram model cannot see it. `pFloor` is the linear-space unseen-
+    * unigram mass (keeps the log argument positive); docs with fewer
+    * than two tokens score `logFloor` with n_bigrams = 0.
+    *
+    * Same shuffle shape as [[scoreDocs]]: map-side pair stream, two
+    * un-hinted table joins (AQE broadcasts small models, shuffles
+    * unbounded ones), one doc-id aggregation.
+    */
+  def scoreDocsBigram(df: DataFrame, textCol: String, idCol: String,
+                      bigram: DataFrame, unigramLin: DataFrame,
+                      lambda: Double, pFloor: Double,
+                      logFloor: Double): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    require(pFloor > 0, "pFloor must be positive (log argument)")
+    val pairs = bigramPairs(
+      df.where(col(s"`$textCol`").isNotNull)
+        .select(col(s"`$idCol`").as("id"), col(s"`$textCol`")), textCol)
+    val scored = pairs
+      .join(bigram, Seq("w1", "w2"), "left")
+      .join(unigramLin.select(col("token").as("w2"), col("p_uni")), Seq("w2"), "left")
+      .select(col("id"),
+        log10(coalesce(col("p_cond"), lit(0.0d)) * lambda +
+          coalesce(col("p_uni"), lit(pFloor)) * (1.0d - lambda)).as("__lp"))
+      .groupBy("id")
+      .agg(avg("__lp").as("mean_logp"), count(lit(1)).as("n_bigrams"))
+    df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("mean_logp"), lit(logFloor)).as("mean_logp"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   /** Per-document mean token log-probability under `unigram`. Unseen
     * tokens take the floor `log10(1/(N+1))`-style penalty passed in
     * `oovLogp`. Blank docs score the floor (nothing to attest quality).

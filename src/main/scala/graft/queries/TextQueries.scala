@@ -279,6 +279,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM quality score with interpolation backoff — the
+    // CCNet-faithful upgrade of q72: each adjacent pair scores
+    // log10(λ·p(w2|w1) + (1−λ)·p(w2)), so word salad (common unigrams,
+    // improbable transitions) scores low where the unigram model is
+    // blind. λ = 0.75 keeps both interpolation factors exact in IEEE
+    // (the oracle mirrors the arithmetic literally).
+    "q78_bigram_logprob" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val uni = graft.operators.LmScore.unigramProbs(docs, "text")
+      val big = graft.operators.LmScore.bigramProbs(docs, "text")
+      graft.operators.LmScore.scoreDocsBigram(docs, "text", "doc_id", big, uni,
+          lambda = 0.75, pFloor = 1e-12, logFloor = -12.0)
+        .select(col("id").as("doc_id"),
+          round(col("mean_logp"), 6).as("mean_logp"), col("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     // Exact-substring dedup signal (Lee et al. ACL'22): per-doc fraction
     // of token positions covered by a 5-token span occurring more than
     // once in the corpus. The positional k-gram analogue of their
@@ -586,6 +603,28 @@ object TextQueries {
         |  round(coalesce(cov.covered, 0)::DOUBLE / t.n_tok, 6) AS dup_coverage
         | FROM (SELECT doc_id, len(w) AS n_tok FROM base) t
         | LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q78_bigram_logprob" ->
+      """WITH tokd AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        | alltok AS (SELECT unnest(w) AS token FROM tokd),
+        | uni AS (SELECT token, count(*)::DOUBLE / (SELECT count(*) FROM alltok) AS p_uni
+        |  FROM alltok GROUP BY token),
+        | pairs AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(2, len(w)),
+        |    i -> struct_pack(w1 := w[i-1], w2 := w[i]))) AS u
+        |  FROM tokd WHERE len(w) >= 2)),
+        | c2 AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2),
+        | cs AS (SELECT w1, sum(c) AS s FROM c2 GROUP BY w1),
+        | pc AS (SELECT c2.w1, c2.w2, c2.c::DOUBLE / cs.s AS p_cond FROM c2 JOIN cs USING (w1)),
+        | sc AS (SELECT doc_id,
+        |   avg(log10(coalesce(pc.p_cond, 0.0) * 0.75 + coalesce(uni.p_uni, 1e-12) * 0.25)) AS mean_logp,
+        |   count(*) AS n
+        |  FROM pairs LEFT JOIN pc USING (w1, w2) LEFT JOIN uni ON uni.token = pairs.w2
+        |  GROUP BY doc_id)
+        | SELECT d.doc_id, round(coalesce(sc.mean_logp, -12.0), 6) AS mean_logp,
+        |  CAST(coalesce(sc.n, 0) AS BIGINT) AS n_bigrams
+        | FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        | LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     "q72_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),

@@ -73,6 +73,33 @@ class PiiLmSpec extends SparkSuite {
     assert(r.getLong(1) === 0L && r.getString(2) === "")
   }
 
+  test("bigram LM score: word salad scores low where the unigram model is blind") {
+    // All four "salad" tokens are COMMON unigrams (each appears in the
+    // fluent corpus), but their transitions never occur — the
+    // interpolated bigram score must separate salad from fluent text
+    // while the unigram score alone cannot.
+    val fluent = Seq.fill(40)("the cat sat on the mat")
+    val salad  = Seq("mat the on cat")
+    val corpus = (fluent ++ salad).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val uni = LmScore.unigramProbs(corpus, "text")
+    val big = LmScore.bigramProbs(corpus, "text")
+    val scores = LmScore.scoreDocsBigram(corpus, "text", "doc_id", big, uni,
+        lambda = 0.75, pFloor = 1e-12, logFloor = -12.0)
+      .select("id", "mean_logp").as[(Long, Double)].collect().toMap
+    val uniScores = LmScore.scoreDocs(corpus, "text", "doc_id",
+        LmScore.trainUnigram(corpus, "text"), oovLogp = -12.0)
+      .select("id", "mean_logp").as[(Long, Double)].collect().toMap
+    assert(scores(40L) < scores(0L) - 0.5)   // bigram: salad clearly lower
+    // unigram: salad tokens are all common -> scores comparable (within 0.5)
+    assert(math.abs(uniScores(40L) - uniScores(0L)) < 0.5)
+    // docs with < 2 tokens take the floor with n_bigrams = 0
+    val tiny = LmScore.scoreDocsBigram(
+        Seq((1L, "word")).toDF("doc_id", "text"), "text", "doc_id", big, uni,
+        lambda = 0.75, pFloor = 1e-12, logFloor = -12.0).collect().head
+    assert(tiny.getDouble(1) === -12.0 && tiny.getLong(2) === 0L)
+  }
+
   test("unigram LM score: common-token docs outscore rare/OOV-laden docs") {
     val corpus = (Seq.fill(50)("the cat sat on the mat") ++
       Seq("the dog sat", "zyx qwv jkl")).zipWithIndex
