@@ -71,6 +71,43 @@ object Packing {
       .drop("__b", "__offset")
   }
 
+  /** MATERIALIZE the packed chunks — the step that turns the span
+    * assignment ([[packChunks]]) into actual fixed-length training
+    * examples: every token maps to its global stream position
+    * (start_token + offset, via the same distributed prefix sum), tokens
+    * group by `gpos div capacity`, and each chunk reassembles its slice
+    * of the stream in order. Documents straddle chunk boundaries exactly
+    * as the assignment says (concat-and-chunk semantics).
+    *
+    * Shape: one linear token explode (unavoidable — the output IS the
+    * token stream) + ONE shuffle on the chunk id; per-chunk state is
+    * bounded by `capacity`, so the aggregation never builds more than one
+    * training example in memory. Emits (chunk_id, n_tokens, n_docs,
+    * chunk_md5) — the md5 stands in for shipping the chunk text to the
+    * correctness harness; a production writer would emit the tokens.
+    */
+  def assembleChunks(df: DataFrame, textCol: String, idCol: String,
+                     capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val toks = when(length(trim(col(s"`$textCol`"))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(s"`$textCol`")), "\\s+"))
+    val sized = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`"), toks.as("__toks"))
+      .withColumn("__len", size(col("__toks")).cast("long"))
+    withPrefixSum(sized, idCol, "__len")
+      .select(col(s"`$idCol`").as("__did"), col("start_token"),
+        posexplode(col("__toks")).as(Seq("__i", "__tok")))
+      .select(col("__did"), (col("start_token") + col("__i")).as("__gpos"), col("__tok"))
+      .withColumn("chunk_id", expr(s"__gpos div ${capacity}L"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("__did")).as("n_docs"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("__gpos"), col("__tok")))),
+            x => x("__tok")), " ")).as("chunk_md5"))
+  }
+
   /** Per-document packing assignment: span in the concatenated stream and
     * the `capacity`-token chunk holding its first token. Documents may
     * straddle chunk boundaries (concat-and-chunk semantics — the layout

@@ -352,6 +352,18 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Chunk MATERIALIZATION (the step after q75's span assignment): every
+    // token maps to its global stream position through the distributed
+    // prefix sum, groups by 512-token chunk, and each chunk reassembles
+    // its slice in order — md5 of the assembled text is the compact
+    // correctness witness (oracle rebuilds the same stream with a window
+    // cumsum + ordered string_agg).
+    "q79_pack_assemble" -> ((s, dir) => {
+      graft.operators.Packing.assembleChunks(
+          Tables(s, dir, "documents"), "text", "doc_id", capacity = 512L)
+        .orderBy("chunk_id")
+    }),
+
     // Custom Generator table function: ngram_tuples(text, 3) — one row per
     // positional word 3-gram (registered in the function registry).
     "q51_ngram_generator" -> ((s, dir) => {
@@ -603,6 +615,19 @@ object TextQueries {
         |  round(coalesce(cov.covered, 0)::DOUBLE / t.n_tok, 6) AS dup_coverage
         | FROM (SELECT doc_id, len(w) AS n_tok FROM base) t
         | LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q79_pack_assemble" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN trim(text)='' THEN [] ELSE regexp_split_to_array(trim(text),'\s+') END AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        | ord AS (SELECT doc_id, w,
+        |  coalesce(sum(len(w)) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM d),
+        | stream AS (SELECT doc_id, st + i - 1 AS gpos, w[i] AS tok
+        |  FROM ord, unnest(generate_series(1, len(w))) AS t(i))
+        | SELECT CAST(gpos // 512 AS BIGINT) AS chunk_id,
+        |  count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs,
+        |  md5(string_agg(tok, ' ' ORDER BY gpos)) AS chunk_md5
+        | FROM stream GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
     "q78_bigram_logprob" ->
       """WITH tokd AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),

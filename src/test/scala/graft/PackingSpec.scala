@@ -26,6 +26,22 @@ class PackingSpec extends SparkSuite {
     assert(dist === naive)
   }
 
+  test("assembleChunks: chunks reassemble the exact concatenated stream") {
+    val df = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
+      .toDF("doc_id", "text")
+    val out = Packing.assembleChunks(df, "text", "doc_id", capacity = 4L)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_tokens", "n_docs", "chunk_md5")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // stream = a b c d | e f g h | i — docs straddle boundaries, no padding
+    assert(out === Seq(
+      (0L, 4L, 2L, md5("a b c d")),
+      (1L, 4L, 2L, md5("e f g h")),
+      (2L, 1L, 1L, md5("i"))))
+  }
+
   test("packChunks: spans tile the stream; chunk assignment consistent") {
     val df = Seq((1L, 300L), (2L, 300L), (3L, 10L), (4L, 500L))
       .toDF("doc_id", "len")
