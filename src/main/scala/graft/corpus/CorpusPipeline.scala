@@ -28,7 +28,13 @@ object CorpusPipeline {
       afterExactDedup: Long,
       afterNearDedup: Long)
 
-  final case class Result(corpus: DataFrame, stats: Stats)
+  /** `cached` holds the pipeline-internal persisted frames when the caller
+    * asked to manage release itself (`autoRelease = false`) — pass them to
+    * `Frames.releaseAfterNextAction` once the consuming query is fully
+    * built. Empty when `run` auto-releases.
+    */
+  final case class Result(corpus: DataFrame, stats: Stats,
+                          cached: Seq[DataFrame] = Nil)
 
   private def c(n: String): Column = col(s"`$n`")
 
@@ -47,7 +53,8 @@ object CorpusPipeline {
       .drop("__m")
   }
 
-  def run(docs: DataFrame, cfg: Config = Config()): Result = {
+  def run(docs: DataFrame, cfg: Config = Config(),
+          autoRelease: Boolean = true): Result = {
     val input = docs.where(c(cfg.textCol).isNotNull)
     val annotated = annotate(input, cfg).cache()
 
@@ -67,10 +74,23 @@ object CorpusPipeline {
     val dropIds = clusters.where(col("id") =!= col("label")).select("id")
     val corpus = exact.join(dropIds, exact(cfg.idCol) === dropIds("id"), "left_anti")
 
-    Result(corpus, Stats(
+    val stats = Stats(
       input = input.count(),
       afterQuality = filtered.count(),
       afterExactDedup = exact.count(),
-      afterNearDedup = corpus.count()))
+      afterNearDedup = corpus.count())
+    // The stage counts above (plus connectedComponents' eager edge
+    // collect) consumed every cached frame; repeated run() invocations
+    // must not accumulate session-lifetime cache entries (round-4
+    // finding). Default: release after the next action — right for the
+    // build-then-run-once call pattern. A caller that interleaves OTHER
+    // eager work before consuming the corpus (q52's independent parity
+    // recomposition) passes autoRelease = false and registers the
+    // returned `cached` frames itself once its query is fully built.
+    val internal = Seq(annotated, filtered, exact)
+    if (autoRelease) {
+      graft.core.Frames.releaseAfterNextAction(docs.sparkSession, internal: _*)
+      Result(corpus, stats)
+    } else Result(corpus, stats, internal)
   }
 }

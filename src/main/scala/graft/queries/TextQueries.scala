@@ -352,6 +352,29 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Source-overlap provenance audit: near-dup pairs re-attached to
+    // their `source` labels and aggregated to (src_a, src_b) — which
+    // sources copy from each other, the provenance/contamination matrix
+    // a release audit runs. Pairs come from the EXACT inverted-index
+    // route (complete at the threshold, so the oracle can mirror it);
+    // source pairs are order-normalized with least/greatest.
+    "q80_source_overlap" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(
+        docs.where(length(trim(col("text"))) > 0), "text", "doc_id",
+        n = 3, threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+        .select(least(col("__sa"), col("__sb")).as("src_a"),
+          greatest(col("__sa"), col("__sb")).as("src_b"), col("jaccard"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 4).as("mean_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Chunk MATERIALIZATION (the step after q75's span assignment): every
     // token maps to its global stream position through the distributed
     // prefix sum, groups by 512-token chunk, and each chunk reassembles
@@ -432,9 +455,13 @@ object TextQueries {
   // parity and fails the driver's rows-check.
   private def mkQ52(gated: Boolean): Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
+    // gated: the parity recomposition below runs its own eager actions
+    // before the final consumption — manage the pipeline caches here so
+    // they survive until the gated query's single consuming action.
     val res = graft.corpus.CorpusPipeline.run(docs,
       graft.corpus.CorpusPipeline.Config(
-        minTokens = 3, minQuality = 0.1, nearDupThreshold = 0.9))
+        minTokens = 3, minQuality = 0.1, nearDupThreshold = 0.9),
+      autoRelease = !gated)
     val out =
       if (!gated) res.corpus
       else {
@@ -452,8 +479,10 @@ object TextQueries {
           .where(col("id") =!= col("label")).select("id")
         val reCorpus = reExact.join(reDrop,
           reExact("doc_id") === reDrop("id"), "left_anti").select("doc_id")
-        // Registered AFTER connectedComponents' eager edge collect.
-        graft.core.Frames.releaseAfterNextAction(s, reExact)
+        // Registered AFTER connectedComponents' eager edge collect —
+        // includes the pipeline's own caches (autoRelease = false above):
+        // everything releases on the gated query's consuming action.
+        graft.core.Frames.releaseAfterNextAction(s, (reExact +: res.cached): _*)
         Gates.setParity(res.corpus, reCorpus, "doc_id")
       }
     out.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
@@ -615,6 +644,22 @@ object TextQueries {
         |  round(coalesce(cov.covered, 0)::DOUBLE / t.n_tok, 6) AS dup_coverage
         | FROM (SELECT doc_id, len(w) AS n_tok FROM base) t
         | LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q80_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT doc_id, source, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        | pp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    any_value(a.source) AS sa, any_value(b.source) AS sb,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS j
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+        |  count(*) AS n_pairs, round(avg(j), 4) AS mean_jaccard
+        | FROM pp WHERE j >= 0.5 GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin.replaceAll("\n", " "),
     "q79_pack_assemble" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN trim(text)='' THEN [] ELSE regexp_split_to_array(trim(text),'\s+') END AS w

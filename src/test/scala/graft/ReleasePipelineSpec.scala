@@ -88,4 +88,33 @@ class ReleasePipelineSpec extends SparkSuite {
       case _ => ()
     }
   }
+
+  test("ReleasePipeline.run: the public API composes the same workflow") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val benchmark = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val res = graft.corpus.ReleasePipeline.run(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0), benchmark,
+      graft.corpus.ReleasePipeline.Config(packCapacity = 256L))
+    val s = res.stats
+    // counts monotone non-increasing through the filter/dedup stages
+    assert(s.input >= s.afterQuality && s.afterQuality >= s.afterDedup)
+    assert(s.afterDedup >= s.afterDespan)
+    assert(s.afterDespan >= s.afterDecontaminate)
+    assert(s.afterDecontaminate >= s.afterLmFloor && s.afterLmFloor > 0)
+    // packed spans tile the survivors' token stream exactly
+    val rows = res.packed.orderBy("start_token")
+      .select("start_token", "end_token").as[(Long, Long)].collect()
+    assert(rows.length === s.afterLmFloor)
+    val total = res.corpus.select(
+        graft.functions.TextFns.tokenCount(col("text")).cast("long").as("len"))
+      .agg(sum("len")).head().getLong(0)
+    assert(rows.head._1 === 0L && rows.last._2 === total)
+    rows.sliding(2).foreach {
+      case Array((_, e), (st, _)) => assert(e === st)
+      case _ => ()
+    }
+    // released text is actually scrubbed: no raw emails survive
+    assert(res.corpus.where(col("text").rlike(
+      graft.operators.Pii.rules(0)._1)).count() === 0)
+  }
 }
