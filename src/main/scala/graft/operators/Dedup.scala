@@ -26,6 +26,36 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Quality-aware cluster representative selection: given near-dup
+    * clusters (`(id, label)` from [[connectedComponents]]), keep the
+    * member with the HIGHEST `score` per cluster (ties break to the
+    * lowest id) instead of the default lowest-id member — the choice real
+    * release pipelines make (keep the longest / best-scoring page of a
+    * duplicate set, e.g. RefinedWeb's keep-longest rule). Rows of `df`
+    * not in any cluster survive untouched.
+    *
+    * One broadcast-eligible join of the (small, pair-derived) cluster
+    * frame + one window partitioned by cluster label — clusters are
+    * near-dup sets, bounded by construction, so the window never sees
+    * more than one duplicate set.
+    */
+  def keepBestInCluster(df: DataFrame, idCol: String, clusters: DataFrame,
+                        score: Column): DataFrame = {
+    val labeled = df.join(
+      clusters.select(col("id").as("__cid"), col("label").as("__label")),
+      col(s"`$idCol`") === col("__cid"), "left")
+    // Unclustered rows bypass the window entirely — routing them through
+    // a null partition would funnel the whole non-duplicate corpus into
+    // ONE window partition at scale.
+    val loners = labeled.where(col("__label").isNull)
+    val w = Window.partitionBy("__label")
+      .orderBy(score.desc, col(s"`$idCol`").asc)
+    val best = labeled.where(col("__label").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    loners.union(best).drop("__cid", "__label")
+  }
+
   /** Exact text dedup: keep one representative (min id) per normalized-text
     * fingerprint. Single hash-aggregate shuffle on the fingerprint.
     * Whitespace-only documents have no content to fingerprint — each gets a

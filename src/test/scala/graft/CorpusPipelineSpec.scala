@@ -21,6 +21,21 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(dist === cc)
   }
 
+  test("keepBestInCluster keeps the highest-scoring member; loners survive") {
+    // cluster {1,2,3}: doc 2 scores highest; cluster {10,11}: tie on score
+    // breaks to the lower id; docs 20, 21 are in no cluster.
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 7.0),
+      (10L, 4.0), (11L, 4.0),
+      (20L, 1.0), (21L, 0.0)
+    ).toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "label")
+    val kept = Dedup.keepBestInCluster(docs, "doc_id", clusters, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 10L, 20L, 21L))
+  }
+
   test("distributed CC converges on a chain far longer than one-hop-per-iteration would allow") {
     // diameter-39 path: min-label needs 39 one-hop rounds; pointer jumping
     // must close it within the iteration cap (and throw if it ever can't).

@@ -212,6 +212,14 @@ class PlanQualitySpec extends SparkSuite {
       "placement-derived bucket leaked back into the packing plan")
   }
 
+  test("q79 chunk assembly inherits the distributed prefix sum (no single-partition exchange)") {
+    val plan = formatted("q79_pack_assemble")
+    assert(!plan.contains("SinglePartition"),
+      "global-window shape leaked into the chunk-assembly plan")
+    assert(plan.contains("hashpartitioning(__b"),
+      "bucket-partitioned prefix-sum window missing from the assembly plan")
+  }
+
   test("q32/q33 text metrics run fully inside whole-stage codegen") {
     Seq("q32_token_count", "q33_quality").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf("sf0.01"))
