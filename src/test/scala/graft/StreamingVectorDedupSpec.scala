@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingVectorDedup.VectorBandIndex
+
+/** Incremental EMBEDDING near-dup against the persistent band index —
+  * the vector analogue of the text LshIndex, same contracts: planted
+  * near-dups drop across batches, incremental == one-shot on id-ordered
+  * batches, re-delivery is idempotent.
+  */
+class StreamingVectorDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 30 well-separated base vectors (seeded Gaussian — random 16-dim
+  // cosines concentrate near 0) + 3 planted near-copies (tiny
+  // perturbation, cosine > 0.99) with ids above every base id.
+  private def corpus = {
+    val base = (0 until 30).map { i =>
+      val rnd = new scala.util.Random(42 + i)
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val copies = Seq(0, 7, 19).zipWithIndex.map { case (src, j) =>
+      val v = base(src)._2.zipWithIndex
+        .map { case (x, d) => x + (if (d == 0) 1e-4f else 0f) }
+      (100L + j, v)
+    }
+    (base ++ copies).toDF("vec_id", "embedding")
+  }
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_vix").toString + "/ix"
+
+  test("planted near-copies drop across batches; originals survive") {
+    val ix = new VectorBandIndex(freshDir(), bandBits = 8, bands = 16, threshold = 0.9)
+    val docs = corpus
+    val s1 = ix.dedupeBatch(docs.where(col("vec_id") < 50), "embedding", "vec_id")
+    val s2 = ix.dedupeBatch(docs.where(col("vec_id") >= 50), "embedding", "vec_id")
+    assert(s1.count() === 30)                       // no dups among bases
+    assert(s2.count() === 0)                        // every copy caught by the index
+    val ids = s1.select("vec_id").as[Long].collect().toSet
+    assert(ids === (0L until 30L).toSet)
+  }
+
+  test("incremental == one-shot on id-ordered batches") {
+    val docs = corpus
+    val inc = {
+      val ix = new VectorBandIndex(freshDir(), threshold = 0.9)
+      val s1 = ix.dedupeBatch(docs.where(col("vec_id") <= 15), "embedding", "vec_id")
+      val s2 = ix.dedupeBatch(docs.where(col("vec_id") > 15), "embedding", "vec_id")
+      s1.select("vec_id").union(s2.select("vec_id")).as[Long].collect().toSet
+    }
+    val oneShot = new VectorBandIndex(freshDir(), threshold = 0.9)
+      .dedupeBatch(docs, "embedding", "vec_id", appendToIndex = false)
+      .select("vec_id").as[Long].collect().toSet
+    assert(inc === oneShot)
+  }
+
+  test("re-delivered batch yields identical survivors and no double-indexing") {
+    val dir = freshDir()
+    val ix = new VectorBandIndex(dir, threshold = 0.9)
+    val docs = corpus
+    val first = ix.dedupeBatch(docs.where(col("vec_id") < 50), "embedding", "vec_id",
+      batchId = Some(1L))
+    val n1 = first.count()
+    val ixRows = spark.read.parquet(dir).count()
+    // at-least-once re-delivery of the SAME batch id
+    val again = ix.dedupeBatch(docs.where(col("vec_id") < 50), "embedding", "vec_id",
+      batchId = Some(1L))
+    assert(again.count() === n1)                    // identical output
+    assert(spark.read.parquet(dir).count() === ixRows)  // no double append
+  }
+
+  test("index layout is band-partitioned (probe-prunable)") {
+    val dir = freshDir()
+    val ix = new VectorBandIndex(dir, bandBits = 4, bands = 4, threshold = 0.9)
+    ix.dedupeBatch(corpus, "embedding", "vec_id")
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("band=")).map(_.getName).toSet
+    assert(parts.nonEmpty && parts.forall(_.matches("band=\\d+")))
+  }
+}
