@@ -113,5 +113,30 @@ object StreamingVectorDedup {
       batch.join(broadcast(dropIds.withColumnRenamed("id", "__did")),
         col(s"`$idCol`") === col("__did"), "left_anti")
     }
+
+    /** Log-structured-store maintenance, same contract as the text
+      * index's compact: rewrite each band partition as `filesPerBand`
+      * files sorted by bucket (row-group min/max prunes probes within a
+      * band), atomically via write-new/swap/delete-old; the batch-id
+      * ledger survives the swap. Run offline with batches paused.
+      */
+    def compact(spark: SparkSession, filesPerBand: Int = 1): Unit = {
+      if (!indexExists(spark)) return
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+      val old = new org.apache.hadoop.fs.Path(dir + "__old")
+      spark.read.parquet(dir)
+        .repartition(bands * filesPerBand, col("band"), pmod(xxhash64(col("id")), lit(filesPerBand)))
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite").partitionBy("band").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (!fs.rename(p, old)) sys.error(s"compact: cannot move $p aside")
+      if (!fs.rename(tmp, p)) { fs.rename(old, p); sys.error(s"compact: cannot swap $tmp in") }
+      val oldMarkers = new org.apache.hadoop.fs.Path(old, "_batches")
+      if (fs.exists(oldMarkers))
+        fs.rename(oldMarkers, new org.apache.hadoop.fs.Path(p, "_batches"))
+      fs.delete(old, true)
+    }
   }
 }

@@ -71,6 +71,22 @@ class StreamingVectorDedupSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() === ixRows)  // no double append
   }
 
+  test("compact preserves content and dedup behavior; markers survive") {
+    val dir = freshDir()
+    val ix = new VectorBandIndex(dir, threshold = 0.9)
+    val docs = corpus
+    ix.dedupeBatch(docs.where(col("vec_id") < 50), "embedding", "vec_id",
+      batchId = Some(7L))
+    val before = spark.read.parquet(dir).count()
+    ix.compact(spark, filesPerBand = 1)
+    assert(spark.read.parquet(dir).count() === before)
+    // the planted copies are still caught by the compacted index
+    assert(ix.dedupeBatch(docs.where(col("vec_id") >= 50), "embedding", "vec_id")
+      .count() === 0)
+    // the batch ledger survived the swap (re-delivery still skipped)
+    assert(new java.io.File(dir + "/_batches/7").exists())
+  }
+
   test("index layout is band-partitioned (probe-prunable)") {
     val dir = freshDir()
     val ix = new VectorBandIndex(dir, bandBits = 4, bands = 4, threshold = 0.9)
