@@ -45,6 +45,39 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Corpus NOVELTY against a reference corpus — the inverse view of
+    * decontamination and the "is this new data worth ingesting" metric
+    * (the redundancy-vs-an-existing-release question a data-acquisition
+    * pass asks): per candidate document, the fraction of its DISTINCT
+    * word n-grams NOT already covered by the reference.
+    * Returns (id, n_grams, n_known, novelty = 1 - n_known/n_grams) for
+    * every candidate with at least one gram.
+    *
+    * Same scale shape as [[contaminationHits]] when the reference's
+    * distinct-gram set is broadcastable; for a reference too large to
+    * ship, pass `broadcastReference = false` and the probe degrades to
+    * one shuffled semi-join keyed on the gram — the candidate side is
+    * the small one in an acquisition pass, so the join stays cheap.
+    */
+  def noveltyScore(
+      candidates: DataFrame, textCol: String, idCol: String,
+      reference: DataFrame, refTextCol: String,
+      n: Int = 3,
+      broadcastReference: Boolean = true
+  ): DataFrame = {
+    val ref0 = grams(reference, refTextCol, None, n)
+    val ref = if (broadcastReference) broadcast(ref0) else ref0
+    val cand = grams(candidates, textCol, Some(idCol), n)
+    val known = cand.join(ref, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_known"))
+    cand.groupBy("id").agg(count(lit(1)).as("n_grams"))
+      .join(known, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        round(lit(1.0d) - coalesce(col("n_known"), lit(0L)).cast("double")
+          / col("n_grams"), 6).as("novelty"))
+  }
+
   /** The decontaminated corpus: rows whose document shares NO word n-gram
     * with the benchmark (anti-join on the hit set — corpus columns pass
     * through untouched).

@@ -352,6 +352,22 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Corpus novelty vs a reference corpus (the inverse of
+    // decontamination — "is this new data worth ingesting"): per
+    // candidate doc (ids not divisible by 10), the fraction of its
+    // distinct word 3-grams NOT already covered by the reference corpus
+    // (ids divisible by 10). Broadcast reference probe; oracle mirrors
+    // the rule exactly.
+    "q81_novelty" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Decontaminate.noveltyScore(
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id",
+          docs.where(pmod(col("doc_id"), lit(10)) === 0), "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_known"),
+          col("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // Source-overlap provenance audit: near-dup pairs re-attached to
     // their `source` labels and aggregated to (src_a, src_b) — which
     // sources copy from each other, the provenance/contamination matrix
@@ -644,6 +660,20 @@ object TextQueries {
         |  round(coalesce(cov.covered, 0)::DOUBLE / t.n_tok, 6) AS dup_coverage
         | FROM (SELECT doc_id, len(w) AS n_tok FROM base) t
         | LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q81_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ref AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+        | cand AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0),
+        | tot AS (SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY doc_id),
+        | kn AS (SELECT doc_id, count(*) AS n_known FROM cand
+        |   WHERE g IN (SELECT g FROM ref) GROUP BY doc_id)
+        | SELECT tot.doc_id, tot.n_grams, coalesce(kn.n_known, 0) AS n_known,
+        |  round(1.0 - coalesce(kn.n_known, 0)::DOUBLE / tot.n_grams, 6) AS novelty
+        | FROM tot LEFT JOIN kn USING (doc_id) ORDER BY tot.doc_id""".stripMargin.replaceAll("\n", " "),
     "q80_source_overlap" ->
       """WITH sh AS (
         |  SELECT doc_id, source, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]

@@ -33,6 +33,28 @@ class DecontaminateSpec extends SparkSuite {
     assert(cleaned.columns.toSeq === corpus.columns.toSeq)
   }
 
+  test("noveltyScore: full-overlap docs score 0, unseen-vocab docs score 1; routes agree") {
+    val reference = Seq((50L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("ref_id", "text")
+    val cands = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // every gram known
+      (2L, "entirely novel training content written here"), // nothing known
+      (3L, "the quick brown fox discovers novel content")   // mixed
+    ).toDF("doc_id", "text")
+    def run(bcast: Boolean) = Decontaminate.noveltyScore(
+        cands, "text", "doc_id", reference, "text", n = 3,
+        broadcastReference = bcast)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val b = run(bcast = true)
+    assert(b(1L)._3 === 0.0)                         // fully redundant
+    assert(b(2L)._3 === 1.0 && b(2L)._2 === 0L)      // fully novel
+    assert(b(3L)._3 > 0.0 && b(3L)._3 < 1.0)         // partial
+    assert(b(3L)._1 > b(3L)._2)
+    // the shuffled-reference route (reference too big to ship) agrees
+    assert(run(bcast = false) === b)
+  }
+
   test("benchmark side broadcasts (the corpus is never shuffled for the probe)") {
     val plan = Decontaminate.contaminationHits(corpus, "text", "doc_id",
       benchmark, "text", n = 3).queryExecution.executedPlan.toString
