@@ -273,18 +273,28 @@ object JdbcUpsertSink {
   ): Unit = {
     val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
     conn.setAutoCommit(true)
+    // Cleanup statements tolerate ONLY does-not-exist (PG 42P01; Derby
+    // 42X05 missing table in DML, 42Y55 drop of a missing table). Any
+    // OTHER failure — lock held, permissions — must PROPAGATE: swallowing
+    // it and then dropping the marker would leave a committed run's pair
+    // marker-less, and a later run would compensate fully committed rows
+    // away. Keeping the marker keeps the cleanup retryable.
+    def missingTable(e: java.sql.SQLException): Boolean = {
+      val s = e.getSQLState
+      s == "42P01" || s == "42X05" || s == "42Y55"
+    }
     def dropPre(t: TargetInfo): Unit =
       try conn.createStatement().execute(s"DROP TABLE ${preTable(t)}")
-      catch { case _: java.sql.SQLException => () }
+      catch { case e: java.sql.SQLException if missingTable(e) => () }
     def exists(table: String): Boolean =
       try { conn.createStatement().execute(s"SELECT 1 FROM $table WHERE 1=0"); true }
       catch { case _: java.sql.SQLException => false }
     def truncateStage(t: TargetInfo): Unit =
       try conn.createStatement().execute(dialect.truncateSql(t))
-      catch { case _: java.sql.SQLException => () } // stage may not exist
+      catch { case e: java.sql.SQLException if missingTable(e) => () } // stage may not exist
     def dropMarker(): Unit =
       try conn.createStatement().execute(s"DROP TABLE $markerTable")
-      catch { case _: java.sql.SQLException => () }
+      catch { case _: java.sql.SQLException => () } // marker survives: retried next run
     // Neutralize-then-drop: once a target's stage is empty, its leftover
     // snapshot can never compensate anything away (delete matches stage
     // rows) — every intermediate state of this cleanup is safe to re-run.
@@ -308,7 +318,12 @@ object JdbcUpsertSink {
     //    mid-flight crash of a DIFFERENT target set must be recovered by a
     //    run of that same target set (documented single-writer contract).
     if (exists(markerTable)) {
-      val md = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      // Scan only the CONNECTION'S CURRENT SCHEMA: a null-schema scan can
+      // discover a `__pre` in a schema the unqualified DELETE/DROP below
+      // cannot reach, which would fail forever (and formerly was swallowed,
+      // losing the marker). getSchema may be null on exotic drivers — then
+      // the unscoped scan is the best available, and failures propagate.
+      val md = conn.getMetaData.getTables(null, conn.getSchema, "%", Array("TABLE"))
       val pres = scala.collection.mutable.ListBuffer.empty[String]
       try while (md.next()) {
         val n = md.getString("TABLE_NAME")
@@ -319,10 +334,12 @@ object JdbcUpsertSink {
         // dialect-free neutralize (stage is small post-success); stage may
         // already be gone — both statements are individually safe to re-run
         try conn.createStatement().execute(s"DELETE FROM ${base}__stage")
-        catch { case _: java.sql.SQLException => () }
+        catch { case e: java.sql.SQLException if missingTable(e) => () }
         try conn.createStatement().execute(s"DROP TABLE $pre")
-        catch { case _: java.sql.SQLException => () }
+        catch { case e: java.sql.SQLException if missingTable(e) => () }
       }
+      // Reached only when EVERY discovered pair is cleaned — a cleanup
+      // failure above propagates and keeps the marker for the next run.
       dropMarker()
     } else targets.reverse.foreach { case (t, _) =>
       if (exists(preTable(t))) {
@@ -332,6 +349,7 @@ object JdbcUpsertSink {
       }
     }
     var loaded = List.empty[TargetInfo]   // reverse order already
+    var committed = false
     try {
       var keyMaps = Map.empty[String, DataFrame]
       targets.foreach { case (t, view0) =>
@@ -343,10 +361,15 @@ object JdbcUpsertSink {
       // Atomic success point: from here on, recovery cleans up instead of
       // compensating. Created BEFORE any pre/stage is touched.
       conn.createStatement().execute(s"CREATE TABLE $markerTable (ok INT)")
+      committed = true
       loaded.foreach(cleanupPair)
       dropMarker() // last: while it exists, leftover pairs are drop-only
     } catch {
-      case e: Throwable =>
+      // POST-marker failures (committed = true) fall through uncaught: the
+      // run IS committed, so compensating would destroy committed rows —
+      // the marker survives (dropMarker unreached) and the next run's
+      // marker-present recovery finishes the cleanup.
+      case e: Throwable if !committed =>
         // Children first (reverse load order): FKs stay valid while rows
         // from this run disappear. A compensation failure (e.g. the failing
         // target never got a stage table) must not mask the original error
@@ -359,7 +382,9 @@ object JdbcUpsertSink {
             if (!exists(s"${t.table}__stage")) true // nothing merged: pre-only
             else try { conn.createStatement().execute(compensateSql(t)); true }
             catch { case ce: java.sql.SQLException => e.addSuppressed(ce); false }
-          if (compensated) dropPre(t)
+          if (compensated)
+            try dropPre(t) // strict now: don't let it mask the original error
+            catch { case ce: java.sql.SQLException => e.addSuppressed(ce) }
         }
         throw e
     } finally conn.close()

@@ -107,7 +107,11 @@ object LmScore {
                       bigram: DataFrame, unigramLin: DataFrame,
                       lambda: Double, pFloor: Double,
                       logFloor: Double): DataFrame = {
-    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    // lambda == 1 zeroes the unigram channel, so an unseen bigram would
+    // score log10(0 * 1 + p_uni * 0) = -Infinity and poison the doc mean
+    // (pFloor only guards the unigram term). Pure-bigram scoring is not
+    // interpolation backoff; require a real backoff weight.
+    require(lambda >= 0 && lambda < 1, "lambda must be in [0, 1)")
     require(pFloor > 0, "pFloor must be positive (log argument)")
     val pairs = bigramPairs(
       df.where(col(s"`$textCol`").isNotNull)

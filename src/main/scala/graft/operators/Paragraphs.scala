@@ -62,30 +62,83 @@ object Paragraphs {
     * so every qualifying pair is found — the oracle-checkable route.
     *
     * Paragraph keys pack (id, para_idx) into one long — `id` must be a
-    * non-negative integral id and documents must hold fewer than
-    * `idxCap` paragraphs (enforced in-plan: an overflowing paragraph
-    * index would silently alias another document's key).
+    * non-negative integral id below `Long.MaxValue / idxCap` and
+    * documents must hold fewer than `idxCap` paragraphs (BOTH enforced
+    * in-plan: an overflowing term would silently alias another
+    * document's key).
     */
   def nearDupDocPairs(paras: DataFrame, shingleN: Int, threshold: Double,
                       viaLsh: Boolean = true,
                       numHashes: Int = 64, bands: Int = 16,
                       idxCap: Long = 1000000L): DataFrame = {
-    val safeIdx = when(col("para_idx").cast("long") >= idxCap,
-        raise_error(concat(lit("paragraph index overflows the packed key: "),
-          col("para_idx").cast("string"))))
-      .otherwise(col("para_idx").cast("long"))
-    val keyed = paras.select(
-      (col("id").cast("long") * idxCap + safeIdx).as("pkey"), col("para"))
+    val keyed = packKeys(paras, idxCap)
     val pairs =
       if (viaLsh) Dedup.ngramJaccardViaLsh(keyed, "para", "pkey",
         n = shingleN, threshold = threshold, numHashes = numHashes, bands = bands)
       else Dedup.ngramJaccardPairs(keyed, "para", "pkey",
         n = shingleN, threshold = threshold)
+    aggregateDocPairs(pairs, idxCap)
+  }
+
+  /** [[nearDupDocPairs]] with the route chosen PER PARAGRAPH by length:
+    * LSH banding recall is probabilistic near the threshold for
+    * paragraphs with only a handful of shingles (the q77 finding), so
+    * paragraphs under `lshMinShingles` shingles go through the exact
+    * inverted-index route and the rest through LSH.
+    *
+    * Routing is LOSSLESS for qualifying pairs: J >= t forces
+    * |small| / |big| >= t on shingle-set sizes, so a pair with a
+    * sub-floor side has BOTH sides below ceil(floor / t) — the exact
+    * route's cutoff includes that margin, and a pair with both sides at
+    * or above the floor is LSH's. Pairs in the margin zone
+    * [floor, ceil(floor/t)) can be found by both routes (both verify the
+    * same exact Jaccard) — deduplicated before aggregation.
+    */
+  def nearDupDocPairsAuto(paras: DataFrame, shingleN: Int, threshold: Double,
+                          numHashes: Int = 64, bands: Int = 16,
+                          lshMinShingles: Int = 8,
+                          idxCap: Long = 1000000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    require(lshMinShingles > 0, "lshMinShingles must be positive")
+    val keyed = packKeys(paras, idxCap)
+    // shingle count of the distinct-shingle family: docs shorter than n
+    // emit the single whole-text shingle
+    val cnt = greatest(lit(1),
+      graft.functions.TextFns.tokenCount(col("para")).cast("int") - (shingleN - 1))
+    val exactCap = math.ceil(lshMinShingles / threshold).toLong
+    val pairs = Dedup.ngramJaccardPairs(keyed.where(cnt < exactCap),
+        "para", "pkey", n = shingleN, threshold = threshold)
+      .unionByName(Dedup.ngramJaccardViaLsh(keyed.where(cnt >= lshMinShingles),
+        "para", "pkey", n = shingleN, threshold = threshold,
+        numHashes = numHashes, bands = bands))
+      .dropDuplicates("id_a", "id_b")
+    aggregateDocPairs(pairs, idxCap)
+  }
+
+  /** Pack (id, para_idx) into one long key, raising IN-PLAN on any value
+    * that would alias across documents: a paragraph index at or above
+    * `idxCap`, a negative doc id, or a doc id at or above
+    * `Long.MaxValue / idxCap` (the packed key `id * idxCap + idx` would
+    * wrap silently — ids up to ~9.2e12 at the default cap are safe).
+    */
+  private def packKeys(paras: DataFrame, idxCap: Long): DataFrame = {
+    val safeIdx = when(col("para_idx").cast("long") >= idxCap,
+        raise_error(concat(lit("paragraph index overflows the packed key: "),
+          col("para_idx").cast("string"))))
+      .otherwise(col("para_idx").cast("long"))
+    val id = col("id").cast("long")
+    val safeId = when(id < 0L || id >= Long.MaxValue / idxCap,
+        raise_error(concat(lit("doc id overflows the packed key: "),
+          col("id").cast("string"))))
+      .otherwise(id)
+    paras.select((safeId * idxCap + safeIdx).as("pkey"), col("para"))
+  }
+
+  private def aggregateDocPairs(pairs: DataFrame, idxCap: Long): DataFrame =
     pairs
       .select(expr(s"id_a div $idxCap").as("doc_a"),
         expr(s"id_b div $idxCap").as("doc_b"), col("jaccard"))
       .where(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_para_pairs"), max(col("jaccard")).as("max_jaccard"))
-  }
 }

@@ -118,13 +118,18 @@ object TextStats {
     * byte ranges; this is the positional k-gram analogue over tokens, the
     * same index [[dupSpanCoverage]] scores with).
     *
-    * Shape: the coverage machinery (generator pass + dup-gram aggregation
-    * + span union) plus ONE more broadcast-free step — the per-doc covered
-    * POSITION SET (bounded by doc length, collect_set per doc) joins back
-    * to the text and a higher-order-function projection drops the covered
-    * tokens in place: no token-level explode of the corpus on the rebuild
-    * side, no window, no driver state. Docs with every position covered
-    * come back as empty text (n_kept = 0), the paper's degenerate case.
+    * Shape: the coverage machinery (generator pass + dup-gram aggregation)
+    * plus ONE more broadcast-free step — the per-doc sorted DUP-SPAN START
+    * list (factor-k smaller than an exploded position set, and sufficient
+    * because every span has the same length k) joins back to the text and
+    * a single gap-walk rebuilds the survivors: the kept token ranges are
+    * exactly the gaps between consecutive covered intervals, so the
+    * projection is O(|starts| + kept tokens) per document — linear in doc
+    * length even for the paper's motivating long, heavily-duplicated
+    * documents. No token-level explode of the corpus on the rebuild side,
+    * no per-token membership probe, no window, no driver state. Docs with
+    * every position covered come back as empty text (n_kept = 0), the
+    * paper's degenerate case.
     */
   def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
                      k: Int): DataFrame = {
@@ -135,22 +140,40 @@ object TextStats {
         expr(s"ngram_tuples(`$textCol`, $k)"))
     val dupGrams = grams.groupBy("ngram").agg(count(lit(1)).as("__occ"))
       .where(col("__occ") > 1).select("ngram")
-    // Per-doc covered-position SET: bounded by the doc's own token count —
-    // row-local metadata, not a corpus-sized structure.
-    val covSets = grams.join(dupGrams, Seq("ngram"))
-      .select(col("id"), explode(sequence(col("pos"),
-        least(col("pos") + (k - 1), col("n_tokens") - 1))).as("p"))
-      .groupBy("id").agg(collect_set(col("p")).as("__cov"))
-    val toks = split(trim(col(s"`$textCol`")), "\\s+")
-    val indexed = transform(toks, (t, i) => struct(t.as("t"), i.as("i")))
-    // null __cov (no duplicated span touches this doc) keeps everything
-    val kept = filter(indexed,
-      s => !coalesce(array_contains(col("__cov"), s("i")), lit(false)))
-    df.where(col(s"`$textCol`").isNotNull && length(trim(col(s"`$textCol`"))) > 0)
-      .select(col(s"`$idCol`").as("id"), col(s"`$textCol`"))
-      .join(covSets, Seq("id"), "left")
+    // Per-doc sorted span-start list: bounded by the doc's own token
+    // count — row-local metadata, not a corpus-sized structure.
+    val covStarts = grams.join(dupGrams, Seq("ngram"))
+      .groupBy("id").agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    // Tokenize BELOW the join so every lambda below references a plain
+    // attribute: an expression captured by a higher-order-function lambda
+    // is re-evaluated PER ELEMENT, so an O(n) producer there would turn
+    // the rebuild quadratic — the exact cost curve this gap-walk removes.
+    val docs = df
+      .where(col(s"`$textCol`").isNotNull && length(trim(col(s"`$textCol`"))) > 0)
+      .select(col(s"`$idCol`").as("id"),
+        split(trim(col(s"`$textCol`")), "\\s+").as("__toks"))
+    val n = size(col("__toks"))
+    // Augment the starts with a virtual span ending at -1 and a virtual
+    // start at n: the kept ranges are then uniformly the non-empty gaps
+    // [prev_start + k, next_start - 1] between consecutive entries (spans
+    // all have length k, so sorted starts have sorted ends and the
+    // interval union needs no merge pass). A doc no duplicated span
+    // touches (null __starts) degenerates to the single gap [0, n-1].
+    // zip_with pairs consecutive entries: its array children evaluate
+    // ONCE (they are HOF children, not lambda captures) and its lambda
+    // touches only its own variables.
+    val ext = concat(array(lit(-k)),
+      coalesce(col("__starts"), array().cast("array<int>")), array(n))
+    val ranges = filter(
+      zip_with(slice(ext, lit(1), size(ext) - 1), slice(ext, lit(2), size(ext) - 1),
+        (a, b) => struct((a + k).as("lo"), (b - 1).as("hi"))),
+      r => r("lo") <= r("hi"))
+    // slice is 1-based; each kept range copies only its own tokens.
+    val kept = flatten(transform(ranges, r =>
+      slice(col("__toks"), r("lo") + 1, r("hi") - r("lo") + 1)))
+    docs.join(covStarts, Seq("id"), "left")
       .select(col("id"),
         size(kept).cast("long").as("n_kept"),
-        array_join(transform(kept, s => s("t")), " ").as("scrubbed"))
+        array_join(kept, " ").as("scrubbed"))
   }
 }

@@ -18,12 +18,24 @@ import graft.functions.{VectorExpressions, VectorFns}
   * the bucket keys — emitted drops are never false positives.
   *
   * Scale notes (100 TB): the index is O(kept docs × bands) rows of
-  * (id, vec, band, bucket) but the new batch is small, so the candidate
-  * probe broadcasts the BATCH side and streams the index through a
-  * broadcast-hash join — no shuffle of the index; band partition pruning
-  * applies when a batch misses whole bands. Appends are per-batch parquet
-  * writes partitioned by band; compaction is an offline concern like any
+  * (id, vec, band, bucket) but the new batch is typically small, so AQE
+  * builds the hash side from the batch and streams the index — no
+  * shuffle of the index; band partition pruning applies when a batch
+  * misses whole bands. The build side is NOT force-hinted: a caller
+  * feeding a large backfill batch gets a plan change (sort-merge or
+  * index-side build), not a driver OOM — the same contract as
+  * `LmScore`/`Decontaminate`. Appends are per-batch parquet writes
+  * partitioned by band; compaction is an offline concern like any
   * log-structured store.
+  *
+  * Durability contract (at-least-once): the `_batches/<id>` marker is
+  * created AFTER the survivors' append commits, so a crash between the
+  * two makes re-delivery append the batch's band rows a second time.
+  * This window is deliberate — the reverse order (marker first) would
+  * SKIP the append on re-delivery and lose index rows. Duplicate index
+  * rows never change dedup output (candidate drops are verified and
+  * `distinct`-ed), they only bloat the index; [[VectorBandIndex.compact]]
+  * scrubs them.
   */
 object StreamingVectorDedup {
 
@@ -38,7 +50,10 @@ object StreamingVectorDedup {
     private def indexExists(spark: SparkSession): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).nonEmpty
+      // Require an actual band partition, not just `_SUCCESS`/`_batches`:
+      // a dir with only bookkeeping files would make spark.read.parquet
+      // fail with "unable to infer schema".
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("band="))
     }
 
     /** Dedup one batch against the index AND within itself; append the
@@ -74,11 +89,13 @@ object StreamingVectorDedup {
                  bv: org.apache.spark.sql.Column, bn: org.apache.spark.sql.Column) =
         VectorFns.dot(av, bv) / (an * bn)
 
-      // vs index: probe the big index with the SMALL batch broadcast.
+      // vs index: probe the big index with the (typically small) batch.
+      // No broadcast hint — AQE picks the build side from runtime sizes,
+      // so a large backfill batch degrades to a plan change, not an OOM.
       val dupVsIndex: DataFrame =
         if (indexExists(spark)) {
           spark.read.parquet(dir).as("ix")
-            .join(broadcast(banded.as("nw")),
+            .join(banded.as("nw"),
               col("ix.band") === col("nw.band") &&
                 col("ix.bucket") === col("nw.bucket") &&
                 col("ix.id") =!= col("nw.id"))
@@ -102,15 +119,25 @@ object StreamingVectorDedup {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val markerPath = batchId.map(id => new org.apache.hadoop.fs.Path(s"$dir/_batches/$id"))
         if (!markerPath.exists(fsys.exists)) {
-          banded.join(broadcast(dropIds), Seq("id"), "left_anti")
-            .repartition(col("band"))
-            .write.mode("append").partitionBy("band").parquet(dir)
+          val survivors = banded.join(dropIds, Seq("id"), "left_anti")
+          // A batch whose rows were all filtered (null/empty vectors) or
+          // all dropped must not append: an empty append on a fresh dir
+          // leaves a data-less `_SUCCESS`-only index the next batch
+          // cannot read. The marker is still written — the batch IS
+          // processed, re-delivery has nothing to redo.
+          if (!survivors.isEmpty) {
+            survivors.repartition(col("band"))
+              .write.mode("append").partitionBy("band").parquet(dir)
+          }
+          // Marker AFTER the data commits: see the durability contract in
+          // the object Scaladoc (a crash in between re-appends once;
+          // duplicates are output-invisible and compact() scrubs them).
           markerPath.foreach { m => fsys.mkdirs(m.getParent); fsys.create(m, true).close() }
         }
       }
       banded.unpersist()
 
-      batch.join(broadcast(dropIds.withColumnRenamed("id", "__did")),
+      batch.join(dropIds.withColumnRenamed("id", "__did"),
         col(s"`$idCol`") === col("__did"), "left_anti")
     }
 
@@ -118,7 +145,11 @@ object StreamingVectorDedup {
       * index's compact: rewrite each band partition as `filesPerBand`
       * files sorted by bucket (row-group min/max prunes probes within a
       * band), atomically via write-new/swap/delete-old; the batch-id
-      * ledger survives the swap. Run offline with batches paused.
+      * ledger survives the swap. Also scrubs duplicate (id, band) rows
+      * left by a crash between a batch's append and its marker (the
+      * at-least-once window — see the object Scaladoc): banding is
+      * deterministic, so equal (id, band) implies an identical row. Run
+      * offline with batches paused.
       */
     def compact(spark: SparkSession, filesPerBand: Int = 1): Unit = {
       if (!indexExists(spark)) return
@@ -127,6 +158,7 @@ object StreamingVectorDedup {
       val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
       val old = new org.apache.hadoop.fs.Path(dir + "__old")
       spark.read.parquet(dir)
+        .dropDuplicates("id", "band")
         .repartition(bands * filesPerBand, col("band"), pmod(xxhash64(col("id")), lit(filesPerBand)))
         .sortWithinPartitions("bucket")
         .write.mode("overwrite").partitionBy("band").parquet(tmp.toString)

@@ -66,4 +66,57 @@ class ParagraphsSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("overflows"))
   }
+
+  test("packed DOC-ID overflow and negative ids raise instead of aliasing") {
+    // id * idxCap wraps Long for id >= Long.MaxValue / idxCap — the guard
+    // must be symmetric with the paragraph-index arm (round-6 advice).
+    val big = Long.MaxValue / 1000000L  // smallest aliasing id at default cap
+    val over = Seq((big, 0, "a b c d"), (1L, 0, "a b c d"))
+      .toDF("id", "para_idx", "para")
+    val ex = intercept[Exception] {
+      Paragraphs.nearDupDocPairs(over, shingleN = 3, threshold = 0.5,
+        viaLsh = false).collect()
+    }
+    assert(ex.getMessage.contains("doc id overflows"))
+    val neg = Seq((-1L, 0, "a b c d"), (1L, 0, "a b c d"))
+      .toDF("id", "para_idx", "para")
+    val ex2 = intercept[Exception] {
+      Paragraphs.nearDupDocPairs(neg, shingleN = 3, threshold = 0.5,
+        viaLsh = false).collect()
+    }
+    assert(ex2.getMessage.contains("doc id overflows"))
+    // the largest safe id still packs fine
+    val ok = Seq((big - 1, 0, "a b c d"), (big - 1, 1, "x y z w"))
+      .toDF("id", "para_idx", "para")
+    assert(Paragraphs.nearDupDocPairs(ok, shingleN = 3, threshold = 0.5,
+      viaLsh = false).count() === 0)
+  }
+
+  test("auto-route finds borderline-SHORT and LONG duplicates in one call") {
+    // Short pair: 4 tokens, shingleN=3 -> 2 shingles, far below the LSH
+    // floor (banding recall probabilistic there — the q77 finding).
+    // Long pair: 30 tokens -> 28 shingles, well above the floor.
+    val longText = (1 to 30).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta gamma delta\n\n$longText"),
+      (2L, "alpha beta gamma delta\n\nsomething else entirely different here okay"),
+      (3L, s"unrelated opening paragraph words only\n\n$longText"),
+      (4L, "no shared content at all anywhere in this document today friends")
+    ).toDF("doc_id", "text")
+    val paras = Paragraphs.splitBlankLines(df, "text", "doc_id")
+    val auto = Paragraphs.nearDupDocPairsAuto(paras, shingleN = 3,
+        threshold = 0.9, lshMinShingles = 8)
+      .select("doc_a", "doc_b", "n_para_pairs")
+      .as[(Long, Long, Long)].collect().toSet
+    // the short copy (1,2) comes from the exact route, the long copy (1,3)
+    // from LSH — identical paragraphs collide in every band
+    assert(auto === Set((1L, 2L, 1L), (1L, 3L, 1L)))
+    // agreement with the exact route over the whole corpus: the routed
+    // union must lose no qualifying pair and double-count none
+    val exact = Paragraphs.nearDupDocPairs(paras, shingleN = 3,
+        threshold = 0.9, viaLsh = false)
+      .select("doc_a", "doc_b", "n_para_pairs")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto === exact)
+  }
 }

@@ -73,6 +73,45 @@ class PiiLmSpec extends SparkSuite {
     assert(r.getLong(1) === 0L && r.getString(2) === "")
   }
 
+  test("removeDupSpans: long mostly-covered doc rebuilds in time linear in doc length") {
+    import graft.operators.TextStats
+    // Lee et al.'s motivating input: long documents where MOST positions
+    // are covered. The round-6 rebuild probed membership per token
+    // (O(tokens x covered) per doc); the gap-walk rebuild must cost the
+    // same order as an equally long UNcovered doc. 50k distinct tokens per
+    // doc, k=50: the covered pair shares every k-gram, the unique pair
+    // shares none.
+    val n = 50000
+    def mk(p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val covered = Seq((1L, mk("s")), (2L, mk("s"))).toDF("doc_id", "text")
+    val unique  = Seq((3L, mk("u")), (4L, mk("v"))).toDF("doc_id", "text")
+    def timed(df: org.apache.spark.sql.DataFrame): (Long, Map[Long, Long]) = {
+      val t0 = System.nanoTime()
+      val rows = TextStats.removeDupSpans(df, "text", "doc_id", k = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (System.nanoTime() - t0, rows)
+    }
+    val (tUniq, keptUniq) = timed(unique)   // warm first: JIT + codegen cache
+    val (tCov, keptCov) = timed(covered)
+    assert(keptCov === Map(1L -> 0L, 2L -> 0L))
+    assert(keptUniq === Map(3L -> n.toLong, 4L -> n.toLong))
+    // generous flake margin: the quadratic rebuild was ~2.5e9 probes/doc
+    // here, orders beyond any ambient noise on a same-order assertion
+    assert(tCov < 5 * tUniq + 3000000000L,
+      s"covered ${tCov / 1e9}s vs unique ${tUniq / 1e9}s — rebuild not linear?")
+    // partial coverage exercises the gap walk's head/tail range arithmetic
+    // at scale: shared 25k-token prefix, distinct tails
+    val half = n / 2
+    def mkHalf(tail: String) =
+      ((0 until half).map(i => s"s$i") ++ (0 until half).map(i => s"$tail$i")).mkString(" ")
+    val partial = Seq((5L, mkHalf("p")), (6L, mkHalf("q"))).toDF("doc_id", "text")
+    val rows = TextStats.removeDupSpans(partial, "text", "doc_id", k = 50)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows(5L)._1 === half.toLong)
+    assert(rows(5L)._2 === (0 until half).map(i => s"p$i").mkString(" "))
+    assert(rows(6L)._1 === half.toLong)
+  }
+
   test("bigram LM score: word salad scores low where the unigram model is blind") {
     // All four "salad" tokens are COMMON unigrams (each appears in the
     // fluent corpus), but their transitions never occur — the

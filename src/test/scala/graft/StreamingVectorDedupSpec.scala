@@ -87,6 +87,58 @@ class StreamingVectorDedupSpec extends SparkSuite {
     assert(new java.io.File(dir + "/_batches/7").exists())
   }
 
+  test("an all-filtered first batch leaves no unreadable index behind") {
+    // Every row lacks a usable vector: nothing may be appended (an empty
+    // partitioned write leaves a data-less `_SUCCESS`-only dir the next
+    // batch cannot read), but the batch marker still commits.
+    val dir = freshDir()
+    val ix = new VectorBandIndex(dir, threshold = 0.9)
+    val empty = Seq((900L, Array.empty[Float]), (901L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val out = ix.dedupeBatch(empty, "embedding", "vec_id", batchId = Some(3L))
+    assert(out.count() === 2)  // vector-less rows pass through undeduped
+    assert(new java.io.File(dir + "/_batches/3").exists())
+    // the next REAL batch must work (this read crashed pre-fix)
+    val s = ix.dedupeBatch(corpus.where(col("vec_id") < 50), "embedding", "vec_id")
+    assert(s.count() === 30)
+  }
+
+  test("crash between append and marker: re-delivery duplicates are output-invisible and compact scrubs them") {
+    // Simulate a crash AFTER the survivors' append committed but BEFORE
+    // the batch marker was created (the documented at-least-once window):
+    // run the batch, delete its marker, re-deliver.
+    val dir = freshDir()
+    val ix = new VectorBandIndex(dir, threshold = 0.9)
+    val bases = corpus.where(col("vec_id") < 50)
+    val n1 = ix.dedupeBatch(bases, "embedding", "vec_id", batchId = Some(1L)).count()
+    val rows1 = spark.read.parquet(dir).count()
+    assert(new java.io.File(dir + "/_batches/1").delete())  // the "crash"
+    val n2 = ix.dedupeBatch(bases, "embedding", "vec_id", batchId = Some(1L)).count()
+    assert(n2 === n1)                                       // output identical
+    assert(spark.read.parquet(dir).count() === 2 * rows1)   // bloat, not corruption
+    ix.compact(spark)
+    assert(spark.read.parquet(dir).count() === rows1)       // duplicates scrubbed
+    // the deduplicated index still catches the planted copies
+    assert(ix.dedupeBatch(corpus.where(col("vec_id") >= 50), "embedding", "vec_id")
+      .count() === 0)
+  }
+
+  test("no forced broadcast: dedup stays correct when broadcast joins are disabled") {
+    // The build side is AQE's choice, not a hint — a huge backfill batch
+    // must degrade to a non-broadcast plan, never a driver OOM. Pin by
+    // running the whole dedup with broadcasting switched off entirely.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ix = new VectorBandIndex(freshDir(), threshold = 0.9)
+      val docs = corpus
+      val s1 = ix.dedupeBatch(docs.where(col("vec_id") < 50), "embedding", "vec_id")
+      val s2 = ix.dedupeBatch(docs.where(col("vec_id") >= 50), "embedding", "vec_id")
+      assert(s1.count() === 30 && s2.count() === 0)
+      assert(s2.queryExecution.analyzed.toString.indexOf("ResolvedHint") === -1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("index layout is band-partitioned (probe-prunable)") {
     val dir = freshDir()
     val ix = new VectorBandIndex(dir, bandBits = 4, bands = 4, threshold = 0.9)

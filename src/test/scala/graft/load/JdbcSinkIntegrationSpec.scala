@@ -222,6 +222,50 @@ class JdbcSinkIntegrationSpec extends SparkSuite {
     assert(query("SELECT pier_id, qname FROM pier") === Seq(Seq(55L, "done")))
   }
 
+  test("loadAllOrNothing: a FAILED marker-present cleanup keeps the marker") {
+    // Regression pin for the round-6 advice: if a pair's DROP fails for a
+    // reason OTHER than does-not-exist (here: a dependent view), recovery
+    // must PROPAGATE and keep the marker. The old code swallowed the
+    // failure and dropped the marker, so the next run's no-marker branch
+    // compensated the committed run's rows away — data loss.
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE quay (quay_id BIGINT PRIMARY KEY, " +
+        "yname VARCHAR(50) NOT NULL UNIQUE)")
+      st.execute("INSERT INTO quay VALUES (55, 'kept')") // committed by the marked run
+      st.execute("CREATE TABLE quay__pre (yname VARCHAR(50))")
+      st.execute("CREATE TABLE quay__stage (quay_id BIGINT, yname VARCHAR(50))")
+      st.execute("INSERT INTO quay__stage VALUES (55, 'kept')")
+      st.execute(s"CREATE TABLE ${JdbcUpsertSink.markerTable} (ok INT)")
+      // a dependent view makes DROP TABLE quay__pre fail (Derby X0Y23)
+      st.execute("CREATE VIEW quay_v AS SELECT * FROM quay__pre")
+    } finally conn.close()
+
+    val wharfT = TargetInfo("wharf", "", "wharf_id", Seq("wname"), Nil)
+    val wharfs = Seq((1L, "west")).toDF("wharf_id", "wname")
+    intercept[java.sql.SQLException] {
+      JdbcUpsertSink.loadAllOrNothing(spark, url, props, Seq(wharfT -> wharfs), DerbyDialect)
+    }
+    // marker SURVIVED the failed cleanup — the pair stays drop-only
+    assert(query(s"SELECT count(*) FROM SYS.SYSTABLES WHERE TABLENAME = " +
+      s"'${JdbcUpsertSink.markerTable.toUpperCase}'").head.head === 1)
+
+    // unblock and re-run: recovery completes, the committed row SURVIVES
+    // (under the old marker-dropping code this run compensated it away)
+    val c2 = java.sql.DriverManager.getConnection(url, props)
+    try c2.createStatement().execute("DROP VIEW quay_v") finally c2.close()
+    val c3 = java.sql.DriverManager.getConnection(url, props)
+    try c3.createStatement().execute("CREATE TABLE wharf (wharf_id BIGINT PRIMARY KEY, " +
+      "wname VARCHAR(50) NOT NULL UNIQUE)") finally c3.close()
+    JdbcUpsertSink.loadAllOrNothing(spark, url, props, Seq(wharfT -> wharfs), DerbyDialect)
+    assert(query("SELECT quay_id, yname FROM quay") === Seq(Seq(55L, "kept")))
+    assert(query("SELECT count(*) FROM SYS.SYSTABLES WHERE TABLENAME = 'QUAY__PRE'")
+      .head.head === 0)
+    assert(query(s"SELECT count(*) FROM SYS.SYSTABLES WHERE TABLENAME = " +
+      s"'${JdbcUpsertSink.markerTable.toUpperCase}'").head.head === 0)
+  }
+
   test("typed error mapping: FK violation during merge -> ForeignKeyViolationException") {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
