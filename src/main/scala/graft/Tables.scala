@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loader for the driver-provided benchmark tables (TESTDATA.md).
   * One parquet file per table under `<sfDir>/<name>.parquet`.
@@ -17,6 +17,12 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      // Parquet files written with isAdjustedToUTC=0 surface as TIMESTAMP_NTZ;
+      // the session TZ is pinned to UTC, so this cast is value-identical to
+      // the oracle's naive reading while restoring TIMESTAMP semantics
+      // (unix_micros etc. reject NTZ).
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 }
