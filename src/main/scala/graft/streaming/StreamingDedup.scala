@@ -63,11 +63,23 @@ object StreamingDedup {
     * stream-indexed corpora interoperate.
     *
     * Scale notes (100 TB): the index is big (O(kept docs x bands)) but the
-    * new batch is small, so the candidate probe broadcasts the BATCH side
-    * and streams the index through a broadcast-hash semi-join — no shuffle
-    * of the index, and band partition pruning applies when a batch misses
-    * whole bands. Appends are per-batch parquet writes; compaction is an
-    * offline concern like any log-structured store.
+    * new batch is typically small, so AQE builds the hash side from the
+    * batch and streams the index — no shuffle of the index, and band
+    * partition pruning applies when a batch misses whole bands. The build
+    * side is NOT force-hinted: a caller feeding a large backfill batch
+    * gets a plan change (sort-merge or index-side build), not a driver
+    * OOM — the same contract as [[StreamingVectorDedup.VectorBandIndex]]
+    * and `LmScore`/`Decontaminate`. Appends are per-batch parquet writes;
+    * compaction is an offline concern like any log-structured store.
+    *
+    * Durability contract (at-least-once): the `_batches/<id>` marker is
+    * created AFTER the survivors' append commits, so a crash between the
+    * two makes re-delivery append the batch's band rows a second time.
+    * This window is deliberate — the reverse order (marker first) would
+    * SKIP the append on re-delivery and lose index rows. Duplicate index
+    * rows never change dedup output (candidate drops are verified and
+    * `distinct`-ed), they only bloat the index; [[LshIndex.compact]]
+    * scrubs them.
     */
   final class LshIndex(
       val dir: String,
@@ -79,11 +91,8 @@ object StreamingDedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     private val rowsPerBand = numHashes / bands
 
-    private def indexExists(spark: SparkSession): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).nonEmpty
-    }
+    private def indexExists(spark: SparkSession): Boolean =
+      IndexMaintenance.indexExists(spark, dir)
 
     /** Dedup one micro-batch against the index AND within itself; append
       * the survivors' band rows to the index; return the surviving rows of
@@ -124,12 +133,13 @@ object StreamingDedup {
       val banded = Dedup.bandBuckets(sig, bands, rowsPerBand)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
-      // vs index: probe the big index with the SMALL batch broadcast —
-      // verified near-dup of any indexed doc -> drop.
+      // vs index: probe the big index with the (typically small) batch.
+      // No broadcast hint — AQE picks the build side from runtime sizes,
+      // so a large backfill batch degrades to a plan change, not an OOM.
       val dupVsIndex: DataFrame =
         if (indexExists(spark)) {
           spark.read.parquet(dir).as("ix")
-            .join(broadcast(banded.as("nw")),
+            .join(banded.as("nw"),
               col("ix.band") === col("nw.band") && col("ix.bh") === col("nw.bh") &&
                 col("ix.id") =!= col("nw.id"))
             .where(Dedup.estJaccard(col("ix.sig"), col("nw.sig"), numHashes) >= threshold)
@@ -158,12 +168,22 @@ object StreamingDedup {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val markerPath = batchId.map(id => new org.apache.hadoop.fs.Path(s"$dir/_batches/$id"))
         if (!markerPath.exists(fsys.exists)) {
-          // one file per touched band per batch (vs shuffle-partitions x
-          // bands): the batch-sized repartition is cheap, and probe-side
-          // file listings + the compaction backlog shrink 30x
-          banded.join(broadcast(dropIds), Seq("id"), "left_anti")
-            .repartition(col("band"))
-            .write.mode("append").partitionBy("band").parquet(dir)
+          val survivors = banded.join(dropIds, Seq("id"), "left_anti")
+          // A batch whose rows were all filtered (nothing to shingle) or
+          // all dropped must not append: an empty append on a fresh dir
+          // leaves a data-less `_SUCCESS`-only index the next batch
+          // cannot read. The marker is still written — the batch IS
+          // processed, re-delivery has nothing to redo.
+          if (!survivors.isEmpty) {
+            // one file per touched band per batch (vs shuffle-partitions x
+            // bands): the batch-sized repartition is cheap, and probe-side
+            // file listings + the compaction backlog shrink 30x
+            survivors.repartition(col("band"))
+              .write.mode("append").partitionBy("band").parquet(dir)
+          }
+          // Marker AFTER the data commits: see the durability contract in
+          // the class Scaladoc (a crash in between re-appends once;
+          // duplicates are output-invisible and compact() scrubs them).
           markerPath.foreach { m => fsys.mkdirs(m.getParent); fsys.create(m, true).close() }
         }
       }
@@ -172,38 +192,17 @@ object StreamingDedup {
       // Survivors keep their original columns. Docs that produced no
       // signature (nothing to shingle) can't be near-dup-verified — they
       // pass through unindexed rather than being silently dropped.
-      batch.join(broadcast(dropIds.withColumnRenamed("id", "__did")),
+      batch.join(dropIds.withColumnRenamed("id", "__did"),
         col(s"`$idCol`") === col("__did"), "left_anti")
     }
 
-    /** Log-structured-store maintenance: every micro-batch appends one
-      * file set per touched band, so a long-running stream accumulates
-      * small files (probe cost becomes file-open-bound, not data-bound).
-      * Compaction rewrites each band partition as `filesPerBand` files
-      * sorted by bucket hash (row-group min/max on `bh` then prunes
-      * probes within a band), atomically via write-new/swap/delete-old.
-      * Run it offline on whatever cadence file counts demand — batches
-      * must be paused, like any single-writer table maintenance.
+    /** Maintenance: [[IndexMaintenance.compact]] (shared with the vector
+      * index) — rewrite each band partition as `filesPerBand` files
+      * sorted by bucket hash `bh`, scrub append/marker crash-window
+      * duplicates, recover from a previously crashed compact.
       */
-    def compact(spark: SparkSession, filesPerBand: Int = 1): Unit = {
-      if (!indexExists(spark)) return
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
-      val old = new org.apache.hadoop.fs.Path(dir + "__old")
-      spark.read.parquet(dir)
-        .repartition(bands * filesPerBand, col("band"), pmod(xxhash64(col("id")), lit(filesPerBand)))
-        .sortWithinPartitions("bh")
-        .write.mode("overwrite").partitionBy("band").parquet(tmp.toString)
-      fs.delete(old, true)
-      if (!fs.rename(p, old)) sys.error(s"compact: cannot move $p aside")
-      if (!fs.rename(tmp, p)) { fs.rename(old, p); sys.error(s"compact: cannot swap $tmp in") }
-      // carry the batch-id ledger across the swap (retry markers survive)
-      val oldMarkers = new org.apache.hadoop.fs.Path(old, "_batches")
-      if (fs.exists(oldMarkers))
-        fs.rename(oldMarkers, new org.apache.hadoop.fs.Path(p, "_batches"))
-      fs.delete(old, true)
-    }
+    def compact(spark: SparkSession, filesPerBand: Int = 1): Unit =
+      IndexMaintenance.compact(spark, dir, bands, filesPerBand, "bh")
   }
 
   /** Wire a document stream through an [[LshIndex]]: drain available input

@@ -47,14 +47,8 @@ object StreamingVectorDedup {
   ) extends Serializable {
     require(bandBits > 0 && bandBits <= 63 && bands > 0, "invalid banding")
 
-    private def indexExists(spark: SparkSession): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // Require an actual band partition, not just `_SUCCESS`/`_batches`:
-      // a dir with only bookkeeping files would make spark.read.parquet
-      // fail with "unable to infer schema".
-      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("band="))
-    }
+    private def indexExists(spark: SparkSession): Boolean =
+      IndexMaintenance.indexExists(spark, dir)
 
     /** Dedup one batch against the index AND within itself; append the
       * survivors' band rows; return the surviving rows of `batch`
@@ -141,34 +135,12 @@ object StreamingVectorDedup {
         col(s"`$idCol`") === col("__did"), "left_anti")
     }
 
-    /** Log-structured-store maintenance, same contract as the text
-      * index's compact: rewrite each band partition as `filesPerBand`
-      * files sorted by bucket (row-group min/max prunes probes within a
-      * band), atomically via write-new/swap/delete-old; the batch-id
-      * ledger survives the swap. Also scrubs duplicate (id, band) rows
-      * left by a crash between a batch's append and its marker (the
-      * at-least-once window — see the object Scaladoc): banding is
-      * deterministic, so equal (id, band) implies an identical row. Run
-      * offline with batches paused.
+    /** Maintenance: [[IndexMaintenance.compact]] (shared with the text
+      * index) — rewrite each band partition as `filesPerBand` files
+      * sorted by `bucket`, scrub append/marker crash-window duplicates,
+      * recover from a previously crashed compact.
       */
-    def compact(spark: SparkSession, filesPerBand: Int = 1): Unit = {
-      if (!indexExists(spark)) return
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
-      val old = new org.apache.hadoop.fs.Path(dir + "__old")
-      spark.read.parquet(dir)
-        .dropDuplicates("id", "band")
-        .repartition(bands * filesPerBand, col("band"), pmod(xxhash64(col("id")), lit(filesPerBand)))
-        .sortWithinPartitions("bucket")
-        .write.mode("overwrite").partitionBy("band").parquet(tmp.toString)
-      fs.delete(old, true)
-      if (!fs.rename(p, old)) sys.error(s"compact: cannot move $p aside")
-      if (!fs.rename(tmp, p)) { fs.rename(old, p); sys.error(s"compact: cannot swap $tmp in") }
-      val oldMarkers = new org.apache.hadoop.fs.Path(old, "_batches")
-      if (fs.exists(oldMarkers))
-        fs.rename(oldMarkers, new org.apache.hadoop.fs.Path(p, "_batches"))
-      fs.delete(old, true)
-    }
+    def compact(spark: SparkSession, filesPerBand: Int = 1): Unit =
+      IndexMaintenance.compact(spark, dir, bands, filesPerBand, "bucket")
   }
 }

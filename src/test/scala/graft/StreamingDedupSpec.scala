@@ -111,6 +111,49 @@ class StreamingDedupSpec extends SparkSuite {
     assert(s.select("doc_id").as[Long].collect().toSeq === Seq(98L))
   }
 
+  test("compact recovers from a crash at every mid-compact window") {
+    val dir = Files.createTempDirectory("lsh_midcrash").toString + "/ix"
+    val ix = new StreamingDedup.LshIndex(dir)
+    val b = Seq((1L, mut(doc, "aa")),
+      (3L, "entirely distinct prose about state stores " * 8)).toDF("doc_id", "text")
+    ix.dedupeBatch(b, "text", "doc_id", batchId = Some(5L))
+    val rows = spark.read.parquet(dir).orderBy("id", "band").collect().toSeq
+
+    def move(from: String, to: String) = {
+      assert(new java.io.File(from).renameTo(new java.io.File(to)))
+    }
+    // window 1: crash during write-new — stale __compacting beside a
+    // healthy index. The index is readable the whole time.
+    val tmp = dir + "__compacting"
+    spark.read.parquet(dir).limit(1).write.parquet(tmp)
+    assert(spark.read.parquet(dir).count() === rows.size)
+    ix.compact(spark)
+    assert(!new java.io.File(tmp).exists())
+    assert(spark.read.parquet(dir).orderBy("id", "band").collect().toSeq === rows)
+
+    // window 2: torn swap — the index was moved aside but the new files
+    // never renamed in (dir missing, __old holding the data). The next
+    // compact must roll the swap back, not treat the corpus as empty.
+    move(dir, dir + "__old")
+    ix.compact(spark)
+    assert(spark.read.parquet(dir).orderBy("id", "band").collect().toSeq === rows)
+    assert(!new java.io.File(dir + "__old").exists())
+
+    // window 3: swap completed but cleanup crashed — __old remnant with
+    // the unmoved batch ledger. compact rescues the ledger then cleans.
+    new java.io.File(dir + "__old").mkdirs()
+    move(dir + "/_batches", dir + "__old/_batches")
+    ix.compact(spark)
+    assert(!new java.io.File(dir + "__old").exists())
+    assert(new java.io.File(dir + "/_batches/5").exists())
+    // re-delivery of batch 5 is still skipped (no double append)
+    ix.dedupeBatch(b, "text", "doc_id", batchId = Some(5L))
+    assert(spark.read.parquet(dir).count() === rows.size)
+    // and the recovered index still catches near-dups
+    assert(ix.dedupeBatch(Seq((9L, mut(doc, "zz"))).toDF("doc_id", "text"),
+      "text", "doc_id").count() === 0)
+  }
+
   test("re-delivered batch yields identical survivors and no double-indexing") {
     val dir = Files.createTempDirectory("lsh_retry").toString + "/ix"
     val ix = new StreamingDedup.LshIndex(dir)
@@ -128,6 +171,67 @@ class StreamingDedupSpec extends SparkSuite {
     val perId = spark.read.parquet(dir).groupBy("id").count()
       .select("count").distinct().as[Long].collect().toSeq
     assert(perId === Seq(16L))   // one band-row set per doc, no dups
+  }
+
+  test("an all-filtered first batch leaves no unreadable index behind") {
+    // Every row lacks a usable signature (nothing to shingle): nothing may
+    // be appended (an empty partitioned write leaves a data-less
+    // `_SUCCESS`-only dir the next batch cannot read), but the batch
+    // marker still commits.
+    val dir = Files.createTempDirectory("lsh_empty").toString + "/ix"
+    val ix = new StreamingDedup.LshIndex(dir)
+    val empty = Seq((900L, ""), (901L, "")).toDF("doc_id", "text")
+    val out = ix.dedupeBatch(empty, "text", "doc_id", batchId = Some(3L))
+    assert(out.count() === 2)  // signature-less rows pass through undeduped
+    assert(new java.io.File(dir + "/_batches/3").exists())
+    // the next REAL batch must work (this read crashed pre-fix)
+    val s = ix.dedupeBatch(
+      Seq((1L, mut(doc, "aa")),
+          (2L, "entirely distinct prose about state stores " * 8))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    assert(s.count() === 2)
+  }
+
+  test("crash between append and marker: re-delivery duplicates are output-invisible and compact scrubs them") {
+    // Simulate a crash AFTER the survivors' append committed but BEFORE
+    // the batch marker was created (the documented at-least-once window):
+    // run the batch, delete its marker, re-deliver.
+    val dir = Files.createTempDirectory("lsh_crash").toString + "/ix"
+    val ix = new StreamingDedup.LshIndex(dir)
+    val b = Seq((1L, mut(doc, "aa")),
+      (3L, "entirely distinct prose about state stores " * 8)).toDF("doc_id", "text")
+    val n1 = ix.dedupeBatch(b, "text", "doc_id", batchId = Some(1L)).count()
+    val rows1 = spark.read.parquet(dir).count()
+    assert(new java.io.File(dir + "/_batches/1").delete())  // the "crash"
+    val n2 = ix.dedupeBatch(b, "text", "doc_id", batchId = Some(1L)).count()
+    assert(n2 === n1)                                       // output identical
+    assert(spark.read.parquet(dir).count() === 2 * rows1)   // bloat, not corruption
+    ix.compact(spark)
+    assert(spark.read.parquet(dir).count() === rows1)       // duplicates scrubbed
+    // the deduplicated index still catches near-dups of indexed docs
+    assert(ix.dedupeBatch(Seq((9L, mut(doc, "bb"))).toDF("doc_id", "text"),
+      "text", "doc_id").count() === 0)
+  }
+
+  test("no forced broadcast: dedup stays correct when broadcast joins are disabled") {
+    // The build side is AQE's choice, not a hint — a huge backfill batch
+    // must degrade to a non-broadcast plan, never a driver OOM. Pin by
+    // running the whole dedup with broadcasting switched off entirely.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ix = new StreamingDedup.LshIndex(
+        Files.createTempDirectory("lsh_nobc").toString + "/ix")
+      val s1 = ix.dedupeBatch(
+        Seq((1L, mut(doc, "aa")), (2L, mut(doc, "bb")),
+            (3L, "entirely distinct prose about state stores " * 8))
+          .toDF("doc_id", "text"), "text", "doc_id")
+      val s2 = ix.dedupeBatch(
+        Seq((9L, mut(doc, "cc"))).toDF("doc_id", "text"), "text", "doc_id")
+      assert(s1.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+      assert(s2.count() === 0)
+      assert(s2.queryExecution.analyzed.toString.indexOf("ResolvedHint") === -1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("nearDupAvailableNow drains a file stream through the index exactly once") {

@@ -123,6 +123,42 @@ class StreamingVectorDedupSpec extends SparkSuite {
       .count() === 0)
   }
 
+  test("compact recovers from a crash at every mid-compact window") {
+    val dir = freshDir()
+    val ix = new VectorBandIndex(dir, threshold = 0.9)
+    ix.dedupeBatch(corpus.where(col("vec_id") < 50), "embedding", "vec_id",
+      batchId = Some(5L))
+    val rows = spark.read.parquet(dir).count()
+
+    def move(from: String, to: String) =
+      assert(new java.io.File(from).renameTo(new java.io.File(to)))
+    // window 1: crash during write-new — stale __compacting beside a
+    // healthy index; the index is readable the whole time.
+    val tmp = dir + "__compacting"
+    spark.read.parquet(dir).limit(1).write.parquet(tmp)
+    ix.compact(spark)
+    assert(!new java.io.File(tmp).exists())
+    assert(spark.read.parquet(dir).count() === rows)
+
+    // window 2: torn swap — dir missing, __old holding the data. The
+    // next compact must roll the swap back, not treat the corpus as empty.
+    move(dir, dir + "__old")
+    ix.compact(spark)
+    assert(spark.read.parquet(dir).count() === rows)
+    assert(!new java.io.File(dir + "__old").exists())
+
+    // window 3: swap completed but cleanup crashed — __old remnant with
+    // the unmoved batch ledger. compact rescues the ledger then cleans.
+    new java.io.File(dir + "__old").mkdirs()
+    move(dir + "/_batches", dir + "__old/_batches")
+    ix.compact(spark)
+    assert(!new java.io.File(dir + "__old").exists())
+    assert(new java.io.File(dir + "/_batches/5").exists())
+    // the recovered index still catches the planted copies
+    assert(ix.dedupeBatch(corpus.where(col("vec_id") >= 50), "embedding", "vec_id")
+      .count() === 0)
+  }
+
   test("no forced broadcast: dedup stays correct when broadcast joins are disabled") {
     // The build side is AQE's choice, not a hint — a huge backfill batch
     // must degrade to a non-broadcast plan, never a driver OOM. Pin by
