@@ -8,10 +8,18 @@ import graft.operators._
   * composition a user runs before shipping a corpus, each stage one of
   * this library's individually-verified operators:
   *
+  *   0. novelty pre-filter   ([[Decontaminate.noveltyScore]] vs an
+  *                            existing release — optional, active iff a
+  *                            reference corpus is passed: "is this new
+  *                            data worth ingesting")
   *   1. PII scrub            ([[Pii.redact]] — map-side projection)
   *   2. quality battery      ([[TextStats.gopherVerdicts]])
   *   3. exact + near dedup   ([[Dedup.exactByFingerprint]] +
   *                            LSH pairs → connected components)
+  *   3b. paragraph near-dup  ([[Paragraphs.nearDupDocPairsAuto]] →
+  *                            connected components — optional, catches
+  *                            boilerplate-sharing docs whole-doc Jaccard
+  *                            misses)
   *   4. dup-span removal     ([[TextStats.removeDupSpans]] — Lee et al.
   *                            removal; fully-covered docs drop out)
   *   5. decontamination      ([[Decontaminate.clean]] vs a benchmark set)
@@ -34,12 +42,26 @@ object ReleasePipeline {
       decontaminateN: Int = 3,
       lmFloorQuantile: Double = 0.1,
       oovLogp: Double = -12.0,
-      packCapacity: Long = 512L)
+      packCapacity: Long = 512L,
+      // stage 0 — used iff `noveltyRef` is passed to run(): keep docs with
+      // novelty >= noveltyMin vs the reference; gram-less docs (nothing to
+      // judge) pass through.
+      noveltyN: Int = 3,
+      noveltyMin: Double = 0.3,
+      // stage 3b — off by default (doc-level dedup already ran).
+      paragraphDedup: Boolean = false,
+      paragraphWindow: Int = 16,
+      paragraphThreshold: Double = 0.5)
 
+  /** Stage survivor counts. Optional stages that are off repeat their
+    * predecessor's count (the stage passed everything through).
+    */
   final case class Stats(
       input: Long,
+      afterNovelty: Long,
       afterQuality: Long,
       afterDedup: Long,
+      afterParaDedup: Long,
       afterDespan: Long,
       afterDecontaminate: Long,
       afterLmFloor: Long)
@@ -50,43 +72,95 @@ object ReleasePipeline {
   final case class Result(corpus: DataFrame, packed: DataFrame, stats: Stats)
 
   /** Run the release workflow. `benchmark` is the evaluation set to
-    * decontaminate against (its text column is `cfg.textCol`).
+    * decontaminate against (its text column is `cfg.textCol`);
+    * `noveltyRef` is the already-released corpus to score acquisition
+    * novelty against (same text column) — omitted, stage 0 is skipped.
     */
   def run(docs: DataFrame, benchmark: DataFrame,
-          cfg: Config = Config()): Result = {
+          cfg: Config = Config(),
+          noveltyRef: Option[DataFrame] = None): Result = {
     val id = col(s"`${cfg.idCol}`")
     val input = docs.where(col(s"`${cfg.textCol}`").isNotNull)
 
+    // 0. Acquisition novelty floor — drop docs the existing release
+    // already covers. Anti-join on the DROP set so gram-less docs (no
+    // novelty row) pass through instead of silently vanishing.
+    val acquired = noveltyRef match {
+      case None => input
+      case Some(ref) =>
+        val redundant = Decontaminate.noveltyScore(
+            input, cfg.textCol, cfg.idCol,
+            ref.where(col(s"`${cfg.textCol}`").isNotNull), cfg.textCol,
+            n = cfg.noveltyN)
+          .where(col("novelty") < cfg.noveltyMin).select("id")
+        input.join(redundant, id === redundant("id"), "left_anti")
+    }
+
+    // Each stage boundary below is an EAGER localCheckpoint, for two
+    // compounding reasons. (1) Reuse: later stages, the eager edge
+    // collects, and the stage-count stats each consume the frame again —
+    // without materialization every consumer re-runs the whole upstream
+    // cascade (LSH + span index + paragraph routing several times over).
+    // (2) Lineage truncation: a persist alone leaves each stage's plan
+    // EMBEDDED in the next one's, and stages that reference their input
+    // twice (every join-with-derived-drop-set here) DOUBLE the plan tree
+    // per stage — by stage 7 the driver spends minutes stringifying
+    // exponential plan trees for listener events, dwarfing execution.
+    // localCheckpoint cuts the subtree to a leaf: plans stay O(stage),
+    // which is also what keeps Catalyst/AQE planning time bounded on a
+    // real cluster. (Reliable `checkpoint()` to the cluster FS is the
+    // executor-loss-tolerant variant of the same shape; local is right
+    // for a single-job pipeline.) Blocks free when the frames are GC'd.
+    def staged(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
     // 1. PII scrub — pure projection, row count unchanged.
-    val scrubbed = input.select(id.as("doc_id"),
-      Pii.redact(col(s"`${cfg.textCol}`")).as("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scrubbed = staged(acquired.select(id.as("doc_id"),
+      Pii.redact(col(s"`${cfg.textCol}`")).as("text")))
 
     // 2. Gopher-style quality battery.
-    val qualified = scrubbed.join(
+    val qualified = staged(scrubbed.join(
       TextStats.gopherVerdicts(scrubbed, "text", "doc_id")
-        .where(col("pass")).select(col("id").as("doc_id")), "doc_id")
+        .where(col("pass")).select(col("id").as("doc_id")), "doc_id"))
 
     // 3. Exact dedup, then LSH near-dup clusters (keep cluster-min id).
-    val exact = Dedup.exactByFingerprint(qualified, "text", "doc_id")
+    val exact = staged(Dedup.exactByFingerprint(qualified, "text", "doc_id"))
     val drops = Dedup.connectedComponents(
         Dedup.minhashLshPairs(exact, "text", "doc_id",
           shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold))
       .where(col("id") =!= col("label")).select("id")
-    val deduped = exact.join(drops, exact("doc_id") === drops("id"), "left_anti")
+    val deduped = staged(
+      exact.join(drops, exact("doc_id") === drops("id"), "left_anti"))
+
+    // 3b. Paragraph-granular near-dup — boilerplate-sharing docs that
+    // whole-doc Jaccard misses; greedy keep-cluster-min, same convention
+    // as stage 3.
+    val paraDeduped =
+      if (!cfg.paragraphDedup) deduped
+      else {
+        val paras = Paragraphs.splitTokenWindows(deduped, "text", "doc_id",
+          cfg.paragraphWindow)
+        val pDrops = Dedup.connectedComponents(
+            Paragraphs.nearDupDocPairsAuto(paras, cfg.shingleN,
+                cfg.paragraphThreshold,
+                knownMaxShingles = Some(cfg.paragraphWindow - cfg.shingleN + 1))
+              .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+          .where(col("id") =!= col("label")).select("id")
+        staged(
+          deduped.join(pDrops, deduped("doc_id") === pDrops("id"), "left_anti"))
+      }
 
     // 4. Exact-substring scrub: REMOVE corpus-duplicated spans and drop
     // docs scrubbed to nothing (the paper's degenerate case).
-    val despanned = TextStats.removeDupSpans(deduped, "text", "doc_id",
+    val despanned = staged(TextStats.removeDupSpans(paraDeduped, "text", "doc_id",
         k = cfg.spanK)
       .where(col("n_kept") > 0)
-      .select(col("id").as("doc_id"), col("scrubbed").as("text"))
+      .select(col("id").as("doc_id"), col("scrubbed").as("text")))
 
     // 5. Decontaminate against the benchmark.
-    val clean = Decontaminate.clean(despanned, "text", "doc_id",
+    val clean = staged(Decontaminate.clean(despanned, "text", "doc_id",
       benchmark.where(col(s"`${cfg.textCol}`").isNotNull)
         .select(col(s"`${cfg.textCol}`").as("text")), "text",
-      n = cfg.decontaminateN)
+      n = cfg.decontaminateN))
 
     // 6. Unigram-LM floor: drop the lowest-scoring quantile.
     val uni = LmScore.trainUnigram(clean, "text")
@@ -94,26 +168,29 @@ object ReleasePipeline {
     val cut = scored
       .agg(expr(s"approx_percentile(mean_logp, ${cfg.lmFloorQuantile})"))
       .head().getDouble(0)
-    val kept = clean.join(
-        scored.where(col("mean_logp") >= cut).select(col("id").as("doc_id")),
-        "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = staged(clean.join(
+      scored.where(col("mean_logp") >= cut).select(col("id").as("doc_id")),
+      "doc_id"))
 
     // 7. Packing assignment over the survivors.
     val sized = kept.select(col("doc_id"),
       graft.functions.TextFns.tokenCount(col("text")).cast("long").as("len"))
     val packed = Packing.packChunks(sized, "doc_id", "len", cfg.packCapacity)
 
+    val inputN = input.count()
+    val dedupedN = deduped.count()
     val stats = Stats(
-      input = input.count(),
+      input = inputN,
+      // PII scrub is 1:1, so the scrubbed checkpoint carries stage 0's
+      // count — recounting `acquired` would re-run the novelty probe.
+      afterNovelty = if (noveltyRef.isEmpty) inputN else scrubbed.count(),
       afterQuality = qualified.count(),
-      afterDedup = deduped.count(),
+      afterDedup = dedupedN,
+      afterParaDedup = if (!cfg.paragraphDedup) dedupedN
+                       else paraDeduped.count(),
       afterDespan = despanned.count(),
       afterDecontaminate = clean.count(),
       afterLmFloor = kept.count())
-    // Stage counts above consumed both caches; release after the action
-    // that consumes the returned frames (build-then-run-once pattern).
-    graft.core.Frames.releaseAfterNextAction(docs.sparkSession, scrubbed, kept)
     Result(kept, packed, stats)
   }
 }

@@ -94,10 +94,16 @@ object Paragraphs {
     * [floor, ceil(floor/t)) can be found by both routes (both verify the
     * same exact Jaccard) — deduplicated before aggregation.
     */
+  /** @param knownMaxShingles a caller-guaranteed upper bound on any
+    *   paragraph's shingle count, when one exists by construction —
+    *   [[splitTokenWindows]] output is bounded at `window - shingleN + 1`
+    *   — letting the router decide statically instead of probing the data.
+    */
   def nearDupDocPairsAuto(paras: DataFrame, shingleN: Int, threshold: Double,
                           numHashes: Int = 64, bands: Int = 16,
                           lshMinShingles: Int = 8,
-                          idxCap: Long = 1000000L): DataFrame = {
+                          idxCap: Long = 1000000L,
+                          knownMaxShingles: Option[Int] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     require(lshMinShingles > 0, "lshMinShingles must be positive")
     val keyed = packKeys(paras, idxCap)
@@ -106,12 +112,27 @@ object Paragraphs {
     val cnt = greatest(lit(1),
       graft.functions.TextFns.tokenCount(col("para")).cast("int") - (shingleN - 1))
     val exactCap = math.ceil(lshMinShingles / threshold).toLong
-    val pairs = Dedup.ngramJaccardPairs(keyed.where(cnt < exactCap),
-        "para", "pkey", n = shingleN, threshold = threshold)
-      .unionByName(Dedup.ngramJaccardViaLsh(keyed.where(cnt >= lshMinShingles),
-        "para", "pkey", n = shingleN, threshold = threshold,
-        numHashes = numHashes, bands = bands))
-      .dropDuplicates("id_a", "id_b")
+    // Adaptive shortcut: with NO paragraph at or above the exact cutoff,
+    // every qualifying pair has both sides under it — the exact route
+    // alone is complete and the LSH pass (which would redundantly
+    // re-process the whole margin zone) is skipped. Decided statically
+    // when the caller can bound paragraph length (token-window split);
+    // otherwise a LIMIT-1 existence probe.
+    val anyLong = knownMaxShingles match {
+      case Some(m) => m >= exactCap
+      case None => keyed.where(cnt >= exactCap).limit(1).count() > 0
+    }
+    val pairs =
+      if (!anyLong)
+        Dedup.ngramJaccardPairs(keyed, "para", "pkey",
+          n = shingleN, threshold = threshold)
+      else
+        Dedup.ngramJaccardPairs(keyed.where(cnt < exactCap),
+            "para", "pkey", n = shingleN, threshold = threshold)
+          .unionByName(Dedup.ngramJaccardViaLsh(keyed.where(cnt >= lshMinShingles),
+            "para", "pkey", n = shingleN, threshold = threshold,
+            numHashes = numHashes, bands = bands))
+          .dropDuplicates("id_a", "id_b")
     aggregateDocPairs(pairs, idxCap)
   }
 

@@ -195,11 +195,13 @@ object Similarity {
       .withColumn("n", VectorFns.norm2(col("v")))
       .withColumn("b", pmod(hash(col("id")), lit(blocks)))
     // Bound probe (maxRows <= 0 skips it — for callers that already bounded
-    // the input, e.g. the q62 dense route's own row probe).
+    // the input, e.g. the q62 dense route's own row probe). LIMIT-bounded so
+    // the guard costs O(maxRows) scan work, not a full count of an input it
+    // is about to refuse.
     if (maxRows > 0) {
-      val nRows = df.count()
-      require(nRows <= maxRows,
-        s"cosineDupPairsExactBlocked: $nRows rows > maxRows=$maxRows — exact " +
+      val probeLimit = if (maxRows >= Int.MaxValue) Int.MaxValue else (maxRows + 1).toInt
+      require(df.select(lit(1)).limit(probeLimit).count() <= maxRows,
+        s"cosineDupPairsExactBlocked: input exceeds maxRows=$maxRows — exact " +
           "all-pairs cosine below the LSH-viable threshold is O(n²) work in any " +
           "formulation; raise maxRows deliberately or use cosineDupPairs (banded " +
           "LSH) at a near-dup threshold")

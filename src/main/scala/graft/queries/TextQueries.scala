@@ -153,6 +153,8 @@ object TextQueries {
 
     "q57_incremental_dedup" -> mkQ57(gated = true),
 
+    "q82_release_pipeline" -> mkQ82(gated = true),
+
     // Containment dedup: documents whose whole shingle set lives inside
     // another document's — the redundancy case Jaccard thresholds miss
     // (short doc embedded in a long one). Oracle: same inverted-index
@@ -337,17 +339,19 @@ object TextQueries {
 
     // Paragraph-granular near-dup: segment each doc into 16-token windows
     // (this corpus is single-line — the blank-line splitter is the
-    // layout-aware alternative, spec-verified on a planted fixture), find
-    // paragraph pairs through the EXACT inverted-shingle index (q38's
-    // skew-guarded operator — short tail windows put true pairs exactly
-    // at the threshold, where LSH banding recall is probabilistic; the
-    // LSH route stays available and is spec-agreed on planted dups),
-    // re-aggregate verified paragraph pairs into cross-document verdicts.
+    // layout-aware alternative, spec-verified on a planted fixture),
+    // find paragraph pairs through the length-ROUTED operator
+    // (nearDupDocPairsAuto): paragraphs short enough for LSH banding
+    // recall to be probabilistic go through the exact inverted-shingle
+    // index, long ones through MinHash-LSH — the routing is lossless for
+    // qualifying pairs (margin proof in the operator's Scaladoc). These
+    // 16-token windows all sit under the exact-route cutoff, so the
+    // DuckDB oracle can still check the routed operator exactly.
     "q77_paragraph_neardup" -> ((s, dir) => {
       val paras = graft.operators.Paragraphs.splitTokenWindows(
         Tables(s, dir, "documents"), "text", "doc_id", window = 16)
-      graft.operators.Paragraphs.nearDupDocPairs(paras, shingleN = 3,
-          threshold = 0.5, viaLsh = false)
+      graft.operators.Paragraphs.nearDupDocPairsAuto(paras, shingleN = 3,
+          threshold = 0.5, knownMaxShingles = Some(16 - 3 + 1))
         .withColumn("max_jaccard", round(col("max_jaccard"), 4))
         .orderBy("doc_a", "doc_b")
     }),
@@ -423,7 +427,8 @@ object TextQueries {
   val serving: Map[String, Q] = Map(
     "q37_simhash"          -> mkQ37(gated = false),
     "q52_corpus_pipeline"  -> mkQ52(gated = false),
-    "q57_incremental_dedup" -> mkQ57(gated = false)
+    "q57_incremental_dedup" -> mkQ57(gated = false),
+    "q82_release_pipeline" -> mkQ82(gated = false)
   )
 
   // SimHash near-dup pairs. Not SQL-expressible (E[hamming]≈64·angle/π
@@ -503,6 +508,83 @@ object TextQueries {
       }
     out.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         col("lang_pred"), round(col("quality"), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // The full RELEASE workflow (ReleasePipeline.run) with BOTH optional
+  // stages active — novelty pre-filter vs an existing release (ids
+  // divisible by 10, the q81 convention) and paragraph-granular near-dup
+  // — plus benchmark decontamination (ids divisible by 97, the q68
+  // convention). The composite is not SQL-expressible, but every stage
+  // is individually oracled (q71/q67/q31/q36/q77/q76/q68/q72/q81), so
+  // the plan GATES on exact id-parity with an independent stage-by-stage
+  // recomposition built directly from the operators: any drift in how
+  // run() threads the stages (filter ordering, column plumbing,
+  // anti-join orientation, stage insertion points) breaks parity and
+  // fails the driver's rows-only check.
+  private def mkQ82(gated: Boolean): Q = (s, dir) => {
+    import graft.operators.{Decontaminate, LmScore, Paragraphs, Pii, TextStats}
+    val docs = Tables(s, dir, "documents")
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val ref   = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val cand  = docs.where(pmod(col("doc_id"), lit(97)) =!= 0 &&
+                           pmod(col("doc_id"), lit(10)) =!= 0)
+    val cfg = graft.corpus.ReleasePipeline.Config(paragraphDedup = true)
+    val res = graft.corpus.ReleasePipeline.run(cand, bench, cfg, Some(ref))
+    val out =
+      if (!gated) res.corpus
+      else {
+        // Eager stage-boundary checkpoints, same shape (and same
+        // rationale — see ReleasePipeline.run) as the pipeline under
+        // test: the recompose consumes each frame more than once and an
+        // un-truncated 8-stage lineage makes driver plan handling, not
+        // execution, the cost.
+        def staged(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
+        val input = cand.where(col("text").isNotNull)
+        val redundant = Decontaminate.noveltyScore(input, "text", "doc_id",
+            ref.where(col("text").isNotNull), "text", n = cfg.noveltyN)
+          .where(col("novelty") < cfg.noveltyMin).select("id")
+        val acq = input.join(redundant, input("doc_id") === redundant("id"),
+          "left_anti")
+        val scrub = staged(
+          acq.select(col("doc_id"), Pii.redact(col("text")).as("text")))
+        val qual = scrub.join(TextStats.gopherVerdicts(scrub, "text", "doc_id")
+          .where(col("pass")).select(col("id").as("doc_id")), "doc_id")
+        val reExact = staged(Dedup.exactByFingerprint(qual, "text", "doc_id"))
+        val docDrop = Dedup.connectedComponents(
+            Dedup.minhashLshPairs(reExact, "text", "doc_id",
+              shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold))
+          .where(col("id") =!= col("label")).select("id")
+        val dd = staged(reExact.join(docDrop,
+          reExact("doc_id") === docDrop("id"), "left_anti"))
+        val paraDrop = Dedup.connectedComponents(
+            Paragraphs.nearDupDocPairsAuto(
+                Paragraphs.splitTokenWindows(dd, "text", "doc_id",
+                  cfg.paragraphWindow),
+                cfg.shingleN, cfg.paragraphThreshold,
+                knownMaxShingles = Some(cfg.paragraphWindow - cfg.shingleN + 1))
+              .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+          .where(col("id") =!= col("label")).select("id")
+        val pd = dd.join(paraDrop, dd("doc_id") === paraDrop("id"), "left_anti")
+        val desp = staged(TextStats.removeDupSpans(pd, "text", "doc_id",
+            k = cfg.spanK)
+          .where(col("n_kept") > 0)
+          .select(col("id").as("doc_id"), col("scrubbed").as("text")))
+        val cln = staged(Decontaminate.clean(desp, "text", "doc_id",
+          bench.where(col("text").isNotNull).select(col("text")), "text",
+          n = cfg.decontaminateN))
+        val scored = LmScore.scoreDocs(cln, "text", "doc_id",
+          LmScore.trainUnigram(cln, "text"), cfg.oovLogp)
+        val cut = scored
+          .agg(expr(s"approx_percentile(mean_logp, ${cfg.lmFloorQuantile})"))
+          .head().getDouble(0)
+        val reKept = cln.join(
+          scored.where(col("mean_logp") >= cut).select(col("id").as("doc_id")),
+          "doc_id")
+        Gates.setParity(res.corpus, reKept, "doc_id")
+      }
+    out.select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
   }
 

@@ -97,4 +97,17 @@ class ContainmentCosineSpec extends SparkSuite {
     // norms stay exact -> 1/(sqrt(6)*2).
     assert(math.abs(capped((1L, 3L)) - 1.0 / (math.sqrt(6.0) * 2.0)) < 1e-12)
   }
+
+  test("blocked exact cosine: maxRows guard refuses oversized input, 0 disables it") {
+    val vecs = (0 until 10).map(i => (i.toLong, Array.fill(4)(i.toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineDupPairsExactBlocked(vecs, "embedding", "vec_id",
+        0.9, blocks = 2, maxRows = 5)
+    }
+    assert(e.getMessage.contains("maxRows=5"))
+    // maxRows = 0 skips the probe; identical content all-pairs still works
+    assert(Similarity.cosineDupPairsExactBlocked(vecs, "embedding", "vec_id",
+      0.99, blocks = 2, maxRows = 0).count() === 45L)  // all colinear pairs
+  }
 }

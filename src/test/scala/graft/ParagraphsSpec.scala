@@ -119,4 +119,24 @@ class ParagraphsSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(auto === exact)
   }
+
+  test("auto-route static bound: window-split corpus goes exact-only, same pairs") {
+    // Token-window paragraphs are bounded at window - n + 1 shingles by
+    // construction; passing that bound lets the router skip both the
+    // existence probe and the redundant LSH pass. Results must equal the
+    // probed route AND the plain exact route.
+    val df = Seq(
+      (1L, ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim),
+      (2L, ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim + " coda"),
+      (3L, "totally different words in this one nothing shared with others at all")
+    ).toDF("doc_id", "text")
+    val paras = Paragraphs.splitTokenWindows(df, "text", "doc_id", window = 16)
+    def pairs(p: org.apache.spark.sql.DataFrame) =
+      p.select("doc_a", "doc_b", "n_para_pairs").as[(Long, Long, Long)].collect().toSet
+    val static = pairs(Paragraphs.nearDupDocPairsAuto(paras, 3, 0.5,
+      knownMaxShingles = Some(16 - 3 + 1)))
+    val probed = pairs(Paragraphs.nearDupDocPairsAuto(paras, 3, 0.5))
+    val exact = pairs(Paragraphs.nearDupDocPairs(paras, 3, 0.5, viaLsh = false))
+    assert(static.nonEmpty && static === probed && static === exact)
+  }
 }

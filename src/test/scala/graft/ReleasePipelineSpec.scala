@@ -96,7 +96,10 @@ class ReleasePipelineSpec extends SparkSuite {
       docs.where(pmod(col("doc_id"), lit(10)) =!= 0), benchmark,
       graft.corpus.ReleasePipeline.Config(packCapacity = 256L))
     val s = res.stats
-    // counts monotone non-increasing through the filter/dedup stages
+    // counts monotone non-increasing through the filter/dedup stages;
+    // the optional stages are off -> they pass everything through
+    assert(s.afterNovelty === s.input)
+    assert(s.afterParaDedup === s.afterDedup)
     assert(s.input >= s.afterQuality && s.afterQuality >= s.afterDedup)
     assert(s.afterDedup >= s.afterDespan)
     assert(s.afterDespan >= s.afterDecontaminate)
@@ -116,5 +119,39 @@ class ReleasePipelineSpec extends SparkSuite {
     // released text is actually scrubbed: no raw emails survive
     assert(res.corpus.where(col("text").rlike(
       graft.operators.Pii.rules(0)._1)).count() === 0)
+  }
+
+  test("optional stages: novelty pre-filter and paragraph near-dup on planted fixtures") {
+    import graft.corpus.ReleasePipeline
+    // Three 16-token paragraphs (window-aligned) with healthy quality
+    // signals; docs 1 and 2 share boilerplate paragraph P but are
+    // globally distinct (whole-doc Jaccard ~0.3, far under the 0.9
+    // doc-dedup threshold); doc 3 is fresh text.
+    val P = "the quick brown fox jumps over the lazy dog while the rain falls on the hill"
+    val Q = "a silver ship sails under a bright moon as a calm wind drifts across a bay"
+    val R = "an old clock ticks inside an empty hall where an echo rings against an iron door"
+    val S = "my green boat floats down the wide river past the tall reeds near the stone bridge"
+    val docs = Seq((1L, s"$P $Q"), (2L, s"$P $R"), (3L, S)).toDF("doc_id", "text")
+    val benchmark = Seq((90L, "benchmark only sentence completely unrelated tokens here"))
+      .toDF("doc_id", "text")
+    val base = ReleasePipeline.Config(lmFloorQuantile = 0.0)
+
+    // paragraph near-dup ON: doc-level dedup keeps all three, then the
+    // shared paragraph P links docs 1 and 2 -> greedy keep-min drops 2.
+    val para = ReleasePipeline.run(docs, benchmark,
+      base.copy(paragraphDedup = true))
+    assert(para.stats.afterDedup === 3 && para.stats.afterParaDedup === 2)
+    assert(para.corpus.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // same corpus with the stage off keeps all three
+    val off = ReleasePipeline.run(docs, benchmark, base)
+    assert(off.stats.afterParaDedup === 3)
+
+    // novelty pre-filter: a reference release covering doc 1 verbatim
+    // drops it (novelty 0); doc 2 is half-new (~0.5 >= 0.3) and doc 3
+    // fully new -> both acquired.
+    val ref = Seq((500L, s"$P $Q")).toDF("doc_id", "text")
+    val nov = ReleasePipeline.run(docs, benchmark, base, noveltyRef = Some(ref))
+    assert(nov.stats.input === 3 && nov.stats.afterNovelty === 2)
+    assert(nov.corpus.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
   }
 }
