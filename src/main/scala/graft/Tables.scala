@@ -15,13 +15,18 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Only events.ts is normalized, deliberately: it feeds TIMESTAMP-only
+    // functions (unix_micros) that reject NTZ, and the cast is
+    // value-identical under the pinned UTC session. Other tables'
+    // NTZ timestamp columns (o_orderdate, l_shipdate, ...) stay NTZ —
+    // a blanket cast would sit between the scan and every comparison
+    // predicate and BLOCK parquet filter pushdown (pinned by the q08
+    // PushedFilters spec).
     if (name == "events" && df.schema("ts").dataType == LongType)
+      // TIMESTAMP(NANOS) read as long under nanosAsLong: back to µs (the
+      // data has no sub-µs content, verified at gen time).
       df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
-      // Parquet files written with isAdjustedToUTC=0 surface as TIMESTAMP_NTZ;
-      // the session TZ is pinned to UTC, so this cast is value-identical to
-      // the oracle's naive reading while restoring TIMESTAMP semantics
-      // (unix_micros etc. reject NTZ).
       df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }

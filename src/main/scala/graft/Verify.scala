@@ -15,6 +15,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A thrown query must still produce an output: an empty frame
+        // with a sentinel schema FAILS the driver's rows/schema compare
+        // loudly. With no output at all the query just vanishes from the
+        // correctness report — a broken query then reads as "not
+        // declared" instead of "broken" (this silently hid a failure in
+        // an earlier round).
+        try {
+          import spark.implicits._
+          Seq.empty[String].toDF("__query_threw").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -70,4 +70,75 @@ object Sampling {
       }.otherwise(h < lit(hexThreshold(defaultFraction)))
     df.where(pred)
   }
+
+  /** TOKEN-BUDGET stratified sampling — fill each stratum to a token
+    * budget in deterministic hash order ("2B tokens of web, 500M of
+    * code"): the mixture primitive when targets are TOKEN shares, not
+    * row fractions (rows are a poor proxy when doc lengths differ
+    * across sources). A row is kept iff the cumulative `lenCol` of its
+    * stratum's (md5(id), id)-ordered prefix, the row itself included,
+    * stays within the stratum's budget.
+    *
+    * Deterministic and engine-reproducible (pure function of data +
+    * budgets; the DuckDB oracle mirrors it as a window cumsum) but —
+    * unlike [[byHash]] — NOT append-stable: budget filling is
+    * prefix-dependent by definition, so re-filling after corpus growth
+    * can rotate the tail. Fraction sampling keeps decisions stable;
+    * budget sampling keeps the TOTAL stable. Pick per use case.
+    *
+    * Scale shape (the [[graft.operators.Packing]] prefix-sum idea
+    * applied per stratum — a naive window over each stratum would sort
+    * every stratum in ONE partition):
+    *   1. each row keys to one of 256 hash-prefix buckets (map-side);
+    *   2. per-(stratum, bucket) token sums — one partial-agged keyed
+    *      shuffle producing strata×256 rows;
+    *   3. bucket prefix sums over that tiny aggregate classify each
+    *      bucket: fully inside the budget (rows pass with no sort),
+    *      fully outside (rows drop at the broadcast join), or the ONE
+    *      boundary bucket per stratum;
+    *   4. only boundary-bucket rows (~1/256 of a stratum) sort at doc
+    *      granularity — the stratum never funnels through a partition.
+    */
+  def byTokenBudget(
+      df: DataFrame, strataCol: String, idCol: String, lenCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = col(s"`$strataCol`")
+    val id = col(s"`$idCol`")
+    val len = coalesce(col(s"`$lenCol`").cast("long"), lit(0L))
+    // hex chars sort 0-9 < a-f in ASCII, so ordering by the bucket index
+    // (first 2 hex digits) then the full hash IS the hash order.
+    val withKeys = df
+      .withColumn("__tb_h", md5(id.cast("string")))
+      .withColumn("__tb_b", conv(substring(col("__tb_h"), 1, 2), 16, 10).cast("int"))
+    val budgetOf = budgets.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, b)) => acc.when(col("__tb_s") === stratum, lit(b))
+    }.otherwise(lit(defaultBudget))
+    val wBucket = Window.partitionBy("__tb_s").orderBy("__tb_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val meta = withKeys
+      .groupBy(st.as("__tb_s"), col("__tb_b")).agg(sum(len).as("__tb_sum"))
+      .withColumn("__tb_before", coalesce(sum(col("__tb_sum")).over(wBucket), lit(0L)))
+      .withColumn("__tb_budget", budgetOf)
+      .withColumn("__tb_keep_all",
+        col("__tb_before") + col("__tb_sum") <= col("__tb_budget"))
+      .withColumn("__tb_boundary",
+        !col("__tb_keep_all") && col("__tb_before") < col("__tb_budget"))
+      .where(col("__tb_keep_all") || col("__tb_boundary"))
+    val joined = withKeys.as("r").join(broadcast(meta.as("m")),
+        col(s"r.`$strataCol`") === col("m.__tb_s") &&
+          col("r.__tb_b") === col("m.__tb_b"))
+      .select(df.columns.map(c => col(s"r.`$c`")) ++ Seq(
+        col("r.__tb_h"), col("r.__tb_b").as("__tb_bb"), col("m.__tb_before"),
+        col("m.__tb_budget"), col("m.__tb_keep_all"), col("m.__tb_boundary")): _*)
+    val wDoc = Window.partitionBy(st, col("__tb_bb")).orderBy(col("__tb_h"), id)
+    val kept = joined.where(col("__tb_keep_all"))
+      .unionByName(joined.where(col("__tb_boundary"))
+        .withColumn("__tb_cum", sum(len).over(wDoc))
+        .where(col("__tb_before") + col("__tb_cum") <= col("__tb_budget"))
+        .drop("__tb_cum"))
+    kept.select(df.columns.map(c => col(s"`$c`")): _*)
+  }
 }

@@ -221,6 +221,20 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Token-BUDGET stratified sampling: fill each language to a token
+    // budget in deterministic hash order (mixture targets as token
+    // shares, not row fractions). Runs the bucket-prefix-sum shape —
+    // only each stratum's single boundary bucket sorts at doc
+    // granularity; the oracle is the defining per-stratum window cumsum.
+    "q83_token_budget_sample" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.byTokenBudget(docs, "lang", "doc_id",
+          "n_tokens", Map("en" -> 5000L, "de" -> 2000L), defaultBudget = 1500L)
+        .orderBy("lang", "doc_id")
+    }),
+
     // Gopher-style repetition filter: documents whose single most frequent
     // word 2-gram takes > 10% of all their 2-grams (boilerplate /
     // generated-text signal).
@@ -931,6 +945,19 @@ object TextQueries {
         |   WHEN 'de' THEN '66666666666666666666666666666666'
         |   ELSE '19999999999999999999999999999999' END
         | GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
+    "q83_token_budget_sample" ->
+      """SELECT lang, doc_id, n_tokens FROM (
+        | SELECT lang, doc_id, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY lang
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM (SELECT lang, doc_id,
+        |   CASE WHEN trim(text)='' THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens
+        |   FROM documents WHERE text IS NOT NULL))
+        | WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+        |   ELSE 1500 END
+        | ORDER BY lang, doc_id""".stripMargin.replaceAll("\n", " "),
     "q65_repetition" ->
       """SELECT doc_id, n_ngrams, round(top_fraction, 6) AS top_fraction FROM (
         | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,

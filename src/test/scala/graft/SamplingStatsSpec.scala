@@ -55,6 +55,34 @@ class SamplingStatsSpec extends SparkSuite {
     assert(math.abs(dcounts("web") / 10000.0 - 0.5) < 0.05)
   }
 
+  test("token-budget sampling equals the defining per-stratum window cumsum") {
+    // 400 docs across 3 strata with varied lengths; the bucketed
+    // operator must keep EXACTLY the rows the naive global-window
+    // formulation keeps (same hash order, same inclusive-prefix rule).
+    val docs = (1L to 400L).map { i =>
+      (i, Seq("web", "code", "books")(((i * 7) % 3).toInt), 1L + (i * 13) % 50)
+    }.toDF("doc_id", "src", "len")
+    val budgets = Map("web" -> 900L, "code" -> 0L)
+    val got = Sampling.byTokenBudget(docs, "src", "doc_id", "len",
+        budgets, defaultBudget = 300L)
+      .select("doc_id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val budget = when(col("src") === "web", 900L)
+      .when(col("src") === "code", 0L).otherwise(300L)
+    val want = docs.withColumn("cum", sum("len").over(w))
+      .where(col("cum") <= budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want && got.nonEmpty)
+    // zero budget drops the whole stratum; huge budget keeps it entirely
+    assert(!docs.where(col("src") === "code").select("doc_id").as[Long]
+      .collect().exists(got))
+    val all = Sampling.byTokenBudget(docs, "src", "doc_id", "len",
+      Map.empty, defaultBudget = Long.MaxValue / 4)
+    assert(all.count() === 400L)
+  }
+
   test("top-ngram fraction: repeated phrase dominates; short docs degenerate to 1.0") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),              // bigram "spam spam" x4
