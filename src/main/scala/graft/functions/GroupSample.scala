@@ -67,6 +67,80 @@ object GroupSample {
     override def outputEncoder: Encoder[Sampled]   = Encoders.product[Sampled]
   }
 
+  final case class ScoredId(score: Double, id: Long)
+  final case class ScoreBuf(items: Seq[ScoredId])
+  final case class TopScored(items: Seq[ScoredId])
+
+  /** Exact top-k BY SCORE per group (ties break to the smaller id) — the
+    * "keep each domain's k best documents" selection. Same mergeable
+    * bounded-k sorted-buffer shape as [[TopKByRank]]: each partition
+    * ships at most k rows per group (map-side partial aggregation), vs
+    * the window-function formulation shuffling every row to rank it.
+    */
+  final class TopKByScore(k: Int) extends Aggregator[ScoredId, ScoreBuf, TopScored] {
+    // better-than: higher score first, smaller id on ties
+    private def beats(a: ScoredId, b: ScoredId): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
+    override def zero: ScoreBuf = ScoreBuf(Nil)
+
+    override def reduce(buf: ScoreBuf, v: ScoredId): ScoreBuf = {
+      val items = buf.items
+      if (items.length < k) ScoreBuf(insertSorted(items, v))
+      else if (beats(v, items.last)) ScoreBuf(insertSorted(items, v).take(k))
+      else buf
+    }
+
+    override def merge(a: ScoreBuf, b: ScoreBuf): ScoreBuf = {
+      if (a.items.isEmpty) b
+      else if (b.items.isEmpty) a
+      else {
+        val out = Seq.newBuilder[ScoredId]
+        var (i, j, n) = (0, 0, 0)
+        val (xs, ys) = (a.items, b.items)
+        while (n < k && (i < xs.length || j < ys.length)) {
+          if (j >= ys.length || (i < xs.length && !beats(ys(j), xs(i)))) {
+            out += xs(i); i += 1
+          } else { out += ys(j); j += 1 }
+          n += 1
+        }
+        ScoreBuf(out.result())
+      }
+    }
+
+    private def insertSorted(items: Seq[ScoredId], v: ScoredId): Seq[ScoredId] = {
+      val idx = items.indexWhere(x => beats(v, x)) match {
+        case -1 => items.length
+        case i  => i
+      }
+      (items.take(idx) :+ v) ++ items.drop(idx)
+    }
+
+    override def finish(buf: ScoreBuf): TopScored = TopScored(buf.items)
+
+    override def bufferEncoder: Encoder[ScoreBuf]  = Encoders.product[ScoreBuf]
+    override def outputEncoder: Encoder[TopScored] = Encoders.product[TopScored]
+  }
+
+  /** Keep the `k` highest-scoring rows per group (score desc, id asc).
+    *
+    * @return (grp, id, score) — one row per kept id.
+    */
+  def topKPerGroupByScore(df: DataFrame, groupCol: String, idCol: String,
+                          scoreCol: String, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(s"`$groupCol`").cast("string").as("grp"),
+        col(s"`$scoreCol`").cast("double").as("score"),
+        col(s"`$idCol`").cast("long").as("id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => ScoredId(t._2, t._3))
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .toDF("grp", "top")
+      .select(col("grp"), explode(col("top.items")).as("it"))
+      .select(col("grp"), col("it.id").as("id"), col("it.score").as("score"))
+  }
+
   /** Sample up to `k` ids per group, deterministically.
     *
     * @return (grp, id) — one row per sampled id.

@@ -219,6 +219,86 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** MinHash-LSH near-dup pairs BETWEEN two corpora — the one-shot
+    * release diff ("which candidate docs near-duplicate the existing
+    * corpus") without standing up the persistent streaming index. Same
+    * hash family and band keys as [[minhashLshPairs]], so verdicts agree
+    * with the within-corpus and incremental paths; the join crosses
+    * sides only (left x right, never left x left), which also removes
+    * the self-join's `id <` dedup concern — a doc id may even appear on
+    * both sides (self-matches are excluded by id inequality).
+    *
+    * Scale shape: one shuffle per side to co-locate bucket members; the
+    * typically-small candidate side is the natural AQE build side (no
+    * forced broadcast — same contract as the streaming index).
+    *
+    * @return (id_left, id_right, est_jaccard)
+    */
+  def minhashLshPairsBetween(
+      left: DataFrame, right: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val bl = bandBuckets(
+      minhashSignaturesGen(left, idCol, textCol, shingleN, numHashes),
+      bands, numHashes / bands).as("l")
+    val br = bandBuckets(
+      minhashSignaturesGen(right, idCol, textCol, shingleN, numHashes),
+      bands, numHashes / bands).as("r")
+    bl.join(br,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id_left"), col("r.id").as("id_right"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .dropDuplicates("id_left", "id_right")
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
+      .where(col("est_jaccard") >= threshold)
+      .select("id_left", "id_right", "est_jaccard")
+  }
+
+  /** Cross-corpus n-gram Jaccard pairs — [[minhashLshPairsBetween]]
+    * blocking (loosened by 0.25, same convention as [[ngramJaccardViaLsh]])
+    * with EXACT Jaccard verification from the real shingle sets, so
+    * emitted pairs are never estimate artifacts and the semantics are
+    * SQL-oracle-checkable. Shingle sets are rebuilt only for docs that
+    * appear in a blocked pair (semi-join first).
+    *
+    * @return (id_left, id_right, jaccard)
+    */
+  def ngramJaccardBetweenViaLsh(
+      left: DataFrame, right: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    val blocked = minhashLshPairsBetween(left, right, textCol, idCol, n,
+      numHashes, bands, threshold = math.max(0.0, threshold - 0.25))
+    def sets(df: DataFrame, need: DataFrame) =
+      df.join(need, col(s"`$idCol`") === col("__jid"), "left_semi")
+        .select(col(s"`$idCol`").as("__jid"),
+          graft.functions.SketchExpressions.wordShingles(col(s"`$textCol`"), n).as("__sh"))
+    val needL = blocked.select(col("id_left").as("__jid")).distinct()
+    val needR = blocked.select(col("id_right").as("__jid")).distinct()
+    blocked
+      .join(sets(left, needL)
+        .select(col("__jid").as("id_left"), col("__sh").as("__sh_a")), "id_left")
+      .join(sets(right, needR)
+        .select(col("__jid").as("id_right"), col("__sh").as("__sh_b")), "id_right")
+      .withColumn("__inter",
+        graft.functions.SketchExpressions.sortedIntersectSize(col("__sh_a"), col("__sh_b"))
+          .cast("double"))
+      .withColumn("jaccard",
+        col("__inter") / (size(col("__sh_a")) + size(col("__sh_b")) - col("__inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_left", "id_right", "jaccard")
+  }
+
   /** 64-bit SimHash of the document's tokens, as a pure Column expression:
     * per-token xxhash64, then per-bit weighted majority vote.
     */

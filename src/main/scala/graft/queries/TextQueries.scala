@@ -106,6 +106,22 @@ object TextQueries {
 
     "q37_simhash" -> mkQ37(gated = true),
 
+    // Cross-corpus near-dup (the release diff: which candidate docs
+    // near-duplicate the existing corpus) — LSH-blocked across sides
+    // only, exact-Jaccard verified, so the oracle can mirror it; docs
+    // with ids divisible by 7 play the existing corpus.
+    "q85_cross_corpus_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      Dedup.ngramJaccardBetweenViaLsh(
+          docs.where(pmod(col("doc_id"), lit(7)) === 0),
+          docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+          "text", "doc_id", n = 3, threshold = 0.5,
+          numHashes = 64, bands = 16)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_left", "id_right")
+    }),
+
     // n-gram Jaccard pairs — EXACT via the inverted shingle index
     // (oracle-checked): any pair with J >= t shares a shingle, so the
     // shingle self-join finds every qualifying pair; one shuffle on the
@@ -232,6 +248,21 @@ object TextQueries {
           TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.operators.Sampling.byTokenBudget(docs, "lang", "doc_id",
           "n_tokens", Map("en" -> 5000L, "de" -> 2000L), defaultBudget = 1500L)
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Exact top-k by score per group ("keep each language's 3 longest
+    // docs") through the mergeable bounded-k Aggregator — each partition
+    // ships at most k rows per group, vs a window rank shuffling every
+    // row. Oracle is the defining row_number window.
+    "q84_topk_by_score" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.GroupSample.topKPerGroupByScore(docs, "lang", "doc_id",
+          "n_tokens", k = 3)
+        .select(col("grp").as("lang"), col("id").as("doc_id"),
+          col("score").cast("long").as("n_tokens"))
         .orderBy("lang", "doc_id")
     }),
 
@@ -945,6 +976,30 @@ object TextQueries {
         |   WHEN 'de' THEN '66666666666666666666666666666666'
         |   ELSE '19999999999999999999999999999999' END
         | GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
+    "q85_cross_corpus_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh)
+        | SELECT id_left, id_right, round(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        |  GROUP BY a.doc_id, b.doc_id)
+        | WHERE jaccard >= 0.5 ORDER BY id_left, id_right""".stripMargin.replaceAll("\n", " "),
+    "q84_topk_by_score" ->
+      """SELECT lang, doc_id, n_tokens FROM (
+        | SELECT lang, doc_id, n_tokens,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY n_tokens DESC, doc_id) AS rn
+        | FROM (SELECT lang, doc_id,
+        |   CASE WHEN trim(text)='' THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens
+        |   FROM documents WHERE text IS NOT NULL))
+        | WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin.replaceAll("\n", " "),
     "q83_token_budget_sample" ->
       """SELECT lang, doc_id, n_tokens FROM (
         | SELECT lang, doc_id, n_tokens,

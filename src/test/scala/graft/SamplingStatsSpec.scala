@@ -83,6 +83,23 @@ class SamplingStatsSpec extends SparkSuite {
     assert(all.count() === 400L)
   }
 
+  test("top-k by score per group equals the window rank; ties break to smaller id") {
+    import graft.functions.GroupSample
+    val rows = (1L to 300L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3).toInt), (i * 17 % 23).toDouble))
+      .toDF("id", "grp", "score")
+    val got = GroupSample.topKPerGroupByScore(rows, "grp", "id", "score", k = 5)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("score").desc, col("id"))
+    val want = rows.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(got === want && got.size === 15)
+    // k larger than any group returns everything
+    assert(GroupSample.topKPerGroupByScore(rows, "grp", "id", "score", 1000)
+      .count() === 300L)
+  }
+
   test("top-ngram fraction: repeated phrase dominates; short docs degenerate to 1.0") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),              // bigram "spam spam" x4

@@ -85,6 +85,28 @@ class StreamingDedupSpec extends SparkSuite {
     assert(kept === Seq(1L, 3L))  // 2 dropped in-batch, 4 dropped vs index
   }
 
+  test("cross-corpus pairs equal the in-corpus exact pairs restricted to cross-side") {
+    // left = "existing corpus", right = candidates; the between-variant
+    // must find exactly the verified pairs the single-corpus exact
+    // operator finds across the split (and none within a side).
+    val docs = Seq(
+      (1L, mut(doc, "one")), (2L, mut(doc, "two")),
+      (3L, "spark structured streaming stateful processing watermark " * 10),
+      (4L, mut(doc, "three")),
+      (5L, "completely independent prose about catalyst rules " * 8))
+      .toDF("doc_id", "text")
+    val left = docs.where(col("doc_id") <= 2)
+    val right = docs.where(col("doc_id") > 2)
+    val between = Dedup.ngramJaccardBetweenViaLsh(left, right, "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    val all = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val crossOnly = all.filter { case (a, b) => (a <= 2) != (b <= 2) }
+      .map { case (a, b) => if (a <= 2) (a, b) else (b, a) }
+    assert(between === crossOnly && between.nonEmpty)
+  }
+
   test("compact rewrites the index smaller, preserving content and dedup behavior") {
     val dir = Files.createTempDirectory("lsh_compact").toString + "/ix"
     val ix = new StreamingDedup.LshIndex(dir)
