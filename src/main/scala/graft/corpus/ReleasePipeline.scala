@@ -45,9 +45,12 @@ object ReleasePipeline {
       packCapacity: Long = 512L,
       // stage 0 — used iff `noveltyRef` is passed to run(): keep docs with
       // novelty >= noveltyMin vs the reference; gram-less docs (nothing to
-      // judge) pass through.
+      // judge) pass through. The reference is an already-released CORPUS,
+      // not an eval suite, so its gram set is NOT broadcast by default —
+      // a caller with a known-small reference can opt in.
       noveltyN: Int = 3,
       noveltyMin: Double = 0.3,
+      noveltyBroadcastRef: Boolean = false,
       // stage 3b — off by default (doc-level dedup already ran).
       paragraphDedup: Boolean = false,
       paragraphWindow: Int = 16,
@@ -91,7 +94,8 @@ object ReleasePipeline {
         val redundant = Decontaminate.noveltyScore(
             input, cfg.textCol, cfg.idCol,
             ref.where(col(s"`${cfg.textCol}`").isNotNull), cfg.textCol,
-            n = cfg.noveltyN)
+            n = cfg.noveltyN,
+            broadcastReference = cfg.noveltyBroadcastRef)
           .where(col("novelty") < cfg.noveltyMin).select("id")
         input.join(redundant, id === redundant("id"), "left_anti")
     }

@@ -123,13 +123,18 @@ object GroupSample {
   }
 
   /** Keep the `k` highest-scoring rows per group (score desc, id asc).
+    * Rows with a NULL or NaN score, or a NULL id, are excluded — they
+    * cannot be ranked, and engines disagree on NULL/NaN sort placement,
+    * so excluding them is the only cross-engine-stable contract.
     *
     * @return (grp, id, score) — one row per kept id.
     */
   def topKPerGroupByScore(df: DataFrame, groupCol: String, idCol: String,
                           scoreCol: String, k: Int): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(s"`$groupCol`").cast("string").as("grp"),
+    df.where(col(s"`$scoreCol`").isNotNull && !isnan(col(s"`$scoreCol`").cast("double")) &&
+        col(s"`$idCol`").isNotNull)
+      .select(col(s"`$groupCol`").cast("string").as("grp"),
         col(s"`$scoreCol`").cast("double").as("score"),
         col(s"`$idCol`").cast("long").as("id"))
       .as[(String, Double, Long)]

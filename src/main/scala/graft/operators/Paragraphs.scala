@@ -107,10 +107,16 @@ object Paragraphs {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     require(lshMinShingles > 0, "lshMinShingles must be positive")
     val keyed = packKeys(paras, idxCap)
-    // shingle count of the distinct-shingle family: docs shorter than n
-    // emit the single whole-text shingle
-    val cnt = greatest(lit(1),
-      graft.functions.TextFns.tokenCount(col("para")).cast("int") - (shingleN - 1))
+    // Route on the DISTINCT-shingle-set size — the quantity the lossless-
+    // margin proof is actually about. A token-derived count (tokens-n+1)
+    // overestimates it on repetitive text: a boilerplate paragraph with
+    // many tokens but few distinct shingles would be excluded from the
+    // exact route while its short duplicate partner is excluded from LSH,
+    // and the pair would be missed by both. wordShingles is the same
+    // kernel the pair operators shingle with, so the routed quantity and
+    // the verified quantity agree by construction.
+    val cnt = size(graft.functions.SketchExpressions
+      .wordShingles(col("para"), shingleN))
     val exactCap = math.ceil(lshMinShingles / threshold).toLong
     // Adaptive shortcut: with NO paragraph at or above the exact cutoff,
     // every qualifying pair has both sides under it — the exact route

@@ -127,8 +127,11 @@ object Sampling {
       .withColumn("__tb_boundary",
         !col("__tb_keep_all") && col("__tb_before") < col("__tb_budget"))
       .where(col("__tb_keep_all") || col("__tb_boundary"))
+    // Null-safe stratum equality: a NULL stratum is a legitimate group
+    // (it gets defaultBudget, matching the defining window's NULL
+    // partition) — a plain equi-join would silently drop every such row.
     val joined = withKeys.as("r").join(broadcast(meta.as("m")),
-        col(s"r.`$strataCol`") === col("m.__tb_s") &&
+        col(s"r.`$strataCol`") <=> col("m.__tb_s") &&
           col("r.__tb_b") === col("m.__tb_b"))
       .select(df.columns.map(c => col(s"r.`$c`")) ++ Seq(
         col("r.__tb_h"), col("r.__tb_b").as("__tb_bb"), col("m.__tb_before"),

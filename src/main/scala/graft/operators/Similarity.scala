@@ -199,8 +199,13 @@ object Similarity {
     // the guard costs O(maxRows) scan work, not a full count of an input it
     // is about to refuse.
     if (maxRows > 0) {
-      val probeLimit = if (maxRows >= Int.MaxValue) Int.MaxValue else (maxRows + 1).toInt
-      require(df.select(lit(1)).limit(probeLimit).count() <= maxRows,
+      // LIMIT takes an Int: for a bound beyond Int.MaxValue the probe
+      // cannot observe maxRows+1 rows, so fall back to the full count
+      // rather than silently passing an unverifiable guard.
+      val over =
+        if (maxRows >= Int.MaxValue) df.count() > maxRows
+        else df.select(lit(1)).limit((maxRows + 1).toInt).count() > maxRows
+      require(!over,
         s"cosineDupPairsExactBlocked: input exceeds maxRows=$maxRows — exact " +
           "all-pairs cosine below the LSH-viable threshold is O(n²) work in any " +
           "formulation; raise maxRows deliberately or use cosineDupPairs (banded " +

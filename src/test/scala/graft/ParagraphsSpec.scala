@@ -120,6 +120,24 @@ class ParagraphsSpec extends SparkSuite {
     assert(auto === exact)
   }
 
+  test("auto-route routes on DISTINCT shingles: repetitive boilerplate pairs with short dups") {
+    // Paragraph 2 has 40 tokens but ONE distinct shingle ("spam spam
+    // spam") — routing on the token-derived count would push it to the
+    // LSH side while its 3-token duplicate (1 shingle, under the LSH
+    // floor) stays exact-only, and the J=1.0 pair would be missed by
+    // both routes. Paragraph 3 is long AND diverse so the corpus
+    // actually takes the two-route path (anyLong = true).
+    val paras = Seq(
+      (1L, 0, "spam spam spam"),
+      (2L, 0, ("spam " * 40).trim),
+      (3L, 0, (1 to 30).map(i => s"w$i").mkString(" "))
+    ).toDF("id", "para_idx", "para")
+    val pairs = Paragraphs.nearDupDocPairsAuto(paras, shingleN = 3,
+        threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("auto-route static bound: window-split corpus goes exact-only, same pairs") {
     // Token-window paragraphs are bounded at window - n + 1 shingles by
     // construction; passing that bound lets the router skip both the

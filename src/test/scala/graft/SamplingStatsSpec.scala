@@ -83,6 +83,30 @@ class SamplingStatsSpec extends SparkSuite {
     assert(all.count() === 400L)
   }
 
+  test("token-budget sampling: NULL stratum gets the default budget, not silently dropped") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], 40L), (2L, null.asInstanceOf[String], 40L),
+      (3L, null.asInstanceOf[String], 40L), (4L, "web", 10L))
+      .toDF("doc_id", "src", "len")
+    val kept = Sampling.byTokenBudget(docs, "src", "doc_id", "len",
+        Map("web" -> 100L), defaultBudget = 80L)
+      .select("doc_id").as[Long].collect().toSet
+    // null stratum: hash order over {1,2,3}, 40 tokens each, budget 80
+    // -> exactly two survive; web row fits its own budget.
+    assert(kept.contains(4L) && (kept - 4L).size === 2)
+  }
+
+  test("top-k by score: NULL and NaN scores are excluded, never crash the job") {
+    import graft.functions.GroupSample
+    val rows = Seq(
+      (1L, "a", Some(5.0)), (2L, "a", Some(Double.NaN)), (3L, "a", None),
+      (4L, "a", Some(7.0)), (5L, "a", Some(3.0)))
+      .toDF("id", "grp", "score")
+    val got = GroupSample.topKPerGroupByScore(rows, "grp", "id", "score", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(4L, 1L))  // 7.0 and 5.0; NaN/NULL excluded
+  }
+
   test("top-k by score per group equals the window rank; ties break to smaller id") {
     import graft.functions.GroupSample
     val rows = (1L to 300L).map(i =>
