@@ -78,10 +78,16 @@ object ReleasePipeline {
     * decontaminate against (its text column is `cfg.textCol`);
     * `noveltyRef` is the already-released corpus to score acquisition
     * novelty against (same text column) — omitted, stage 0 is skipped.
+    * `checkpointDir` makes the build RESTARTABLE: each stage boundary
+    * persists to `<dir>/<stage>` parquet and a re-run resumes from the
+    * last completed stage (read-or-compute — the reference's S5/S6
+    * checkpoint idiom applied to the whole workflow). At 100 TB a
+    * multi-hour release build dying at stage 6 restarts in minutes.
     */
   def run(docs: DataFrame, benchmark: DataFrame,
           cfg: Config = Config(),
-          noveltyRef: Option[DataFrame] = None): Result = {
+          noveltyRef: Option[DataFrame] = None,
+          checkpointDir: Option[String] = None): Result = {
     val id = col(s"`${cfg.idCol}`")
     val input = docs.where(col(s"`${cfg.textCol}`").isNotNull)
 
@@ -112,35 +118,45 @@ object ReleasePipeline {
     // exponential plan trees for listener events, dwarfing execution.
     // localCheckpoint cuts the subtree to a leaf: plans stay O(stage),
     // which is also what keeps Catalyst/AQE planning time bounded on a
-    // real cluster. (Reliable `checkpoint()` to the cluster FS is the
-    // executor-loss-tolerant variant of the same shape; local is right
-    // for a single-job pipeline.) Blocks free when the frames are GC'd.
-    def staged(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // real cluster. Blocks free when the frames are GC'd.
+    //
+    // With `checkpointDir` the boundary is DURABLE parquet instead
+    // (read-or-compute): same reuse and lineage truncation, plus a
+    // crashed run resumes from its last completed stage. The stage body
+    // is by-name so a resumed stage skips its eager work (the CC edge
+    // collects, the LM cut) entirely.
+    def staged(name: String, df: => DataFrame): DataFrame =
+      checkpointDir match {
+        case Some(d) =>
+          graft.sources.Checkpoint.readOrCompute(docs.sparkSession, s"$d/$name")(df)
+        case None => df.localCheckpoint(true)
+      }
 
     // 1. PII scrub — pure projection, row count unchanged.
-    val scrubbed = staged(acquired.select(id.as("doc_id"),
+    val scrubbed = staged("1_scrub", acquired.select(id.as("doc_id"),
       Pii.redact(col(s"`${cfg.textCol}`")).as("text")))
 
     // 2. Gopher-style quality battery.
-    val qualified = staged(scrubbed.join(
+    val qualified = staged("2_quality", scrubbed.join(
       TextStats.gopherVerdicts(scrubbed, "text", "doc_id")
         .where(col("pass")).select(col("id").as("doc_id")), "doc_id"))
 
     // 3. Exact dedup, then LSH near-dup clusters (keep cluster-min id).
-    val exact = staged(Dedup.exactByFingerprint(qualified, "text", "doc_id"))
-    val drops = Dedup.connectedComponents(
-        Dedup.minhashLshPairs(exact, "text", "doc_id",
-          shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold))
-      .where(col("id") =!= col("label")).select("id")
-    val deduped = staged(
-      exact.join(drops, exact("doc_id") === drops("id"), "left_anti"))
+    val exact = staged("3_exact", Dedup.exactByFingerprint(qualified, "text", "doc_id"))
+    val deduped = staged("3_dedup", {
+      val drops = Dedup.connectedComponents(
+          Dedup.minhashLshPairs(exact, "text", "doc_id",
+            shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold))
+        .where(col("id") =!= col("label")).select("id")
+      exact.join(drops, exact("doc_id") === drops("id"), "left_anti")
+    })
 
     // 3b. Paragraph-granular near-dup — boilerplate-sharing docs that
     // whole-doc Jaccard misses; greedy keep-cluster-min, same convention
     // as stage 3.
     val paraDeduped =
       if (!cfg.paragraphDedup) deduped
-      else {
+      else staged("3b_paradedup", {
         val paras = Paragraphs.splitTokenWindows(deduped, "text", "doc_id",
           cfg.paragraphWindow)
         val pDrops = Dedup.connectedComponents(
@@ -149,32 +165,34 @@ object ReleasePipeline {
                 knownMaxShingles = Some(cfg.paragraphWindow - cfg.shingleN + 1))
               .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
           .where(col("id") =!= col("label")).select("id")
-        staged(
-          deduped.join(pDrops, deduped("doc_id") === pDrops("id"), "left_anti"))
-      }
+        deduped.join(pDrops, deduped("doc_id") === pDrops("id"), "left_anti")
+      })
 
     // 4. Exact-substring scrub: REMOVE corpus-duplicated spans and drop
     // docs scrubbed to nothing (the paper's degenerate case).
-    val despanned = staged(TextStats.removeDupSpans(paraDeduped, "text", "doc_id",
-        k = cfg.spanK)
+    val despanned = staged("4_despan", TextStats.removeDupSpans(
+        paraDeduped, "text", "doc_id", k = cfg.spanK)
       .where(col("n_kept") > 0)
       .select(col("id").as("doc_id"), col("scrubbed").as("text")))
 
     // 5. Decontaminate against the benchmark.
-    val clean = staged(Decontaminate.clean(despanned, "text", "doc_id",
+    val clean = staged("5_decontaminate", Decontaminate.clean(
+      despanned, "text", "doc_id",
       benchmark.where(col(s"`${cfg.textCol}`").isNotNull)
         .select(col(s"`${cfg.textCol}`").as("text")), "text",
       n = cfg.decontaminateN))
 
     // 6. Unigram-LM floor: drop the lowest-scoring quantile.
-    val uni = LmScore.trainUnigram(clean, "text")
-    val scored = LmScore.scoreDocs(clean, "text", "doc_id", uni, cfg.oovLogp)
-    val cut = scored
-      .agg(expr(s"approx_percentile(mean_logp, ${cfg.lmFloorQuantile})"))
-      .head().getDouble(0)
-    val kept = staged(clean.join(
-      scored.where(col("mean_logp") >= cut).select(col("id").as("doc_id")),
-      "doc_id"))
+    val kept = staged("6_lmfloor", {
+      val uni = LmScore.trainUnigram(clean, "text")
+      val scored = LmScore.scoreDocs(clean, "text", "doc_id", uni, cfg.oovLogp)
+      val cut = scored
+        .agg(expr(s"approx_percentile(mean_logp, ${cfg.lmFloorQuantile})"))
+        .head().getDouble(0)
+      clean.join(
+        scored.where(col("mean_logp") >= cut).select(col("id").as("doc_id")),
+        "doc_id")
+    })
 
     // 7. Packing assignment over the survivors.
     val sized = kept.select(col("doc_id"),

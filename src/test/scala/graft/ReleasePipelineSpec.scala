@@ -121,6 +121,34 @@ class ReleasePipelineSpec extends SparkSuite {
       graft.operators.Pii.rules(0)._1)).count() === 0)
   }
 
+  test("checkpointed build resumes from completed stages and matches the in-memory run") {
+    import graft.corpus.ReleasePipeline
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val benchmark = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val cand = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val cfg = ReleasePipeline.Config(packCapacity = 256L)
+    def ids(r: ReleasePipeline.Result) =
+      r.corpus.select("doc_id").as[Long].collect().toSet
+
+    val plain = ReleasePipeline.run(cand, benchmark, cfg)
+    val dir = java.nio.file.Files.createTempDirectory("rel_ckpt").toString
+    val ckpt = ReleasePipeline.run(cand, benchmark, cfg, checkpointDir = Some(dir))
+    assert(ids(ckpt) === ids(plain) && ckpt.stats === plain.stats)
+    // every stage boundary materialized durably
+    val stages = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(Set("1_scrub", "2_quality", "3_exact", "3_dedup", "4_despan",
+      "5_decontaminate", "6_lmfloor").subsetOf(stages))
+
+    // simulate a crash after stage 5: drop the last stage's output and
+    // re-run — earlier stages are read back, only the LM floor recomputes
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(s"$dir/6_lmfloor"))
+    val resumed = ReleasePipeline.run(cand, benchmark, cfg, checkpointDir = Some(dir))
+    assert(ids(resumed) === ids(plain) && resumed.stats === plain.stats)
+  }
+
   test("optional stages: novelty pre-filter and paragraph near-dup on planted fixtures") {
     import graft.corpus.ReleasePipeline
     // Three 16-token paragraphs (window-aligned) with healthy quality
