@@ -91,6 +91,18 @@ object ReleasePipeline {
     val id = col(s"`${cfg.idCol}`")
     val input = docs.where(col(s"`${cfg.textCol}`").isNotNull)
 
+    // Stage dirs are keyed by NAME only, so a resumed run must prove it
+    // is the SAME build: a `_manifest.json` (config + input/benchmark/
+    // reference fingerprints) is written before any stage and checked on
+    // every subsequent run against the dir. A mismatch means the caller
+    // changed semantics under an old checkpoint — resuming would splice
+    // old-config stage outputs into a new-config build with no error
+    // (silent wrong output), so we fail loudly instead.
+    checkpointDir.foreach { d =>
+      checkOrWriteManifest(docs.sparkSession, d,
+        manifest(cfg, input, benchmark, noveltyRef))
+    }
+
     // 0. Acquisition novelty floor — drop docs the existing release
     // already covers. Anti-join on the DROP set so gram-less docs (no
     // novelty row) pass through instead of silently vanishing.
@@ -214,5 +226,62 @@ object ReleasePipeline {
       afterDecontaminate = clean.count(),
       afterLmFloor = kept.count())
     Result(kept, packed, stats)
+  }
+
+  /** Build fingerprint: the full `Config` (a case class, so `toString`
+    * is a stable total rendering of every field) plus a count + xor'd
+    * xxhash64 per input frame. The doc fingerprint hashes the ID column
+    * only — a column-pruned scan, cheap even at 100 TB where hashing
+    * the text itself would re-read the whole corpus just to resume; the
+    * manifest therefore catches added/removed/re-keyed docs but not an
+    * in-place text edit under an unchanged id (callers rewriting text
+    * in place must clear the checkpoint dir). The benchmark and novelty
+    * reference hash their text: both are small by construction (an eval
+    * suite; a released corpus sampled for novelty) and their content IS
+    * the semantics.
+    */
+  private[graft] def manifest(cfg: Config, input: DataFrame,
+      benchmark: DataFrame, noveltyRef: Option[DataFrame]): String = {
+    def fp(df: DataFrame, c: String): String = {
+      val r = df.agg(count(lit(1)), coalesce(expr(s"bit_xor(xxhash64(`$c`))"), lit(0L))).head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
+    val b = benchmark.where(col(s"`${cfg.textCol}`").isNotNull)
+    val n = noveltyRef
+      .map(r => fp(r.where(col(s"`${cfg.textCol}`").isNotNull), cfg.textCol))
+      .getOrElse("none")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // One key per line: the mismatch error is diffable by eye.
+    s"""{"config": "${esc(cfg.toString)}",
+       | "input": "${fp(input, cfg.idCol)}",
+       | "benchmark": "${fp(b, cfg.textCol)}",
+       | "noveltyRef": "$n"}""".stripMargin
+  }
+
+  /** First run against `dir` records the manifest (temp-file + rename so
+    * a crash mid-write leaves no half manifest); later runs must match
+    * it exactly or the build refuses to resume.
+    */
+  private def checkOrWriteManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, expected: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+      if (found != expected) throw new IllegalStateException(
+        s"Release checkpoint dir $dir was built by a DIFFERENT run — " +
+        "resuming would mix stage outputs across configs/inputs. " +
+        s"Clear the dir or use a fresh one.\n--- recorded ---\n$found\n" +
+        s"--- this run ---\n$expected")
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_manifest.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(expected.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, path) && !fs.exists(path))
+        throw new java.io.IOException(s"could not commit manifest at $path")
+    }
   }
 }

@@ -147,6 +147,51 @@ class ReleasePipelineSpec extends SparkSuite {
     rmrf(new java.io.File(s"$dir/6_lmfloor"))
     val resumed = ReleasePipeline.run(cand, benchmark, cfg, checkpointDir = Some(dir))
     assert(ids(resumed) === ids(plain) && resumed.stats === plain.stats)
+
+    // TORN write: a crash during job commit leaves a stage dir with
+    // readable part-files but no _SUCCESS. Plant exactly that — and make
+    // the planted data WRONG (a truncated survivor set), so if resume
+    // trusted the dir the run would visibly lose documents. It must
+    // instead recompute the stage and still match the in-memory run.
+    rmrf(new java.io.File(s"$dir/6_lmfloor"))
+    spark.read.parquet(s"$dir/5_decontaminate").limit(1)
+      .write.parquet(s"$dir/6_lmfloor")
+    assert(new java.io.File(s"$dir/6_lmfloor/_SUCCESS").delete())
+    val healed = ReleasePipeline.run(cand, benchmark, cfg, checkpointDir = Some(dir))
+    assert(ids(healed) === ids(plain) && healed.stats === plain.stats)
+  }
+
+  test("checkpoint manifest: resuming under a changed config or input fails loudly") {
+    import graft.corpus.ReleasePipeline
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val benchmark = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val cand = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val cfg = ReleasePipeline.Config(packCapacity = 256L)
+    val dir = java.nio.file.Files.createTempDirectory("rel_manifest").toString
+    ReleasePipeline.run(cand, benchmark, cfg, checkpointDir = Some(dir))
+
+    // changed CONFIG against the same dir: name-keyed stage outputs no
+    // longer mean what this run thinks they mean -> refuse to resume
+    val eCfg = intercept[IllegalStateException] {
+      ReleasePipeline.run(cand, benchmark, cfg.copy(spanK = 7),
+        checkpointDir = Some(dir))
+    }
+    assert(eCfg.getMessage.contains("DIFFERENT run"))
+
+    // changed INPUT (one doc dropped) -> refuse
+    intercept[IllegalStateException] {
+      ReleasePipeline.run(cand.where(col("doc_id") =!= cand.select(min("doc_id")).head().getLong(0)),
+        benchmark, cfg, checkpointDir = Some(dir))
+    }
+
+    // changed BENCHMARK -> refuse
+    intercept[IllegalStateException] {
+      ReleasePipeline.run(cand, benchmark.limit(3), cfg, checkpointDir = Some(dir))
+    }
+
+    // the unchanged build still resumes fine after all those refusals
+    val again = ReleasePipeline.run(cand, benchmark, cfg, checkpointDir = Some(dir))
+    assert(again.stats.input > 0)
   }
 
   test("optional stages: novelty pre-filter and paragraph near-dup on planted fixtures") {
