@@ -70,9 +70,15 @@ object ReleasePipeline {
       afterLmFloor: Long)
 
   /** `corpus`: the surviving (id, text) stream (text fully scrubbed);
-    * `packed`: its packing assignment at `packCapacity`.
+    * `packed`: its packing assignment at `packCapacity`; `minhashSig`:
+    * the (id, sig) MinHash signature frame stage 3 computed over the
+    * exact-dedup survivors (lazily persisted — release tooling reuses it
+    * to diff future candidate batches against this release, and parity
+    * harnesses reuse it instead of re-running the sketch kernel; callers
+    * that consume it should unpersist when done).
     */
-  final case class Result(corpus: DataFrame, packed: DataFrame, stats: Stats)
+  final case class Result(corpus: DataFrame, packed: DataFrame, stats: Stats,
+      minhashSig: DataFrame)
 
   /** Run the release workflow. `benchmark` is the evaluation set to
     * decontaminate against (its text column is `cfg.textCol`);
@@ -155,10 +161,19 @@ object ReleasePipeline {
 
     // 3. Exact dedup, then LSH near-dup clusters (keep cluster-min id).
     val exact = staged("3_exact", Dedup.exactByFingerprint(qualified, "text", "doc_id"))
+    // Signatures as a shared lazily-persisted frame: the drop-set below
+    // consumes them, and Result exposes them for reuse (cross-corpus
+    // release diffs, parity harnesses) without a second sketch-kernel
+    // pass. Lazy persist costs nothing if the build crashes before the
+    // dedup stage and nothing extra when nobody reuses it.
+    val sig = Dedup.minhashSignaturesGen(exact, "doc_id", "text",
+        cfg.shingleN, numHashes = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deduped = staged("3_dedup", {
       val drops = Dedup.connectedComponents(
           Dedup.minhashLshPairs(exact, "text", "doc_id",
-            shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold))
+            shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold,
+            precomputedSig = Some(sig)))
         .where(col("id") =!= col("label")).select("id")
       exact.join(drops, exact("doc_id") === drops("id"), "left_anti")
     })
@@ -225,7 +240,7 @@ object ReleasePipeline {
       afterDespan = despanned.count(),
       afterDecontaminate = clean.count(),
       afterLmFloor = kept.count())
-    Result(kept, packed, stats)
+    Result(kept, packed, stats, sig)
   }
 
   /** Build fingerprint: the full `Config` (a case class, so `toString`

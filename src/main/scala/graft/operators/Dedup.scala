@@ -186,10 +186,18 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 0
+      maxBucketSize: Int = 0,
+      precomputedSig: Option[DataFrame] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val sig = minhashSignaturesGen(df, idCol, textCol, shingleN, numHashes)
+    // `precomputedSig` (same contract as StreamingDedup.dedupeBatch): an
+    // (id, sig) frame from [[minhashSignaturesGen]] at these parameters.
+    // The sketch kernel is the dominant map cost, so a caller holding
+    // several consumers of the same corpus's signatures (e.g. a release
+    // build plus its parity harness) computes them once. Doc membership
+    // follows the SIG frame when supplied.
+    val sig = precomputedSig
+      .getOrElse(minhashSignaturesGen(df, idCol, textCol, shingleN, numHashes))
     val allBanded = bandBuckets(sig, bands, numHashes / bands)
     // Adversarial-corpus guard: a bucket holding a mega-cluster of
     // near-identical docs costs |bucket|^2 in the self-join. With
@@ -295,6 +303,45 @@ object Dedup {
           .cast("double"))
       .withColumn("jaccard",
         col("__inter") / (size(col("__sh_a")) + size(col("__sh_b")) - col("__inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_left", "id_right", "jaccard")
+  }
+
+  /** EXACT cross-corpus n-gram Jaccard pairs — the inverted shingle
+    * index restricted to cross-side postings (left × right only), same
+    * convention as [[ngramJaccardPairs]] vs [[ngramJaccardViaLsh]] for
+    * the within-corpus family. COMPLETE for any threshold > 0: a
+    * qualifying pair shares at least one shingle, so joining the two
+    * sides' postings finds every pair — no banding recall in the
+    * semantics, which is what makes this route oracle-checkable against
+    * a plain SQL inverted-index join. One shuffle per side on the
+    * shingle key.
+    *
+    * Scale routing: the hot-shingle skew story is the same as q38's —
+    * a boilerplate shingle in d_l left and d_r right docs emits
+    * d_l·d_r candidate rows here. Corpora with such shingles should
+    * take [[ngramJaccardBetweenViaLsh]] (band-blocked, exact-verified,
+    * recall bounded by the banding) — this exact route is the
+    * completeness-contract path.
+    *
+    * @return (id_left, id_right, jaccard)
+    */
+  def ngramJaccardBetween(
+      left: DataFrame, right: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    def exploded(df: DataFrame) = shingleFrame(df, textCol, idCol, n)
+      .select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val l = exploded(left).as("l")
+    val r = exploded(right).as("r")
+    l.join(r, col("l.s") === col("r.s") && col("l.id") =!= col("r.id"))
+      .groupBy(col("l.id").as("id_left"), col("r.id").as("id_right"),
+        col("l.n_sh").as("na"), col("r.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("id_left", "id_right", "jaccard")
   }

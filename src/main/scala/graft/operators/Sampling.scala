@@ -105,6 +105,12 @@ object Sampling {
       defaultBudget: Long = 0L
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The working columns below live in the caller's namespace until the
+    // final re-select; a colliding input column would be silently
+    // overwritten (corrupting the caller's data), so refuse instead.
+    require(df.columns.forall(!_.startsWith("__tb_")),
+      s"byTokenBudget reserves the __tb_ column prefix; input has " +
+        df.columns.filter(_.startsWith("__tb_")).mkString(", "))
     val st = col(s"`$strataCol`")
     val id = col(s"`$idCol`")
     val len = coalesce(col(s"`$lenCol`").cast("long"), lit(0L))

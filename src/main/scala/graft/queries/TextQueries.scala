@@ -107,17 +107,19 @@ object TextQueries {
     "q37_simhash" -> mkQ37(gated = true),
 
     // Cross-corpus near-dup (the release diff: which candidate docs
-    // near-duplicate the existing corpus) — LSH-blocked across sides
-    // only, exact-Jaccard verified, so the oracle can mirror it; docs
-    // with ids divisible by 7 play the existing corpus.
+    // near-duplicate the existing corpus) — the EXACT between-corpus
+    // inverted-shingle join, so recall is complete by construction and
+    // the SQL oracle checks the same semantics (the LSH-blocked variant
+    // Dedup.ngramJaccardBetweenViaLsh is the skewed-corpus scale path,
+    // spec-verified to agree at this threshold); docs with ids divisible
+    // by 7 play the existing corpus.
     "q85_cross_corpus_dedup" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
         .where(col("text").isNotNull && length(trim(col("text"))) > 0)
-      Dedup.ngramJaccardBetweenViaLsh(
+      Dedup.ngramJaccardBetween(
           docs.where(pmod(col("doc_id"), lit(7)) === 0),
           docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
-          "text", "doc_id", n = 3, threshold = 0.5,
-          numHashes = 64, bands = 16)
+          "text", "doc_id", n = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_left", "id_right")
     }),
@@ -596,9 +598,17 @@ object TextQueries {
         val qual = scrub.join(TextStats.gopherVerdicts(scrub, "text", "doc_id")
           .where(col("pass")).select(col("id").as("doc_id")), "doc_id")
         val reExact = staged(Dedup.exactByFingerprint(qual, "text", "doc_id"))
+        // Signature frame SHARED with the pipeline (Result.minhashSig, the
+        // q57 precomputedSig pattern): the sketch kernel is pure and
+        // q36-oracled, so recomputing it here would verify nothing — the
+        // gate's subject is stage THREADING, and any divergence between
+        // reExact and the pipeline's exact stage still breaks id-parity
+        // (a doc missing from the shared sig frame never pairs, survives
+        // this recompose, and fails the final set compare).
         val docDrop = Dedup.connectedComponents(
             Dedup.minhashLshPairs(reExact, "text", "doc_id",
-              shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold))
+              shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold,
+              precomputedSig = Some(res.minhashSig)))
           .where(col("id") =!= col("label")).select("id")
         val dd = staged(reExact.join(docDrop,
           reExact("doc_id") === docDrop("id"), "left_anti"))
@@ -628,6 +638,10 @@ object TextQueries {
           "doc_id")
         Gates.setParity(res.corpus, reKept, "doc_id")
       }
+    // The shared signature persist is dead once this query's action ran
+    // (the pipeline consumed it eagerly; the gate's reuse is inside the
+    // plan built above) — release it rather than leak one cache per call.
+    graft.core.Frames.releaseAfterNextAction(s, res.minhashSig)
     out.select(col("doc_id"),
         TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
@@ -665,6 +679,11 @@ object TextQueries {
     val mid = docs.agg(expr("approx_percentile(doc_id, 0.5)")).head().getLong(0)
     val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= mid), "text", "doc_id",
       precomputedSig = Some(sig.where(col("id") <= mid)))
+    // Compact the index mid-stream (batch 1 appended, batch 2 probes the
+    // COMPACTED layout): the maintenance path runs under the driver's
+    // parity gate, not just in specs — a compaction that corrupted or
+    // dropped index rows would break batch 2's dedup and fail parity.
+    ix.compact(s)
     val s2 = ix.dedupeBatch(docs.where(col("doc_id") > mid), "text", "doc_id",
       precomputedSig = Some(sig.where(col("id") > mid)))
     val incremental = s1.select("doc_id").union(s2.select("doc_id"))

@@ -199,6 +199,15 @@ object VectorQueries {
   // c=0.35 is ~27% (1-(1-p^8)^16, p=1-θ/π≈0.614); the stripe holds
   // ~30 exact pairs at sf0.01 -> ~8 expected hits; floor 3 pins the
   // machinery (broken banding collapses hits toward 0), not tuning.
+  //
+  // MEASURED (round 9, sf0.01): 271 true pairs, all marginal (max
+  // cosine 0.513); banding emits 78 = recall 0.29, matching the
+  // analytic curve. A full-recall parameterization at this threshold
+  // costs MORE than the brute-force join (e.g. 30 bands x 2 bits ->
+  // ~0.94 n^2 candidates), so a q36-style exact oracle is
+  // unreachable here by the geometry of sign-LSH, not by a tuning
+  // choice — see SCALE.md §6 "Why q70 keeps a recall GATE". q44 is
+  // the exact-route oracle for the same semantics.
   private def mkQ70(gated: Boolean): Q = (s, dir) => {
     val emb = Tables(s, dir, "embeddings")
     val banded = Similarity.cosineDupPairs(emb, "embedding", "vec_id",

@@ -96,6 +96,14 @@ class SamplingStatsSpec extends SparkSuite {
     assert(kept.contains(4L) && (kept - 4L).size === 2)
   }
 
+  test("token-budget sampling: refuses input columns in the reserved __tb_ namespace") {
+    val docs = Seq((1L, "web", 10L, "x")).toDF("doc_id", "src", "len", "__tb_h")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.byTokenBudget(docs, "src", "doc_id", "len", Map("web" -> 100L))
+    }
+    assert(e.getMessage.contains("__tb_"))
+  }
+
   test("top-k by score: NULL and NaN scores are excluded, never crash the job") {
     import graft.functions.GroupSample
     val rows = Seq(

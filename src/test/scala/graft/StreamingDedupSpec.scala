@@ -105,6 +105,33 @@ class StreamingDedupSpec extends SparkSuite {
     val crossOnly = all.filter { case (a, b) => (a <= 2) != (b <= 2) }
       .map { case (a, b) => if (a <= 2) (a, b) else (b, a) }
     assert(between === crossOnly && between.nonEmpty)
+    // the EXACT between route (complete recall, q85's operator) agrees
+    // with both — on this corpus all true pairs survive banding, so the
+    // three routes coincide, including the jaccard values themselves
+    val exact = Dedup.ngramJaccardBetween(left, right, "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    assert(exact === crossOnly)
+  }
+
+  test("exact between route keeps marginal-J pairs that LSH banding can miss") {
+    // A J~=0.5 pair collides in some 4-row band with only ~65% probability
+    // per the banding bound; the exact inverted-index route has no recall
+    // term at all. Build a pair with jaccard right at the threshold and
+    // check the exact route reports it with the true jaccard — this is
+    // the contract that makes q85 safe against testdata refreshes.
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")               // shingles 1..38
+    val b = ((1 to 26) ++ (101 to 114)).map(i => s"tok$i").mkString(" ")
+    val left = Seq((10L, a)).toDF("doc_id", "text")
+    val right = Seq((20L, b), (21L, "wholly unrelated content " * 10)).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardBetween(left, right, "text", "doc_id",
+        n = 3, threshold = 0.4)
+      .select("id_left", "id_right", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((10L, 20L)))
+    // shared 3-shingles: windows fully inside tokens 1..26 -> 24 of them;
+    // |A|=38, |B|=38 -> J = 24 / (38 + 38 - 24)
+    assert(math.abs(got.head._3 - 24.0 / 52.0) < 1e-9)
   }
 
   test("compact rewrites the index smaller, preserving content and dedup behavior") {
