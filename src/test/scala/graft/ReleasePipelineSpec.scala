@@ -194,6 +194,41 @@ class ReleasePipelineSpec extends SparkSuite {
     assert(again.stats.input > 0)
   }
 
+  test("durable stage boundaries: bounded overhead vs localCheckpoint, identical output") {
+    // The 100 TB pitch for checkpointDir is "a multi-hour build dying at
+    // stage 6 restarts in minutes" — that only holds if the durable
+    // boundary itself is a bounded-constant-factor tax. Measure all
+    // three modes here (numbers at sf0.01 live in SCALE.md §9; this
+    // pins the CONTRACT at spec scale, with a deliberately loose bound
+    // so scheduler noise can't flake it).
+    import graft.corpus.ReleasePipeline
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val benchmark = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val cand = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val cfg = ReleasePipeline.Config(packCapacity = 256L)
+    def timed(f: => ReleasePipeline.Result): (Double, Set[Long]) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+      ((System.nanoTime() - t0) / 1e9, ids)
+    }
+    timed(ReleasePipeline.run(cand, benchmark, cfg))  // warm the JVM paths
+    val (tMem, idsMem) = timed(ReleasePipeline.run(cand, benchmark, cfg))
+    val dir = java.nio.file.Files.createTempDirectory("rel_tax").toString
+    val (tCold, idsCold) = timed(
+      ReleasePipeline.run(cand, benchmark, cfg, checkpointDir = Some(dir)))
+    val (tWarm, idsWarm) = timed(
+      ReleasePipeline.run(cand, benchmark, cfg, checkpointDir = Some(dir)))
+    info(f"in-memory $tMem%.2fs, durable-cold $tCold%.2fs, durable-resume $tWarm%.2fs")
+    assert(idsCold === idsMem && idsWarm === idsMem)
+    // durable cold build: same plan plus gzip parquet writes — a
+    // constant factor, not a blowup
+    assert(tCold < tMem * 5 + 5)
+    // warm resume skips ALL stage compute (reads 7 small parquet dirs +
+    // manifest fingerprints): must beat the in-memory build
+    assert(tWarm < tMem + 2)
+  }
+
   test("optional stages: novelty pre-filter and paragraph near-dup on planted fixtures") {
     import graft.corpus.ReleasePipeline
     // Three 16-token paragraphs (window-aligned) with healthy quality
