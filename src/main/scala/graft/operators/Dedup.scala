@@ -320,9 +320,9 @@ object Dedup {
     * Scale routing: the hot-shingle skew story is the same as q38's —
     * a boilerplate shingle in d_l left and d_r right docs emits
     * d_l·d_r candidate rows here. Corpora with such shingles should
-    * take [[ngramJaccardBetweenViaLsh]] (band-blocked, exact-verified,
-    * recall bounded by the banding) — this exact route is the
-    * completeness-contract path.
+    * take [[ngramJaccardBetweenPrefixFiltered]] (same exact semantics,
+    * AllPairs prefix blocking) or [[ngramJaccardBetweenViaLsh]]
+    * (band-blocked, recall bounded by the banding).
     *
     * @return (id_left, id_right, jaccard)
     */
@@ -340,6 +340,65 @@ object Dedup {
       .groupBy(col("l.id").as("id_left"), col("r.id").as("id_right"),
         col("l.n_sh").as("na"), col("r.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id_left", "id_right", "jaccard")
+  }
+
+  /** EXACT cross-corpus n-gram Jaccard via AllPairs PREFIX FILTERING —
+    * the 100 TB route for the release diff, closing
+    * [[ngramJaccardBetween]]'s hot-shingle caveat without giving up
+    * completeness. The AllPairs prefix theorem is side-agnostic: under
+    * ONE global total order (document frequency over BOTH corpora
+    * combined, rarest first), a pair with J >= t must intersect within
+    * the (|X| - ceil(t·|X|) + 1)-prefixes of both sides — so the
+    * cross-side prefix join is complete, and the boilerplate shingles
+    * that make the full posting join quadratic are exactly the ones no
+    * prefix keeps. Candidates verify EXACTLY from the full shingle
+    * arrays (codegen'd two-pointer intersect).
+    *
+    * Same output contract as [[ngramJaccardBetween]] (spec-equal);
+    * cross-side-only join, self-matches excluded by id inequality.
+    *
+    * @return (id_left, id_right, jaccard)
+    */
+  def ngramJaccardBetweenPrefixFiltered(
+      left: DataFrame, right: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val shL = shingleFrame(left, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shR = shingleFrame(right, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Frames.releaseAfterNextAction(left.sparkSession, shL, shR)
+    def exploded(sh: DataFrame) =
+      sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val exL = exploded(shL); val exR = exploded(shR)
+    // One GLOBAL ordering key over the combined vocabulary: any total
+    // order is correct; combined df makes the kept prefixes the rarest
+    // shingles of BOTH corpora, which is what shrinks the join.
+    val dfreq = exL.select("s").union(exR.select("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
+    def ranked(ex: DataFrame) = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
+      .where(col("rk") <= prefixLen)
+      .select("id", "s")
+    val candidates = ranked(exL).as("a").join(ranked(exR).as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_left"), col("b.id").as("id_right"))
+      .dropDuplicates("id_left", "id_right")
+    candidates
+      .join(shL.select(col("id").as("id_left"), col("sh").as("sh_a"),
+        col("n_sh").as("na")), "id_left")
+      .join(shR.select(col("id").as("id_right"), col("sh").as("sh_b"),
+        col("n_sh").as("nb")), "id_right")
+      .withColumn("inter",
+        graft.functions.SketchExpressions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)

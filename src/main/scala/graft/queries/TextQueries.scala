@@ -124,6 +124,21 @@ object TextQueries {
         .orderBy("id_left", "id_right")
     }),
 
+    // Same cross-corpus semantics through the AllPairs PREFIX-FILTERED
+    // route (the corpus-scale path: combined-df global order, cross-side
+    // prefix join, exact verify) — oracle-verified against the same SQL
+    // as q85, the q38/q60 convention applied to the between family.
+    "q86_cross_corpus_prefix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      Dedup.ngramJaccardBetweenPrefixFiltered(
+          docs.where(pmod(col("doc_id"), lit(7)) === 0),
+          docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+          "text", "doc_id", n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_left", "id_right")
+    }),
+
     // n-gram Jaccard pairs — EXACT via the inverted shingle index
     // (oracle-checked): any pair with J >= t shares a shingle, so the
     // shingle self-join finds every qualifying pair; one shuffle on the
@@ -996,6 +1011,22 @@ object TextQueries {
         |   ELSE '19999999999999999999999999999999' END
         | GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
     "q85_cross_corpus_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh)
+        | SELECT id_left, id_right, round(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        |  GROUP BY a.doc_id, b.doc_id)
+        | WHERE jaccard >= 0.5 ORDER BY id_left, id_right""".stripMargin.replaceAll("\n", " "),
+    // identical semantics to q85 (the prefix-filtered route must produce
+    // byte-equal results to the inverted-index route)
+    "q86_cross_corpus_prefix" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
         |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s

@@ -112,6 +112,10 @@ class StreamingDedupSpec extends SparkSuite {
         n = 3, threshold = 0.5)
       .select("id_left", "id_right").as[(Long, Long)].collect().toSet
     assert(exact === crossOnly)
+    val prefix = Dedup.ngramJaccardBetweenPrefixFiltered(left, right,
+        "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    assert(prefix === crossOnly)
   }
 
   test("exact between route keeps marginal-J pairs that LSH banding can miss") {
@@ -124,14 +128,19 @@ class StreamingDedupSpec extends SparkSuite {
     val b = ((1 to 26) ++ (101 to 114)).map(i => s"tok$i").mkString(" ")
     val left = Seq((10L, a)).toDF("doc_id", "text")
     val right = Seq((20L, b), (21L, "wholly unrelated content " * 10)).toDF("doc_id", "text")
-    val got = Dedup.ngramJaccardBetween(left, right, "text", "doc_id",
-        n = 3, threshold = 0.4)
-      .select("id_left", "id_right", "jaccard")
-      .as[(Long, Long, Double)].collect().toSeq
-    assert(got.map(p => (p._1, p._2)) === Seq((10L, 20L)))
-    // shared 3-shingles: windows fully inside tokens 1..26 -> 24 of them;
-    // |A|=38, |B|=38 -> J = 24 / (38 + 38 - 24)
-    assert(math.abs(got.head._3 - 24.0 / 52.0) < 1e-9)
+    val routes = Seq(
+      Dedup.ngramJaccardBetween(left, right, "text", "doc_id",
+        n = 3, threshold = 0.4),
+      Dedup.ngramJaccardBetweenPrefixFiltered(left, right, "text", "doc_id",
+        n = 3, threshold = 0.4))
+    routes.foreach { r =>
+      val got = r.select("id_left", "id_right", "jaccard")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got.map(p => (p._1, p._2)) === Seq((10L, 20L)))
+      // shared 3-shingles: windows fully inside tokens 1..26 -> 24 of
+      // them; |A|=38, |B|=38 -> J = 24 / (38 + 38 - 24)
+      assert(math.abs(got.head._3 - 24.0 / 52.0) < 1e-9)
+    }
   }
 
   test("compact rewrites the index smaller, preserving content and dedup behavior") {
