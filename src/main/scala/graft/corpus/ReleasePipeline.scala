@@ -71,14 +71,18 @@ object ReleasePipeline {
 
   /** `corpus`: the surviving (id, text) stream (text fully scrubbed);
     * `packed`: its packing assignment at `packCapacity`; `minhashSig`:
-    * the (id, sig) MinHash signature frame stage 3 computed over the
-    * exact-dedup survivors (lazily persisted — release tooling reuses it
-    * to diff future candidate batches against this release, and parity
-    * harnesses reuse it instead of re-running the sketch kernel; callers
-    * that consume it should unpersist when done).
+    * the (id, sig, fp) REGISTRY frame ([[registryOf]]) stage 3 computed
+    * over the exact-dedup survivors (lazily persisted —
+    * [[appendBatch]] and [[ReleaseDiff]] diff future candidate batches
+    * against this release through it, and parity harnesses reuse it
+    * instead of re-running the sketch kernel; callers that consume it
+    * should unpersist when done).
     */
   final case class Result(corpus: DataFrame, packed: DataFrame, stats: Stats,
-      minhashSig: DataFrame)
+      minhashSig: DataFrame) {
+    /** This release as [[appendBatch]]'s frozen prior. */
+    def toPrior: PriorRelease = PriorRelease(corpus, minhashSig)
+  }
 
   /** Run the release workflow. `benchmark` is the evaluation set to
     * decontaminate against (its text column is `cfg.textCol`);
@@ -161,13 +165,14 @@ object ReleasePipeline {
 
     // 3. Exact dedup, then LSH near-dup clusters (keep cluster-min id).
     val exact = staged("3_exact", Dedup.exactByFingerprint(qualified, "text", "doc_id"))
-    // Signatures as a shared lazily-persisted frame: the drop-set below
-    // consumes them, and Result exposes them for reuse (cross-corpus
-    // release diffs, parity harnesses) without a second sketch-kernel
-    // pass. Lazy persist costs nothing if the build crashes before the
-    // dedup stage and nothing extra when nobody reuses it.
-    val sig = Dedup.minhashSignaturesGen(exact, "doc_id", "text",
-        cfg.shingleN, numHashes = 64)
+    // Registry rows as a shared lazily-persisted frame: the drop-set
+    // below consumes the signatures, and Result exposes the frame for
+    // reuse (appendBatch diffs future candidate batches against this
+    // release — sig for near-dup, fp for exact-dup) without a second
+    // sketch-kernel pass. Lazy persist costs nothing if the build
+    // crashes before the dedup stage and nothing extra when nobody
+    // reuses it.
+    val sig = registryOf(exact, "text", "doc_id", cfg.shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deduped = staged("3_dedup", {
       val drops = Dedup.connectedComponents(
@@ -241,6 +246,290 @@ object ReleasePipeline {
       afterDecontaminate = clean.count(),
       afterLmFloor = kept.count())
     Result(kept, packed, stats, sig)
+  }
+
+  /** A shipped release as seen by [[appendBatch]]: the released corpus
+    * (`doc_id`, `text` — [[Result]].corpus's column convention) and its
+    * REGISTRY `(id, sig, fp)` — MinHash signature for near-dup, exact
+    * fingerprint for byte-level dup, per doc ([[registryOf]]).
+    *
+    * The registry is the release build's post-exact-dedup population —
+    * [[Result.minhashSig]] from [[run]], or [[AppendResult.minhashSig]]
+    * from a previous append. It deliberately includes docs the later
+    * stages dropped: greedy incremental dedup compares a new doc against
+    * everything previously SEEN at the dedup stage, which is what makes
+    * chained appends equal a one-shot append (see [[appendBatch]]).
+    */
+  final case class PriorRelease(corpus: DataFrame, minhashSig: DataFrame)
+
+  /** Registry rows `(id, sig, fp)` over a `(doc_id, text)` frame: the
+    * MinHash signature (near-dup identity) and normalized-text
+    * fingerprint (exact identity) of every doc, in one map-side select.
+    * Docs with nothing to tokenize (whitespace-only) have no near-dup
+    * identity and a deliberately-unique exact key in
+    * [[Dedup.exactByFingerprint]] — they carry no registry row.
+    * Consumers that only need signatures (bandBuckets, precomputedSig)
+    * ignore the extra `fp` column.
+    */
+  def registryOf(df: DataFrame, textCol: String, idCol: String,
+                 shingleN: Int, numHashes: Int = 64): DataFrame =
+    df.select(col(s"`$idCol`").as("id"),
+        graft.functions.SketchExpressions
+          .minhashSig(col(s"`$textCol`"), shingleN, numHashes).as("sig"),
+        graft.functions.TextFns.fingerprint(col(s"`$textCol`")).as("fp"))
+      .where(col("sig").isNotNull)
+
+  /** New-batch survivor counts, one per [[appendBatch]] stage. */
+  final case class AppendStats(
+      batchInput: Long,
+      afterQuality: Long,
+      afterExact: Long,
+      afterNearDup: Long,
+      afterParaDedup: Long,
+      afterDespan: Long,
+      afterDecontaminate: Long,
+      afterLmFloor: Long)
+
+  /** `newKept`: the batch docs that survive every stage (id, text —
+    * despanned/scrubbed); `corpus`: prior ∪ newKept (the prior side is a
+    * LAZY union — consuming only `newKept` never scans the prior
+    * release); `packedNew`: packing assignment over the new survivors
+    * only (released packs are immutable — repacking the whole corpus
+    * would invalidate shipped shard boundaries); `dedupSurvivors`: the
+    * batch ids surviving the dedup boundary (quality → exact →
+    * near-dup, BEFORE the batch-relative paragraph stage), the surface
+    * on which chained == one-shot parity holds exactly; `minhashSig`:
+    * the chained registry for the NEXT append (prior registry ∪ this
+    * batch's post-exact-dedup signatures); `cached`: pipeline-internal
+    * persisted frames (the batch signature) — the CorpusPipeline
+    * convention: the caller unpersists these when done (recomputation
+    * stays correct afterwards, the lineage roots are checkpointed
+    * stages).
+    */
+  final case class AppendResult(
+      newKept: DataFrame,
+      corpus: DataFrame,
+      packedNew: DataFrame,
+      dedupSurvivors: DataFrame,
+      minhashSig: DataFrame,
+      stats: AppendStats,
+      cached: Seq[DataFrame] = Nil) {
+    /** The grown release as the NEXT append's frozen prior. */
+    def toPrior: PriorRelease = PriorRelease(corpus, minhashSig)
+  }
+
+  /** Append a new document batch to a FROZEN prior release — the
+    * incremental form of [[run]]. The batch runs the same stage battery
+    * (PII scrub → quality → exact dedup → near-dup → optional paragraph
+    * near-dup → dup-span removal → decontamination → LM floor →
+    * packing); the prior release is never modified and never re-judged.
+    *
+    * SCALE CONTRACT — the whole point of the incremental form: the only
+    * prior-release data this function COMPUTES over is
+    * `prior.minhashSig`, a (id, 64-int sig) frame ~10^4× smaller than
+    * the corpus text. Appending 1 TB to a 100 TB release costs
+    * O(batch) work plus one band-bucket join against the registry;
+    * `prior.corpus` is touched only if the caller consumes
+    * `AppendResult.corpus`. Gram-level novelty vs the prior TEXT
+    * (run()'s stage-0 `noveltyRef`) is deliberately absent here — it
+    * would re-scan the release; callers who can afford that pass the
+    * prior corpus to [[run]]'s noveltyRef instead.
+    *
+    * DEDUP SEMANTICS — greedy keep-first-seen, the incremental family's
+    * convention (same as `StreamingDedup.LshIndex`), NOT run()'s
+    * CC-keep-min: a batch doc is dropped iff it has a verified near-dup
+    * (est Jaccard ≥ `cfg.nearDupThreshold`) in the prior REGISTRY or a
+    * smaller-id near-dup in the same batch (kept or itself dropped —
+    * the registry-includes-dropped rule); exact duplicates of REGISTRY
+    * docs are dropped at the exact stage via the registry's fingerprints
+    * (see the stage-3 comment for why signature collision alone is not
+    * enough). Because every drop rule is "∃ smaller/earlier neighbor
+    * among all docs ever seen at this stage", splitting a batch into
+    * id-ordered sub-batches cannot change the outcome:
+    *
+    *   appendBatch(P, b1 ++ b2).dedupSurvivors
+    *     == appendBatch(appendBatch(P, b1).toPrior, b2).dedupSurvivors
+    *        ∪ appendBatch(P, b1).dedupSurvivors
+    *
+    * (ReleaseAppendSpec pins this; q87 gates on it under the driver.
+    * The identity covers the registry too: the post-exact populations
+    * are split-invariant, so chained and one-shot appends hand the SAME
+    * registry to the next append.) The post-dedup stages are batch-relative — the
+    * paragraph pass and dup-SPAN removal see only the batch's own
+    * paragraphs/spans and the LM floor is the batch's own quantile — so
+    * full-output parity across different batch splits is NOT a contract
+    * (the release you get depends on how you batched, exactly as with
+    * any incremental quality floor).
+    *
+    * `checkpointDir` gives the same durable stage-resume as [[run]]
+    * (manifest-guarded, `_SUCCESS`-gated); stage names are `a*`-prefixed
+    * so a dir can never mix full-build and append stages.
+    */
+  def appendBatch(prior: PriorRelease, batch: DataFrame, benchmark: DataFrame,
+                  cfg: Config = Config(),
+                  checkpointDir: Option[String] = None): AppendResult = {
+    val id = col(s"`${cfg.idCol}`")
+    val input = batch.where(col(s"`${cfg.textCol}`").isNotNull)
+    val spark = batch.sparkSession
+
+    checkpointDir.foreach { d =>
+      checkOrWriteManifest(spark, d,
+        appendManifest(cfg, input, benchmark, prior))
+    }
+    def staged(name: String, df: => DataFrame): DataFrame =
+      checkpointDir match {
+        case Some(d) =>
+          graft.sources.Checkpoint.readOrCompute(spark, s"$d/$name")(df)
+        case None => df.localCheckpoint(true)
+      }
+
+    require(prior.minhashSig.columns.contains("fp"),
+      "appendBatch: the prior registry must carry (id, sig, fp) rows — " +
+        "build it with ReleasePipeline.registryOf (run() and appendBatch " +
+        "already return this shape)")
+    // Batch ids must be disjoint from the registry's: the cross join
+    // excludes same-id matches (retry safety in the streaming twin), so
+    // a reused id would silently skip its own comparison. One semi-join
+    // count against the metadata-sized registry id column.
+    val clashes = input.select(id.as("id"))
+      .join(prior.minhashSig.select("id"), Seq("id"), "left_semi").count()
+    require(clashes == 0L,
+      s"appendBatch: $clashes batch ${cfg.idCol} value(s) already exist in " +
+        "the prior release's registry — ids must be globally unique across releases")
+
+    // 1–2. PII scrub, quality battery — per-doc, identical to run().
+    val scrubbed = staged("a1_scrub", input.select(id.as("doc_id"),
+      Pii.redact(col(s"`${cfg.textCol}`")).as("text")))
+    val qualified = staged("a2_quality", scrubbed.join(
+      TextStats.gopherVerdicts(scrubbed, "text", "doc_id")
+        .where(col("pass")).select(col("id").as("doc_id")), "doc_id"))
+
+    // 3. Exact dedup: within the batch, then against the registry's
+    // FINGERPRINTS. The second leg matters for the chaining identity:
+    // normalized-equal docs can differ in raw text, so their MinHash
+    // signatures (raw-token shingles) need not collide — without the fp
+    // anti-join, a punctuation-variant of an earlier batch's doc would
+    // be exact-dropped in a one-shot append but missed in a chained one.
+    // With it, the post-a3 population (and therefore the registry
+    // contribution) is split-invariant. Whitespace-only docs' fp is
+    // md5("") — never present in a registry (registryOf drops docs with
+    // no near-dup identity), so they pass through as in exactByFingerprint.
+    val exact = staged("a3_exact", {
+      val within = Dedup.exactByFingerprint(qualified, "text", "doc_id")
+      val fpDrops = within
+        .select(col("doc_id"),
+          graft.functions.TextFns.fingerprint(col("text")).as("__fp"))
+        .join(prior.minhashSig.select(col("fp").as("__fp")),
+          Seq("__fp"), "left_semi")
+        .select("doc_id")
+      within.join(fpDrops, Seq("doc_id"), "left_anti")
+    })
+    val sigBatch = registryOf(exact, "text", "doc_id", cfg.shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 4. Greedy near-dup: vs the prior registry (band join on the RETAINED
+    // sig frame — no prior text scan), then within the batch (a < b drops
+    // b, regardless of a's own fate).
+    val deduped = staged("a4_dedup", {
+      val vsPrior = Dedup.minhashLshPairsBetween(exact, prior.corpus,
+          "text", "doc_id", cfg.shingleN,
+          threshold = cfg.nearDupThreshold,
+          precomputedSigLeft = Some(sigBatch),
+          precomputedSigRight = Some(prior.minhashSig))
+        .select(col("id_left").as("id"))
+      val inBatch = Dedup.minhashLshPairs(exact, "text", "doc_id",
+          shingleN = cfg.shingleN, threshold = cfg.nearDupThreshold,
+          precomputedSig = Some(sigBatch))
+        .select(col("id_b").as("id"))
+      val drops = vsPrior.union(inBatch).distinct()
+      exact.join(drops, exact("doc_id") === drops("id"), "left_anti")
+    })
+
+    // 3b-analogue. Paragraph near-dup within the batch (greedy, same
+    // drop rule). Prior-vs-batch paragraph overlap would need the prior
+    // TEXT — out of the sig-only contract, documented above.
+    val paraDeduped =
+      if (!cfg.paragraphDedup) deduped
+      else staged("a4b_paradedup", {
+        val paras = Paragraphs.splitTokenWindows(deduped, "text", "doc_id",
+          cfg.paragraphWindow)
+        val pDrops = Paragraphs.nearDupDocPairsAuto(paras, cfg.shingleN,
+            cfg.paragraphThreshold,
+            knownMaxShingles = Some(cfg.paragraphWindow - cfg.shingleN + 1))
+          .where(col("doc_a") < col("doc_b")).select(col("doc_b").as("id"))
+          .distinct()
+        deduped.join(pDrops, deduped("doc_id") === pDrops("id"), "left_anti")
+      })
+
+    // 5–7. Batch-relative tail: span scrub, decontamination, LM floor.
+    val despanned = staged("a5_despan", TextStats.removeDupSpans(
+        paraDeduped, "text", "doc_id", k = cfg.spanK)
+      .where(col("n_kept") > 0)
+      .select(col("id").as("doc_id"), col("scrubbed").as("text")))
+    val clean = staged("a6_decontaminate", Decontaminate.clean(
+      despanned, "text", "doc_id",
+      benchmark.where(col(s"`${cfg.textCol}`").isNotNull)
+        .select(col(s"`${cfg.textCol}`").as("text")), "text",
+      n = cfg.decontaminateN))
+    val kept = staged("a7_lmfloor", {
+      val uni = LmScore.trainUnigram(clean, "text")
+      val scored = LmScore.scoreDocs(clean, "text", "doc_id", uni, cfg.oovLogp)
+      val cut = scored
+        .agg(expr(s"approx_percentile(mean_logp, ${cfg.lmFloorQuantile})"))
+        .head().getDouble(0)
+      clean.join(
+        scored.where(col("mean_logp") >= cut).select(col("id").as("doc_id")),
+        "doc_id")
+    })
+
+    // 8. Pack the NEW survivors only; released packs stay as shipped.
+    val sized = kept.select(col("doc_id"),
+      graft.functions.TextFns.tokenCount(col("text")).cast("long").as("len"))
+    val packed = Packing.packChunks(sized, "doc_id", "len", cfg.packCapacity)
+
+    val dedupN = paraDeduped.count()
+    val stats = AppendStats(
+      batchInput = input.count(),
+      afterQuality = qualified.count(),
+      afterExact = exact.count(),
+      afterNearDup = deduped.count(),
+      afterParaDedup = dedupN,
+      afterDespan = despanned.count(),
+      afterDecontaminate = clean.count(),
+      afterLmFloor = kept.count())
+    // Combined corpus under the Result convention (doc_id, text) —
+    // [[PriorRelease]].corpus carries the same names, so chained appends
+    // and run()-built priors compose without renames.
+    val combined = prior.corpus.select(col("doc_id"), col("text"))
+      .unionByName(kept.select(col("doc_id"), col("text")))
+    AppendResult(
+      newKept = kept,
+      corpus = combined,
+      packedNew = packed,
+      dedupSurvivors = deduped.select("doc_id"),
+      minhashSig = prior.minhashSig.unionByName(sigBatch),
+      stats = stats,
+      cached = Seq(sigBatch))
+  }
+
+  /** Append-build fingerprint: [[manifest]]'s fields plus the prior
+    * registry's id fingerprint — resuming an append against a DIFFERENT
+    * prior release must fail loudly, not splice dedup verdicts across
+    * releases.
+    */
+  private[graft] def appendManifest(cfg: Config, input: DataFrame,
+      benchmark: DataFrame, prior: PriorRelease): String = {
+    def fp(df: DataFrame, c: String): String = {
+      val r = df.agg(count(lit(1)), coalesce(expr(s"bit_xor(xxhash64(`$c`))"), lit(0L))).head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
+    val b = benchmark.where(col(s"`${cfg.textCol}`").isNotNull)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"mode": "append",
+       | "config": "${esc(cfg.toString)}",
+       | "input": "${fp(input, cfg.idCol)}",
+       | "benchmark": "${fp(b, cfg.textCol)}",
+       | "priorRegistry": "${fp(prior.minhashSig, "id")}"}""".stripMargin
   }
 
   /** Build fingerprint: the full `Config` (a case class, so `toString`

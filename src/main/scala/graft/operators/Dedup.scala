@@ -248,14 +248,24 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      precomputedSigLeft: Option[DataFrame] = None,
+      precomputedSigRight: Option[DataFrame] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    // precomputedSig*: (id, sig) frames from [[minhashSignaturesGen]] at
+    // these parameters — the incremental-release path diffs a batch
+    // against a 100 TB prior corpus by joining the prior's RETAINED
+    // signature frame instead of re-scanning its text (same contract as
+    // minhashLshPairs' precomputedSig; side membership follows the sig
+    // frame when supplied).
     val bl = bandBuckets(
-      minhashSignaturesGen(left, idCol, textCol, shingleN, numHashes),
+      precomputedSigLeft.getOrElse(
+        minhashSignaturesGen(left, idCol, textCol, shingleN, numHashes)),
       bands, numHashes / bands).as("l")
     val br = bandBuckets(
-      minhashSignaturesGen(right, idCol, textCol, shingleN, numHashes),
+      precomputedSigRight.getOrElse(
+        minhashSignaturesGen(right, idCol, textCol, shingleN, numHashes)),
       bands, numHashes / bands).as("r")
     bl.join(br,
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&

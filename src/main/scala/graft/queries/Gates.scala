@@ -65,6 +65,22 @@ object Gates {
       .where(col("__stat") >= floor).drop("__stat")
   }
 
+  /** Emit `emit` unchanged iff `got`'s `idCol` multiset EQUALS `want`'s
+    * — the [[setParity]] check applied to a surface other than the
+    * emitted result (e.g. q87 emits the incremental release's final
+    * survivors but gates on dedup-boundary parity, the surface where
+    * chained == one-shot is an exact contract).
+    */
+  def setParityOn(emit: DataFrame, got: DataFrame, want: DataFrame,
+                  idCol: String): DataFrame = {
+    val g = got.select(col(s"`$idCol`"))
+    val w = want.select(col(s"`$idCol`"))
+    val diff = g.exceptAll(w).union(w.exceptAll(g))
+      .agg(count(lit(1)).as("__mismatches"))
+    emit.crossJoin(broadcast(diff))
+      .where(col("__mismatches") === 0).drop("__mismatches")
+  }
+
   /** Emit `got` unchanged iff its `idCol` multiset EQUALS `want`'s —
     * an exact-parity gate (e.g. incremental result == batch result).
     */

@@ -188,6 +188,42 @@ object TextQueries {
 
     "q82_release_pipeline" -> mkQ82(gated = true),
 
+    "q87_incremental_release" -> mkQ87(gated = true),
+
+    // DSIR-style targeted selection: weight every corpus doc by the
+    // target-vs-background unigram log-likelihood ratio (target = the
+    // q68-convention benchmark slice, ids % 97 == 0), then draw k = 200
+    // docs by deterministic Gumbel-top-k importance resampling
+    // (P ∝ exp(weight), seeded md5 noise). Fully SQL-expressible — the
+    // oracle recomputes both models, the per-doc weight, the exact
+    // dyadic Gumbel keys, and the same top-k.
+    "q89_dsir_select" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Selection.dsirSelect(
+          docs.where(pmod(col("doc_id"), lit(97)) =!= 0), "text", "doc_id",
+          docs.where(pmod(col("doc_id"), lit(97)) === 0), "text",
+          k = 200, seed = 42L)
+        .select(col("id").as("doc_id"), round(col("weight"), 6).as("weight"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Acquisition triage: classify a candidate batch (ids % 7 != 0)
+    // against a shipped release (ids % 7 == 0) as exact-dup / near-dup /
+    // novel with the best qualifying Jaccard. Exact route (fingerprint
+    // join + AllPairs prefix-filtered cross Jaccard) — complete at any
+    // threshold, so the DuckDB inverted-index recomposition is a true
+    // oracle; the signature-registry route is spec-checked against it.
+    "q88_release_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.corpus.ReleaseDiff.classify(
+          docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(7)) === 0),
+          "text", "doc_id", n = 3, threshold = 0.5)
+        .withColumn("best_jaccard", round(col("best_jaccard"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Containment dedup: documents whose whole shingle set lives inside
     // another document's — the redundancy case Jaccard thresholds miss
     // (short doc embedded in a long one). Oracle: same inverted-index
@@ -490,8 +526,60 @@ object TextQueries {
     "q37_simhash"          -> mkQ37(gated = false),
     "q52_corpus_pipeline"  -> mkQ52(gated = false),
     "q57_incremental_dedup" -> mkQ57(gated = false),
-    "q82_release_pipeline" -> mkQ82(gated = false)
+    "q82_release_pipeline" -> mkQ82(gated = false),
+    "q87_incremental_release" -> mkQ87(gated = false)
   )
+
+  // Incremental release growth: a frozen prior release (ids % 7 == 0,
+  // shipped scrubbed, its signature REGISTRY retained) receives the
+  // remaining docs as TWO id-ordered batches via
+  // ReleasePipeline.appendBatch — prior text is never re-scanned; the
+  // cross-release dedup joins the retained registry only. Not
+  // SQL-expressible end-to-end (LSH registry internals), so the plan
+  // GATES on appendBatch's exact chaining contract: the dedup-boundary
+  // survivors of the two chained appends must EQUAL those of one
+  // appendBatch over the whole batch (greedy registry-includes-dropped
+  // semantics make this an identity, not a heuristic — see the operator
+  // Scaladoc). Any drift in registry threading, band bucketing, or the
+  // greedy drop rule breaks parity and zeroes the driver's rows check.
+  private def mkQ87(gated: Boolean): Q = (s, dir) => {
+    import graft.corpus.ReleasePipeline
+    val docs = Tables(s, dir, "documents")
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    // The shipped release: PII-scrubbed text (a release ships scrubbed —
+    // appendBatch compares post-scrub batch text against it) + registry.
+    val relDocs = docs
+      .where(pmod(col("doc_id"), lit(7)) === 0 && col("text").isNotNull)
+      .select(col("doc_id"), graft.operators.Pii.redact(col("text")).as("text"))
+    val priorSig = ReleasePipeline.registryOf(relDocs, "text", "doc_id", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prior = ReleasePipeline.PriorRelease(relDocs, priorSig)
+    val batchAll = docs.where(pmod(col("doc_id"), lit(7)) =!= 0 &&
+      pmod(col("doc_id"), lit(97)) =!= 0)
+    val mid = batchAll.agg(expr("approx_percentile(doc_id, 0.5)"))
+      .head().getLong(0)
+    val cfg = ReleasePipeline.Config()
+    val r1 = ReleasePipeline.appendBatch(prior,
+      batchAll.where(col("doc_id") <= mid), bench, cfg)
+    val r2 = ReleasePipeline.appendBatch(r1.toPrior,
+      batchAll.where(col("doc_id") > mid), bench, cfg)
+    val newKept = r1.newKept.unionByName(r2.newKept)
+    val out0 = newKept.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val out =
+      if (!gated) {
+        graft.core.Frames.releaseAfterNextAction(s,
+          (priorSig +: (r1.cached ++ r2.cached)): _*)
+        out0
+      } else {
+        val one = ReleasePipeline.appendBatch(prior, batchAll, bench, cfg)
+        val chained = r1.dedupSurvivors.unionByName(r2.dedupSurvivors)
+        graft.core.Frames.releaseAfterNextAction(s,
+          (priorSig +: (r1.cached ++ r2.cached ++ one.cached)): _*)
+        Gates.setParityOn(out0, chained, one.dedupSurvivors, "doc_id")
+      }
+    out.orderBy("doc_id")
+  }
 
   // SimHash near-dup pairs. Not SQL-expressible (E[hamming]≈64·angle/π
   // defeats any cosine-threshold oracle), so the plan GATES itself:
@@ -1040,6 +1128,61 @@ object TextQueries {
         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
         |  GROUP BY a.doc_id, b.doc_id)
         | WHERE jaccard >= 0.5 ORDER BY id_left, id_right""".stripMargin.replaceAll("\n", " "),
+    // Both unigram models, the per-doc mean log-ratio, exact dyadic
+    // Gumbel keys from the same md5 bytes, and the same top-k.
+    "q89_dsir_select" ->
+      """WITH ctok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 97 <> 0),
+        | ttok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 97 = 0),
+        | uni_t AS (SELECT token, log10(count(*)::DOUBLE / (SELECT count(*) FROM ttok)) AS lt
+        |  FROM ttok GROUP BY token),
+        | uni_r AS (SELECT token, log10(count(*)::DOUBLE / (SELECT count(*) FROM ctok)) AS lr
+        |  FROM ctok GROUP BY token),
+        | w AS (SELECT doc_id, avg(coalesce(lt, -12.0) - coalesce(lr, -12.0)) AS weight,
+        |   count(*) AS n FROM ctok LEFT JOIN uni_t USING (token) LEFT JOIN uni_r USING (token)
+        |  GROUP BY doc_id),
+        | wd AS (SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight,
+        |   CAST(coalesce(w.n, 0) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL AND doc_id % 97 <> 0) d
+        |  LEFT JOIN w USING (doc_id)),
+        | keyed AS (SELECT doc_id, weight, n_tokens,
+        |   weight / 1.0 - ln(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)) AS gk
+        |  FROM wd)
+        | SELECT doc_id, round(weight, 6) AS weight, n_tokens FROM (
+        |  SELECT doc_id, weight, n_tokens, row_number() OVER (ORDER BY gk DESC, doc_id) AS rn
+        |  FROM keyed)
+        | WHERE rn <= 200 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // Verdict recomposition: md5-of-normalized-text equi-join for
+    // 'exact' (same normSql mirror as q31/q34), inverted shingle index
+    // for the cross-side best Jaccard (same CTE family as q85/q86),
+    // CASE-merged per candidate doc.
+    "q88_release_diff" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        | nrm AS (SELECT doc_id, CASE WHEN trim(text)='' THEN NULL
+        |   ELSE md5($normSql) END AS fp FROM base),
+        | ex AS (SELECT DISTINCT c.doc_id FROM nrm c
+        |   JOIN (SELECT DISTINCT fp FROM nrm WHERE doc_id % 7 = 0 AND fp IS NOT NULL) r
+        |   ON c.fp = r.fp WHERE c.doc_id % 7 <> 0),
+        | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM base
+        |        WHERE trim(text) <> '')),
+        | exsh AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        | nb AS (SELECT cid AS doc_id, max(jaccard) AS bj FROM (
+        |   SELECT a.doc_id AS cid, b.doc_id AS rid,
+        |     CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |   FROM exsh a JOIN exsh b ON a.g = b.g
+        |   WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+        |   GROUP BY a.doc_id, b.doc_id)
+        |  WHERE jaccard >= 0.5 GROUP BY cid)
+        | SELECT c.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+        |       WHEN nb.bj IS NOT NULL THEN 'near' ELSE 'novel' END AS verdict,
+        |  round(CASE WHEN ex.doc_id IS NOT NULL THEN 1.0 ELSE nb.bj END, 4) AS best_jaccard
+        | FROM (SELECT doc_id FROM base WHERE doc_id % 7 <> 0) c
+        | LEFT JOIN ex ON ex.doc_id = c.doc_id LEFT JOIN nb ON nb.doc_id = c.doc_id
+        | ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
     "q84_topk_by_score" ->
       """SELECT lang, doc_id, n_tokens FROM (
         | SELECT lang, doc_id, n_tokens,

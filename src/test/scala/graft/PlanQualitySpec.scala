@@ -145,7 +145,8 @@ class PlanQualitySpec extends SparkSuite {
     // reintroduces a BroadcastNestedLoopJoin outside this list fails here.
     val gateQueries = Set("q37_simhash", "q43_ann_lsh", "q52_corpus_pipeline",
       "q56_ann_ivf", "q57_incremental_dedup", "q59_ann_pq", "q70_cosine_banded",
-      "q74_semdedup", "q45_knn_join", "q82_release_pipeline")
+      "q74_semdedup", "q45_knn_join", "q82_release_pipeline",
+      "q87_incremental_release")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(gateQueries)
       .filter { name =>
