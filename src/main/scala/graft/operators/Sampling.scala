@@ -150,4 +150,180 @@ object Sampling {
         .drop("__tb_cum"))
     kept.select(df.columns.map(c => col(s"`$c`")): _*)
   }
+
+  /** EPOCH-WEIGHTED mixture filling — the UPSAMPLING half of corpus
+    * mixing that [[byTokenBudget]] (a pure downsampler) cannot express:
+    * when a stratum's budget exceeds its token count, real mixtures
+    * repeat the small high-quality source for several epochs ("books ×3,
+    * wiki ×4") rather than leaving its budget share unfilled.
+    *
+    * Each row is emitted once per epoch it participates in, with a
+    * 1-based `epochCol`. The defining rule is a single inequality: row
+    * d of stratum s (budget B, stratum token total T, hash-ordered
+    * inclusive prefix sum cum(d)) appears at epoch k iff
+    *
+    *   (k-1)*T + cum(d) <= B   and   k <= maxEpochs
+    *
+    * which reproduces every regime at once — T >= B degrades to
+    * [[byTokenBudget]] (only the k=1 prefix fits), T < B yields
+    * floor((B-cum)/T)+1 epochs capped at `maxEpochs` (full passes plus
+    * one fractional hash-prefix pass), and an all-zero-token stratum
+    * (T=0, every cum=0) replicates `maxEpochs` times. Deterministic and
+    * engine-reproducible like [[byTokenBudget]] (the DuckDB oracle is
+    * the same inequality over a window cumsum + generate_series).
+    *
+    * Scale shape — the [[byTokenBudget]] 256-bucket prefix sum,
+    * generalized from ONE budget line to `maxEpochs` of them: the epoch
+    * count n(c) = |{k : (k-1)T + c <= B}| is antitone in c, so a bucket
+    * whose cum interval [before, before+sum] crosses no budget line
+    * (n(before) == n(before+sum)) takes its epoch count as a constant
+    * with NO doc-granularity work; only the <= maxEpochs line-crossing
+    * buckets per stratum sort at doc granularity. A stratum never
+    * funnels through a single partition, and the fan-out itself is a
+    * map-side `explode(sequence)`.
+    */
+  def epochsToBudget(
+      df: DataFrame, strataCol: String, idCol: String, lenCol: String,
+      budgets: Map[String, Long],
+      maxEpochs: Int = 4,
+      defaultBudget: Long = 0L,
+      epochCol: String = "epoch"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0L),
+      "budgets must be non-negative")
+    require(df.columns.forall(!_.startsWith("__tb_")),
+      s"epochsToBudget reserves the __tb_ column prefix; input has " +
+        df.columns.filter(_.startsWith("__tb_")).mkString(", "))
+    require(!df.columns.contains(epochCol),
+      s"epoch column '$epochCol' collides with an input column")
+    val st = col(s"`$strataCol`")
+    val id = col(s"`$idCol`")
+    val len = coalesce(col(s"`$lenCol`").cast("long"), lit(0L))
+    // Epoch count at inclusive prefix sum c: antitone, exact integer
+    // arithmetic — (B-c) - pmod(B-c, T) is an exact multiple of T, so the
+    // division is exact in double well past any real token budget (< 2^53).
+    def nEpochs(c: Column, budget: Column, tot: Column): Column =
+      when(c > budget, lit(0))
+        .when(tot === 0L, lit(maxEpochs))
+        .otherwise(least(lit(maxEpochs.toLong),
+          (((budget - c) - pmod(budget - c, tot)) / tot).cast("long") + 1L))
+        .cast("int")
+    val withKeys = df
+      .withColumn("__tb_h", md5(id.cast("string")))
+      .withColumn("__tb_b", conv(substring(col("__tb_h"), 1, 2), 16, 10).cast("int"))
+    val budgetOf = budgets.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, b)) => acc.when(col("__tb_s") === stratum, lit(b))
+    }.otherwise(lit(defaultBudget))
+    val wBucket = Window.partitionBy("__tb_s").orderBy("__tb_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wStratum = Window.partitionBy("__tb_s")
+    val meta = withKeys
+      .groupBy(st.as("__tb_s"), col("__tb_b")).agg(sum(len).as("__tb_sum"))
+      .withColumn("__tb_before", coalesce(sum(col("__tb_sum")).over(wBucket), lit(0L)))
+      .withColumn("__tb_tot", sum(col("__tb_sum")).over(wStratum))
+      .withColumn("__tb_budget", budgetOf)
+      .withColumn("__tb_ne_lo",
+        nEpochs(col("__tb_before"), col("__tb_budget"), col("__tb_tot")))
+      .withColumn("__tb_ne_hi",
+        nEpochs(col("__tb_before") + col("__tb_sum"), col("__tb_budget"), col("__tb_tot")))
+      // A bucket whose START already clears every budget line contributes
+      // nothing — its rows drop at the inner join below.
+      .where(col("__tb_ne_lo") >= 1)
+    val joined = withKeys.as("r").join(broadcast(meta.as("m")),
+        col(s"r.`$strataCol`") <=> col("m.__tb_s") &&
+          col("r.__tb_b") === col("m.__tb_b"))
+      .select(df.columns.map(c => col(s"r.`$c`")) ++ Seq(
+        col("r.__tb_h"), col("r.__tb_b").as("__tb_bb"), col("m.__tb_before"),
+        col("m.__tb_budget"), col("m.__tb_tot"),
+        col("m.__tb_ne_lo"), col("m.__tb_ne_hi")): _*)
+    val wDoc = Window.partitionBy(st, col("__tb_bb")).orderBy(col("__tb_h"), id)
+    val uniform = joined.where(col("__tb_ne_lo") === col("__tb_ne_hi"))
+      .withColumn("__tb_ne", col("__tb_ne_lo"))
+    val boundary = joined.where(col("__tb_ne_lo") =!= col("__tb_ne_hi"))
+      .withColumn("__tb_cum", col("__tb_before") + sum(len).over(wDoc))
+      .withColumn("__tb_ne",
+        nEpochs(col("__tb_cum"), col("__tb_budget"), col("__tb_tot")))
+      .drop("__tb_cum")
+    uniform.unionByName(boundary)
+      .where(col("__tb_ne") >= 1)
+      .withColumn(epochCol, explode(sequence(lit(1), col("__tb_ne"))))
+      .select(df.columns.map(c => col(s"`$c`")) :+ col(s"`$epochCol`"): _*)
+  }
+
+  /** Exact per-stratum TOP-FRACTION selection by score ("keep each
+    * domain's best 25% by quality"): per stratum g with n_g rows, keeps
+    * the ceil(fraction * n_g) highest rows under the total order
+    * (score DESC, id ASC) — the per-group-QUANTILE filter of a quality
+    * pipeline, complementary to [[graft.functions.GroupSample
+    * .topKPerGroupByScore]] (fixed small k): here k_g is a data-dependent
+    * FRACTION of the stratum, far beyond any bounded-k aggregator.
+    *
+    * Scale shape — the [[byTokenBudget]] bucket trick transposed from
+    * hash order to SCORE order: a tiny per-stratum pass computes
+    * (n_g, min, max) score bounds; every row then maps to one of 256
+    * descending score-range buckets (map-side, broadcast stats join);
+    * per-(stratum, bucket) counts + a prefix sum classify buckets as
+    * fully-kept, fully-dropped, or the ONE rank-boundary bucket, and
+    * only that bucket (~1/256 of the stratum) ranks at doc granularity.
+    * Bucket order respects score order (equal scores share a bucket;
+    * the id tiebreak only ever applies within a bucket), so the result
+    * is EXACTLY the defining window row_number — without ever sorting a
+    * whole stratum in one partition. Degenerate case: an all-equal-score
+    * stratum collapses to one bucket and ranks fully (documented; it is
+    * also the only case that needs the full tiebreak).
+    *
+    * `fraction` should be exactly representable in binary (0.25, 0.5,
+    * 0.125…) so ceil(fraction*n) is bit-identical across engines; scores
+    * must be non-null (NULL ordering differs across engines).
+    */
+  def topFractionByScore(
+      df: DataFrame, strataCol: String, idCol: String, scoreCol: String,
+      fraction: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction in (0,1], got $fraction")
+    require(df.columns.forall(!_.startsWith("__tf_")),
+      s"topFractionByScore reserves the __tf_ column prefix; input has " +
+        df.columns.filter(_.startsWith("__tf_")).mkString(", "))
+    val st = col(s"`$strataCol`")
+    val id = col(s"`$idCol`")
+    val score = col(s"`$scoreCol`").cast("double")
+    val stats = df.groupBy(st.as("__tf_s")).agg(
+      count(lit(1)).as("__tf_n"),
+      min(score).as("__tf_min"), max(score).as("__tf_max"))
+      .withColumn("__tf_k", ceil(lit(fraction) * col("__tf_n")))
+    // Descending score-range bucket: b antitone in score, equal scores
+    // always share a bucket, so cross-bucket order == score order.
+    val bucket = when(col("s.__tf_max") === col("s.__tf_min"), lit(0))
+      .otherwise(least(lit(255), floor(
+        (col("s.__tf_max") - score) / (col("s.__tf_max") - col("s.__tf_min")) * 256)))
+      .cast("int")
+    val withB = df.as("r").join(broadcast(stats.as("s")),
+        col(s"r.`$strataCol`") <=> col("s.__tf_s"))
+      .select(df.columns.map(c => col(s"r.`$c`")) ++ Seq(
+        col("s.__tf_s"), col("s.__tf_k"), bucket.as("__tf_b")): _*)
+    val wBucket = Window.partitionBy("__tf_s").orderBy("__tf_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val meta = withB.groupBy(col("__tf_s"), col("__tf_b"))
+      .agg(count(lit(1)).as("__tf_cnt"), first(col("__tf_k")).as("__tf_kk"))
+      .withColumn("__tf_before", coalesce(sum(col("__tf_cnt")).over(wBucket), lit(0L)))
+      .withColumn("__tf_keep_all", col("__tf_before") + col("__tf_cnt") <= col("__tf_kk"))
+      .withColumn("__tf_boundary",
+        !col("__tf_keep_all") && col("__tf_before") < col("__tf_kk"))
+      .where(col("__tf_keep_all") || col("__tf_boundary"))
+      .select(col("__tf_s").as("__tf_ms"), col("__tf_b").as("__tf_mb"),
+        col("__tf_before"), col("__tf_kk"), col("__tf_keep_all"), col("__tf_boundary"))
+    val joined = withB.join(broadcast(meta),
+      col("__tf_s") <=> col("__tf_ms") && col("__tf_b") === col("__tf_mb"))
+    val wDoc = Window.partitionBy(col("__tf_s"), col("__tf_b"))
+      .orderBy(score.desc, id.asc)
+    val kept = joined.where(col("__tf_keep_all"))
+      .unionByName(joined.where(col("__tf_boundary"))
+        .withColumn("__tf_rk", row_number().over(wDoc))
+        .where(col("__tf_before") + col("__tf_rk") <= col("__tf_kk"))
+        .drop("__tf_rk"))
+    kept.select(df.columns.map(c => col(s"`$c`")): _*)
+  }
 }

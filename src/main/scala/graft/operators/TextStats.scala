@@ -176,4 +176,55 @@ object TextStats {
         size(kept).cast("long").as("n_kept"),
         array_join(kept, " ").as("scrubbed"))
   }
+
+  /** Exact top-`topV` vocabulary of a reference corpus: whitespace tokens
+    * ranked by (count DESC, token ASC) — a total order, so the cut is
+    * deterministic across engines even when counts tie at the boundary.
+    *
+    * Shape: one map-combinable token count (the only shuffle), then
+    * `orderBy.limit` — Catalyst compiles that pair to
+    * TakeOrderedAndProject, which ships at most `topV` rows per
+    * partition to the driver-side merge instead of globally sorting the
+    * vocabulary (VocabSpec pins the plan). @return (token, cnt).
+    */
+  def vocabulary(ref: DataFrame, textCol: String, topV: Int): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    ref.where(col(s"`$textCol`").isNotNull)
+      .select(explode(graft.functions.TextFns.tokens(col(s"`$textCol`"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topV)
+  }
+
+  /** Per-document out-of-vocabulary stats against a `vocabulary` frame
+    * ((token, …) — extra columns ignored): token count, OOV token count,
+    * OOV rate (0.0 for empty documents — no tokens is no evidence of
+    * vocabulary mismatch). The coverage signal for "will the tokenizer /
+    * LM built on corpus A handle corpus B": rising OOV marks domain
+    * drift, encoding damage, or language contamination.
+    *
+    * Shape: tokens explode map-side, the vocabulary joins as a broadcast
+    * (it is topV rows by construction), and the per-doc counts partial-
+    * aggregate before the one doc-keyed shuffle; empty docs re-enter by
+    * a left join on the (already doc-unique) input frame.
+    */
+  def oovStats(df: DataFrame, textCol: String, idCol: String,
+               vocab: DataFrame): DataFrame = {
+    val id = col(s"`$idCol`")
+    val tok = df.where(col(s"`$textCol`").isNotNull)
+      .select(id.as("id"),
+        explode(graft.functions.TextFns.tokens(col(s"`$textCol`"))).as("__t"))
+    val voc = broadcast(vocab.select(col("token").as("__vt")).distinct())
+    val st = tok.join(voc, tok("__t") === voc("__vt"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__vt").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.where(col(s"`$textCol`").isNotNull).select(id.as("id"))
+      .join(st, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
 }

@@ -319,6 +319,71 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // EPOCH-weighted mixture filling — the upsampling half of corpus
+    // mixing: strata whose budget exceeds their token count repeat for
+    // whole epochs plus one fractional hash-prefix pass, capped at
+    // maxEpochs; oversupplied strata degrade to the q83 downsample. The
+    // budgets hit all three regimes on this corpus: en downsampled,
+    // de ~2.5 epochs (boundary inside epoch 3), the rest at the cap.
+    // Oracle = the defining inequality over a window cumsum +
+    // generate_series.
+    "q90_epoch_mixture" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.epochsToBudget(docs, "lang", "doc_id",
+          "n_tokens", Map("en" -> 6000L, "de" -> 9000L),
+          maxEpochs = 4, defaultBudget = 20000L)
+        .orderBy("lang", "doc_id", "epoch")
+    }),
+
+    // Exact per-language top-25% by mean token length — the per-group
+    // QUANTILE filter (data-dependent k far beyond bounded-k): the
+    // score-bucketed prefix-sum shape ranks only each stratum's single
+    // rank-boundary bucket at doc granularity. Oracle = the defining
+    // row_number window against ceil(f * n).
+    "q91_quality_quantile" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          TextFns.meanTokenLen(col("text")).as("score"))
+      graft.operators.Sampling.topFractionByScore(docs, "lang", "doc_id",
+          "score", fraction = 0.25)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Leakage-safe train/val/test assignment: the split decision hashes
+    // the content FINGERPRINT (q31 dedup-key convention), so every
+    // normalized-identical copy of a document lands in the same split —
+    // map-side, zero shuffle, append-stable. Fractions are binary-exact
+    // (0.75/0.125/0.125) so the cumulative hex thresholds are engine-
+    // reproducible digit for digit.
+    "q92_split_assign" -> ((s, dir) => {
+      graft.corpus.Splits.exactDupSafe(
+          Tables(s, dir, "documents").where(col("text").isNotNull),
+          "text", "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary coverage: build the exact top-64 token vocabulary from
+    // the held-out reference slice (ids % 97 == 0, the q68 convention),
+    // then score every corpus document's OOV rate against it — the
+    // domain-drift / tokenizer-coverage signal. Vocabulary cut is the
+    // total order (count DESC, token ASC) via TakeOrderedAndProject;
+    // stats join the vocab as a broadcast.
+    "q93_vocab_oov" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+      val vocab = graft.operators.TextStats.vocabulary(
+        docs.where(pmod(col("doc_id"), lit(97)) === 0), "text", topV = 64)
+      graft.operators.TextStats.oovStats(
+          docs.where(pmod(col("doc_id"), lit(97)) =!= 0), "text", "doc_id", vocab)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition filter: documents whose single most frequent
     // word 2-gram takes > 10% of all their 2-grams (boilerplate /
     // generated-text signal).
@@ -1206,6 +1271,60 @@ object TextQueries {
         | WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
         |   ELSE 1500 END
         | ORDER BY lang, doc_id""".stripMargin.replaceAll("\n", " "),
+    "q90_epoch_mixture" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens
+        | FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT lang, doc_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n_tokens) OVER (PARTITION BY lang) AS tot,
+        |  CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 9000 ELSE 20000 END AS b
+        | FROM d),
+        | e AS (SELECT lang, doc_id, n_tokens,
+        |  CASE WHEN cum > b THEN 0 WHEN tot = 0 THEN 4
+        |       ELSE least(4, (b - cum) // tot + 1) END AS ne FROM c)
+        | SELECT lang, doc_id, n_tokens,
+        |   CAST(unnest(generate_series(1, CAST(ne AS BIGINT))) AS INTEGER) AS epoch
+        | FROM e WHERE ne >= 1 ORDER BY lang, doc_id, epoch""".stripMargin.replaceAll("\n", " "),
+    "q91_quality_quantile" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tok,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE list_aggregate(list_transform(regexp_split_to_array(trim(text),'\s+'), t -> length(t)), 'sum') END AS sum_len
+        | FROM documents WHERE text IS NOT NULL),
+        | sc AS (SELECT lang, doc_id,
+        |  CASE WHEN n_tok=0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE)/n_tok END AS score FROM d)
+        | SELECT lang, doc_id, round(score, 6) AS score FROM sc
+        | QUALIFY row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+        |   <= ceil(0.25 * count(*) OVER (PARTITION BY lang))
+        | ORDER BY lang, doc_id""".stripMargin.replaceAll("\n", " "),
+    "q92_split_assign" ->
+      s"""WITH k AS (SELECT doc_id,
+        |  CASE WHEN $normSql = '' THEN '__empty__:' || CAST(doc_id AS VARCHAR)
+        |       ELSE md5($normSql) END AS key
+        | FROM documents WHERE text IS NOT NULL)
+        | SELECT doc_id,
+        |  CASE WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.75)}' THEN 'train'
+        |       WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.875)}' THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM k ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q93_vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(ts) AS t FROM (
+        |   SELECT doc_id, CASE WHEN trim(text)='' THEN [] ELSE regexp_split_to_array(trim(text),'\s+') END AS ts
+        |   FROM documents WHERE text IS NOT NULL)),
+        | voc AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok WHERE doc_id % 97 = 0 GROUP BY t)
+        |         ORDER BY c DESC, t LIMIT 64),
+        | st AS (SELECT tok.doc_id AS doc_id, count(*) AS n_tokens,
+        |         CAST(sum(CASE WHEN voc.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |        FROM tok LEFT JOIN voc ON tok.t = voc.t
+        |        WHERE tok.doc_id % 97 <> 0 GROUP BY tok.doc_id)
+        | SELECT d.doc_id, coalesce(st.n_tokens, 0) AS n_tokens,
+        |   coalesce(st.n_oov, 0) AS n_oov,
+        |   round(CASE WHEN coalesce(st.n_tokens, 0) = 0 THEN 0.0
+        |         ELSE CAST(st.n_oov AS DOUBLE)/st.n_tokens END, 6) AS oov_rate
+        | FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL AND doc_id % 97 <> 0) d
+        | LEFT JOIN st ON d.doc_id = st.doc_id ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     "q65_repetition" ->
       """SELECT doc_id, n_ngrams, round(top_fraction, 6) AS top_fraction FROM (
         | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,

@@ -221,6 +221,43 @@ class PlanQualitySpec extends SparkSuite {
       "bucket-partitioned prefix-sum window missing from the assembly plan")
   }
 
+  test("q90/q91 stratified selection never funnels a stratum through one partition") {
+    // Both ride the bucket-prefix-sum shape: the doc-granularity window
+    // partitions on (stratum, bucket), never on the stratum alone, and
+    // the tiny per-bucket meta frames join back as broadcasts. The only
+    // SinglePartition exchange allowed is the final presentation sort's
+    // range-partition fallback (none at this SF).
+    Seq("q90_epoch_mixture" -> "__tb_b", "q91_quality_quantile" -> "__tf_b")
+      .foreach { case (q, bucketCol) =>
+        val plan = formatted(q)
+        assert(!plan.contains("SinglePartition"),
+          s"$q: single-partition exchange leaked into the plan")
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$q: per-bucket meta must join back as a broadcast")
+        // the doc window keys on the composite (stratum, bucket), so its
+        // exchange hash-partitions on the bucket column too
+        assert(plan.linesIterator.exists(l =>
+          l.contains("hashpartitioning(") && l.contains(bucketCol)),
+          s"$q: bucket-partitioned window missing")
+      }
+  }
+
+  test("q92 split assignment is map-side: the only exchange is the output sort") {
+    val plan = formatted("q92_split_assign")
+    assert(!plan.contains("hashpartitioning"),
+      "split assignment must not shuffle — the decision is per-row")
+    assert(!plan.contains("Join"))
+    assert("rangepartitioning".r.findAllIn(plan).size === 1)  // presentation sort
+  }
+
+  test("q93 vocabulary cut is a distributed top-k and joins as a broadcast") {
+    val plan = formatted("q93_vocab_oov")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "vocabulary cut must be per-partition heaps, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the topV vocabulary must broadcast to the token stream")
+  }
+
   test("q32/q33 text metrics run fully inside whole-stage codegen") {
     Seq("q32_token_count", "q33_quality").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf("sf0.01"))

@@ -144,4 +144,133 @@ class SamplingStatsSpec extends SparkSuite {
     assert(out(2L)._1 === 4L && math.abs(out(2L)._2 - 0.25) < 1e-12)
     assert(out(3L) === ((1L, 1.0)))
   }
+
+  // --- epoch-weighted mixture filling -------------------------------------
+
+  /** The defining rule, computed naively with a per-stratum window:
+    * n_epochs(d) = |{k <= maxE : (k-1)*T + cum(d) <= B}|.
+    */
+  private def epochsNaive(docs: org.apache.spark.sql.DataFrame,
+                          budget: org.apache.spark.sql.Column,
+                          maxE: Int) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    docs.withColumn("cum", sum("len").over(w))
+      .withColumn("tot", sum("len").over(wAll))
+      .withColumn("ne", when(col("cum") > budget, lit(0))
+        .when(col("tot") === 0L, lit(maxE))
+        .otherwise(least(lit(maxE.toLong),
+          floor((budget - col("cum")) / col("tot")).cast("long") + 1L)).cast("int"))
+      .where(col("ne") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1), col("ne"))))
+      .select("doc_id", "epoch")
+  }
+
+  test("epochsToBudget matches the defining inequality across all regimes") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+        element_at(array(lit("web"), lit("books"), lit("wiki")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("src"),
+        (pmod(col("id"), lit(7)) + 1).cast("long").as("len"))
+    // web: downsample (T ~ 400 > B=150); books: ~2.5 epochs (B=1000);
+    // wiki: capped at maxEpochs (B huge).
+    val budgets = Map("web" -> 150L, "books" -> 1000L, "wiki" -> 100000L)
+    val got = Sampling.epochsToBudget(docs, "src", "doc_id", "len",
+        budgets, maxEpochs = 4)
+      .select("doc_id", "epoch").as[(Long, Int)].collect().toSet
+    val budgetCol = when(col("src") === "web", 150L)
+      .when(col("src") === "books", 1000L).otherwise(100000L)
+    val want = epochsNaive(docs, budgetCol, 4)
+      .as[(Long, Int)].collect().toSet
+    assert(got === want && got.nonEmpty)
+    // regime sanity: some web doc dropped entirely, some books doc has
+    // epochs 1..2 but not 4, every wiki doc appears exactly 4 times
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val wikiIds = docs.where(col("src") === "wiki").select("doc_id")
+      .as[Long].collect()
+    assert(wikiIds.forall(byDoc.get(_).contains(4)))
+    assert(docs.where(col("src") === "web").select("doc_id").as[Long]
+      .collect().exists(!byDoc.contains(_)))
+  }
+
+  test("epochsToBudget: epochs are contiguous 1..n and layout-independent") {
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(4))).as("src"),
+        (pmod(col("id"), lit(5)) + 1).cast("long").as("len"))
+    val a = Sampling.epochsToBudget(docs, "src", "doc_id", "len",
+        Map.empty, maxEpochs = 3, defaultBudget = 400L)
+      .select("doc_id", "epoch").as[(Long, Int)].collect()
+    val b = Sampling.epochsToBudget(docs.repartition(13), "src", "doc_id", "len",
+        Map.empty, maxEpochs = 3, defaultBudget = 400L)
+      .select("doc_id", "epoch").as[(Long, Int)].collect()
+    assert(a.sorted.toSeq === b.sorted.toSeq)
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      val es = rows.map(_._2).sorted.toSeq
+      assert(es === (1 to es.max))                   // no gaps, no dups
+    }
+  }
+
+  test("epochsToBudget with maxEpochs=1 is exactly byTokenBudget") {
+    val docs = spark.range(250).select(col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(3))).as("src"),
+        (pmod(col("id"), lit(9)) + 1).cast("long").as("len"))
+    val viaEpochs = Sampling.epochsToBudget(docs, "src", "doc_id", "len",
+        Map("s0" -> 120L), maxEpochs = 1, defaultBudget = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    val viaBudget = Sampling.byTokenBudget(docs, "src", "doc_id", "len",
+        Map("s0" -> 120L), defaultBudget = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaEpochs === viaBudget && viaEpochs.nonEmpty)
+  }
+
+  test("epochsToBudget: zero-token stratum replicates maxEpochs times; guards fire") {
+    val docs = Seq((1L, "z", 0L), (2L, "z", 0L)).toDF("doc_id", "src", "len")
+    val got = Sampling.epochsToBudget(docs, "src", "doc_id", "len",
+        Map("z" -> 10L), maxEpochs = 3)
+      .select("doc_id", "epoch").as[(Long, Int)].collect().toSet
+    assert(got === Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2), (2L, 3)))
+    intercept[IllegalArgumentException] {
+      Sampling.epochsToBudget(docs.withColumnRenamed("len", "epoch"),
+        "src", "doc_id", "epoch", Map("z" -> 1L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochsToBudget(docs, "src", "doc_id", "len", Map("z" -> 1L),
+        maxEpochs = 0)
+    }
+  }
+
+  // --- per-stratum top-fraction by score ----------------------------------
+
+  test("topFractionByScore matches the defining window, ties included") {
+    val docs = spark.range(400).select(col("id").as("doc_id"),
+        concat(lit("g"), pmod(col("id"), lit(5))).as("src"),
+        // heavy ties: only 11 distinct scores per stratum
+        pmod(col("id") * 37, lit(11)).cast("double").as("score"))
+    val got = Sampling.topFractionByScore(docs, "src", "doc_id", "score", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(col("score").desc, col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val want = docs.withColumn("rk", row_number().over(w))
+      .withColumn("k", ceil(lit(0.25) * count(lit(1)).over(wAll)))
+      .where(col("rk") <= col("k"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("topFractionByScore: all-equal-score stratum and fraction=1.0 degenerate exactly") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+        lit("only").as("src"), lit(2.5).as("score"))
+    // all scores equal -> ties broken by id: the ceil(0.25*100)=25 lowest ids
+    val got = Sampling.topFractionByScore(docs, "src", "doc_id", "score", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === (0L until 25L).toSet)
+    assert(Sampling.topFractionByScore(docs, "src", "doc_id", "score", 1.0)
+      .count() === 100L)
+    intercept[IllegalArgumentException] {
+      Sampling.topFractionByScore(docs.withColumn("__tf_b", lit(1)),
+        "src", "doc_id", "score", 0.5)
+    }
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corpus.Splits
+import graft.operators.{Dedup, TextStats}
+
+class SplitsVocabSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fr = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+
+  test("exactDupSafe: normalized-identical copies always share a split") {
+    val docs = Seq(
+      (1L, "The quick brown fox!"),
+      (2L, "the   quick brown fox"),      // same after normalization
+      (3L, "THE QUICK, BROWN FOX"),       // same after normalization
+      (4L, "a different document entirely"),
+      (5L, "a different document entirely")
+    ).toDF("doc_id", "text")
+    val got = Splits.exactDupSafe(docs, "text", "doc_id", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size === 5 && got.values.forall(Set("train", "val", "test")))
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L))
+  }
+
+  test("split assignment is map-side (no shuffle) and append-stable") {
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("doc body number "), col("id")).as("text"))
+    val out = Splits.exactDupSafe(docs, "text", "doc_id", fr)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split assignment must not shuffle:\n$plan")
+    // fractions roughly honored over 2000 singleton groups
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") / 2000.0 - 0.75) < 0.05)
+    assert(math.abs(counts("val") / 2000.0 - 0.125) < 0.03)
+    assert(math.abs(counts("test") / 2000.0 - 0.125) < 0.03)
+    // append-stability: the first 500 docs keep their split in a larger corpus
+    val small = Splits.exactDupSafe(
+        docs.where(col("doc_id") < 500), "text", "doc_id", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val large = out.where(col("doc_id") < 500)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(small === large)
+  }
+
+  test("blank documents stay singleton groups (no corpus-wide collapse)") {
+    val docs = spark.range(200).select(col("id").as("doc_id"), lit("   ").as("text"))
+    val counts = Splits.exactDupSafe(docs, "text", "doc_id", fr)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // 200 independent hash draws: all three splits should be populated
+    assert(counts.keySet === Set("train", "val", "test"))
+  }
+
+  test("near-dup-safe splits compose with connected components") {
+    val docs = Seq(
+      (1L, "alpha"), (2L, "alpha-ish"), (3L, "alpha-like"),   // one component
+      (4L, "beta"), (5L, "beta-ish"),                         // another
+      (6L, "gamma")                                           // isolated
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)   // (id, label = cluster-min id)
+    val keyed = docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("label"), col("doc_id")))
+    val got = Splits.byGroupKey(keyed, "grp", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L))
+    assert(got.size === 6)
+  }
+
+  test("splitExpr guards: fractions validated, last split absorbs the remainder") {
+    val one = Splits.byGroupKey(Seq((1L, "k")).toDF("id", "grp"), "grp",
+      Seq("all" -> 1.0))
+    assert(one.select("split").as[String].collect().toSeq === Seq("all"))
+    intercept[IllegalArgumentException] {
+      Splits.splitExpr(lit("x"), Seq("a" -> 0.9, "b" -> 0.2))  // sums > 1
+    }
+    intercept[IllegalArgumentException] {
+      Splits.splitExpr(lit("x"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Splits.byGroupKey(Seq((1L, "k", "x")).toDF("id", "grp", "split"), "grp", fr)
+    }
+  }
+
+  test("vocabulary: exact top-V under (count DESC, token ASC), scale-shaped plan") {
+    val docs = Seq(
+      (1L, "b b b a a c"), (2L, "a a b d"), (3L, "e e e e d")
+    ).toDF("doc_id", "text")
+    // counts: a=4 b=4 e=4 d=2 c=1 -> top3 by (cnt desc, tok asc) = a, b, e
+    val vocab = TextStats.vocabulary(docs, "text", topV = 3)
+    assert(vocab.select("token").as[String].collect().toSet === Set("a", "b", "e"))
+    val plan = vocab.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary cut must be a distributed top-k, not a global sort:\n$plan")
+  }
+
+  test("oovStats: hand-checked rates; empty docs read 0.0; vocab joins broadcast") {
+    val vocab = TextStats.vocabulary(
+      Seq((0L, "the cat sat")).toDF("doc_id", "text"), "text", topV = 10)
+    val corpus = Seq(
+      (1L, "the cat sat"),            // 0/3 OOV
+      (2L, "the dog ran"),            // 2/3 OOV
+      (3L, "zebra quark"),            // 2/2 OOV
+      (4L, "   ")                     // empty -> rate 0.0
+    ).toDF("doc_id", "text")
+    val got = TextStats.oovStats(corpus, "text", "doc_id", vocab)
+    val rows = got.select("id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L) === ((1L, 3L, 0L, 0.0)))
+    assert(rows(2L)._3 === 2L && math.abs(rows(2L)._4 - 2.0 / 3) < 1e-12)
+    assert(rows(3L) === ((3L, 2L, 2L, 1.0)))
+    assert(rows(4L) === ((4L, 0L, 0L, 0.0)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary must join as a broadcast:\n$plan")
+  }
+}
