@@ -43,14 +43,27 @@ object Splits {
     val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     require(cum.last <= 1.0 + 1e-9, s"split fractions sum to ${cum.last} > 1")
     val h = md5(groupKey.cast("string"))
-    fractions.init.zip(cum.init).foldLeft(when(lit(false), lit(""))) {
-      case (acc, ((name, _), c)) =>
-        acc.when(h < lit(Sampling.hexThreshold(c)), lit(name))
-    }.otherwise(lit(fractions.last._1))
+    val assigned = fractions.init.zip(cum.init)
+      .foldLeft(when(lit(false), lit(""))) {
+        case (acc, ((name, _), c)) =>
+          acc.when(h < lit(Sampling.hexThreshold(c)), lit(name))
+      }.otherwise(lit(fractions.last._1))
+    // NULL keys would all fall through to the last split — fail loudly
+    // in-plan instead (keeps the operator lazy and map-side).
+    when(groupKey.isNull,
+      raise_error(lit("Splits: NULL group key — coalesce optional group " +
+        "keys to a row id before assigning splits")).cast("string"))
+      .otherwise(assigned)
   }
 
   /** Assign every row a split keyed on `groupKeyCol`: rows sharing a
     * group key always share a split. Map-side, zero shuffle.
+    *
+    * A NULL group key hashes to NULL and would silently co-assign every
+    * null-keyed row to the last split — the expression raises instead
+    * (in-plan, so the operator stays lazy and shuffle-free; callers
+    * with optional grouping coalesce to the row id first, as the
+    * near-dup composition in SplitsVocabSpec does).
     */
   def byGroupKey(df: DataFrame, groupKeyCol: String,
                  fractions: Seq[(String, Double)],
@@ -73,7 +86,11 @@ object Splits {
                    splitCol: String = "split"): DataFrame = {
     require(!df.columns.contains(splitCol),
       s"split column '$splitCol' collides with an input column")
-    val key = when(length(trim(col(s"`$textCol`"))) === 0,
+    // NULL text gets the same singleton fallback as blank text (a null
+    // document is nobody's duplicate) rather than tripping the NULL-key
+    // guard in splitExpr.
+    val key = when(col(s"`$textCol`").isNull ||
+        length(trim(col(s"`$textCol`"))) === 0,
         concat(lit("__empty__:"), col(s"`$idCol`").cast("string")))
       .otherwise(TextFns.fingerprint(col(s"`$textCol`")))
     df.withColumn(splitCol, splitExpr(key, fractions))

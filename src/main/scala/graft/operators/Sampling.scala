@@ -252,6 +252,30 @@ object Sampling {
       .select(df.columns.map(c => col(s"`$c`")) :+ col(s"`$epochCol`"): _*)
   }
 
+  /** SCORE-PROPORTIONAL (soft) sampling: keep each row with its OWN
+    * probability, read from `probCol` (clamped to [0,1]) — the CCNet-ish
+    * "retain in proportion to quality" knob, where hard thresholds are
+    * too blunt (a 0.49-scoring doc shouldn't always lose to a 0.51).
+    * The uniform draw is the engine's standard md5 dyadic rational
+    * ((conv(md5(id ":" seed)[0,8), 16) + 0.5) / 2³²) — the
+    * [[graft.operators.Selection]] noise convention — so the decision
+    * is a pure function of (id, seed, probability): reproducible across
+    * runs, partitionings, and engines, and append-stable like
+    * [[byHash]]. Map-side predicate, zero shuffle, zero state.
+    */
+  def byScoreProbability(df: DataFrame, idCol: String, probCol: String,
+                         seed: Long = 0L): DataFrame =
+    df.where(byScoreProbabilityPredicate(
+      col(s"`$idCol`"), col(s"`$probCol`"), seed))
+
+  /** The soft-sampling predicate as a Column (for composing). */
+  def byScoreProbabilityPredicate(id: Column, prob: Column,
+                                  seed: Long): Column = {
+    val u = (conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))),
+        1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    u < least(lit(1.0), greatest(lit(0.0), prob.cast("double")))
+  }
+
   /** Exact per-stratum TOP-FRACTION selection by score ("keep each
     * domain's best 25% by quality"): per stratum g with n_g rows, keeps
     * the ceil(fraction * n_g) highest rows under the total order
@@ -276,7 +300,9 @@ object Sampling {
     *
     * `fraction` should be exactly representable in binary (0.25, 0.5,
     * 0.125…) so ceil(fraction*n) is bit-identical across engines; scores
-    * must be non-null (NULL ordering differs across engines).
+    * must be non-null and non-NaN (NULL/NaN ordering differs across
+    * engines, and NaN poisons the min/max bucket bounds) — filter or
+    * coalesce first, as [[graft.functions.GroupSample]] does.
     */
   def topFractionByScore(
       df: DataFrame, strataCol: String, idCol: String, scoreCol: String,

@@ -384,6 +384,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Score-proportional soft sampling: each doc keeps with probability
+    // = min(1, n_tokens/40) — quality-proportional retention instead of
+    // a hard cut. Map-side md5 dyadic uniform (the q89 noise
+    // convention), oracle mirrors draw + clamp verbatim.
+    "q94_soft_sample" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("keep_p", least(lit(1.0), col("n_tokens") / 40.0))
+      graft.operators.Sampling.byScoreProbability(docs, "doc_id", "keep_p", seed = 7L)
+        .select(col("doc_id"), col("n_tokens"), round(col("keep_p"), 6).as("keep_p"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition filter: documents whose single most frequent
     // word 2-gram takes > 10% of all their 2-grams (boilerplate /
     // generated-text signal).
@@ -1309,6 +1323,15 @@ object TextQueries {
         |       WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.875)}' THEN 'val'
         |       ELSE 'test' END AS split
         | FROM k ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q94_soft_sample" ->
+      """SELECT doc_id, n_tokens, round(keep_p, 6) AS keep_p FROM (
+        | SELECT doc_id, n_tokens, least(1.0, n_tokens / 40.0) AS keep_p FROM (
+        |  SELECT doc_id, CASE WHEN trim(text)='' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL))
+        | WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS BIGINT) + 0.5)
+        |       / 4294967296.0 < least(1.0, greatest(0.0, keep_p))
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q93_vocab_oov" ->
       """WITH tok AS (SELECT doc_id, unnest(ts) AS t FROM (
         |   SELECT doc_id, CASE WHEN trim(text)='' THEN [] ELSE regexp_split_to_array(trim(text),'\s+') END AS ts

@@ -240,6 +240,28 @@ class SamplingStatsSpec extends SparkSuite {
     }
   }
 
+  test("score-proportional soft sampling: clamped, seeded, deterministic, proportional") {
+    val df = spark.range(20000).toDF("id")
+      .withColumn("p", (col("id") % 100) / 100.0)
+    val kept = Sampling.byScoreProbability(df, "id", "p", seed = 1L)
+    // keep rate tracks the mean probability (~0.495) on 20k rows
+    val rate = kept.count() / 20000.0
+    assert(math.abs(rate - 0.495) < 0.03, s"keep rate $rate")
+    // p <= 0 never keeps, p >= 1 always keeps (clamp both ends)
+    val edges = Seq((1L, -0.5), (2L, 0.0), (3L, 1.0), (4L, 7.0)).toDF("id", "p")
+    val eKept = Sampling.byScoreProbability(edges, "id", "p", seed = 1L)
+      .select("id").as[Long].collect().toSet
+    assert(eKept === Set(3L, 4L))
+    // deterministic under repartitioning; different seed, different draw
+    val a = kept.select("id").as[Long].collect().toSet
+    val b = Sampling.byScoreProbability(df.repartition(17), "id", "p", seed = 1L)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    val c = Sampling.byScoreProbability(df, "id", "p", seed = 2L)
+      .select("id").as[Long].collect().toSet
+    assert(a !== c)
+  }
+
   // --- per-stratum top-fraction by score ----------------------------------
 
   test("topFractionByScore matches the defining window, ties included") {

@@ -69,6 +69,22 @@ class SplitsVocabSpec extends SparkSuite {
     assert(got.size === 6)
   }
 
+  test("NULL group keys fail loudly in-plan; NULL text falls back to a singleton group") {
+    val bad = Seq((1L, null.asInstanceOf[String]), (2L, "k"))
+      .toDF("id", "grp")
+    val e = intercept[Exception] {
+      Splits.byGroupKey(bad, "grp", fr).collect()
+    }
+    assert(e.getMessage.contains("NULL group key") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL group key")))
+    // null text is nobody's duplicate: singleton fallback, no raise
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "real text"))
+      .toDF("doc_id", "text")
+    val got = Splits.exactDupSafe(docs, "text", "doc_id", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size === 2 && got.values.forall(Set("train", "val", "test")))
+  }
+
   test("splitExpr guards: fractions validated, last split absorbs the remainder") {
     val one = Splits.byGroupKey(Seq((1L, "k")).toDF("id", "grp"), "grp",
       Seq("all" -> 1.0))
