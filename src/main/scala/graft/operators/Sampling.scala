@@ -310,18 +310,92 @@ object Sampling {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(fraction > 0.0 && fraction <= 1.0, s"fraction in (0,1], got $fraction")
+    val id = col(s"`$idCol`")
+    val score = col(s"`$scoreCol`").cast("double")
+    val j = scoreBucketed(df, strataCol, scoreCol)
+    val k = ceil(lit(fraction) * col("__tf_n"))
+    val keepAll = col("__tf_before") + col("__tf_cnt") <= k
+    val boundary = !keepAll && col("__tf_before") < k
+    val wDoc = Window.partitionBy(col("__tf_s"), col("__tf_b"))
+      .orderBy(score.desc, id.asc)
+    val kept = j.where(keepAll)
+      .unionByName(j.where(boundary)
+        .withColumn("__tf_rk", row_number().over(wDoc))
+        .where(col("__tf_before") + col("__tf_rk") <= k)
+        .drop("__tf_rk"))
+    kept.select(df.columns.map(c => col(s"`$c`")): _*)
+  }
+
+  /** Per-stratum PERCENTILE TIERING ("head / middle / tail by LM score",
+    * the CCNet bucketing): label every row with the tier its rank under
+    * (score DESC, id ASC) falls into — `labels` is ordered (name,
+    * fraction), rank r takes the first label whose cumulative
+    * ceil(c·n_g) bound covers it, and the LAST label absorbs the
+    * remainder to 1.0. Labeling, not filtering: downstream mixes stream
+    * each tier at its own rate (head to pre-training, tail to filtering
+    * review) without re-ranking.
+    *
+    * Same machinery and exactness argument as [[topFractionByScore]],
+    * generalized from one rank line to `labels.size - 1` of them: a
+    * score-range bucket whose rank interval crosses no tier boundary
+    * takes its label as a CONSTANT (no doc-granularity work); only the
+    * ≤ labels.size-1 boundary-crossing buckets per stratum rank at doc
+    * granularity. Same caveats: binary-exact fractions, non-null
+    * non-NaN scores.
+    */
+  def percentileBuckets(
+      df: DataFrame, strataCol: String, idCol: String, scoreCol: String,
+      labels: Seq[(String, Double)], tierCol: String = "tier"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(labels.size >= 2, "at least two tiers required")
+    require(labels.forall(_._2 > 0.0), "tier fractions must be > 0")
+    val cum = labels.map(_._2).scanLeft(0.0)(_ + _).tail
+    require(cum.last <= 1.0 + 1e-9, s"tier fractions sum to ${cum.last} > 1")
+    require(!df.columns.contains(tierCol),
+      s"tier column '$tierCol' collides with an input column")
+    val id = col(s"`$idCol`")
+    val score = col(s"`$scoreCol`").cast("double")
+    val j = scoreBucketed(df, strataCol, scoreCol)
+    def labelOf(r: Column): Column =
+      labels.init.zip(cum.init).foldLeft(when(lit(false), lit(""))) {
+        case (acc, ((name, _), c)) =>
+          acc.when(r <= ceil(lit(c) * col("__tf_n")), lit(name))
+      }.otherwise(lit(labels.last._1))
+    val loLabel = labelOf(col("__tf_before") + 1)                    // bucket's first rank
+    val hiLabel = labelOf(col("__tf_before") + col("__tf_cnt"))      // bucket's last rank
+    val wDoc = Window.partitionBy(col("__tf_s"), col("__tf_b"))
+      .orderBy(score.desc, id.asc)
+    val uniform = j.where(loLabel === hiLabel).withColumn(tierCol, loLabel)
+    val crossing = j.where(loLabel =!= hiLabel)
+      .withColumn("__tf_rk", row_number().over(wDoc))
+      .withColumn(tierCol, labelOf(col("__tf_before") + col("__tf_rk")))
+      .drop("__tf_rk")
+    uniform.unionByName(crossing)
+      .select(df.columns.map(c => col(s"`$c`")) :+ col(s"`$tierCol`"): _*)
+  }
+
+  /** Shared core of the score-rank machinery: every row joined with its
+    * stratum's (score-range bucket, rows-before-bucket count, bucket
+    * count, stratum count) — all rank classification happens at bucket
+    * granularity downstream; callers rank docs only inside buckets a
+    * rank line crosses. Adds __tf_s/__tf_n/__tf_b/__tf_before/__tf_cnt
+    * to the caller's columns. Descending score-range buckets: the index
+    * is antitone in score and equal scores always share a bucket, so
+    * cross-bucket order IS score order and the id tiebreak only ever
+    * applies within one bucket.
+    */
+  private def scoreBucketed(df: DataFrame, strataCol: String,
+                            scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(df.columns.forall(!_.startsWith("__tf_")),
-      s"topFractionByScore reserves the __tf_ column prefix; input has " +
+      s"score-rank operators reserve the __tf_ column prefix; input has " +
         df.columns.filter(_.startsWith("__tf_")).mkString(", "))
     val st = col(s"`$strataCol`")
-    val id = col(s"`$idCol`")
     val score = col(s"`$scoreCol`").cast("double")
     val stats = df.groupBy(st.as("__tf_s")).agg(
       count(lit(1)).as("__tf_n"),
       min(score).as("__tf_min"), max(score).as("__tf_max"))
-      .withColumn("__tf_k", ceil(lit(fraction) * col("__tf_n")))
-    // Descending score-range bucket: b antitone in score, equal scores
-    // always share a bucket, so cross-bucket order == score order.
     val bucket = when(col("s.__tf_max") === col("s.__tf_min"), lit(0))
       .otherwise(least(lit(255), floor(
         (col("s.__tf_max") - score) / (col("s.__tf_max") - col("s.__tf_min")) * 256)))
@@ -329,27 +403,16 @@ object Sampling {
     val withB = df.as("r").join(broadcast(stats.as("s")),
         col(s"r.`$strataCol`") <=> col("s.__tf_s"))
       .select(df.columns.map(c => col(s"r.`$c`")) ++ Seq(
-        col("s.__tf_s"), col("s.__tf_k"), bucket.as("__tf_b")): _*)
+        col("s.__tf_s"), col("s.__tf_n"), bucket.as("__tf_b")): _*)
     val wBucket = Window.partitionBy("__tf_s").orderBy("__tf_b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val meta = withB.groupBy(col("__tf_s"), col("__tf_b"))
-      .agg(count(lit(1)).as("__tf_cnt"), first(col("__tf_k")).as("__tf_kk"))
+      .agg(count(lit(1)).as("__tf_cnt"))
       .withColumn("__tf_before", coalesce(sum(col("__tf_cnt")).over(wBucket), lit(0L)))
-      .withColumn("__tf_keep_all", col("__tf_before") + col("__tf_cnt") <= col("__tf_kk"))
-      .withColumn("__tf_boundary",
-        !col("__tf_keep_all") && col("__tf_before") < col("__tf_kk"))
-      .where(col("__tf_keep_all") || col("__tf_boundary"))
       .select(col("__tf_s").as("__tf_ms"), col("__tf_b").as("__tf_mb"),
-        col("__tf_before"), col("__tf_kk"), col("__tf_keep_all"), col("__tf_boundary"))
-    val joined = withB.join(broadcast(meta),
-      col("__tf_s") <=> col("__tf_ms") && col("__tf_b") === col("__tf_mb"))
-    val wDoc = Window.partitionBy(col("__tf_s"), col("__tf_b"))
-      .orderBy(score.desc, id.asc)
-    val kept = joined.where(col("__tf_keep_all"))
-      .unionByName(joined.where(col("__tf_boundary"))
-        .withColumn("__tf_rk", row_number().over(wDoc))
-        .where(col("__tf_before") + col("__tf_rk") <= col("__tf_kk"))
-        .drop("__tf_rk"))
-    kept.select(df.columns.map(c => col(s"`$c`")): _*)
+        col("__tf_before"), col("__tf_cnt"))
+    withB.join(broadcast(meta),
+        col("__tf_s") <=> col("__tf_ms") && col("__tf_b") === col("__tf_mb"))
+      .drop("__tf_ms", "__tf_mb")
   }
 }

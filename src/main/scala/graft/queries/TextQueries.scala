@@ -384,6 +384,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style percentile tiering: label each doc head/middle/tail by
+    // its per-language mean-token-length rank (25/50/25) — labeling, not
+    // filtering, so downstream mixes stream tiers at their own rates.
+    // Same bucket machinery as q91 generalized to two rank lines; oracle
+    // is the defining window rank against the ceil boundaries.
+    "q95_percentile_tiers" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          TextFns.meanTokenLen(col("text")).as("score"))
+      graft.operators.Sampling.percentileBuckets(docs, "lang", "doc_id",
+          "score", Seq("head" -> 0.25, "middle" -> 0.5, "tail" -> 0.25))
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("lang", "doc_id")
+    }),
+
     // Score-proportional soft sampling: each doc keeps with probability
     // = min(1, n_tokens/40) — quality-proportional retention instead of
     // a hard cut. Map-side md5 dyadic uniform (the q89 noise
@@ -1323,6 +1338,21 @@ object TextQueries {
         |       WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.875)}' THEN 'val'
         |       ELSE 'test' END AS split
         | FROM k ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q95_percentile_tiers" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tok,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE list_aggregate(list_transform(regexp_split_to_array(trim(text),'\s+'), t -> length(t)), 'sum') END AS sum_len
+        | FROM documents WHERE text IS NOT NULL),
+        | sc AS (SELECT lang, doc_id,
+        |  CASE WHEN n_tok=0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE)/n_tok END AS score FROM d),
+        | rk AS (SELECT lang, doc_id, score,
+        |  row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS r,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM sc)
+        | SELECT lang, doc_id, round(score, 6) AS score,
+        |  CASE WHEN r <= ceil(0.25 * n) THEN 'head'
+        |       WHEN r <= ceil(0.75 * n) THEN 'middle'
+        |       ELSE 'tail' END AS tier
+        | FROM rk ORDER BY lang, doc_id""".stripMargin.replaceAll("\n", " "),
     "q94_soft_sample" ->
       """SELECT doc_id, n_tokens, round(keep_p, 6) AS keep_p FROM (
         | SELECT doc_id, n_tokens, least(1.0, n_tokens / 40.0) AS keep_p FROM (

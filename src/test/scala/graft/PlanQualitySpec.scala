@@ -227,7 +227,8 @@ class PlanQualitySpec extends SparkSuite {
     // the tiny per-bucket meta frames join back as broadcasts. The only
     // SinglePartition exchange allowed is the final presentation sort's
     // range-partition fallback (none at this SF).
-    Seq("q90_epoch_mixture" -> "__tb_b", "q91_quality_quantile" -> "__tf_b")
+    Seq("q90_epoch_mixture" -> "__tb_b", "q91_quality_quantile" -> "__tf_b",
+        "q95_percentile_tiers" -> "__tf_b")
       .foreach { case (q, bucketCol) =>
         val plan = formatted(q)
         assert(!plan.contains("SinglePartition"),

@@ -281,6 +281,36 @@ class SamplingStatsSpec extends SparkSuite {
     assert(got === want && got.nonEmpty)
   }
 
+  test("percentileBuckets matches the defining window labeling, ties included") {
+    val docs = spark.range(600).select(col("id").as("doc_id"),
+        concat(lit("g"), pmod(col("id"), lit(4))).as("src"),
+        pmod(col("id") * 13, lit(23)).cast("double").as("score"))
+    val tiers = Seq("head" -> 0.25, "middle" -> 0.5, "tail" -> 0.25)
+    val got = Sampling.percentileBuckets(docs, "src", "doc_id", "score", tiers)
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(col("score").desc, col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val want = docs.withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tier",
+        when(col("r") <= ceil(lit(0.25) * col("n")), "head")
+          .when(col("r") <= ceil(lit(0.75) * col("n")), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    assert(got === want && got.size === 600)
+    // every row labeled exactly once, all three tiers populated per group
+    assert(got.values.toSet === Set("head", "middle", "tail"))
+    intercept[IllegalArgumentException] {
+      Sampling.percentileBuckets(docs, "src", "doc_id", "score",
+        Seq("only" -> 1.0))   // < 2 tiers
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.percentileBuckets(docs.withColumn("tier", lit("x")),
+        "src", "doc_id", "score", tiers)
+    }
+  }
+
   test("topFractionByScore: all-equal-score stratum and fraction=1.0 degenerate exactly") {
     val docs = spark.range(100).select(col("id").as("doc_id"),
         lit("only").as("src"), lit(2.5).as("score"))
