@@ -177,6 +177,38 @@ object TextStats {
         array_join(kept, " ").as("scrubbed"))
   }
 
+  /** Per-stratum corpus DATASHEET ("datasheets for datasets" shape): the
+    * release-audit aggregate a corpus ships with — document count, token
+    * count, blank-document count, distinct content fingerprints, and the
+    * number of documents involved in an exact-dup cluster. The dup
+    * figures use the q31 fingerprint convention (normalized-text md5;
+    * blank docs are singletons), so they agree with what
+    * `Dedup.exactByFingerprint` would actually collapse.
+    *
+    * Shape: one keyed shuffle to (stratum, fingerprint) with map-side
+    * partial aggregation of the per-doc stats, then a strata-sized
+    * rollup — the full corpus never shuffles twice and never windows.
+    */
+  def datasheet(df: DataFrame, textCol: String, idCol: String,
+                strataCol: String): DataFrame = {
+    val text = col(s"`$textCol`")
+    val blank = length(trim(text)) === 0
+    val fp = when(blank, concat(lit("__empty__:"), col(s"`$idCol`").cast("string")))
+      .otherwise(graft.functions.TextFns.fingerprint(text))
+    val perFp = df
+      .where(text.isNotNull)
+      .groupBy(col(s"`$strataCol`").as("stratum"), fp.as("__ds_fp"))
+      .agg(count(lit(1)).as("__ds_c"),
+        sum(graft.functions.TextFns.tokenCount(text).cast("long")).as("__ds_t"),
+        sum(when(blank, 1L).otherwise(0L)).as("__ds_b"))
+    perFp.groupBy("stratum").agg(
+      sum(col("__ds_c")).as("n_docs"),
+      sum(col("__ds_t")).as("n_tokens"),
+      sum(col("__ds_b")).as("n_blank"),
+      count(lit(1)).as("n_distinct_fp"),
+      sum(when(col("__ds_c") > 1, col("__ds_c")).otherwise(0L)).as("n_dup_docs"))
+  }
+
   /** Exact top-`topV` vocabulary of a reference corpus: whitespace tokens
     * ranked by (count DESC, token ASC) — a total order, so the cut is
     * deterministic across engines even when counts tie at the boundary.

@@ -384,6 +384,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-language corpus datasheet: the release-audit aggregate (docs,
+    // tokens, blanks, distinct fingerprints, docs in exact-dup clusters)
+    // — dup figures use the q31 fingerprint convention so they agree
+    // with what exact dedup would collapse. One (lang, fp) shuffle +
+    // a strata-sized rollup.
+    "q96_corpus_datasheet" -> ((s, dir) => {
+      graft.operators.TextStats.datasheet(
+          Tables(s, dir, "documents"), "text", "doc_id", "lang")
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang")
+    }),
+
     // CCNet-style percentile tiering: label each doc head/middle/tail by
     // its per-language mean-token-length rank (25/50/25) — labeling, not
     // filtering, so downstream mixes stream tiers at their own rates.
@@ -1338,6 +1350,21 @@ object TextQueries {
         |       WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.875)}' THEN 'val'
         |       ELSE 'test' END AS split
         | FROM k ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q96_corpus_datasheet" ->
+      s"""WITH d AS (SELECT lang, doc_id,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\\s+')) END AS n_tok,
+        |  CASE WHEN trim(text)='' THEN 1 ELSE 0 END AS blank,
+        |  CASE WHEN $normSql = '' THEN '__empty__:' || CAST(doc_id AS VARCHAR)
+        |       ELSE md5($normSql) END AS fp
+        | FROM documents WHERE text IS NOT NULL),
+        | g AS (SELECT lang, fp, count(*) AS c, sum(n_tok) AS t, sum(blank) AS b
+        |       FROM d GROUP BY lang, fp)
+        | SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS n_tokens,
+        |  CAST(sum(b) AS BIGINT) AS n_blank,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_fp,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+        | FROM g GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
     "q95_percentile_tiers" ->
       """WITH d AS (SELECT lang, doc_id,
         |  CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tok,

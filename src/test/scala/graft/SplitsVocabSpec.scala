@@ -100,6 +100,52 @@ class SplitsVocabSpec extends SparkSuite {
     }
   }
 
+  test("datasheet: hand-checked per-stratum audit aggregate") {
+    val docs = Seq(
+      (1L, "en", "same doc text"),
+      (2L, "en", "Same   doc, TEXT"),        // exact dup of 1 after normalization
+      (3L, "en", "a unique document"),
+      (4L, "en", "   "),                     // blank -> singleton fp, 0 tokens
+      (5L, "de", "ein dokument"),
+      (6L, "de", null.asInstanceOf[String])  // null text excluded entirely
+    ).toDF("doc_id", "lang", "text")
+    val got = TextStats.datasheet(docs, "text", "doc_id", "lang")
+      .select("stratum", "n_docs", "n_tokens", "n_blank", "n_distinct_fp", "n_dup_docs")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // en: 4 docs, 3+3+3+0 tokens, 1 blank, fps = {dup-pair, unique, blank
+    // singleton} = 3 distinct, 2 docs inside a dup cluster
+    assert(got("en") === (("en", 4L, 9L, 1L, 3L, 2L)))
+    assert(got("de") === (("de", 1L, 2L, 0L, 1L, 0L)))
+  }
+
+  test("split + soft-sample expressions run unchanged in Structured Streaming (stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = in.toDF().toDF("doc_id", "text")
+      .withColumn("split", Splits.splitExpr(
+        graft.functions.TextFns.fingerprint(col("text")), fr))
+      .where(graft.operators.Sampling.byScoreProbabilityPredicate(
+        col("doc_id"), lit(1.0), seed = 3L))
+    val q = out.writeStream.format("memory").queryName("splits_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+      q.processAllAvailable()
+      val rows = spark.table("splits_stream")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(rows.keySet === Set(1L, 2L, 3L))     // p=1.0 keeps everything
+      assert(rows(1L) === rows(3L))               // same content, same split
+      // and the streaming decision equals the batch decision row for row
+      val batch = Splits.exactDupSafe(
+          Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+            .toDF("doc_id", "text"), "text", "doc_id", fr)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(rows === batch)
+    } finally q.stop()
+  }
+
   test("vocabulary: exact top-V under (count DESC, token ASC), scale-shaped plan") {
     val docs = Seq(
       (1L, "b b b a a c"), (2L, "a a b d"), (3L, "e e e e d")
