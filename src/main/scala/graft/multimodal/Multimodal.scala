@@ -346,6 +346,62 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) of an image payload: REAL ImageIO decode
+    * → 8×8 grid of cell-center luminance samples → bit j set iff cell j's
+    * luminance >= the 64-cell mean. Tolerant of re-encoding, light noise,
+    * and resize (the classic perceptual-dedup property exact byte hashes
+    * lack); None when the payload doesn't decode (no fake fallback here —
+    * a fabricated hash would manufacture near-dup PAIRS, unlike the
+    * feature path where a marked fake only fills columns).
+    */
+  def aHash64(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val lums = new Array[Double](64)
+      var i = 0
+      while (i < 64) {
+        val cx = math.min(w - 1, ((i % 8) * w + w / 2) / 8)
+        val cy = math.min(h - 1, ((i / 8) * h + h / 2) / 8)
+        val p = img.getRGB(cx, cy)
+        lums(i) = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+          0.114 * (p & 0xFF)
+        i += 1
+      }
+      val mean = lums.sum / 64
+      var sig = 0L; var j = 0
+      while (j < 64) { if (lums(j) >= mean) sig |= (1L << j); j += 1 }
+      Some(sig)
+    }
+  }
+
+  /** Distributed perceptual hashes: (id, sig) for every payload that
+    * decodes — mapPartitions like the other codec paths (decoder init
+    * once per partition); undecodable rows drop here rather than
+    * fabricating hashes.
+    */
+  def imageHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(r => aHash64(r.payload).map(sig => (r.asset_id, sig)))
+    }.toDF("id", "sig")
+  }
+
+  /** IMAGE near-duplicate pairs: perceptual aHash + the engine's shared
+    * Hamming-banding core ([[graft.operators.Dedup.hammingPairs]] —
+    * pigeonhole chunk blocking, full recall at `maxDist`, no quadratic
+    * join). The same machinery that dedups text (SimHash) and vectors
+    * (sign-LSH bands) thus covers the image modality: one dedup idiom
+    * across all three. Default distance 10/64 is the common aHash
+    * near-dup band (re-encode + light noise land well under it; distinct
+    * photos average ~32).
+    */
+  def nearDupImagePairs(media: Dataset[MediaRecord], maxDist: Int = 10): DataFrame =
+    graft.operators.Dedup.hammingPairs(imageHashes(media), maxDist)
+
   /** Frame/chunk sampling plumbing: split a payload into fixed-size chunks
     * (byte-level stand-in for containers the JDK cannot parse) — explode
     * keeps it distributed, chunk index is carried for downstream ordering.

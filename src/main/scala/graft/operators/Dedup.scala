@@ -445,18 +445,40 @@ object Dedup {
           .reduce(_ + _).as("sig"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance <= maxDist, blocked on
-    * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
-    * one of 4 chunks) to avoid the quadratic self-join. Signatures via the
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist, blocked by
+    * chunk pigeonholing (see [[hammingPairs]]). Signatures via the
     * single-pass per-row kernel ([[graft.functions.SimHash64Expr]]).
     */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
-    val withSig = df.select(col(s"`${idCol}`").as("id"),
-      graft.functions.SketchExpressions.simhash64(col(s"`$textCol`")).as("sig"))
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame =
+    hammingPairs(df.select(col(s"`${idCol}`").as("id"),
+      graft.functions.SketchExpressions.simhash64(col(s"`$textCol`")).as("sig")), maxDist)
+
+  /** Pairs of 64-bit signatures within Hamming distance `maxDist`, FULL
+    * recall without a quadratic self-join: the signature splits into
+    * `maxDist + 1` bit chunks, and by pigeonhole any pair within the
+    * distance agrees exactly on at least one chunk — so candidates
+    * enumerate via an equi-join on (chunk index, chunk value) and each
+    * survivor is verified with one XOR/bit_count. This is the
+    * modality-independent core shared by text SimHash ([[simhashPairs]])
+    * and image perceptual hashes
+    * ([[graft.multimodal.Multimodal.nearDupImagePairs]]).
+    *
+    * Input: (id, sig). Scale shape: one explode to (maxDist+1) rows per
+    * signature, one shuffled equi-join on the chunk key; a hot chunk
+    * value (e.g. all-zero chunks from near-blank inputs) is the skew to
+    * watch — the same salting/cap guidance as the LSH band joins applies.
+    */
+  def hammingPairs(withSig: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist in [0, 64), got $maxDist")
+    val chunks = maxDist + 1
+    val width = (64 + chunks - 1) / chunks   // last chunk may be narrower
     val chunked = withSig.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until chunks).map { c =>
+        val w = math.min(width, 64 - c * width)
+        val mask = if (w >= 64) -1L else (1L << w) - 1   // 1L<<64 wraps to 1
         struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ch"))): _*)).as("b"))
+          shiftright(col("sig"), c * width).bitwiseAND(lit(mask)).as("ch"))
+      }: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.chunk"), col("b.ch"))
     val a = chunked.as("a"); val b = chunked.as("b")
     val hamming = {

@@ -1,0 +1,92 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import graft.multimodal.Multimodal
+import graft.operators.Dedup
+
+class PerceptualHashSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** 64x64 bimodal block pattern (8x8 blocks at luminance 40 or 220):
+    * every aHash cell sits FAR from the mean, so the hash is stable under
+    * re-encode and light noise — the regime perceptual dedup targets. (A
+    * smooth gradient is the pathological opposite: half its cells ride
+    * the mean knife-edge and flip on any wobble.)
+    */
+  private def gradient(invert: Boolean): BufferedImage = {
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val bright = ((x / 8) * 31 + (y / 8) * 17) % 3 < 2
+      val v = if (bright ^ invert) 220 else 40
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("aHash64: stable under re-encode and light noise, far for distinct images") {
+    val base = gradient(invert = false)
+    val hPng = Multimodal.aHash64(encode(base, "png")).get
+    val hJpg = Multimodal.aHash64(encode(base, "jpg")).get
+    assert(hamming(hPng, hJpg) <= 6, s"re-encode moved ${hamming(hPng, hJpg)} bits")
+    // light noise: bump a few pixels slightly
+    val noisy = gradient(invert = false)
+    Seq((3, 7), (40, 22), (12, 55), (60, 60), (31, 31)).foreach { case (x, y) =>
+      val p = noisy.getRGB(x, y)
+      val v = math.min(255, ((p >> 16) & 0xFF) + 4)
+      noisy.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val hNoise = Multimodal.aHash64(encode(noisy, "png")).get
+    assert(hamming(hPng, hNoise) <= 6)
+    // the inverted gradient is its perceptual opposite
+    val hInv = Multimodal.aHash64(encode(gradient(invert = true), "png")).get
+    assert(hamming(hPng, hInv) >= 40, s"only ${hamming(hPng, hInv)} bits apart")
+    // undecodable payload: no hash, no fabricated near-dups
+    assert(Multimodal.aHash64(Array.fill(64)(7.toByte)).isEmpty)
+  }
+
+  test("nearDupImagePairs: planted re-encodes pair up; distinct and broken don't") {
+    val base = encode(gradient(invert = false), "png")
+    val reenc = encode(gradient(invert = false), "jpg")
+    val other = encode(gradient(invert = true), "png")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", base, "mem://a.png"),
+      Multimodal.MediaRecord(2L, "image", reenc, "mem://a.jpg"),
+      Multimodal.MediaRecord(3L, "image", other, "mem://b.png"),
+      Multimodal.MediaRecord(4L, "image", Array.fill(50)(1.toByte), "mem://junk")
+    ).toDS()
+    val pairs = Multimodal.nearDupImagePairs(media, maxDist = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // undecodable row dropped before hashing
+    assert(Multimodal.imageHashes(media).select("id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+  }
+
+  test("hammingPairs: pigeonhole recall at the distance bound, exact filter above it") {
+    // maxDist=5 -> 6 chunks of width 11 (last 9). Flips in 5 DIFFERENT
+    // chunks leave chunk 5 shared: the worst spread still blocks.
+    val spread = Seq(0, 12, 24, 36, 48).foldLeft(0L)((s, b) => s | (1L << b))
+    // 6 flips inside chunk 0: shares chunks 1-5 (candidate) but distance
+    // 6 > 5 must be filtered by the exact verify.
+    val dense6 = (0 until 6).foldLeft(0L)((s, b) => s | (1L << b))
+    val sigs = Seq((1L, 0L), (2L, spread), (3L, dense6)).toDF("id", "sig")
+    val got = Dedup.hammingPairs(sigs, maxDist = 5)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 5)))
+    assert(!got.exists(p => p._1 === 1L && p._2 === 3L))
+    // maxDist=0 degenerates to exact equality through ONE 64-bit chunk
+    // (mask-width regression guard: 1L<<64 wraps)
+    val eq = Seq((1L, 42L), (2L, 42L), (3L, 43L)).toDF("id", "sig")
+    assert(Dedup.hammingPairs(eq, maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+  }
+}
