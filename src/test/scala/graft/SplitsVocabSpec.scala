@@ -146,6 +146,46 @@ class SplitsVocabSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ship-a-dataset composition: release -> leakage-safe splits -> epoch mixture") {
+    import graft.corpus.ReleasePipeline
+    import graft.operators.Sampling
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val benchmark = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val res = ReleasePipeline.run(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0), benchmark,
+      ReleasePipeline.Config(packCapacity = 256L))
+    // 1. splits over the released corpus: every doc assigned to a known
+    // split (the default config releases only ~18 sf0.001 docs, too few
+    // to demand all three splits be non-empty — distribution accuracy is
+    // pinned on 2000 groups in the map-side spec above)
+    val split = Splits.exactDupSafe(res.corpus, "text", "doc_id", fr)
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")) && counts.size >= 2)
+    assert(counts.values.sum === res.corpus.count())
+    // 2. epoch mixture over the train split: tokens budgeted per lang
+    // (train docs carry lang through the release unchanged)
+    val train = split.where(col("split") === "train")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("lang"), col("doc_id"),
+        graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val mixed = Sampling.epochsToBudget(train, "lang", "doc_id", "n_tokens",
+      Map.empty, maxEpochs = 2, defaultBudget = 2000L)
+    // every emitted (doc, epoch) is a train doc; epochs within bounds;
+    // the inclusive cum<=B rule means epoch-1 tokens NEVER overshoot
+    val perLang = mixed.groupBy("lang")
+      .agg(sum(when(col("epoch") === 1, col("n_tokens")).otherwise(0L)).as("t1"),
+        max("epoch").as("maxE"))
+      .as[(String, Long, Int)].collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, t1, maxE) =>
+      assert(t1 <= 2000L, s"$lang epoch-1 tokens $t1 exceed the budget")
+      assert(maxE >= 1 && maxE <= 2)
+    }
+    val trainIds = train.select("doc_id").as[Long].collect().toSet
+    assert(mixed.select("doc_id").as[Long].collect().forall(trainIds))
+  }
+
   test("vocabulary: exact top-V under (count DESC, token ASC), scale-shaped plan") {
     val docs = Seq(
       (1L, "b b b a a c"), (2L, "a a b d"), (3L, "e e e e d")
