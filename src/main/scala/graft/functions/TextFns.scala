@@ -76,6 +76,28 @@ object TextFns {
   def fingerprint64(text: Column): Column =
     xxhash64(SketchExpressions.normText(text))
 
+  /** Encoding-damage counters: U+FFFD replacement characters (the
+    * tombstone every lossy transcode leaves behind) and C0 control
+    * characters other than tab/newline/CR (binary junk that leaked into
+    * "text"). Both are plain length differences after a removal — fully
+    * codegen'd, no per-char UDF.
+    */
+  def replacementCharCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "�", ""))).cast("long")
+
+  def controlCharCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+
+  /** Damage ratio: (replacement + control chars) / chars, 0.0 for empty —
+    * the mojibake / binary-leak filter signal (CCNet-style pipelines drop
+    * or re-decode docs above a small threshold).
+    */
+  def encodingDamageRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise((replacementCharCount(text) + controlCharCount(text))
+        .cast("double") / length(text))
+
   /** Ratio of punctuation chars to total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val total = length(text)

@@ -384,6 +384,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Encoding-damage (mojibake) scan: U+FFFD replacement chars + C0
+    // control leaks per doc. The synthetic corpus is clean, so damage is
+    // injected in-plan for ids % 5 == 0 (the q71 augmented-text
+    // convention — identical expression in the oracle); emitted rows are
+    // exactly the damaged docs with their counters and ratio.
+    "q97_encoding_damage" -> ((s, dir) => {
+      val dmg = lit(" corrupt\uFFFD\uFFFDseg\u0007end")
+      val t = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), dmg)).otherwise(col("text"))
+      Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFns.replacementCharCount(t).as("n_repl"),
+          TextFns.controlCharCount(t).as("n_ctrl"),
+          round(TextFns.encodingDamageRatio(t), 6).as("damage"))
+        .where(col("n_repl") + col("n_ctrl") > 0)
+        .orderBy("doc_id")
+    }),
+
     // Per-language corpus datasheet: the release-audit aggregate (docs,
     // tokens, blanks, distinct fingerprints, docs in exact-dup clusters)
     // — dup figures use the q31 fingerprint convention so they agree
@@ -1350,6 +1368,18 @@ object TextQueries {
         |       WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.875)}' THEN 'val'
         |       ELSE 'test' END AS split
         | FROM k ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q97_encoding_damage" ->
+      """SELECT doc_id, n_repl, n_ctrl,
+        |  round(CASE WHEN len = 0 THEN 0.0
+        |        ELSE CAST(n_repl + n_ctrl AS DOUBLE)/len END, 6) AS damage
+        | FROM (SELECT doc_id, length(t) AS len,
+        |   length(t) - length(replace(t, '�', '')) AS n_repl,
+        |   length(t) - length(regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS n_ctrl
+        |  FROM (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' corrupt��seg' || chr(7) || 'end'
+        |         ELSE text END AS t
+        |   FROM documents WHERE text IS NOT NULL))
+        | WHERE n_repl + n_ctrl > 0 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q96_corpus_datasheet" ->
       s"""WITH d AS (SELECT lang, doc_id,
         |  CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\\s+')) END AS n_tok,

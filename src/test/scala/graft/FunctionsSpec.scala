@@ -240,4 +240,24 @@ class FunctionsSpec extends SparkSuite {
     // 4 and 5 normalize identically -> one survives; every blank row survives
     assert(kept === Set(1L, 2L, 3L, 4L))
   }
+
+  test("encoding-damage counters: replacement chars, control leaks, clean text") {
+    import graft.functions.TextFns
+    val df = Seq(
+      (1L, "clean text, tabs\tand\nnewlines are fine"),
+      (2L, "moji�bake� here"),
+      (3L, "bin\u0001ary\u0007junk"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextFns.replacementCharCount(col("text")).as("r"),
+        TextFns.controlCharCount(col("text")).as("c"),
+        TextFns.encodingDamageRatio(col("text")).as("d"))
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(got(1L)._2 === 0L && got(1L)._3 === 0L && got(1L)._4 === 0.0)
+    assert(got(2L)._2 === 2L && got(2L)._3 === 0L)
+    assert(got(3L)._2 === 0L && got(3L)._3 === 2L)
+    assert(got(3L)._4 === 2.0 / 12)  // 12 chars incl. the two control bytes
+    assert(got(4L)._4 === 0.0)   // empty text: no division by zero
+  }
 }
