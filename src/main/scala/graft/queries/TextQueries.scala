@@ -384,6 +384,43 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Split-leakage audit: after exact-dup-safe split assignment, count
+    // per eval split (a) fingerprint overlaps with train — ZERO by
+    // construction, the guarantee made driver-visible — and (b) residual
+    // NEAR-dup pairs crossing the train boundary (J >= 0.5 via the exact
+    // prefix-filtered cross-corpus route) — the leakage only a
+    // near-dup-aware (CC-grouped) split would also close. Composes q92 +
+    // q86 machinery; oracle recomputes both counts from scratch.
+    "q98_split_leakage" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val frs = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+      val sp = graft.corpus.Splits.exactDupSafe(docs, "text", "doc_id", frs)
+      val fp = when(length(trim(col("text"))) === 0,
+          concat(lit("__empty__:"), col("doc_id").cast("string")))
+        .otherwise(TextFns.fingerprint(col("text")))
+      val keyed = sp.withColumn("fp", fp)
+      val train = keyed.where(col("split") === "train")
+      val evals = keyed.where(col("split") =!= "train")
+      val exactOv = evals.as("e").join(train.as("t"), col("e.fp") === col("t.fp"))
+        .groupBy(col("e.split").as("split"))
+        .agg(count(lit(1)).cast("long").as("n_exact_overlap"))
+      val nonBlank = (d: org.apache.spark.sql.DataFrame) =>
+        d.where(length(trim(col("text"))) > 0)
+      val near = Dedup.ngramJaccardBetweenPrefixFiltered(
+          nonBlank(train), nonBlank(evals), "text", "doc_id",
+          n = 3, threshold = 0.5)
+        .join(evals.select(col("doc_id").as("id_right"), col("split")), Seq("id_right"))
+        .groupBy("split").agg(count(lit(1)).cast("long").as("n_near_pairs"))
+      evals.select("split").distinct()
+        .join(exactOv, Seq("split"), "left")
+        .join(near, Seq("split"), "left")
+        .select(col("split"),
+          coalesce(col("n_exact_overlap"), lit(0L)).as("n_exact_overlap"),
+          coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"))
+        .orderBy("split")
+    }),
+
     // Encoding-damage (mojibake) scan: U+FFFD replacement chars + C0
     // control leaks per doc. The synthetic corpus is clean, so damage is
     // injected in-plan for ids % 5 == 0 (the q71 augmented-text
@@ -1368,6 +1405,39 @@ object TextQueries {
         |       WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.875)}' THEN 'val'
         |       ELSE 'test' END AS split
         | FROM k ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q98_split_leakage" ->
+      s"""WITH k AS (SELECT doc_id, text,
+        |   CASE WHEN $normSql = '' THEN '__empty__:' || CAST(doc_id AS VARCHAR)
+        |        ELSE md5($normSql) END AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        | sp AS (SELECT doc_id, text, fp,
+        |   CASE WHEN md5(fp) < '${graft.operators.Sampling.hexThreshold(0.75)}' THEN 'train'
+        |        WHEN md5(fp) < '${graft.operators.Sampling.hexThreshold(0.875)}' THEN 'val'
+        |        ELSE 'test' END AS split FROM k),
+        | ev AS (SELECT * FROM sp WHERE split <> 'train'),
+        | exo AS (SELECT e.split, CAST(count(*) AS BIGINT) AS n_exact
+        |   FROM ev e JOIN (SELECT fp FROM sp WHERE split = 'train') t ON e.fp = t.fp
+        |   GROUP BY e.split),
+        | sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM sp
+        |        WHERE trim(text) <> '')),
+        | ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        | pairs AS (SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS j
+        |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |   JOIN (SELECT doc_id FROM sp WHERE split = 'train') ta ON a.doc_id = ta.doc_id
+        |   JOIN (SELECT doc_id FROM ev) tb ON b.doc_id = tb.doc_id
+        |   GROUP BY a.doc_id, b.doc_id),
+        | np AS (SELECT s2.split, CAST(count(*) AS BIGINT) AS n_near
+        |   FROM pairs p JOIN ev s2 ON p.id_right = s2.doc_id
+        |   WHERE p.j >= 0.5 GROUP BY s2.split)
+        | SELECT d.split, coalesce(exo.n_exact, 0) AS n_exact_overlap,
+        |   coalesce(np.n_near, 0) AS n_near_pairs
+        | FROM (SELECT DISTINCT split FROM ev) d
+        | LEFT JOIN exo ON d.split = exo.split
+        | LEFT JOIN np ON d.split = np.split
+        | ORDER BY d.split""".stripMargin.replaceAll("\n", " "),
     "q97_encoding_damage" ->
       """SELECT doc_id, n_repl, n_ctrl,
         |  round(CASE WHEN len = 0 THEN 0.0

@@ -186,6 +186,31 @@ class SplitsVocabSpec extends SparkSuite {
     assert(mixed.select("doc_id").as[Long].collect().forall(trainIds))
   }
 
+  test("split-leakage audit: exact overlap is zero by construction; CC splits close near leakage") {
+    val q98 = SparkEntry.queries("q98_split_leakage")(spark, sf("sf0.001"))
+      .as[(String, Long, Long)].collect()
+    // the fingerprint-keyed guarantee, driver-visible: NO exact dup ever
+    // straddles the train boundary
+    assert(q98.nonEmpty && q98.forall(_._2 === 0L))
+    // near-dup pairs DO leak through fingerprint-keyed splits on this
+    // corpus (that's the q98 finding) — and grouping by connected
+    // component over those same pairs closes them:
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+    val pairs = graft.operators.Dedup.ngramJaccardPrefixFiltered(
+        docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+    val keyed = docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("label"), col("doc_id")))
+    val sp = Splits.byGroupKey(keyed, "grp", fr)
+    val crossing = sp.as("a").join(sp.as("b"),
+        col("a.doc_id") < col("b.doc_id") && col("a.split") =!= col("b.split"))
+      .join(pairs, col("a.doc_id") === col("id_a") && col("b.doc_id") === col("id_b"))
+    assert(crossing.count() === 0L,
+      "near-dup pairs must not straddle splits once grouped by component")
+  }
+
   test("vocabulary: exact top-V under (count DESC, token ASC), scale-shaped plan") {
     val docs = Seq(
       (1L, "b b b a a c"), (2L, "a a b d"), (3L, "e e e e d")
