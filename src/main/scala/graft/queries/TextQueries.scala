@@ -323,10 +323,12 @@ object TextQueries {
     // mixing: strata whose budget exceeds their token count repeat for
     // whole epochs plus one fractional hash-prefix pass, capped at
     // maxEpochs; oversupplied strata degrade to the q83 downsample. The
-    // budgets hit all three regimes on this corpus: en downsampled,
-    // de ~2.5 epochs (boundary inside epoch 3), the rest at the cap.
-    // Oracle = the defining inequality over a window cumsum +
-    // generate_series.
+    // budgets hit all three regimes at the CORRECTNESS scale (sf0.01:
+    // en downsampled, de ~2.5 epochs with the boundary inside epoch 3,
+    // the rest at the cap); at the sf0.1 bench scale every stratum
+    // downsamples (10x the tokens, same budgets) — regime coverage
+    // lives where the hash-compare runs. Oracle = the defining
+    // inequality over a window cumsum + generate_series.
     "q90_epoch_mixture" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
         .select(col("lang"), col("doc_id"),
