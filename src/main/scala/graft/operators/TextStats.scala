@@ -177,6 +177,51 @@ object TextStats {
         array_join(kept, " ").as("scrubbed"))
   }
 
+  /** Boilerplate-LINE removal (the RefinedWeb/CCNet line-dedup rule):
+    * a line whose trimmed form appears in at least `minDf` DISTINCT
+    * documents is site furniture — headers, footers, cookie banners,
+    * nav crumbs — and is stripped from every document; blank lines are
+    * structure, never counted and never removed. Line-granular where
+    * [[dupSpanCoverage]] is token-window-granular: furniture repeats
+    * exactly at line boundaries, so the line df test catches it without
+    * any shingle machinery.
+    *
+    * @return (id, n_removed, scrubbed) — scrubbed rejoins the kept
+    * lines in original order.
+    *
+    * Shape: posexplode lines map-side; one keyed shuffle on the trimmed
+    * line for the df count (map-side combinable); the flagged-line set
+    * joins back on the same key (no broadcast hint — furniture tables
+    * are usually small but a mirror-heavy crawl isn't, AQE decides);
+    * per-doc rebuild is one doc-keyed aggregation with a bounded
+    * in-group sort (a document's own line count).
+    */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                             minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val docs = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"),
+        posexplode(split(col(s"`$textCol`"), "\n")).as(Seq("pos", "line")))
+    val k = trim(col("line"))
+    val boiler = docs.where(k =!= "")
+      .select(k.as("k"), col("id"))
+      .distinct()
+      .groupBy("k").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("k").as("__bl_k"))
+    val kept = docs.join(boiler, k === col("__bl_k"), "left")
+      .withColumn("__bl_drop", col("__bl_k").isNotNull)
+    kept.groupBy("id").agg(
+        sum(when(col("__bl_drop"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("__bl_drop"),
+              struct(col("pos"), col("line"))))),
+            s => s("line")),
+          "\n").as("scrubbed"))
+      .select(col("id"), col("n_removed"), col("scrubbed"))
+  }
+
   /** Per-stratum corpus DATASHEET ("datasheets for datasets" shape): the
     * release-audit aggregate a corpus ships with — document count, token
     * count, blank-document count, distinct content fingerprints, and the

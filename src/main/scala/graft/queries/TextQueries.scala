@@ -386,6 +386,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Boilerplate-line removal (RefinedWeb line-dedup rule): lines whose
+    // trimmed form appears in >= 10 distinct docs are site furniture and
+    // strip from every doc. The single-line synthetic corpus gets a
+    // 2-line footer injected in-plan for ids % 3 == 0 (the q71
+    // convention); the footer's df (~n/3) clears the threshold while no
+    // organic line repeats (raw-identical text max cluster = 1).
+    "q99_boilerplate_lines" -> ((s, dir) => {
+      val aug = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"),
+          lit("\n== SITE FOOTER ==\nvisit example dot com")))
+        .otherwise(col("text"))
+      graft.operators.TextStats.removeBoilerplateLines(
+          Tables(s, dir, "documents").where(col("text").isNotNull)
+            .select(col("doc_id"), aug.as("text")),
+          "text", "doc_id", minDf = 10)
+        .select(col("id").as("doc_id"), col("n_removed"), col("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // Split-leakage audit: after exact-dup-safe split assignment, count
     // per eval split (a) fingerprint overlaps with train — ZERO by
     // construction, the guarantee made driver-visible — and (b) residual
@@ -1407,6 +1426,23 @@ object TextQueries {
         |       WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.875)}' THEN 'val'
         |       ELSE 'test' END AS split
         | FROM k ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q99_boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || '== SITE FOOTER ==' || chr(10) || 'visit example dot com'
+        |        ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        | l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+        |     i -> struct_pack(pos := i, line := ls[i]))) AS u
+        |   FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d))),
+        | dfq AS (SELECT trim(line) AS k FROM l WHERE trim(line) <> ''
+        |   GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+        | mk AS (SELECT l.doc_id, l.pos, l.line, (dfq.k IS NOT NULL) AS dropped
+        |   FROM l LEFT JOIN dfq ON trim(l.line) = dfq.k)
+        | SELECT doc_id,
+        |   CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |   coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos), '') AS scrubbed
+        | FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q98_split_leakage" ->
       s"""WITH k AS (SELECT doc_id, text,
         |   CASE WHEN $normSql = '' THEN '__empty__:' || CAST(doc_id AS VARCHAR)

@@ -223,6 +223,26 @@ class SplitsVocabSpec extends SparkSuite {
       s"vocabulary cut must be a distributed top-k, not a global sort:\n$plan")
   }
 
+  test("boilerplate lines: df >= minDf strips everywhere, below-threshold and blanks survive") {
+    import graft.operators.TextStats
+    // 12 docs share FOOTER (>= minDf 10); 9 share ALMOST (below); blanks stay
+    val docs = ((1L to 12L).map(i => (i, s"body text $i\n\nFOOTER LINE")) ++
+      (13L to 21L).map(i => (i, s"body text $i\nALMOST COMMON")) :+
+      ((22L, "FOOTER LINE"))).toDF("doc_id", "text")
+    val got = TextStats.removeBoilerplateLines(docs, "text", "doc_id", minDf = 10)
+      .select("id", "n_removed", "scrubbed")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, "body text 1\n")))      // blank line survives
+    assert(got(13L) === ((13L, 0L, "body text 13\nALMOST COMMON")))
+    assert(got(22L) === ((22L, 1L, "")))                  // all-furniture doc
+    // trimmed-form matching: indented footer copies still count + strip
+    val padded = docs.union(Seq((23L, "  FOOTER LINE  \nunique tail")).toDF("doc_id", "text"))
+    val got2 = TextStats.removeBoilerplateLines(padded, "text", "doc_id", minDf = 10)
+      .where(col("id") === 23L).select("n_removed", "scrubbed")
+      .as[(Long, String)].collect().head
+    assert(got2 === ((1L, "unique tail")))
+  }
+
   test("oovStats: hand-checked rates; empty docs read 0.0; vocab joins broadcast") {
     val vocab = TextStats.vocabulary(
       Seq((0L, "the cat sat")).toDF("doc_id", "text"), "text", topV = 10)
