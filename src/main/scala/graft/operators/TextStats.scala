@@ -177,6 +177,56 @@ object TextStats {
         array_join(kept, " ").as("scrubbed"))
   }
 
+  /** Top-k COLLOCATIONS by pointwise mutual information: adjacent token
+    * pairs ranked by log10( p(ab) / (p(a)·p(b)) ) with a minimum pair
+    * count (PMI is noise below a support floor) — the classic signal for
+    * multi-word vocabulary entries and tokenizer merge analysis.
+    *
+    * Shape: one token aggregation and one bigram aggregation (both
+    * map-side combinable); the two corpus totals are 1-ROW driver
+    * probes folded back in as literals (the engine's bounded-collect
+    * idiom — a constant-key join constant-folds into the nested-loop
+    * shape the plan tests ban), unigram probabilities join onto the
+    * bigram table on the token key, and the final cut is a
+    * TakeOrderedAndProject under the total order (pmi DESC, a, b). The
+    * arithmetic is mirrored literally in the DuckDB oracle (same op
+    * order, so IEEE-identical).
+    *
+    * @return (tok_a, tok_b, n_pair, pmi)
+    */
+  def pmiTopK(df: DataFrame, textCol: String, k: Int,
+              minCount: Int = 3): DataFrame = {
+    require(k >= 1 && minCount >= 1)
+    val ts = graft.functions.TextFns.tokens(col(s"`$textCol`"))
+    val base = df.where(col(s"`$textCol`").isNotNull).select(ts.as("__ts"))
+    val uni = base.select(explode(col("__ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = base.where(size(col("__ts")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+        slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("n_pair"))
+    // Bounded driver probes: one long each, computed once per call. The
+    // frames recompute for the probe and the plan below — at this
+    // operator's scale both are single aggregations over one scan.
+    val n1 = uni.agg(sum(col("c1"))).head().getLong(0)
+    val n2 = bi.agg(sum(col("n_pair"))).head().getLong(0)
+    val ua = uni.select(col("tok").as("tok_a"), col("c1").as("ca"))
+    val ub = uni.select(col("tok").as("tok_b"), col("c1").as("cb"))
+    bi
+      .join(ua, Seq("tok_a")).join(ub, Seq("tok_b"))
+      .where(col("n_pair") >= minCount)
+      .withColumn("pmi", log10(
+        (col("n_pair").cast("double") / lit(n2)) /
+          ((col("ca").cast("double") / lit(n1)) *
+            (col("cb").cast("double") / lit(n1)))))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+      .select(col("tok_a"), col("tok_b"), col("n_pair"), col("pmi"))
+  }
+
   /** Boilerplate-LINE removal (the RefinedWeb/CCNet line-dedup rule):
     * a line whose trimmed form appears in at least `minDf` DISTINCT
     * documents is site furniture — headers, footers, cookie banners,

@@ -386,6 +386,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PMI collocations: top-30 adjacent token pairs by pointwise mutual
+    // information (support floor 5) — the multi-word-vocabulary /
+    // tokenizer-merge signal. Arithmetic mirrored literally in the
+    // oracle (same op order -> IEEE-identical), cut under the total
+    // order (pmi DESC, a, b) via TakeOrderedAndProject.
+    "q100_pmi_collocations" -> ((s, dir) => {
+      graft.operators.TextStats.pmiTopK(
+          Tables(s, dir, "documents").where(col("text").isNotNull),
+          "text", k = 30, minCount = 5)
+        .withColumn("pmi", round(col("pmi"), 6))
+        .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+    }),
+
     // Boilerplate-line removal (RefinedWeb line-dedup rule): lines whose
     // trimmed form appears in >= 10 distinct docs are site furniture and
     // strip from every doc. The single-line synthetic corpus gets a
@@ -1426,6 +1439,26 @@ object TextQueries {
         |       WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.875)}' THEN 'val'
         |       ELSE 'test' END AS split
         | FROM k ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q100_pmi_collocations" ->
+      """WITH t AS (SELECT CASE WHEN trim(text)='' THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        | uni AS (SELECT u AS tok, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(ts) AS u FROM t) GROUP BY 1),
+        | n1t AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1 FROM uni),
+        | bi AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_pair FROM (
+        |   SELECT unnest(list_transform(generate_series(1, len(ts)-1),
+        |     i -> struct_pack(a := ts[i], b := ts[i+1]))) AS p
+        |   FROM t WHERE len(ts) >= 2) GROUP BY 1, 2),
+        | n2t AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS n2 FROM bi),
+        | j AS (SELECT bi.a AS tok_a, bi.b AS tok_b, bi.n_pair,
+        |   log10( (CAST(bi.n_pair AS DOUBLE) / (SELECT n2 FROM n2t)) /
+        |          ((CAST(ua.c1 AS DOUBLE) / (SELECT n1 FROM n1t)) *
+        |           (CAST(ub.c1 AS DOUBLE) / (SELECT n1 FROM n1t))) ) AS pmi
+        |  FROM bi JOIN uni ua ON bi.a = ua.tok JOIN uni ub ON bi.b = ub.tok
+        |  WHERE bi.n_pair >= 5)
+        | SELECT tok_a, tok_b, n_pair, round(pmi, 6) AS pmi FROM j
+        | ORDER BY pmi DESC, tok_a, tok_b LIMIT 30""".stripMargin.replaceAll("\n", " "),
     "q99_boilerplate_lines" ->
       """WITH d AS (SELECT doc_id,
         |   CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || '== SITE FOOTER ==' || chr(10) || 'visit example dot com'

@@ -243,6 +243,35 @@ class SplitsVocabSpec extends SparkSuite {
     assert(got2 === ((1L, "unique tail")))
   }
 
+  test("pmiTopK: hand-checked collocation scores; support floor; no nested-loop totals") {
+    import graft.operators.TextStats
+    // "new york" always collocates (5/5); "hot dog" does too but below
+    // the support floor; fillers keep the unigrams busy
+    val docs = (
+      (1L to 5L).map(i => (i, "new york")) ++
+      (6L to 7L).map(i => (i, "hot dog")) ++
+      (8L to 12L).map(i => (i, "the cat saw the dog"))
+    ).toDF("doc_id", "text")
+    val out = TextStats.pmiTopK(docs, "text", k = 10, minCount = 3)
+    val rows = out.as[(String, String, Long, Double)].collect()
+    val byPair = rows.map(r => (r._1, r._2) -> r).toMap
+    // totals: n1 = 10+4+25 = 39 tokens, n2 = 5+2+20 = 27 bigrams;
+    // new=5 york=5 pair=5
+    val expNewYork = math.log10((5.0 / 27) / ((5.0 / 39) * (5.0 / 39)))
+    assert(math.abs(byPair(("new", "york"))._4 - expNewYork) < 1e-12)
+    assert(!byPair.contains(("hot", "dog")))        // support floor (2 < 3)
+    // ranking: the two perfect 5/5 collocations tie at the top (same
+    // counts -> bit-identical pmi) and the (tok_a, tok_b) tiebreak puts
+    // "cat saw" first; "the"-anchored bigrams rank below both
+    assert(rows.take(2).map(r => (r._1, r._2)).toSet ===
+      Set(("cat", "saw"), ("new", "york")))
+    assert(rows.head._1 === "cat")
+    // scalar totals attach via broadcast HASH join, never a nested loop
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("oovStats: hand-checked rates; empty docs read 0.0; vocab joins broadcast") {
     val vocab = TextStats.vocabulary(
       Seq((0L, "the cat sat")).toDF("doc_id", "text"), "text", topV = 10)
