@@ -356,8 +356,13 @@ object Multimodal {
     */
   def aHash64(payload: Array[Byte]): Option[Long] = {
     val img =
+      // NonFatal, not just IOException: ImageIO readers throw
+      // RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument,
+      // NegativeArraySize) on malformed JPEG/PNG payloads — over a crawled
+      // corpus one corrupt image must drop its row (None), not fail the
+      // Spark task.
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth < 1 || img.getHeight < 1) None
     else {
       val w = img.getWidth; val h = img.getHeight

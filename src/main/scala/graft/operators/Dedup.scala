@@ -471,13 +471,23 @@ object Dedup {
   def hammingPairs(withSig: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist in [0, 64), got $maxDist")
     val chunks = maxDist + 1
-    val width = (64 + chunks - 1) / chunks   // last chunk may be narrower
+    // Balanced exact partition of the 64 bits into `chunks` NON-EMPTY
+    // chunks: base width 64/chunks, the first 64%chunks chunks one bit
+    // wider, offsets accumulated. A ceil-width scheme is NOT a partition
+    // for many maxDist values (zero-width tail chunks match everything →
+    // quadratic join; negative-width chunks are skipped entirely → missed
+    // pairs at distance maxDist), so the pigeonhole guarantee requires
+    // this exact-cover construction.
+    val base = 64 / chunks
+    val rem = 64 % chunks
+    val widths = (0 until chunks).map(c => base + (if (c < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val chunked = withSig.select(col("id"), col("sig"),
       explode(array((0 until chunks).map { c =>
-        val w = math.min(width, 64 - c * width)
+        val w = widths(c)
         val mask = if (w >= 64) -1L else (1L << w) - 1   // 1L<<64 wraps to 1
         struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * width).bitwiseAND(lit(mask)).as("ch"))
+          shiftright(col("sig"), offsets(c)).bitwiseAND(lit(mask)).as("ch"))
       }: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.chunk"), col("b.ch"))
     val a = chunked.as("a"); val b = chunked.as("b")
@@ -550,10 +560,19 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, driverMaxEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val capped = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .limit((driverMaxEdges + 1).toInt).collect()
-    if (capped.length > driverMaxEdges) connectedComponentsDistributed(pairs)
+    val typed = pairs
+      .select(col("id_a").cast("long").as("_1"), col("id_b").cast("long").as("_2"))
+      .as[(Long, Long)]
+    // Route decision via a COUNT probe, never a driver materialization:
+    // limit(cap+1).count() is executor-side and O(cap) cheap, so when the
+    // distributed path is taken nothing was collected at all, and the
+    // hybrid path's collect is a typed primitive-tuple Dataset (specialized
+    // Tuple2[Long, Long]) — no cap-sized array of boxed generic Rows ever
+    // lands on the driver.
+    val overCap = typed.limit((driverMaxEdges + 1).toInt).count() > driverMaxEdges
+    if (overCap) connectedComponentsDistributed(pairs)
     else {
+      val capped = typed.collect()
       // Driver union-find with path compression, min id as root label.
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -563,8 +582,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      capped.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      capped.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }

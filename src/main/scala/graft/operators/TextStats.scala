@@ -211,8 +211,18 @@ object TextStats {
     // Bounded driver probes: one long each, computed once per call. The
     // frames recompute for the probe and the plan below — at this
     // operator's scale both are single aggregations over one scan.
-    val n1 = uni.agg(sum(col("c1"))).head().getLong(0)
-    val n2 = bi.agg(sum(col("n_pair"))).head().getLong(0)
+    // sum() aggregates to NULL on an empty/all-blank corpus — coalesce in
+    // the driver probe so the empty case returns an empty frame instead of
+    // NPE'ing on getLong.
+    val n1 = uni.agg(coalesce(sum(col("c1")), lit(0L))).head().getLong(0)
+    val n2 =
+      if (n1 == 0L) 0L
+      else bi.agg(coalesce(sum(col("n_pair")), lit(0L))).head().getLong(0)
+    if (n1 == 0L || n2 == 0L) {
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("tok_a"), lit("").as("tok_b"),
+          lit(0L).as("n_pair"), lit(0.0).as("pmi"))
+    }
     val ua = uni.select(col("tok").as("tok_a"), col("c1").as("ca"))
     val ub = uni.select(col("tok").as("tok_b"), col("c1").as("cb"))
     bi

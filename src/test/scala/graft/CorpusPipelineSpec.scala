@@ -21,6 +21,40 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(dist === cc)
   }
 
+  test("CC routing: over-cap edge lists take the distributed path with NO driver collect") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val funcs = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        funcs.add(funcName)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        funcs.add(funcName)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      // cap 2 < 3 edges -> the distributed path; the routing decision must
+      // be a count() probe (executor-side, O(cap)) — never a collect of
+      // the capped edge list (at the 5M default that is hundreds of MB of
+      // rows on the driver, wasted entirely when this branch is taken).
+      val out = Dedup.connectedComponents(pairs, driverMaxEdges = 2)
+      // listener events are async: wait until the probe's count shows up,
+      // then snapshot BEFORE this test's own collect below.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && !funcs.asScala.contains("count"))
+        Thread.sleep(50)
+      val during = funcs.asScala.toList
+      assert(during.contains("count"), s"routing probe should run as count(): $during")
+      assert(!during.contains("collect"),
+        s"over-cap route must not materialize edges on the driver: $during")
+      val cc = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
+      assert(cc(10L) === 10L && cc(11L) === 10L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("keepBestInCluster keeps the highest-scoring member; loners survive") {
     // cluster {1,2,3}: doc 2 scores highest; cluster {10,11}: tie on score
     // breaks to the lower id; docs 20, 21 are in no cluster.

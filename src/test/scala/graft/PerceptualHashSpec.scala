@@ -72,8 +72,9 @@ class PerceptualHashSpec extends SparkSuite {
   }
 
   test("hammingPairs: pigeonhole recall at the distance bound, exact filter above it") {
-    // maxDist=5 -> 6 chunks of width 11 (last 9). Flips in 5 DIFFERENT
-    // chunks leave chunk 5 shared: the worst spread still blocks.
+    // maxDist=5 -> 6 balanced chunks (widths 11,11,11,11,10,10). Flips in
+    // 5 DIFFERENT chunks leave chunk 5 shared: the worst spread still
+    // blocks.
     val spread = Seq(0, 12, 24, 36, 48).foldLeft(0L)((s, b) => s | (1L << b))
     // 6 flips inside chunk 0: shares chunks 1-5 (candidate) but distance
     // 6 > 5 must be filtered by the exact verify.
@@ -87,6 +88,36 @@ class PerceptualHashSpec extends SparkSuite {
     // (mask-width regression guard: 1L<<64 wraps)
     val eq = Seq((1L, 42L), (2L, 42L), (3L, 43L)).toDF("id", "sig")
     assert(Dedup.hammingPairs(eq, maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+  }
+
+  test("hammingPairs: full recall at maxDist values where ceil-width chunking broke down") {
+    // maxDist=11 -> 12 chunks. A ceil-width scheme (width 6) runs out of
+    // bits after chunk 10 (60+4 bits) and chunk 11 got a NEGATIVE width —
+    // a pair with one flip per REAL chunk then agreed on no chunk and was
+    // silently missed. The balanced partition (widths 6*4 then 5*8,
+    // offsets 0,6,12,18,24,29,34,39,44,49,54,59) guarantees chunk 11
+    // agreement for this worst-case spread.
+    val offsets11 = Seq(0, 6, 12, 18, 24, 29, 34, 39, 44, 49, 54)
+    val spread11 = offsets11.foldLeft(0L)((s, b) => s | (1L << b))
+    val sigs = Seq((1L, 0L), (2L, spread11)).toDF("id", "sig")
+    val got = Dedup.hammingPairs(sigs, maxDist = 11)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 11)), s"distance-11 worst-spread pair missed: $got")
+    // Exhaustive partition check across every legal maxDist: the balanced
+    // widths must be positive and tile exactly 64 bits (this is the
+    // invariant the old scheme violated for maxDist in {8,11,13,14,16-30,
+    // 32-62} via zero- or negative-width chunks).
+    (0 until 64).foreach { d =>
+      val chunks = d + 1
+      val base = 64 / chunks; val rem = 64 % chunks
+      val widths = (0 until chunks).map(c => base + (if (c < rem) 1 else 0))
+      assert(widths.forall(_ >= 1) && widths.sum === 64, s"maxDist=$d widths=$widths")
+    }
+    // Spot-check a previously zero-width-degenerate value end to end:
+    // maxDist=16 must still verify exactly (far pair filtered, equal kept).
+    val eq16 = Seq((1L, 7L), (2L, 7L), (3L, -1L)).toDF("id", "sig")
+    assert(Dedup.hammingPairs(eq16, maxDist = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
   }
 }

@@ -272,6 +272,21 @@ class SplitsVocabSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("pmiTopK: empty / all-blank / bigram-free corpora return empty, not NPE") {
+    import graft.operators.TextStats
+    // sum() over zero rows aggregates to NULL — each of these used to NPE
+    // in the driver-side totals probe
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.pmiTopK(empty, "text", k = 5).count() === 0L)
+    val blank = Seq((1L, "   "), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(TextStats.pmiTopK(blank, "text", k = 5).count() === 0L)
+    // single-token docs have unigrams but zero bigrams (n2 = 0)
+    val mono = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val out = TextStats.pmiTopK(mono, "text", k = 5)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("tok_a", "tok_b", "n_pair", "pmi"))
+  }
+
   test("oovStats: hand-checked rates; empty docs read 0.0; vocab joins broadcast") {
     val vocab = TextStats.vocabulary(
       Seq((0L, "the cat sat")).toDF("doc_id", "text"), "text", topV = 10)
