@@ -76,10 +76,15 @@ object ReleasePipeline {
     * [[appendBatch]] and [[ReleaseDiff]] diff future candidate batches
     * against this release through it, and parity harnesses reuse it
     * instead of re-running the sketch kernel; callers that consume it
-    * should unpersist when done).
+    * should unpersist when done); `paraPairs`: stage 3b's paragraph
+    * near-dup PAIR frame (id_a, id_b), retained for the same reason and
+    * under the same contract when `cfg.paragraphDedup` is on (lazily
+    * persisted; the pair kernel is the single most expensive stage, so
+    * parity harnesses reuse the pairs rather than re-running the window
+    * split + pair search — see the q82 gate).
     */
   final case class Result(corpus: DataFrame, packed: DataFrame, stats: Stats,
-      minhashSig: DataFrame) {
+      minhashSig: DataFrame, paraPairs: Option[DataFrame] = None) {
     /** This release as [[appendBatch]]'s frozen prior. */
     def toPrior: PriorRelease = PriorRelease(corpus, minhashSig)
   }
@@ -185,17 +190,25 @@ object ReleasePipeline {
 
     // 3b. Paragraph-granular near-dup — boilerplate-sharing docs that
     // whole-doc Jaccard misses; greedy keep-cluster-min, same convention
-    // as stage 3.
+    // as stage 3. The pair frame is hoisted out and lazily persisted so
+    // Result can retain it (the minhashSig convention): the window-split
+    // + pair-search kernel dominates this stage's cost, and parity
+    // harnesses reuse the pairs instead of re-running it. Lazy persist
+    // costs nothing on the durable-resume path (the staged body never
+    // runs, so the frame is never materialized).
+    val paraPairs: Option[DataFrame] =
+      if (!cfg.paragraphDedup) None
+      else Some(Paragraphs.nearDupDocPairsAuto(
+            Paragraphs.splitTokenWindows(deduped, "text", "doc_id",
+              cfg.paragraphWindow),
+            cfg.shingleN, cfg.paragraphThreshold,
+            knownMaxShingles = Some(cfg.paragraphWindow - cfg.shingleN + 1))
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val paraDeduped =
       if (!cfg.paragraphDedup) deduped
       else staged("3b_paradedup", {
-        val paras = Paragraphs.splitTokenWindows(deduped, "text", "doc_id",
-          cfg.paragraphWindow)
-        val pDrops = Dedup.connectedComponents(
-            Paragraphs.nearDupDocPairsAuto(paras, cfg.shingleN,
-                cfg.paragraphThreshold,
-                knownMaxShingles = Some(cfg.paragraphWindow - cfg.shingleN + 1))
-              .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+        val pDrops = Dedup.connectedComponents(paraPairs.get)
           .where(col("id") =!= col("label")).select("id")
         deduped.join(pDrops, deduped("doc_id") === pDrops("id"), "left_anti")
       })
@@ -245,7 +258,7 @@ object ReleasePipeline {
       afterDespan = despanned.count(),
       afterDecontaminate = clean.count(),
       afterLmFloor = kept.count())
-    Result(kept, packed, stats, sig)
+    Result(kept, packed, stats, sig, paraPairs)
   }
 
   /** A shipped release as seen by [[appendBatch]]: the released corpus

@@ -868,7 +868,7 @@ object TextQueries {
   // anti-join orientation, stage insertion points) breaks parity and
   // fails the driver's rows-only check.
   private def mkQ82(gated: Boolean): Q = (s, dir) => {
-    import graft.operators.{Decontaminate, LmScore, Paragraphs, Pii, TextStats}
+    import graft.operators.{Decontaminate, LmScore, Pii, TextStats}
     val docs = Tables(s, dir, "documents")
     val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
     val ref   = docs.where(pmod(col("doc_id"), lit(10)) === 0)
@@ -910,13 +910,16 @@ object TextQueries {
           .where(col("id") =!= col("label")).select("id")
         val dd = staged(reExact.join(docDrop,
           reExact("doc_id") === docDrop("id"), "left_anti"))
-        val paraDrop = Dedup.connectedComponents(
-            Paragraphs.nearDupDocPairsAuto(
-                Paragraphs.splitTokenWindows(dd, "text", "doc_id",
-                  cfg.paragraphWindow),
-                cfg.shingleN, cfg.paragraphThreshold,
-                knownMaxShingles = Some(cfg.paragraphWindow - cfg.shingleN + 1))
-              .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+        // Paragraph PAIR frame SHARED with the pipeline (Result.paraPairs,
+        // the same contract as the minhashSig share above): the window
+        // split + pair search is pure, q77-oracled, and the single most
+        // expensive stage — re-running it here would dominate the gate
+        // while verifying a kernel already verified elsewhere. Stage
+        // THREADING stays under test: if the recompose's dd diverges from
+        // the pipeline's deduped boundary, anti-joining the shared drop
+        // set leaves the divergent docs on exactly one side and the final
+        // set compare breaks.
+        val paraDrop = Dedup.connectedComponents(res.paraPairs.get)
           .where(col("id") =!= col("label")).select("id")
         val pd = dd.join(paraDrop, dd("doc_id") === paraDrop("id"), "left_anti")
         val desp = staged(TextStats.removeDupSpans(pd, "text", "doc_id",
@@ -936,10 +939,12 @@ object TextQueries {
           "doc_id")
         Gates.setParity(res.corpus, reKept, "doc_id")
       }
-    // The shared signature persist is dead once this query's action ran
-    // (the pipeline consumed it eagerly; the gate's reuse is inside the
-    // plan built above) — release it rather than leak one cache per call.
-    graft.core.Frames.releaseAfterNextAction(s, res.minhashSig)
+    // The shared signature/pair persists are dead once this query's
+    // action ran (the pipeline consumed them eagerly; the gate's reuse is
+    // inside the plan built above) — release them rather than leak caches
+    // per call.
+    graft.core.Frames.releaseAfterNextAction(s,
+      (res.minhashSig +: res.paraPairs.toSeq): _*)
     out.select(col("doc_id"),
         TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
