@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{EventQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{EventQueries, MultimodalQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,13 +25,15 @@ object SparkEntry {
     * itself rather than one from [[Sessions.builder]].
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.all ++ VectorQueries.defs)
+    (RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.all ++
+      VectorQueries.defs ++ MultimodalQueries.defs)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(Sessions.init(s), dir))
       }
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
+    RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
+      VectorQueries.oracles ++ MultimodalQueries.oracles
 
   /** Serving-only (gate-free) variants of the gated queries, keyed by the
     * same names as [[queries]] — measurement surface for Bench's

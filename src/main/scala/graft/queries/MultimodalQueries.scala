@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Driver-visible multimodal queries. The container ships no image
+  * corpus, so — following the q71/q97 in-plan injection convention — the
+  * corpus is RENDERED deterministically from doc ids, executor-side:
+  * every selected doc becomes a 64×64 bimodal block-pattern image whose
+  * pattern is a pure function of `doc_id % 8` (its near-dup GROUP) and
+  * whose encoding (PNG/JPEG) and pixel-noise vary per doc. The query
+  * then runs the REAL pipeline — ImageIO decode → perceptual aHash →
+  * Hamming pigeonhole banding ([[Multimodal.nearDupImagePairs]]) — and
+  * the DuckDB oracle recomputes the expected pair set from ids alone:
+  * same-group, both decodable, a < b. The oracle is exact because the
+  * construction guarantees margins on BOTH sides of the distance
+  * threshold (within-group ≈ 0–6 bits: PNG hashes equal the pattern
+  * exactly, JPEG blocks align with the 8×8 DCT grid so decode error
+  * can't cross the mean threshold; cross-group ≥ 25 bits by choice of
+  * the splitmix64 pattern family — verified in PerceptualHashSpec).
+  * Any break in decode, hashing, or banding changes the emitted pairs
+  * and fails the driver's hash compare.
+  */
+object MultimodalQueries {
+
+  /** splitmix64 finalizer — the group-pattern family. Group `g`'s 64-bit
+    * pattern drives which of the 8×8 blocks render bright; the family's
+    * min pairwise Hamming distance is 25 (deterministic, spec-pinned),
+    * so maxDist=10 separates groups with a 15-bit margin.
+    */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private[graft] def groupPattern(g: Long): Long =
+    mix64(g * 0x5851F42D4C957F2DL + 0x14057B7EF767814FL)
+
+  /** Deterministically render doc `id`'s image asset. `id % 13 == 5`
+    * docs get an undecodable payload (exercises the decode-failure drop
+    * path end to end — they must appear in NO pair). Otherwise: 64×64
+    * RGB, 8×8 blocks at luminance 220/40 from the group pattern's bits,
+    * three +4-luminance noise pixels at id-derived positions (perceptual
+    * no-ops: they can't move a 40/220 sample across the ~130 mean), and
+    * PNG or JPEG encoding alternating on `id / 8` — JPEG blocks align
+    * with the DCT grid, so re-encode noise stays within a few
+    * luminance steps of the block value.
+    */
+  private[graft] def renderAsset(id: Long): Multimodal.MediaRecord = {
+    if (id % 13 == 5) {
+      val junk = Array.tabulate(64)(i => mix64(id * 64 + i).toByte)
+      return Multimodal.MediaRecord(id, "image", junk, s"mem://$id.bin")
+    }
+    val pattern = groupPattern(id % 8)
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val bit = (y / 8) * 8 + (x / 8)
+        val v = if (((pattern >>> bit) & 1L) == 1L) 220 else 40
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    var j = 0
+    while (j < 3) {
+      val h = mix64(id * 3 + j)
+      val nx = (h & 63L).toInt; val ny = ((h >>> 6) & 63L).toInt
+      val p = img.getRGB(nx, ny)
+      val v = math.min(255, ((p >> 16) & 0xFF) + 4)
+      img.setRGB(nx, ny, (v << 16) | (v << 8) | v)
+      j += 1
+    }
+    val fmt = if ((id / 8) % 2 == 0) "png" else "jpg"
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    Multimodal.MediaRecord(id, "image", bos.toByteArray, s"mem://$id.$fmt")
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Image near-duplicate detection over the rendered corpus: real
+    // decode + aHash + pigeonhole Hamming banding; emitted pairs are
+    // exactly the same-group decodable pairs (oracle recomputes them
+    // from ids).
+    "q101_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(renderAsset))
+      Multimodal.nearDupImagePairs(media, maxDist = 10)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q101_image_neardup" ->
+      """WITH sel AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sel a JOIN sel b
+        |   ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
+  )
+}

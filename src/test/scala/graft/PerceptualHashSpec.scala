@@ -120,4 +120,27 @@ class PerceptualHashSpec extends SparkSuite {
     assert(Dedup.hammingPairs(eq16, maxDist = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
   }
+
+  test("q101 rendered-corpus image near-dup: pairs == same-group decodable pairs") {
+    import graft.queries.MultimodalQueries
+    // the pattern family's separation margin the oracle's exactness
+    // rests on: min pairwise Hamming distance 25 >> maxDist 10
+    val pats = (0L until 8L).map(MultimodalQueries.groupPattern)
+    val minD = (for (i <- 0 until 8; j <- i + 1 until 8)
+      yield hamming(pats(i), pats(j))).min
+    assert(minD >= 20, s"group patterns too close: $minD")
+    val dir = sf("sf0.001")
+    val got = MultimodalQueries.defs("q101_image_neardup")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val sel = Tables(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.expr("doc_id % 7 = 3 AND doc_id % 13 <> 5"))
+      .select("doc_id").as[Long].collect().sorted
+    val want = (for {
+      i <- sel.indices; j <- i + 1 until sel.length
+      if sel(i) % 8 == sel(j) % 8
+    } yield (sel(i), sel(j))).toSet
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
 }
