@@ -13,6 +13,11 @@ import graft.operators._
   *                            reference corpus is passed: "is this new
   *                            data worth ingesting")
   *   1. PII scrub            ([[Pii.redact]] — map-side projection)
+  *   1b. boilerplate lines   ([[TextStats.removeBoilerplateLines]] —
+  *                            optional RefinedWeb-style line dedup,
+  *                            BEFORE quality + doc dedup so site
+  *                            furniture neither drags quality scores
+  *                            nor manufactures near-dup pairs)
   *   2. quality battery      ([[TextStats.gopherVerdicts]])
   *   3. exact + near dedup   ([[Dedup.exactByFingerprint]] +
   *                            LSH pairs → connected components)
@@ -54,7 +59,16 @@ object ReleasePipeline {
       // stage 3b — off by default (doc-level dedup already ran).
       paragraphDedup: Boolean = false,
       paragraphWindow: Int = 16,
-      paragraphThreshold: Double = 0.5)
+      paragraphThreshold: Double = 0.5,
+      // stage 1b — RefinedWeb/CCNet boilerplate-LINE removal, BEFORE the
+      // quality battery and doc dedup (site furniture inflates both
+      // quality penalties and inter-doc similarity; stripping it first
+      // judges and dedups the content). Off by default: the line-df
+      // statistic is corpus-relative, so batch appends apply it
+      // batch-relatively (same caveat as the other batch-relative
+      // stages — see appendBatch).
+      boilerplateLineDedup: Boolean = false,
+      boilerplateMinDf: Int = 10)
 
   /** Stage survivor counts. Optional stages that are off repeat their
     * predecessor's count (the stage passed everything through).
@@ -62,6 +76,7 @@ object ReleasePipeline {
   final case class Stats(
       input: Long,
       afterNovelty: Long,
+      afterBoilerplate: Long,
       afterQuality: Long,
       afterDedup: Long,
       afterParaDedup: Long,
@@ -163,9 +178,20 @@ object ReleasePipeline {
     val scrubbed = staged("1_scrub", acquired.select(id.as("doc_id"),
       Pii.redact(col(s"`${cfg.textCol}`")).as("text")))
 
+    // 1b. Boilerplate-LINE removal (optional): lines whose trimmed form
+    // appears in >= boilerplateMinDf distinct docs are site furniture —
+    // stripped corpus-wide BEFORE quality scoring and dedup. Docs
+    // scrubbed to whitespace drop here (the despan-stage convention).
+    val lineClean =
+      if (!cfg.boilerplateLineDedup) scrubbed
+      else staged("1b_boilerplate", TextStats.removeBoilerplateLines(
+          scrubbed, "text", "doc_id", cfg.boilerplateMinDf)
+        .where(length(trim(col("scrubbed"))) > 0)
+        .select(col("id").as("doc_id"), col("scrubbed").as("text")))
+
     // 2. Gopher-style quality battery.
-    val qualified = staged("2_quality", scrubbed.join(
-      TextStats.gopherVerdicts(scrubbed, "text", "doc_id")
+    val qualified = staged("2_quality", lineClean.join(
+      TextStats.gopherVerdicts(lineClean, "text", "doc_id")
         .where(col("pass")).select(col("id").as("doc_id")), "doc_id"))
 
     // 3. Exact dedup, then LSH near-dup clusters (keep cluster-min id).
@@ -227,17 +253,12 @@ object ReleasePipeline {
         .select(col(s"`${cfg.textCol}`").as("text")), "text",
       n = cfg.decontaminateN))
 
-    // 6. Unigram-LM floor: drop the lowest-scoring quantile.
-    val kept = staged("6_lmfloor", {
-      val uni = LmScore.trainUnigram(clean, "text")
-      val scored = LmScore.scoreDocs(clean, "text", "doc_id", uni, cfg.oovLogp)
-      val cut = scored
-        .agg(expr(s"approx_percentile(mean_logp, ${cfg.lmFloorQuantile})"))
-        .head().getDouble(0)
-      clean.join(
-        scored.where(col("mean_logp") >= cut).select(col("id").as("doc_id")),
-        "doc_id")
-    })
+    // 6. Unigram-LM floor: drop the lowest-scoring quantile. A corpus
+    // with no tokens left (everything deduped/scrubbed away — a real
+    // degenerate case, e.g. a fully-redundant acquisition) has no model
+    // to train and no quantile to cut: the floor passes it through
+    // instead of crashing in trainUnigram.
+    val kept = staged("6_lmfloor", lmFloor(clean, cfg))
 
     // 7. Packing assignment over the survivors.
     val sized = kept.select(col("doc_id"),
@@ -246,11 +267,14 @@ object ReleasePipeline {
 
     val inputN = input.count()
     val dedupedN = deduped.count()
+    val afterNoveltyN = if (noveltyRef.isEmpty) inputN else scrubbed.count()
     val stats = Stats(
       input = inputN,
       // PII scrub is 1:1, so the scrubbed checkpoint carries stage 0's
       // count — recounting `acquired` would re-run the novelty probe.
-      afterNovelty = if (noveltyRef.isEmpty) inputN else scrubbed.count(),
+      afterNovelty = afterNoveltyN,
+      afterBoilerplate = if (!cfg.boilerplateLineDedup) afterNoveltyN
+                         else lineClean.count(),
       afterQuality = qualified.count(),
       afterDedup = dedupedN,
       afterParaDedup = if (!cfg.paragraphDedup) dedupedN
@@ -259,6 +283,28 @@ object ReleasePipeline {
       afterDecontaminate = clean.count(),
       afterLmFloor = kept.count())
     Result(kept, packed, stats, sig, paraPairs)
+  }
+
+  /** Shared stage 6 / a7 body: unigram-LM mean-logprob quantile floor
+    * over `clean` (doc_id, text). Empty or token-free survivor sets pass
+    * through unchanged — there is no model to train and no quantile to
+    * cut, and both [[run]] and [[appendBatch]] can legitimately arrive
+    * here with nothing left (fully-redundant input).
+    */
+  private def lmFloor(clean: DataFrame, cfg: Config): DataFrame = {
+    val hasTokens = !clean.where(
+      graft.functions.TextFns.tokenCount(col("text")) > 0).isEmpty
+    if (!hasTokens) clean
+    else {
+      val uni = LmScore.trainUnigram(clean, "text")
+      val scored = LmScore.scoreDocs(clean, "text", "doc_id", uni, cfg.oovLogp)
+      val cut = scored
+        .agg(expr(s"approx_percentile(mean_logp, ${cfg.lmFloorQuantile})"))
+        .head().getDouble(0)
+      clean.join(
+        scored.where(col("mean_logp") >= cut).select(col("id").as("doc_id")),
+        "doc_id")
+    }
   }
 
   /** A shipped release as seen by [[appendBatch]]: the released corpus
@@ -295,6 +341,7 @@ object ReleasePipeline {
   /** New-batch survivor counts, one per [[appendBatch]] stage. */
   final case class AppendStats(
       batchInput: Long,
+      afterBoilerplate: Long,
       afterQuality: Long,
       afterExact: Long,
       afterNearDup: Long,
@@ -333,9 +380,10 @@ object ReleasePipeline {
 
   /** Append a new document batch to a FROZEN prior release — the
     * incremental form of [[run]]. The batch runs the same stage battery
-    * (PII scrub → quality → exact dedup → near-dup → optional paragraph
-    * near-dup → dup-span removal → decontamination → LM floor →
-    * packing); the prior release is never modified and never re-judged.
+    * (PII scrub → optional boilerplate-line removal → quality → exact
+    * dedup → near-dup → optional paragraph near-dup → dup-span removal →
+    * decontamination → LM floor → packing); the prior release is never
+    * modified and never re-judged.
     *
     * SCALE CONTRACT — the whole point of the incremental form: the only
     * prior-release data this function COMPUTES over is
@@ -410,11 +458,22 @@ object ReleasePipeline {
       s"appendBatch: $clashes batch ${cfg.idCol} value(s) already exist in " +
         "the prior release's registry — ids must be globally unique across releases")
 
-    // 1–2. PII scrub, quality battery — per-doc, identical to run().
+    // 1–2. PII scrub, optional boilerplate-line removal, quality battery
+    // — per-doc / batch-relative, same stage order as run(). The line-df
+    // statistic here sees only the BATCH's lines (prior text is out of
+    // the sig-only contract), so furniture shared with the prior release
+    // but rare within a batch survives — the same batch-relativity as
+    // the span/LM stages, documented above.
     val scrubbed = staged("a1_scrub", input.select(id.as("doc_id"),
       Pii.redact(col(s"`${cfg.textCol}`")).as("text")))
-    val qualified = staged("a2_quality", scrubbed.join(
-      TextStats.gopherVerdicts(scrubbed, "text", "doc_id")
+    val lineClean =
+      if (!cfg.boilerplateLineDedup) scrubbed
+      else staged("a1b_boilerplate", TextStats.removeBoilerplateLines(
+          scrubbed, "text", "doc_id", cfg.boilerplateMinDf)
+        .where(length(trim(col("scrubbed"))) > 0)
+        .select(col("id").as("doc_id"), col("scrubbed").as("text")))
+    val qualified = staged("a2_quality", lineClean.join(
+      TextStats.gopherVerdicts(lineClean, "text", "doc_id")
         .where(col("pass")).select(col("id").as("doc_id")), "doc_id"))
 
     // 3. Exact dedup: within the batch, then against the registry's
@@ -484,16 +543,10 @@ object ReleasePipeline {
       benchmark.where(col(s"`${cfg.textCol}`").isNotNull)
         .select(col(s"`${cfg.textCol}`").as("text")), "text",
       n = cfg.decontaminateN))
-    val kept = staged("a7_lmfloor", {
-      val uni = LmScore.trainUnigram(clean, "text")
-      val scored = LmScore.scoreDocs(clean, "text", "doc_id", uni, cfg.oovLogp)
-      val cut = scored
-        .agg(expr(s"approx_percentile(mean_logp, ${cfg.lmFloorQuantile})"))
-        .head().getDouble(0)
-      clean.join(
-        scored.where(col("mean_logp") >= cut).select(col("id").as("doc_id")),
-        "doc_id")
-    })
+    // Same no-token degenerate-case guard as run()'s stage 6: a batch
+    // that dedups to nothing (a fully re-delivered crawl) must return an
+    // empty newKept, not crash training the floor model.
+    val kept = staged("a7_lmfloor", lmFloor(clean, cfg))
 
     // 8. Pack the NEW survivors only; released packs stay as shipped.
     val sized = kept.select(col("doc_id"),
@@ -501,8 +554,11 @@ object ReleasePipeline {
     val packed = Packing.packChunks(sized, "doc_id", "len", cfg.packCapacity)
 
     val dedupN = paraDeduped.count()
+    val batchInputN = input.count()
     val stats = AppendStats(
-      batchInput = input.count(),
+      batchInput = batchInputN,
+      afterBoilerplate = if (!cfg.boilerplateLineDedup) batchInputN
+                         else lineClean.count(),
       afterQuality = qualified.count(),
       afterExact = exact.count(),
       afterNearDup = deduped.count(),

@@ -99,6 +99,7 @@ class ReleasePipelineSpec extends SparkSuite {
     // counts monotone non-increasing through the filter/dedup stages;
     // the optional stages are off -> they pass everything through
     assert(s.afterNovelty === s.input)
+    assert(s.afterBoilerplate === s.afterNovelty)
     assert(s.afterParaDedup === s.afterDedup)
     assert(s.input >= s.afterQuality && s.afterQuality >= s.afterDedup)
     assert(s.afterDedup >= s.afterDespan)
@@ -119,6 +120,75 @@ class ReleasePipelineSpec extends SparkSuite {
     // released text is actually scrubbed: no raw emails survive
     assert(res.corpus.where(col("text").rlike(
       graft.operators.Pii.rules(0)._1)).count() === 0)
+  }
+
+  test("ReleasePipeline: boilerplate-line stage strips furniture; clean-corpus parity") {
+    import graft.corpus.ReleasePipeline
+    val header = "ACCEPT COOKIES | Home | About | Contact"
+    val footer = "(c) example.site - all rights reserved"
+    val docs0 = Tables(spark, sf("sf0.001"), "documents")
+      .where(col("text").isNotNull)
+    // every doc wrapped in the same site furniture, plus one doc that IS
+    // only furniture (must drop at stage 1b)
+    val injected = docs0.select(col("doc_id"),
+        concat(lit(header + "\n"), col("text"), lit("\n" + footer)).as("text"))
+      .unionByName(Seq((999999L, header + "\n" + footer)).toDF("doc_id", "text"))
+    val benchmark = docs0.where(pmod(col("doc_id"), lit(10)) === 0)
+    val on = ReleasePipeline.run(injected, benchmark,
+      ReleasePipeline.Config(boilerplateLineDedup = true, packCapacity = 256L))
+    val s = on.stats
+    // monotone through the new stage; the all-furniture doc drops there
+    assert(s.afterBoilerplate === s.input - 1)
+    assert(s.afterBoilerplate >= s.afterQuality)
+    // no furniture line survives into the release
+    assert(on.corpus.where(col("text").contains(header) ||
+      col("text").contains(footer)).count() === 0)
+    // stripping is EXACT line removal: the furniture-injected corpus with
+    // the stage on releases the identical (id, text) set as the clean
+    // corpus with the stage off — every downstream stage saw equal text.
+    val off = ReleasePipeline.run(docs0, benchmark,
+      ReleasePipeline.Config(packCapacity = 256L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(rows(on.corpus) === rows(off.corpus))
+    // append side: same stage, batch-relative line df. Batch docs are
+    // pairwise concatenations of real texts (Jaccard ~0.5 vs any single
+    // prior doc — novel at the 0.9 dedup threshold, still English so the
+    // quality battery passes them) wrapped in the same furniture, which
+    // must still strip.
+    val prior = on.toPrior
+    val arr = docs0.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val batch = arr.indices.map { i =>
+      val (idA, tA) = arr(i); val tB = arr((i + 1) % arr.length)._2
+      (1000000L + idA, header + "\n" + tA + "\n" + tB)
+    }.toDF("doc_id", "text")
+    val app = ReleasePipeline.appendBatch(prior, batch, benchmark,
+      ReleasePipeline.Config(boilerplateLineDedup = true, packCapacity = 256L))
+    assert(app.stats.afterBoilerplate <= app.stats.batchInput)
+    assert(app.stats.afterLmFloor > 0)
+    assert(app.newKept.where(col("text").contains(header)).count() === 0)
+  }
+
+  test("appendBatch: a fully-redundant batch yields an empty newKept, not a crash") {
+    import graft.corpus.ReleasePipeline
+    val docs0 = Tables(spark, sf("sf0.001"), "documents")
+      .where(col("text").isNotNull)
+    val benchmark = docs0.where(pmod(col("doc_id"), lit(10)) === 0)
+    val rel = ReleasePipeline.run(docs0, benchmark,
+      ReleasePipeline.Config(packCapacity = 256L))
+    // the same content re-delivered under fresh ids: every batch doc is
+    // an exact dup of a registry fingerprint -> the whole batch drops at
+    // the exact stage and the LM floor sees an empty survivor set
+    val redelivered = docs0.select((col("doc_id") + 2000000L).as("doc_id"),
+      col("text"))
+    val app = ReleasePipeline.appendBatch(rel.toPrior, redelivered, benchmark,
+      ReleasePipeline.Config(packCapacity = 256L))
+    assert(app.stats.afterExact === 0L)
+    assert(app.stats.afterLmFloor === 0L)
+    assert(app.newKept.count() === 0L)
+    // the grown release is exactly the prior
+    assert(app.corpus.count() === rel.corpus.count())
   }
 
   test("checkpointed build resumes from completed stages and matches the in-memory run") {
