@@ -360,7 +360,10 @@ object ReleasePipeline {
     * near-dup, BEFORE the batch-relative paragraph stage), the surface
     * on which chained == one-shot parity holds exactly; `minhashSig`:
     * the chained registry for the NEXT append (prior registry ∪ this
-    * batch's post-exact-dedup signatures); `cached`: pipeline-internal
+    * batch's post-exact-dedup signatures); `registryNew`: just this
+    * batch's registry contribution (minhashSig minus the prior part) —
+    * what an append-only registry STORE persists per batch
+    * ([[graft.streaming.StreamingReleaseAppend]]); `cached`: pipeline-internal
     * persisted frames (the batch signature) — the CorpusPipeline
     * convention: the caller unpersists these when done (recomputation
     * stays correct afterwards, the lineage roots are checkpointed
@@ -372,6 +375,7 @@ object ReleasePipeline {
       packedNew: DataFrame,
       dedupSurvivors: DataFrame,
       minhashSig: DataFrame,
+      registryNew: DataFrame,
       stats: AppendStats,
       cached: Seq[DataFrame] = Nil) {
     /** The grown release as the NEXT append's frozen prior. */
@@ -577,6 +581,7 @@ object ReleasePipeline {
       packedNew = packed,
       dedupSurvivors = deduped.select("doc_id"),
       minhashSig = prior.minhashSig.unionByName(sigBatch),
+      registryNew = sigBatch,
       stats = stats,
       cached = Seq(sigBatch))
   }
