@@ -364,4 +364,50 @@ object TextStats {
         when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
           .otherwise(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
+
+  /** SOURCE-pair shingle Jaccard matrix — the corpus-level provenance
+    * audit (which strata share content), computed on whole-source
+    * DISTINCT shingle sets rather than through doc pairs: q80's
+    * doc-pair route only sees sources that share near-DUPLICATE docs,
+    * while this measures bulk gram overlap between strata even when no
+    * single doc pair crosses a dedup threshold (the Dolma/RedPajama-
+    * style source audit).
+    *
+    * @return (src_a, src_b, n_inter, jaccard) for source pairs with at
+    * least one shared shingle, src_a < src_b. Pairs that share nothing
+    * are absent (enumerating empties would need a source×source cross;
+    * consumers treat absence as 0).
+    *
+    * Shape: one (source, gram)-distinct shuffle, then ONE gram-keyed
+    * aggregation that emits each gram's source-pair combinations via
+    * array HOFs — no gram self-join, so the gram frame shuffles once.
+    * Per-gram fan-out is C(k,2) for a gram in k sources: inherent to
+    * the measure (that gram IS evidence for those pairs), bounded by
+    * S² per gram with S = #strata, a dimension (~10³ at 100 TB), not a
+    * data-scale quantity.
+    */
+  def sourceShingleJaccard(df: DataFrame, textCol: String,
+                           sourceCol: String, n: Int): DataFrame = {
+    val sh = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$sourceCol`").as("src"),
+        explode(graft.functions.SketchExpressions
+          .wordShingles(col(s"`$textCol`"), n)).as("g"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val pairsPerGram = sh.groupBy("g")
+      .agg(sort_array(collect_set(col("src"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss")) - i - 1), y =>
+          struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+    val inter = pairsPerGram
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("n_sh").as("__na")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n_sh").as("__nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("__na") + col("__nb") - col("n_inter")), 6).as("jaccard"))
+  }
 }

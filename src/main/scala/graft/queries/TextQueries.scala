@@ -473,6 +473,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Source-pair shingle Jaccard matrix: corpus-level provenance audit
+    // over whole-source DISTINCT 3-gram sets — bulk stratum overlap even
+    // where no single doc pair crosses a dedup threshold (q80 sees only
+    // near-dup-mediated source pairs). Exact set semantics, one
+    // gram-keyed shuffle with HOF pair fan-out; the oracle mirrors it
+    // with an inverted-index join.
+    "q102_source_jaccard" -> ((s, dir) => {
+      graft.operators.TextStats.sourceShingleJaccard(
+          Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
+          "text", "source", n = 3)
+        .orderBy("src_a", "src_b")
+    }),
+
     // Per-language corpus datasheet: the release-audit aggregate (docs,
     // tokens, blanks, distinct fingerprints, docs in exact-dup clusters)
     // — dup figures use the q31 fingerprint convention so they agree
@@ -1518,6 +1531,22 @@ object TextQueries {
         | LEFT JOIN exo ON d.split = exo.split
         | LEFT JOIN np ON d.split = np.split
         | ORDER BY d.split""".stripMargin.replaceAll("\n", " "),
+    "q102_source_jaccard" ->
+      """WITH sh AS (
+        |  SELECT source, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT DISTINCT source, unnest(s) AS g FROM sh),
+        | sz AS (SELECT source, count(*) AS n FROM ex GROUP BY source),
+        | it AS (SELECT a.source AS src_a, b.source AS src_b,
+        |          CAST(count(*) AS BIGINT) AS n_inter
+        |        FROM ex a JOIN ex b ON a.g = b.g AND a.source < b.source
+        |        GROUP BY 1, 2)
+        | SELECT src_a, src_b, n_inter,
+        |   round(CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter), 6) AS jaccard
+        | FROM it JOIN sz x ON src_a = x.source JOIN sz y ON src_b = y.source
+        | ORDER BY src_a, src_b""".stripMargin.replaceAll("\n", " "),
     "q97_encoding_damage" ->
       """SELECT doc_id, n_repl, n_ctrl,
         |  round(CASE WHEN len = 0 THEN 0.0
