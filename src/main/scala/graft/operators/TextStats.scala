@@ -365,6 +365,58 @@ object TextStats {
           .otherwise(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
 
+  /** Gopher's duplicated-n-gram CHARACTER fraction — the within-document
+    * half of the repetition family ([[topNgramFraction]] is the
+    * top-n-gram half): the fraction of a document's token character
+    * mass covered by n-grams that occur MORE THAN ONCE in that
+    * document, overlapping occurrences counted once (union of covered
+    * token positions, the paper's no-double-count rule). High values
+    * mark generated/templated text that per-gram top-fraction misses
+    * when the repetition spreads across many different n-grams.
+    *
+    * @return (id, n_tok_chars, n_dup_chars, dup_frac) for every
+    * non-blank doc; docs shorter than n tokens read 0.0.
+    *
+    * Shape: every shuffle is doc-keyed — (id, gram) duplicate counting,
+    * (id, token-index) covered-position distinct, and the final id
+    * rollup — so the operator partitions by document at any corpus
+    * size; gram construction is per-row array HOFs (no token
+    * self-join).
+    */
+  def dupNgramCharFraction(df: DataFrame, textCol: String, idCol: String,
+                           n: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val id = col(s"`$idCol`").as("id")
+    val base = df.where(col(s"`$textCol`").isNotNull &&
+        length(trim(col(s"`$textCol`"))) > 0)
+      .select(id, graft.functions.TextFns.tokens(col(s"`$textCol`")).as("w"))
+    val tokLens = base.select(col("id"),
+      posexplode(col("w")).as(Seq("ti", "tok")))
+      .select(col("id"), col("ti"), length(col("tok")).as("l"))
+    val grams = base.where(size(col("w")) >= n)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => struct(i.as("start"),
+          array_join(slice(col("w"), i + 1, lit(n)), " ").as("gram")))).as("s"))
+      .select(col("id"), col("s.start"), col("s.gram"))
+    val dupStarts = grams.groupBy("id", "gram")
+      .agg(count(lit(1)).as("c"), collect_list(col("start")).as("starts"))
+      .where(col("c") >= 2)
+      .select(col("id"), explode(col("starts")).as("start"))
+    val covered = dupStarts
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("ti"))
+      .distinct()
+    val dupChars = tokLens.join(covered, Seq("id", "ti"))
+      .groupBy("id").agg(sum(col("l")).as("__dup"))
+    val totals = tokLens.groupBy("id").agg(sum(col("l")).as("n_tok_chars"))
+    totals.join(dupChars, Seq("id"), "left")
+      .select(col("id"), col("n_tok_chars"),
+        coalesce(col("__dup"), lit(0L)).as("n_dup_chars"),
+        round(coalesce(col("__dup"), lit(0L)).cast("double") /
+          col("n_tok_chars"), 6).as("dup_frac"))
+  }
+
   /** SOURCE-pair shingle Jaccard matrix — the corpus-level provenance
     * audit (which strata share content), computed on whole-source
     * DISTINCT shingle sets rather than through doc pairs: q80's

@@ -486,6 +486,25 @@ object TextQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // Gopher dup-n-gram character fraction (n = 5): within-document
+    // repetition by UNION of covered token positions (overlaps counted
+    // once). The synthetic corpus has zero natural dup 5-grams, so
+    // duplication is injected in-plan for ids % 6 == 0 — the doc's
+    // first 7 tokens re-appended, which duplicates its first three
+    // 5-gram windows (a genuinely overlapping union) plus the appended
+    // copy itself; the oracle mirrors the injection expression exactly.
+    "q103_dup_ngram_chars" -> ((s, dir) => {
+      val w0 = split(trim(col("text")), "\\s+")
+      val t = when(pmod(col("doc_id"), lit(6)) === 0,
+        concat(col("text"), lit(" "), array_join(slice(w0, 1, 7), " ")))
+        .otherwise(col("text"))
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), t.as("text"))
+      graft.operators.TextStats.dupNgramCharFraction(docs, "text", "doc_id", n = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Per-language corpus datasheet: the release-audit aggregate (docs,
     // tokens, blanks, distinct fingerprints, docs in exact-dup clusters)
     // — dup figures use the q31 fingerprint convention so they agree
@@ -1531,6 +1550,31 @@ object TextQueries {
         | LEFT JOIN exo ON d.split = exo.split
         | LEFT JOIN np ON d.split = np.split
         | ORDER BY d.split""".stripMargin.replaceAll("\n", " "),
+    "q103_dup_ngram_chars" ->
+      """WITH raw AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN text || ' ' ||
+        |      array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 7), ' ')
+        |    ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        | t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |       FROM raw WHERE trim(text) <> ''),
+        | tok AS (SELECT doc_id, i, length(w[i]) AS l
+        |         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t)),
+        | g AS (SELECT doc_id, i AS start1, array_to_string(list_slice(w, i, i+4), ' ') AS gram
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) AS i FROM t
+        |             WHERE len(w) >= 5)),
+        | d AS (SELECT doc_id, gram FROM g GROUP BY 1, 2 HAVING count(*) >= 2),
+        | cov AS (SELECT DISTINCT g.doc_id, g.start1 + unnest(generate_series(0, 4)) AS ti
+        |         FROM g JOIN d ON g.doc_id = d.doc_id AND g.gram = d.gram),
+        | tot AS (SELECT doc_id, sum(l) AS n_tok_chars FROM tok GROUP BY 1),
+        | dupc AS (SELECT tok.doc_id, sum(tok.l) AS n_dup_chars
+        |          FROM tok JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.ti
+        |          GROUP BY 1)
+        | SELECT t.doc_id, CAST(tot.n_tok_chars AS BIGINT) AS n_tok_chars,
+        |   CAST(coalesce(dupc.n_dup_chars, 0) AS BIGINT) AS n_dup_chars,
+        |   round(CAST(coalesce(dupc.n_dup_chars, 0) AS DOUBLE) / tot.n_tok_chars, 6) AS dup_frac
+        | FROM t JOIN tot USING (doc_id) LEFT JOIN dupc ON t.doc_id = dupc.doc_id
+        | ORDER BY t.doc_id""".stripMargin.replaceAll("\n", " "),
     "q102_source_jaccard" ->
       """WITH sh AS (
         |  SELECT source, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]

@@ -145,6 +145,29 @@ class SamplingStatsSpec extends SparkSuite {
     assert(out(3L) === ((1L, 1.0)))
   }
 
+  test("dup-ngram char fraction: union of overlapping windows, no double count") {
+    // doc 1: "a b c a b c x" with n=3 -> "a b c" occurs at starts 0 and 3;
+    // covered token positions = {0..2} U {3..5} = 6 tokens of 1 char each,
+    // total chars 7 -> 6/7. Overlap case doc 2: "a a a a z" n=3 ->
+    // "a a a" at starts 0,1 -> covered {0..2} U {1..3} = 4 tokens (union,
+    // NOT 6), chars 4/5. doc 3: no repetition -> 0. doc 4: shorter than
+    // n -> 0 with totals still reported.
+    val docs = Seq(
+      (1L, "a b c a b c x"),
+      (2L, "a a a a z"),
+      (3L, "p q r s t"),
+      (4L, "hi yo")
+    ).toDF("doc_id", "text")
+    val out = TextStats.dupNgramCharFraction(docs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L)._1 === 7L && out(1L)._2 === 6L &&
+      math.abs(out(1L)._3 - math.rint(6.0 / 7 * 1e6) / 1e6) < 1e-12)
+    assert(out(2L) === ((5L, 4L, 0.8)))
+    assert(out(3L) === ((5L, 0L, 0.0)))
+    assert(out(4L) === ((4L, 0L, 0.0)))
+  }
+
   // --- epoch-weighted mixture filling -------------------------------------
 
   /** The defining rule, computed naively with a per-stratum window:
