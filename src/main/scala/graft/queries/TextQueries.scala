@@ -505,6 +505,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Edit-distance similarity SELF-JOIN at tau = 1 (PassJoin segment
+    // blocking, full recall — q54 only computes the scalar metric).
+    // Strings are the DISTINCT 25-char document prefixes keyed by their
+    // min doc id (fuzzy joins run over collapsed keys — exact-duplicate
+    // strings are q31's job, and leaving them in makes the OUTPUT
+    // quadratic in the duplicate groups, not the algorithm); distance-1
+    // twins are planted in-plan (first char replaced, ids % 6 == 0).
+    // Oracle: brute-force length-filtered levenshtein join — exact
+    // parity, pairs and distances.
+    "q104_edit_join" -> ((s, dir) => {
+      val s0 = Tables(s, dir, "documents")
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .groupBy(expr("substring(trim(text), 1, 25)").as("s"))
+        .agg(min(col("doc_id")).as("id"))
+      val strings = s0.select(col("id"), col("s"))
+        .unionByName(s0.where(pmod(col("id"), lit(6)) === 0)
+          .select((col("id") + 1000000L).as("id"),
+            concat(lit("q"), expr("substring(s, 2)")).as("s")))
+      graft.operators.EditSimilarity
+        .editDistanceSelfJoin(strings, "s", "id", tau = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-language corpus datasheet: the release-audit aggregate (docs,
     // tokens, blanks, distinct fingerprints, docs in exact-dup clusters)
     // — dup figures use the q31 fingerprint convention so they agree
@@ -1550,6 +1573,20 @@ object TextQueries {
         | LEFT JOIN exo ON d.split = exo.split
         | LEFT JOIN np ON d.split = np.split
         | ORDER BY d.split""".stripMargin.replaceAll("\n", " "),
+    "q104_edit_join" ->
+      """WITH s0 AS (
+        |  SELECT min(doc_id) AS id, substring(trim(text), 1, 25) AS s
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |  GROUP BY 2),
+        | s AS (SELECT id, s FROM s0
+        |  UNION ALL
+        |  SELECT id + 1000000, 'q' || substring(s, 2) FROM s0 WHERE id % 6 = 0)
+        | SELECT a.id AS id_a, b.id AS id_b,
+        |   CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+        | FROM s a JOIN s b
+        |   ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+        | WHERE levenshtein(a.s, b.s) <= 1
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
     "q103_dup_ngram_chars" ->
       """WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 6 = 0 THEN text || ' ' ||
