@@ -417,6 +417,38 @@ object TextStats {
           col("n_tok_chars"), 6).as("dup_frac"))
   }
 
+  /** Per-stratum Zipf / type-token vocabulary statistics — the
+    * lexical-diversity panel of a corpus datasheet: token occurrences,
+    * distinct types, type-token ratio, hapax fraction (types seen
+    * once — high for diverse prose, low for templated text), and the
+    * top type's share (the other end of the same distribution). Flags
+    * generated/boilerplate strata that per-doc repetition metrics
+    * ([[topNgramFraction]], [[dupNgramCharFraction]]) miss when the
+    * repetition is spread ACROSS documents.
+    *
+    * @return (stratum, n_tokens, n_types, tt_ratio, hapax_frac,
+    * top_share), one row per stratum.
+    *
+    * Shape: tokens explode map-side into one (stratum, token) count —
+    * partial-aggregated before its shuffle — then a strata-sized
+    * rollup; nothing is ever keyed finer than (stratum, token).
+    */
+  def zipfStats(df: DataFrame, textCol: String, stratumCol: String): DataFrame = {
+    val tok = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$stratumCol`").as("stratum"),
+        explode(graft.functions.TextFns.tokens(col(s"`$textCol`"))).as("t"))
+    tok.groupBy("stratum", "t").agg(count(lit(1)).as("n"))
+      .groupBy("stratum").agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("__hapax"),
+        max(col("n")).as("__top"))
+      .select(col("stratum"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("tt_ratio"),
+        round(col("__hapax").cast("double") / col("n_types"), 6).as("hapax_frac"),
+        round(col("__top").cast("double") / col("n_tokens"), 6).as("top_share"))
+  }
+
   /** SOURCE-pair shingle Jaccard matrix — the corpus-level provenance
     * audit (which strata share content), computed on whole-source
     * DISTINCT shingle sets rather than through doc pairs: q80's

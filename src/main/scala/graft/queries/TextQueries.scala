@@ -528,6 +528,17 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Per-source Zipf / type-token vocabulary panel: lexical diversity
+    // per stratum (type-token ratio, hapax fraction, top-type share) —
+    // the cross-document repetition signal the per-doc metrics miss.
+    "q105_zipf_stats" -> ((s, dir) => {
+      graft.operators.TextStats.zipfStats(
+          Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
+          "text", "source")
+        .withColumnRenamed("stratum", "source")
+        .orderBy("source")
+    }),
+
     // Per-language corpus datasheet: the release-audit aggregate (docs,
     // tokens, blanks, distinct fingerprints, docs in exact-dup clusters)
     // — dup figures use the q31 fingerprint convention so they agree
@@ -1573,6 +1584,17 @@ object TextQueries {
         | LEFT JOIN exo ON d.split = exo.split
         | LEFT JOIN np ON d.split = np.split
         | ORDER BY d.split""".stripMargin.replaceAll("\n", " "),
+    "q105_zipf_stats" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        | c AS (SELECT source, t, count(*) AS n FROM tok GROUP BY 1, 2)
+        | SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |   CAST(count(*) AS BIGINT) AS n_types,
+        |   round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS tt_ratio,
+        |   round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_frac,
+        |   round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share
+        | FROM c GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
     "q104_edit_join" ->
       """WITH s0 AS (
         |  SELECT min(doc_id) AS id, substring(trim(text), 1, 25) AS s
