@@ -205,6 +205,94 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio ENERGY-hash — the audio member of the perceptual-hash
+    * family ([[aHash64]] is the image one): REAL PCM decode
+    * (WAV/AIFF/AU via `javax.sound.sampled`) → the sample stream splits
+    * into 64 balanced time windows (the exact-cover partition scheme,
+    * same as [[graft.operators.Dedup.hammingPairs]]' chunks) → bit j
+    * set iff window j's mean-square energy >= the 64-window mean. The
+    * threshold is a RATIO of energies, so the hash is invariant under
+    * amplitude scaling (gain/volume re-mastering) and stable under
+    * re-encode and low-level noise — the audio analogues of the image
+    * re-encode/resize robustness. None when the payload doesn't decode
+    * (no fake fallback: a fabricated hash would manufacture near-dup
+    * pairs) or carries fewer than 64 samples.
+    *
+    * Two streaming passes over the in-memory payload (count, then
+    * window energies) keep memory O(1) per asset regardless of
+    * duration; multi-channel audio hashes its interleaved sample
+    * stream (windows span channels — sufficient for near-dup identity,
+    * documented rather than mixed down).
+    */
+  def audioHash64(payload: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    def openPcm() = {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+        fmt.getSampleRate, false)
+      AudioSystem.getAudioInputStream(target, in)
+    }
+    try {
+      // pass 1: sample count
+      var n = 0L
+      locally {
+        val pcm = openPcm(); val buf = new Array[Byte](8192)
+        var read = pcm.read(buf)
+        while (read > 0) { n += read / 2; read = pcm.read(buf) }
+      }
+      if (n < 64) None
+      else {
+        // balanced 64-window partition: first n%64 windows one sample wider
+        val base = n / 64; val rem = (n % 64).toInt
+        val bounds = new Array[Long](65)
+        var j = 0
+        while (j < 64) {
+          bounds(j + 1) = bounds(j) + base + (if (j < rem) 1 else 0); j += 1
+        }
+        val sum2 = new Array[Double](64)
+        val cnt = new Array[Long](64)
+        val pcm = openPcm(); val buf = new Array[Byte](8192)
+        var idx = 0L; var w = 0
+        var read = pcm.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            while (w < 63 && idx >= bounds(w + 1)) w += 1
+            val s = ((buf(i) & 0xFF) | (buf(i + 1) << 8)).toShort / 32768.0
+            sum2(w) += s * s; cnt(w) += 1
+            idx += 1; i += 2
+          }
+          read = pcm.read(buf)
+        }
+        val e = Array.tabulate(64)(k => if (cnt(k) == 0) 0.0 else sum2(k) / cnt(k))
+        val mean = e.sum / 64
+        var sig = 0L; var k = 0
+        while (k < 64) { if (e(k) >= mean) sig |= (1L << k); k += 1 }
+        Some(sig)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed audio perceptual hashes: (id, sig) for every payload
+    * that decodes — undecodable rows drop, mirroring [[imageHashes]].
+    */
+  def audioHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(r => audioHash64(r.payload).map(sig => (r.asset_id, sig)))
+    }.toDF("id", "sig")
+  }
+
+  /** AUDIO near-duplicate pairs: energy hash + the shared Hamming
+    * pigeonhole core — the third modality (after text SimHash and image
+    * aHash) on the ONE dedup idiom.
+    */
+  def nearDupAudioPairs(media: Dataset[MediaRecord], maxDist: Int = 10): DataFrame =
+    graft.operators.Dedup.hammingPairs(audioHashes(media), maxDist)
+
   /** Distributed audio decode + amplitude stats — the audio analogue of
     * [[extractFeatures]]: `mapPartitions` streams rows through one decoder
     * per partition.

@@ -85,6 +85,46 @@ object MultimodalQueries {
     Multimodal.MediaRecord(id, "image", bos.toByteArray, s"mem://$id.$fmt")
   }
 
+  /** Deterministically render doc `id`'s AUDIO asset — the audio twin of
+    * [[renderAsset]]: 1 s of 8 kHz mono 16-bit WAV, 64 windows of 125
+    * samples each, window j loud (sine amplitude 0.8) iff bit j of the
+    * group pattern is set, else quiet (0.05); the whole signal is then
+    * amplitude-scaled per doc (0.5–0.9 on `id / 8`) — the energy hash
+    * is scale-invariant, so group members hash identically while the
+    * payloads differ byte-wise. `id % 13 == 5` docs get undecodable
+    * junk (the decode-failure drop path).
+    */
+  private[graft] def renderAudioAsset(id: Long): Multimodal.MediaRecord = {
+    if (id % 13 == 5) {
+      val junk = Array.tabulate(64)(i => mix64(id * 64 + i).toByte)
+      return Multimodal.MediaRecord(id, "audio", junk, s"mem://$id.bin")
+    }
+    val pattern = groupPattern(id % 8)
+    val scale = 0.5 + math.floorMod(id / 8, 5) * 0.1
+    val spw = 125; val n = 64 * spw
+    val pcm = new Array[Byte](n * 2)
+    var w = 0
+    while (w < 64) {
+      val amp = (if (((pattern >>> w) & 1L) == 1L) 0.8 else 0.05) * scale
+      var i = 0
+      while (i < spw) {
+        val t = w * spw + i
+        val v = (amp * math.sin(2 * math.Pi * 440.0 * t / 8000.0) * 32767).toInt
+        pcm(2 * t) = (v & 0xFF).toByte
+        pcm(2 * t + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      w += 1
+    }
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    Multimodal.MediaRecord(id, "audio", bos.toByteArray, s"mem://$id.wav")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Image near-duplicate detection over the rendered corpus: real
     // decode + aHash + pigeonhole Hamming banding; emitted pairs are
@@ -99,11 +139,35 @@ object MultimodalQueries {
       Multimodal.nearDupImagePairs(media, maxDist = 10)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Audio near-duplicate detection over the rendered WAV corpus: real
+    // javax.sound decode + scale-invariant energy hash + the same
+    // Hamming banding; group members differ byte-wise (per-doc gain)
+    // but pair up perceptually. Same id-derived oracle construction as
+    // q101.
+    "q106_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(renderAudioAsset))
+      Multimodal.nearDupAudioPairs(media, maxDist = 10)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
     })
   )
 
   def oracles: Map[String, String] = Map(
     "q101_image_neardup" ->
+      """WITH sel AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sel a JOIN sel b
+        |   ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    "q106_audio_neardup" ->
       """WITH sel AS (
         |  SELECT doc_id FROM documents
         |  WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5)

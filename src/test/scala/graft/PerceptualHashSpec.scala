@@ -121,6 +121,40 @@ class PerceptualHashSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
   }
 
+  test("audioHash64: gain-invariant, far across patterns, None on junk/short") {
+    import graft.queries.MultimodalQueries
+    // two gain variants of group 0 hash identically (energy RATIO
+    // threshold), and the hash equals the generating pattern exactly
+    val a1 = MultimodalQueries.renderAudioAsset(3L)     // group 3, scale .5
+    val a2 = MultimodalQueries.renderAudioAsset(35L)    // group 3, scale .9
+    val h1 = Multimodal.audioHash64(a1.payload).get
+    val h2 = Multimodal.audioHash64(a2.payload).get
+    assert(h1 === h2)
+    assert(h1 === MultimodalQueries.groupPattern(3L))
+    // different group: far apart (pattern family min distance 25)
+    val b = MultimodalQueries.renderAudioAsset(4L)      // group 4
+    assert(hamming(h1, Multimodal.audioHash64(b.payload).get) >= 20)
+    // undecodable + too-short payloads produce no hash
+    assert(Multimodal.audioHash64(Array.fill(64)(7.toByte)).isEmpty)
+  }
+
+  test("q106 rendered-corpus audio near-dup: pairs == same-group decodable pairs") {
+    import graft.queries.MultimodalQueries
+    val dir = sf("sf0.001")
+    val got = MultimodalQueries.defs("q106_audio_neardup")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val sel = Tables(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.expr("doc_id % 7 = 3 AND doc_id % 13 <> 5"))
+      .select("doc_id").as[Long].collect().sorted
+    val want = (for {
+      i <- sel.indices; j <- i + 1 until sel.length
+      if sel(i) % 8 == sel(j) % 8
+    } yield (sel(i), sel(j))).toSet
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   test("q101 rendered-corpus image near-dup: pairs == same-group decodable pairs") {
     import graft.queries.MultimodalQueries
     // the pattern family's separation margin the oracle's exactness
