@@ -176,7 +176,14 @@ object TextFns {
     * marker sets, returns the argmax language code (or "und").
     * N-gram-free approximation good enough for routing; NOT a model.
     */
-  def langIdHeuristic(text: Column): Column = {
+  def langIdHeuristic(text: Column): Column =
+    langIdOfTokens(tokens(lower(text)))
+
+  /** The same argmax scorer over an already-tokenized (lowercased) token
+    * array — shared by the per-document heuristic above and window-level
+    * consumers ([[graft.operators.TextStats.langConsistency]]).
+    */
+  def langIdOfTokens(ts: Column): Column = {
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with"),
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
@@ -184,7 +191,6 @@ object TextFns {
       "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "para", "como"),
       "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人")
     )
-    val ts = tokens(lower(text))
     val scored = markers.map { case (lang, words) =>
       struct(
         size(filter(ts, t => t.isin(words.map(x => x: Any): _*))).as("score"),

@@ -417,6 +417,44 @@ object TextStats {
           col("n_tok_chars"), 6).as("dup_frac"))
   }
 
+  /** Within-document LANGUAGE CONSISTENCY (code-switch detection): split
+    * each doc into fixed token windows, language-ID every window with
+    * the same heuristic as the doc-level call, and report how many
+    * windows disagree with the document's own prediction ('und' windows
+    * — no evidence — don't count as disagreement). High mix ratios mark
+    * concatenation artifacts, boilerplate in a second language, or
+    * mislabeled strata that one whole-doc language call averages away.
+    *
+    * @return (id, lang_pred, n_windows, n_foreign, mix_ratio) for every
+    * non-null-text doc; token-free docs read ('und', 0, 0, 0.0).
+    *
+    * Shape: ENTIRELY map-side — windows, per-window scoring, and the
+    * disagreement counts are array HOFs inside one projection; the
+    * operator adds ZERO shuffles at any corpus size.
+    */
+  def langConsistency(df: DataFrame, textCol: String, idCol: String,
+                      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import graft.functions.TextFns
+    val base = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"),
+        TextFns.tokens(lower(col(s"`$textCol`"))).as("ts"))
+    val nWin = ceil(size(col("ts")).cast("double") / window).cast("int")
+    base
+      .withColumn("lang_pred", TextFns.langIdOfTokens(col("ts")))
+      .withColumn("wl",
+        when(size(col("ts")) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), nWin - 1), i =>
+            TextFns.langIdOfTokens(slice(col("ts"), i * window + 1, lit(window))))))
+      .select(col("id"), col("lang_pred"),
+        size(col("wl")).cast("long").as("n_windows"),
+        size(filter(col("wl"),
+          l => l =!= col("lang_pred") && l =!= "und")).cast("long").as("n_foreign"))
+      .withColumn("mix_ratio",
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(round(col("n_foreign").cast("double") / col("n_windows"), 6)))
+  }
+
   /** Per-stratum Zipf / type-token vocabulary statistics — the
     * lexical-diversity panel of a corpus datasheet: token occurrences,
     * distinct types, type-token ratio, hapax fraction (types seen

@@ -539,6 +539,24 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Within-doc language consistency (code-switch scan): 20-token
+    // windows language-ID'd with the q35 heuristic; windows disagreeing
+    // with the doc's own prediction count as foreign. The corpus is
+    // monolingual, so a 20-token German marker phrase is injected for
+    // ids % 9 == 0 (the injection convention, mirrored in the oracle).
+    // Entirely map-side — the operator adds zero shuffles.
+    "q107_lang_mix" -> ((s, dir) => {
+      val de = "der die das und ist nicht ein zu mit " +
+        "der die das und ist nicht ein zu mit der die"
+      val t = when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(col("text"), lit(" " + de))).otherwise(col("text"))
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), t.as("text"))
+      graft.operators.TextStats.langConsistency(docs, "text", "doc_id", window = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Per-language corpus datasheet: the release-audit aggregate (docs,
     // tokens, blanks, distinct fingerprints, docs in exact-dup clusters)
     // — dup figures use the q31 fingerprint convention so they agree
@@ -1096,7 +1114,46 @@ object TextQueries {
       "CAST(doc_id % 256 AS VARCHAR) || '.77'"
   private val Seq(emailPat, ipPat, phonePat) = graft.operators.Pii.rules.map(_._1)
 
+  /** The q35 language-argmax fragment over a DuckDB token-list
+    * expression — shared by the doc-level and window-level scoring in
+    * the q107 oracle (identical to the q35 oracle's inline form).
+    */
+  private def duckLangBest(x: String): String =
+    s"""list_sort([
+       | struct_pack(score := len(list_filter($x, x -> list_contains(['the','and','of','to','is','in','that','it','with'], x))), lang := 'en'),
+       | struct_pack(score := len(list_filter($x, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit'], x))), lang := 'de'),
+       | struct_pack(score := len(list_filter($x, x -> list_contains(['le','la','les','et','est','une','que','pour','dans'], x))), lang := 'fr'),
+       | struct_pack(score := len(list_filter($x, x -> list_contains(['el','los','las','es','una','que','por','para','como'], x))), lang := 'es'),
+       | struct_pack(score := len(list_filter($x, x -> list_contains(['的','是','了','在','我','有','和','不','人'], x))), lang := 'zh')
+       |])[-1]""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q107_lang_mix" ->
+      s"""WITH raw AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN text || ' der die das und ist nicht ein zu mit der die das und ist nicht ein zu mit der die'
+        |    ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        | t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |   ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ts FROM raw),
+        | dl AS (SELECT doc_id, ts,
+        |   CASE WHEN len(ts) = 0 OR best.score = 0 THEN 'und' ELSE best.lang END AS lang_pred
+        |   FROM (SELECT doc_id, ts, ${duckLangBest("ts")} AS best FROM t)),
+        | w AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(ts) / 20.0) AS INT) - 1)) AS wi, ts
+        |       FROM dl WHERE len(ts) > 0),
+        | ws AS (SELECT doc_id, list_slice(ts, wi * 20 + 1, wi * 20 + 20) AS wt FROM w),
+        | wl AS (SELECT doc_id,
+        |   CASE WHEN len(wt) = 0 OR best.score = 0 THEN 'und' ELSE best.lang END AS wl
+        |   FROM (SELECT doc_id, wt, ${duckLangBest("wt")} AS best FROM ws)),
+        | agg AS (SELECT wl.doc_id, count(*) AS n_windows,
+        |   sum(CASE WHEN wl.wl <> dl.lang_pred AND wl.wl <> 'und' THEN 1 ELSE 0 END) AS n_foreign
+        |  FROM wl JOIN dl ON wl.doc_id = dl.doc_id GROUP BY 1)
+        | SELECT dl.doc_id, dl.lang_pred,
+        |   CAST(coalesce(agg.n_windows, 0) AS BIGINT) AS n_windows,
+        |   CAST(coalesce(agg.n_foreign, 0) AS BIGINT) AS n_foreign,
+        |   CASE WHEN coalesce(agg.n_windows, 0) = 0 THEN 0.0
+        |        ELSE round(CAST(agg.n_foreign AS DOUBLE) / agg.n_windows, 6) END AS mix_ratio
+        | FROM dl LEFT JOIN agg ON dl.doc_id = agg.doc_id
+        | ORDER BY dl.doc_id""".stripMargin.replaceAll("\n", " "),
     "q76_remove_dup_spans" ->
       """WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),

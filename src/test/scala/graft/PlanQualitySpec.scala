@@ -37,6 +37,15 @@ class PlanQualitySpec extends SparkSuite {
     assert(pushed.contains("IsNotNull(l_shipdate)"))
   }
 
+  test("q107 language-mix scan is map-side: only the output sort exchanges") {
+    // windows, per-window scoring, and disagreement counts are array
+    // HOFs inside one projection — the operator itself adds no shuffle
+    val plan = formatted("q107_lang_mix")
+    assert(!plan.contains("hashpartitioning") && !plan.contains("SinglePartition"),
+      plan)
+    assert(plan.contains("rangepartitioning"))   // the output sort only
+  }
+
   test("q26 plans through the custom AsOfJoinExec") {
     assert(formatted("q26_asof_join").contains("AsOfJoin"))
   }
