@@ -78,6 +78,46 @@ object Decontaminate {
           / col("n_grams"), 6).as("novelty"))
   }
 
+  /** Per-BENCHMARK-item contamination report — the reverse view of
+    * [[contaminationHits]] and the eval-integrity question it can't
+    * answer: for each benchmark document, how many corpus documents
+    * share any of its n-grams, and how much of the item is covered in
+    * the worst case. An eval item with high coverage is compromised no
+    * matter what the corpus-side filter later drops.
+    *
+    * @return (bench_id, n_grams, n_docs, max_hits, max_frac) for every
+    * benchmark doc with at least one gram; `n_docs` = corpus docs
+    * sharing ≥1 gram, `max_hits` = most grams any single corpus doc
+    * shares, `max_frac` = max_hits / n_grams.
+    *
+    * Shape: benchmark grams broadcast (eval suites — megabytes), the
+    * corpus probe is the same map-side broadcast join as
+    * [[contaminationHits]] but keyed (bench_id, corpus_id); shuffled
+    * volume scales with CONTAMINATING (bench, doc) pairs only — the
+    * clean bulk of a 100 TB corpus never leaves its mappers.
+    */
+  def benchmarkReport(
+      corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, benchIdCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val bench = grams(benchmark, benchTextCol, Some(benchIdCol), n)
+      .select(col("id").as("bench_id"), col("g"))
+    val sizes = bench.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+    val pairHits = grams(corpus, textCol, Some(idCol), n)
+      .join(broadcast(bench), "g")
+      .groupBy(col("bench_id"), col("id"))
+      .agg(count(lit(1)).as("hits"))
+    val perBench = pairHits.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("hits")).as("max_hits"))
+    sizes.join(perBench, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("max_hits"), lit(0L)).as("max_hits"),
+        round(coalesce(col("max_hits"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("max_frac"))
+  }
+
   /** The decontaminated corpus: rows whose document shares NO word n-gram
     * with the benchmark (anti-join on the hit set — corpus columns pass
     * through untouched).

@@ -638,6 +638,10 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components unconverged after $maxIter iterations — " +
           "graph diameter exceeds 2^maxIter; raise maxIter")
+    // labels is localCheckpoint'd (no lineage back to the edge cache), so
+    // the iteration-scoped cache releases here instead of leaking one
+    // edge frame per call.
+    edges.unpersist()
     labels
   }
 

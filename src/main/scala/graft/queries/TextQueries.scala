@@ -557,6 +557,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-benchmark-item contamination report: the eval-integrity view
+    // q68 can't give — for each benchmark doc (ids % 97 == 0, the q68
+    // convention), how many corpus docs share any of its 3-grams and
+    // the worst single-doc coverage. Benchmark grams broadcast; the
+    // corpus never shuffles.
+    "q108_bench_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Decontaminate.benchmarkReport(
+          docs.where(pmod(col("doc_id"), lit(97)) =!= 0), "text", "doc_id",
+          docs.where(pmod(col("doc_id"), lit(97)) === 0), "text", "doc_id")
+        .orderBy("bench_id")
+    }),
+
+    // Connected components ORACLED: dedup clusters over the q38 exact
+    // pair set, labels = cluster-min id — through the DISTRIBUTED
+    // pointer-jumping path (the weaker-verified one; the driver-side
+    // union-find is spec-equal to it), against a DuckDB RECURSIVE-CTE
+    // transitive closure. The one operator whose iteration made it
+    // "not SQL-expressible" becomes oracle-checked.
+    "q109_cc_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+          Tables(s, dir, "documents").where(length(trim(col("text"))) > 0),
+          "text", "doc_id", n = 3, threshold = 0.6)
+        .select("id_a", "id_b")
+      Dedup.connectedComponentsDistributed(pairs).orderBy("id")
+    }),
+
     // Per-language corpus datasheet: the release-audit aggregate (docs,
     // tokens, blanks, distinct fingerprints, docs in exact-dup clusters)
     // — dup figures use the q31 fingerprint convention so they agree
@@ -1641,6 +1668,45 @@ object TextQueries {
         | LEFT JOIN exo ON d.split = exo.split
         | LEFT JOIN np ON d.split = np.split
         | ORDER BY d.split""".stripMargin.replaceAll("\n", " "),
+    "q108_bench_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), b AS (SELECT doc_id AS bench_id, len(s) AS n_grams, unnest(s) AS g
+        |          FROM sh WHERE doc_id % 97 = 0),
+        | c AS (SELECT doc_id AS cid, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+        | ph AS (SELECT b.bench_id, c.cid, count(*) AS hits
+        |        FROM b JOIN c USING (g) GROUP BY 1, 2),
+        | pb AS (SELECT bench_id, count(*) AS n_docs, max(hits) AS max_hits
+        |        FROM ph GROUP BY 1),
+        | sz AS (SELECT bench_id, any_value(n_grams) AS n_grams FROM b GROUP BY 1)
+        | SELECT sz.bench_id, CAST(sz.n_grams AS BIGINT) AS n_grams,
+        |   CAST(coalesce(pb.n_docs, 0) AS BIGINT) AS n_docs,
+        |   CAST(coalesce(pb.max_hits, 0) AS BIGINT) AS max_hits,
+        |   round(CAST(coalesce(pb.max_hits, 0) AS DOUBLE) / sz.n_grams, 6) AS max_frac
+        | FROM sz LEFT JOIN pb USING (bench_id) ORDER BY sz.bench_id""".stripMargin.replaceAll("\n", " "),
+    "q109_cc_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        | pp AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |  WHERE jaccard >= 0.6),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM pp
+        |       UNION ALL SELECT id_b, id_a FROM pp),
+        | r(id, reach) AS (
+        |   SELECT DISTINCT src, src FROM e
+        |   UNION
+        |   SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
+        | SELECT id, min(reach) AS label FROM r GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
     "q105_zipf_stats" ->
       """WITH tok AS (
         |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
