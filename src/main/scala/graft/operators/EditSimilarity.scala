@@ -86,10 +86,13 @@ object EditSimilarity {
       .distinct()
     val sa = base.select(col("id").as("id_a"), col("s").as("__sa"))
     val sb = base.select(col("id").as("id_b"), col("s").as("__sb"))
+    // Thresholded (banded-DP) verify: O(tau * len) per candidate instead
+    // of the full O(len^2) matrix — the overload returns -1 above the
+    // bound, and the exact distance otherwise.
     cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("edit_dist",
-        levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .where(col("edit_dist") <= tau)
+        levenshtein(col("__sa"), col("__sb"), tau).cast("long"))
+      .where(col("edit_dist") >= 0)
       .select("id_a", "id_b", "edit_dist")
   }
 }
