@@ -417,6 +417,44 @@ object TextStats {
           col("n_tok_chars"), 6).as("dup_frac"))
   }
 
+  /** C4-style LINE-filter battery (Raffel et al. '20, the classic web
+    * cleanup) — line-level where [[gopherVerdicts]] is token-level and
+    * [[removeBoilerplateLines]] is cross-document: a line KEEPS iff it
+    * ends in terminal punctuation (`.` `!` `?`, optionally followed by
+    * a closing quote) AND carries at least `minWords` words; a page
+    * PASSES iff it has at least `minSentences` sentence marks, no
+    * "lorem ipsum", and no curly brace.
+    *
+    * @return (id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    * pass, cleaned) — `cleaned` is the kept lines rejoined in order
+    * (the C4 transform), NULL when the page fails.
+    *
+    * Shape: ENTIRELY map-side — line split, per-line tests, counts,
+    * and the rebuild are array HOFs in one projection; zero shuffles
+    * at any corpus size (the same contract as [[langConsistency]]).
+    */
+  def c4LineStats(df: DataFrame, textCol: String, idCol: String,
+                  minSentences: Int = 5, minWords: Int = 3): DataFrame = {
+    require(minSentences >= 1 && minWords >= 1)
+    val t = col(s"`$textCol`")
+    val keptArr = filter(split(t, "\n"), l =>
+      trim(l).rlike("[.!?][\"')\\]]?$") &&
+        size(split(trim(l), "\\s+")) >= minWords)
+    df.where(t.isNotNull)
+      .select(col(s"`$idCol`").as("id"),
+        size(split(t, "\n")).cast("long").as("n_lines"),
+        size(keptArr).cast("long").as("n_kept"),
+        (size(split(t, "[.!?]")).cast("long") - 1L).as("n_sentences"),
+        lower(t).contains("lorem ipsum").as("has_lorem"),
+        (t.contains("{") || t.contains("}")).as("has_brace"),
+        array_join(keptArr, "\n").as("__cleaned"))
+      .withColumn("pass",
+        col("n_sentences") >= minSentences &&
+          !col("has_lorem") && !col("has_brace"))
+      .withColumn("cleaned", when(col("pass"), col("__cleaned")))
+      .drop("__cleaned")
+  }
+
   /** Within-document LANGUAGE CONSISTENCY (code-switch detection): split
     * each doc into fixed token windows, language-ID every window with
     * the same heuristic as the doc-level call, and report how many

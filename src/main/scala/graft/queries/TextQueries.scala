@@ -557,6 +557,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // C4 line-filter battery (Raffel et al.): terminal-punctuation +
+    // min-words line keeps, sentence floor, lorem-ipsum / curly-brace
+    // page drops, and the cleaned rebuild — line-level where q67 is
+    // token-level and q99 is cross-document. Page-drop triggers and a
+    // multi-line tail are injected in-plan (ids % 11 ∈ {0, 1}, the
+    // convention); entirely map-side.
+    "q110_c4_filter" -> ((s, dir) => {
+      val t = when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" lorem ipsum {")))
+        .when(pmod(col("doc_id"), lit(11)) === 1,
+          concat(col("text"),
+            lit("\nshort line\nThis line ends properly with words.")))
+        .otherwise(col("text"))
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), t.as("text"))
+      graft.operators.TextStats.c4LineStats(docs, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Per-benchmark-item contamination report: the eval-integrity view
     // q68 can't give — for each benchmark doc (ids % 97 == 0, the q68
     // convention), how many corpus docs share any of its 3-grams and
@@ -1668,6 +1688,28 @@ object TextQueries {
         | LEFT JOIN exo ON d.split = exo.split
         | LEFT JOIN np ON d.split = np.split
         | ORDER BY d.split""".stripMargin.replaceAll("\n", " "),
+    "q110_c4_filter" ->
+      """WITH raw AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' lorem ipsum {'
+        |         WHEN doc_id % 11 = 1 THEN text || chr(10) || 'short line' || chr(10) || 'This line ends properly with words.'
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        | base AS (SELECT doc_id, text, regexp_split_to_array(text, chr(10)) AS lines FROM raw),
+        | k AS (SELECT doc_id, list_filter(lines, l ->
+        |         regexp_matches(trim(l), '[.!?]["'')\]]?$')
+        |         AND len(regexp_split_to_array(trim(l), '\s+')) >= 3) AS kept
+        |       FROM base),
+        | sel AS (SELECT b.doc_id, len(b.lines) AS nl, len(k.kept) AS nk,
+        |          len(regexp_split_to_array(b.text, '[.!?]')) - 1 AS ns,
+        |          contains(lower(b.text), 'lorem ipsum') AS hl,
+        |          (contains(b.text, '{') OR contains(b.text, '}')) AS hb,
+        |          array_to_string(k.kept, chr(10)) AS cl
+        |        FROM base b JOIN k USING (doc_id))
+        | SELECT doc_id, CAST(nl AS BIGINT) AS n_lines, CAST(nk AS BIGINT) AS n_kept,
+        |   CAST(ns AS BIGINT) AS n_sentences, hl AS has_lorem, hb AS has_brace,
+        |   (ns >= 5 AND NOT hl AND NOT hb) AS pass,
+        |   CASE WHEN ns >= 5 AND NOT hl AND NOT hb THEN cl END AS cleaned
+        | FROM sel ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q108_bench_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]

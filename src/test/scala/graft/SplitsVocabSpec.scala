@@ -243,6 +243,34 @@ class SplitsVocabSpec extends SparkSuite {
     assert(got2 === ((1L, "unique tail")))
   }
 
+  test("c4LineStats: line keep rule edges, page-drop triggers, cleaned rebuild") {
+    import graft.operators.TextStats
+    val good = "First sentence here today. Second one follows. Third too. " +
+      "Fourth arrives now. Fifth ends it."
+    val docs = Seq(
+      // passes: 5 sentences, one line kept (ends '.', >= 3 words), the
+      // quote-terminated line keeps too, the short/punctless lines drop
+      (1L, good + "\nnav crumb\nHe said \"stop.\"\nok."),
+      (2L, good + " lorem ipsum"),                    // lorem -> fail
+      (3L, good + " {code}"),                         // brace -> fail
+      (4L, "One. Two. Three. Four.")                  // 4 sentences -> fail
+    ).toDF("doc_id", "text")
+    val out = TextStats.c4LineStats(docs, "text", "doc_id")
+      .select("id", "n_lines", "n_kept", "n_sentences", "pass", "cleaned")
+      .as[(Long, Long, Long, Long, Boolean, Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    val d1 = out(1L)
+    assert(d1._2 === 4L)                              // 4 physical lines
+    // kept: the long first line + the quoted line; 'nav crumb' (no
+    // terminal punct) and 'ok.' (< 3 words) drop
+    assert(d1._3 === 2L)
+    assert(d1._5 === true)
+    assert(d1._6.get === good + "\nHe said \"stop.\"")
+    assert(out(2L)._5 === false && out(2L)._6.isEmpty)  // lorem
+    assert(out(3L)._5 === false && out(3L)._6.isEmpty)  // brace
+    assert(out(4L)._4 === 4L && out(4L)._5 === false)   // sentence floor
+  }
+
   test("pmiTopK: hand-checked collocation scores; support floor; no nested-loop totals") {
     import graft.operators.TextStats
     // "new york" always collocates (5/5); "hot dog" does too but below
