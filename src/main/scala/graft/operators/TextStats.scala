@@ -417,6 +417,40 @@ object TextStats {
           col("n_tok_chars"), 6).as("dup_frac"))
   }
 
+  /** Per-document token Shannon ENTROPY — the information-density
+    * signal: H = -Σ p·log2(p) over the doc's token distribution, low
+    * for repetitive/templated text even when no single n-gram dominates
+    * (the repetition family's distributional complement). Computed via
+    * the single-pass identity H = log2(N) − (Σ c·log2 c)/N so one
+    * aggregation suffices and an oracle can mirror the arithmetic
+    * op-for-op.
+    *
+    * @return (id, n_tokens, n_types, entropy) for every non-null-text
+    * doc; token-free docs read (0, 0, 0.0).
+    *
+    * Shape: token explode map-side, one (id, token) count (partial-
+    * aggregated), one id rollup — doc-keyed shuffles only.
+    */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"), col(s"`$textCol`").as("__t"))
+    val counts = base
+      .select(col("id"),
+        explode(graft.functions.TextFns.tokens(col("__t"))).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy("id").agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(col("c").cast("double") * log2(col("c"))).as("__clogc"))
+    base.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(log2(col("n_tokens")) -
+            col("__clogc") / col("n_tokens"), 6)).as("entropy"))
+  }
+
   /** C4-style LINE-filter battery (Raffel et al. '20, the classic web
     * cleanup) — line-level where [[gopherVerdicts]] is token-level and
     * [[removeBoilerplateLines]] is cross-document: a line KEEPS iff it

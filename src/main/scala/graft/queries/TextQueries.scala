@@ -557,6 +557,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-doc token Shannon entropy: the distributional repetition
+    // signal (low even when no single n-gram dominates); one-pass
+    // identity H = log2(N) - sum(c*log2 c)/N, mirrored op-for-op.
+    "q111_token_entropy" -> ((s, dir) => {
+      graft.operators.TextStats.tokenEntropy(
+          Tables(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // C4 line-filter battery (Raffel et al.): terminal-punctuation +
     // min-words line keeps, sentence floor, lorem-ipsum / curly-brace
     // page drops, and the cleaned rebuild — line-level where q67 is
@@ -1688,6 +1698,21 @@ object TextQueries {
         | LEFT JOIN exo ON d.split = exo.split
         | LEFT JOIN np ON d.split = np.split
         | ORDER BY d.split""".stripMargin.replaceAll("\n", " "),
+    "q111_token_entropy" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |   ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT doc_id, t, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(ts) AS t FROM t) GROUP BY 1, 2),
+        | p AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+        |         sum(CAST(c AS DOUBLE) * log2(c)) AS clogc
+        |       FROM c GROUP BY 1)
+        | SELECT t.doc_id,
+        |   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |   CAST(coalesce(p.n_types, 0) AS BIGINT) AS n_types,
+        |   CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+        |        ELSE round(log2(p.n_tokens) - p.clogc / p.n_tokens, 6) END AS entropy
+        | FROM t LEFT JOIN p USING (doc_id) ORDER BY t.doc_id""".stripMargin.replaceAll("\n", " "),
     "q110_c4_filter" ->
       """WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0 THEN text || ' lorem ipsum {'
