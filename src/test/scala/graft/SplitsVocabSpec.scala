@@ -146,6 +146,43 @@ class SplitsVocabSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("c4 / language-mix / entropy-free projections run unchanged in Structured Streaming") {
+    // c4LineStats and langConsistency are pure per-row projections (zero
+    // shuffles, plan-pinned) — the same stateless contract as splits and
+    // soft sampling: a streaming micro-batch must produce the identical
+    // rows as the batch call.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextStats
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "A fine sentence here today. Another follows now. Third. Fourth one lands. Fifth closes it."),
+      (2L, "der die das und ist nicht ein zu mit der die das und ist nicht ein zu mit der die " +
+        "the cat sat on the mat with it and that is that it is"),
+      (3L, "nav crumb"))
+    val in = MemoryStream[(Long, String)]
+    val streamed = TextStats.langConsistency(
+      TextStats.c4LineStats(in.toDF().toDF("doc_id", "text"), "text", "doc_id")
+        .select(col("id").as("doc_id"), coalesce(col("cleaned"), lit("")).as("text")),
+      "text", "doc_id", window = 20)
+    val q = streamed.writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("c4_stream")
+        .select("id", "lang_pred", "n_windows", "n_foreign")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batch = TextStats.langConsistency(
+        TextStats.c4LineStats(rows.toDF("doc_id", "text"), "text", "doc_id")
+          .select(col("id").as("doc_id"), coalesce(col("cleaned"), lit("")).as("text")),
+        "text", "doc_id", window = 20)
+        .select("id", "lang_pred", "n_windows", "n_foreign")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("ship-a-dataset composition: release -> leakage-safe splits -> epoch mixture") {
     import graft.corpus.ReleasePipeline
     import graft.operators.Sampling
