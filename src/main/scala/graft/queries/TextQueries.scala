@@ -557,6 +557,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source RELEASE REPORT — the wide datasheet a release would
+    // publish: dup/blank accounting (q96 machinery), lexical diversity
+    // (q105), mean information density (q111), mean doc length; one
+    // row per source, composed entirely from individually-oracled
+    // operators and re-oracled as a whole.
+    "q112_source_report" -> ((s, dir) => {
+      import graft.operators.TextStats
+      val docs = Tables(s, dir, "documents")
+      val nb = docs.where(length(trim(col("text"))) > 0)
+      val ds = TextStats.datasheet(docs, "text", "doc_id", "source")
+        .select(col("stratum").as("source"), col("n_docs"), col("n_tokens"),
+          col("n_blank"), col("n_dup_docs"))
+      val z = TextStats.zipfStats(nb, "text", "source")
+        .select(col("stratum").as("source"), col("tt_ratio"),
+          col("hapax_frac"), col("top_share"))
+      val ent = TextStats.tokenEntropy(nb, "text", "doc_id")
+        .join(nb.select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy("source").agg(round(avg(col("entropy")), 6).as("avg_entropy"))
+      ds.join(z, "source").join(ent, "source")
+        .withColumn("avg_doc_tokens",
+          round(col("n_tokens").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     // Per-doc token Shannon entropy: the distributional repetition
     // signal (low even when no single n-gram dominates); one-pass
     // identity H = log2(N) - sum(c*log2 c)/N, mirrored op-for-op.
@@ -1698,6 +1722,41 @@ object TextQueries {
         | LEFT JOIN exo ON d.split = exo.split
         | LEFT JOIN np ON d.split = np.split
         | ORDER BY d.split""".stripMargin.replaceAll("\n", " "),
+    "q112_source_report" ->
+      s"""WITH d AS (SELECT source, doc_id, text,
+        |  CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\\s+')) END AS n_tok,
+        |  CASE WHEN trim(text)='' THEN 1 ELSE 0 END AS blank,
+        |  CASE WHEN $normSql = '' THEN '__empty__:' || CAST(doc_id AS VARCHAR)
+        |       ELSE md5($normSql) END AS fp
+        | FROM documents WHERE text IS NOT NULL),
+        | g AS (SELECT source, fp, count(*) AS c, sum(n_tok) AS t, sum(blank) AS b
+        |       FROM d GROUP BY source, fp),
+        | ds AS (SELECT source, sum(c) AS n_docs, sum(t) AS n_tokens, sum(b) AS n_blank,
+        |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs
+        |        FROM g GROUP BY source),
+        | tokz AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+        |          FROM d WHERE trim(text) <> ''),
+        | cz AS (SELECT source, tk, count(*) AS n FROM tokz GROUP BY 1, 2),
+        | z AS (SELECT source,
+        |        round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS tt_ratio,
+        |        round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_frac,
+        |        round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share
+        |       FROM cz GROUP BY source),
+        | ce AS (SELECT doc_id, tk, count(*) AS c FROM
+        |         (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+        |          FROM d WHERE trim(text) <> '') GROUP BY 1, 2),
+        | pe AS (SELECT doc_id, sum(c) AS n_tokens, sum(CAST(c AS DOUBLE) * log2(c)) AS clogc
+        |        FROM ce GROUP BY 1),
+        | ent AS (SELECT d.source, round(avg(round(log2(pe.n_tokens) - pe.clogc / pe.n_tokens, 6)), 6) AS avg_entropy
+        |         FROM pe JOIN d ON pe.doc_id = d.doc_id GROUP BY 1)
+        | SELECT ds.source, CAST(ds.n_docs AS BIGINT) AS n_docs,
+        |   CAST(ds.n_tokens AS BIGINT) AS n_tokens,
+        |   CAST(ds.n_blank AS BIGINT) AS n_blank,
+        |   CAST(ds.n_dup_docs AS BIGINT) AS n_dup_docs,
+        |   z.tt_ratio, z.hapax_frac, z.top_share, ent.avg_entropy,
+        |   round(CAST(ds.n_tokens AS DOUBLE) / ds.n_docs, 6) AS avg_doc_tokens
+        | FROM ds JOIN z USING (source) JOIN ent USING (source)
+        | ORDER BY ds.source""".stripMargin.replaceAll("\n", " "),
     "q111_token_entropy" ->
       """WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
         |   ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
