@@ -646,11 +646,18 @@ object Dedup {
   }
 
   /** Shingle frame shared by the exact-Jaccard family: (id, sh, n_sh) with
-    * empty-shingle docs dropped (they cannot pair — a qualifying pair shares
-    * at least one shingle).
+    * BLANK/whitespace-only docs dropped — they carry no content to be
+    * near-duplicate OF, and the kernel's blank rendering is a single ""
+    * shingle (the DuckDB split mirror), so a size guard alone would let
+    * every blank doc pair with every other blank doc at Jaccard 1.0: a
+    * semantic wrong AND a quadratic blowup on a corpus with many empty
+    * rows (caught by the randomized parity property, round 10). Exact
+    * identity of blank docs is [[exactByFingerprint]]'s job.
     */
   private def shingleFrame(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(s"`${idCol}`").as("id"),
+    df.where(col(s"`${textCol}`").isNotNull &&
+        length(trim(col(s"`${textCol}`"))) > 0)
+      .select(col(s"`${idCol}`").as("id"),
         graft.functions.SketchExpressions.wordShingles(col(s"`${textCol}`"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .where(col("n_sh") > 0)

@@ -582,7 +582,11 @@ object TextStats {
     */
   def sourceShingleJaccard(df: DataFrame, textCol: String,
                            sourceCol: String, n: Int): DataFrame = {
-    val sh = df.where(col(s"`$textCol`").isNotNull)
+    // blank docs render as a single "" shingle (the kernel's DuckDB split
+    // mirror) — without this guard every stratum containing any blank doc
+    // would share that gram with every other such stratum
+    val sh = df.where(col(s"`$textCol`").isNotNull &&
+        length(trim(col(s"`$textCol`"))) > 0)
       .select(col(s"`$sourceCol`").as("src"),
         explode(graft.functions.SketchExpressions
           .wordShingles(col(s"`$textCol`"), n)).as("g"))

@@ -39,6 +39,52 @@ class PropertyParitySpec extends SparkSuite {
     }
   }
 
+  test("exact Jaccard routes == brute force on random small-vocab corpora") {
+    // tiny vocabulary makes shared shingles dense — the regime where the
+    // AllPairs prefix bound and the inverted-index route must still be
+    // COMPLETE, including the <=n-token whole-text-shingle degenerate
+    // docs and blank docs
+    def shingles(s: String, n: Int): Set[String] = {
+      val t = s.trim
+      if (t.isEmpty) Set.empty
+      else {
+        val w = t.split("\\s+").toSeq
+        if (w.length <= n) Set(w.mkString(" "))
+        else w.sliding(n).map(_.mkString(" ")).toSet
+      }
+    }
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = Gen.choose(0, 10).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    for ((threshold, round) <- Seq(0.3, 0.5, 0.75).zipWithIndex) {
+      val docs = sample(Gen.listOfN(40, docGen), 4400L + round)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = docs.toDF("doc_id", "text")
+      def pairs(r: org.apache.spark.sql.DataFrame) =
+        r.select("id_a", "id_b", "jaccard").collect()
+          .map(x => (x.getLong(0), x.getLong(1),
+            math.rint(x.getDouble(2) * 1e9) / 1e9)).toSet
+      val inv = pairs(Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 3,
+        threshold = threshold))
+      val pre = pairs(Dedup.ngramJaccardPrefixFiltered(df, "text", "doc_id",
+        n = 3, threshold = threshold))
+      val want = (for {
+        i <- docs.indices; j <- i + 1 until docs.length
+        sa = shingles(docs(i)._2, 3); sb = shingles(docs(j)._2, 3)
+        if sa.nonEmpty && sb.nonEmpty
+        jac = (sa & sb).size.toDouble / (sa | sb).size
+        if jac >= threshold && (sa & sb).nonEmpty
+      } yield (docs(i)._1, docs(j)._1, math.rint(jac * 1e9) / 1e9)).toSet
+      def dump(ps: Set[(Long, Long, Double)]) = ps.take(3).map { case (a, b, j) =>
+        s"($a='${docs(a.toInt)._2}', $b='${docs(b.toInt)._2}', $j)"
+      }
+      assert(inv === want, s"inverted t=$threshold: " +
+        s"missing=${dump(want -- inv)} extra=${dump(inv -- want)}")
+      assert(pre === want, s"prefix t=$threshold: " +
+        s"missing=${(want -- pre).take(3)} extra=${(pre -- want).take(3)}")
+    }
+  }
+
   test("editDistanceSelfJoin == brute force on random small-alphabet strings") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
