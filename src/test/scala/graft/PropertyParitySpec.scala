@@ -85,6 +85,74 @@ class PropertyParitySpec extends SparkSuite {
     }
   }
 
+  test("containmentPairs == brute subset scan on random small-vocab corpora") {
+    def shingles(s: String, n: Int): Set[String] = {
+      val t = s.trim
+      if (t.isEmpty) Set.empty
+      else {
+        val w = t.split("\\s+").toSeq
+        if (w.length <= n) Set(w.mkString(" "))
+        else w.sliding(n).map(_.mkString(" ")).toSet
+      }
+    }
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.choose(0, 9).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    for (round <- 0 until 3) {
+      val docs = sample(Gen.listOfN(35, docGen), 5500L + round)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id", n = 3)
+        .select("id_a", "id_b", "n_common").as[(Long, Long, Long)]
+        .collect().toSet
+      val want = (for {
+        i <- docs.indices; j <- docs.indices if i != j
+        sa = shingles(docs(i)._2, 3); sb = shingles(docs(j)._2, 3)
+        if sa.nonEmpty && sb.nonEmpty && sa.subsetOf(sb)
+      } yield (docs(i)._1, docs(j)._1, sa.size.toLong)).toSet
+      assert(got === want, s"round $round: missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("token-cosine dense and prefix routes == brute force on random corpora") {
+    def vec(s: String): Map[String, Int] =
+      if (s.trim.isEmpty) Map.empty
+      else s.trim.split("\\s+").toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    def cosine(a: Map[String, Int], b: Map[String, Int]): Double = {
+      // keys.toSeq: mapping a SET to products would collapse equal values
+      val dot = a.keys.toSeq.filter(b.contains).map(k => a(k).toDouble * b(k)).sum
+      val na = math.sqrt(a.values.map(v => v.toDouble * v).sum)
+      val nb = math.sqrt(b.values.map(v => v.toDouble * v).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val docGen = Gen.choose(1, 8).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    for ((threshold, round) <- Seq(0.4, 0.8).zipWithIndex) {
+      val docs = sample(Gen.listOfN(30, docGen), 6600L + round)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = docs.toDF("doc_id", "text")
+      def pairs(r: org.apache.spark.sql.DataFrame) =
+        r.select("id_a", "id_b", "cosine").collect()
+          .map(x => (x.getLong(0), x.getLong(1),
+            math.rint(x.getDouble(2) * 1e9) / 1e9)).toSet
+      val want = (for {
+        i <- docs.indices; j <- i + 1 until docs.length
+        c = cosine(vec(docs(i)._2), vec(docs(j)._2))
+        if c >= threshold && c > 0
+      } yield (docs(i)._1, docs(j)._1, math.rint(c * 1e9) / 1e9)).toSet
+      val naive = pairs(graft.operators.Similarity.tokenCosinePairs(
+        df, "text", "doc_id", threshold))
+      val routed = pairs(graft.operators.Similarity.tokenCosinePairsPrefix(
+        df, "text", "doc_id", threshold))
+      assert(naive === want, s"naive t=$threshold: " +
+        s"missing=${(want -- naive).take(3)} extra=${(naive -- want).take(3)}")
+      assert(routed === want, s"routed t=$threshold: " +
+        s"missing=${(want -- routed).take(3)} extra=${(routed -- want).take(3)}")
+    }
+  }
+
   test("editDistanceSelfJoin == brute force on random small-alphabet strings") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
