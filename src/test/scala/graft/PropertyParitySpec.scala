@@ -153,6 +153,29 @@ class PropertyParitySpec extends SparkSuite {
     }
   }
 
+  test("distributed prefix sum == global window on random skewed frames") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val lenGen: Gen[Long] =
+      Gen.oneOf(Gen.choose(0L, 5L), Gen.choose(1000L, 100000L))
+    val rowGen: Gen[(Long, Long)] = for {
+      id <- Gen.choose(0L, 100000L)
+      len <- lenGen
+    } yield (id, len)
+    for (round <- 0 until 3) {
+      val rows = sample(Gen.listOfN(300, rowGen), 3300L + round)
+        .distinctBy(_._1)
+      val df = rows.toDF("id", "len").repartition(2 + round * 5)
+      val dist = graft.operators.Packing.withPrefixSum(df, "id", "len")
+        .select("id", "start_token").as[(Long, Long)].collect().toMap
+      val naive = df.select(col("id"),
+          coalesce(sum("len").over(Window.orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("s"))
+        .as[(Long, Long)].collect().toMap
+      assert(dist === naive, s"round $round")
+    }
+  }
+
   test("editDistanceSelfJoin == brute force on random small-alphabet strings") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
