@@ -170,6 +170,36 @@ class ReleasePipelineSpec extends SparkSuite {
     assert(app.newKept.where(col("text").contains(header)).count() === 0)
   }
 
+  test("all optional stages together: novelty + boilerplate + paragraph compose") {
+    import graft.corpus.ReleasePipeline
+    val header = "SITE NAV | cookies | subscribe"
+    val docs0 = Tables(spark, sf("sf0.001"), "documents")
+      .where(col("text").isNotNull)
+    val injected = docs0.select(col("doc_id"),
+      concat(lit(header + "\n"), col("text")).as("text"))
+    val benchmark = docs0.where(pmod(col("doc_id"), lit(10)) === 0)
+    val ref = docs0.where(pmod(col("doc_id"), lit(5)) === 0)
+    val res = ReleasePipeline.run(
+      injected.where(pmod(col("doc_id"), lit(5)) =!= 0), benchmark,
+      ReleasePipeline.Config(boilerplateLineDedup = true,
+        paragraphDedup = true, packCapacity = 256L),
+      noveltyRef = Some(ref))
+    val s = res.stats
+    // full monotone chain through every optional stage
+    assert(s.input >= s.afterNovelty)
+    assert(s.afterNovelty >= s.afterBoilerplate)
+    assert(s.afterBoilerplate >= s.afterQuality)
+    assert(s.afterQuality >= s.afterDedup)
+    assert(s.afterDedup >= s.afterParaDedup)
+    assert(s.afterParaDedup >= s.afterDespan)
+    assert(s.afterDespan >= s.afterDecontaminate)
+    assert(s.afterDecontaminate >= s.afterLmFloor && s.afterLmFloor > 0)
+    // furniture never survives; the paragraph pair frame is retained
+    assert(res.corpus.where(col("text").contains(header)).count() === 0)
+    assert(res.paraPairs.nonEmpty)
+    res.minhashSig.unpersist(); res.paraPairs.foreach(_.unpersist())
+  }
+
   test("appendBatch: a fully-redundant batch yields an empty newKept, not a crash") {
     import graft.corpus.ReleasePipeline
     val docs0 = Tables(spark, sf("sf0.001"), "documents")
