@@ -57,14 +57,49 @@ final class StreamingReleaseAppend(
   /** Reserved batch id for the initial (pre-stream) release. */
   val priorBatchId: Long = -1L
 
-  /** Record the shipped release the stream grows from. Idempotent —
-    * re-initialization with the same id is a no-op.
+  /** Record the shipped release the stream grows from. Idempotent for
+    * the SAME release; re-initialization with a DIFFERENT prior refuses
+    * loudly (the manifest convention) — silently keeping the old state
+    * would splice the new stream's dedup verdicts onto another
+    * release's registry. Identity = count + xor'd id hash of the
+    * registry (the appendManifest fingerprint: metadata-sized at any
+    * release size).
     */
   def initPrior(prior: ReleasePipeline.PriorRelease): Unit = {
-    corpusStore.append(
-      prior.corpus.select("doc_id", "text"), priorBatchId)
-    registryStore.append(
-      prior.minhashSig.select("id", "sig", "fp"), priorBatchId)
+    val spark = prior.minhashSig.sparkSession
+    val fp = {
+      val r = prior.minhashSig.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr("bit_xor(xxhash64(id))"),
+          org.apache.spark.sql.functions.lit(0L))).head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpPath = new org.apache.hadoop.fs.Path(root, "_prior_fingerprint")
+    if (fs.exists(fpPath)) {
+      val in = fs.open(fpPath)
+      val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+      if (found != fp) throw new IllegalStateException(
+        s"StreamingReleaseAppend at $root was initialized from a DIFFERENT " +
+          s"prior release (recorded $found, this call $fp) — appending a new " +
+          "stream onto another release's registry would splice dedup " +
+          "verdicts across releases. Use a fresh root.")
+      ()  // same prior: the idempotent re-init no-op
+    } else {
+      corpusStore.append(
+        prior.corpus.select("doc_id", "text"), priorBatchId)
+      registryStore.append(
+        prior.minhashSig.select("id", "sig", "fp"), priorBatchId)
+      val tmp = new org.apache.hadoop.fs.Path(root, "_prior_fingerprint.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, fpPath) && !fs.exists(fpPath))
+        throw new java.io.IOException(s"could not commit $fpPath")
+    }
   }
 
   /** The release as of all committed batches — what the next batch

@@ -31,6 +31,11 @@ class StreamingReleaseAppendSpec extends SparkSuite {
     val sink = new StreamingReleaseAppend(root, benchmark, cfg)
     sink.initPrior(rel.toPrior)
     sink.initPrior(rel.toPrior)          // idempotent re-init: no-op
+    // a DIFFERENT prior against existing state refuses loudly — silently
+    // keeping the old registry would splice dedup verdicts across releases
+    val other = ReleasePipeline.PriorRelease(rel.corpus,
+      rel.minhashSig.withColumn("id", col("id") + 1L))
+    intercept[IllegalStateException](sink.initPrior(other))
     assert(sink.processBatch(b1, 0L))
     assert(sink.processBatch(b2, 1L))
 
