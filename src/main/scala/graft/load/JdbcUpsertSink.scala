@@ -283,17 +283,28 @@ object JdbcUpsertSink {
       val s = e.getSQLState
       s == "42P01" || s == "42X05" || s == "42Y55"
     }
+    // Statements CLOSE deterministically: leaving them to GC keeps their
+    // ResultSets open on the shared connection, and Derby then refuses
+    // `DROP TABLE X__pre` while an earlier exists(X__pre) probe's open
+    // ResultSet still depends on the table — a load-dependent flake.
+    def execSql(sql: String): Unit = {
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
+    }
     def dropPre(t: TargetInfo): Unit =
-      try conn.createStatement().execute(s"DROP TABLE ${preTable(t)}")
+      try execSql(s"DROP TABLE ${preTable(t)}")
       catch { case e: java.sql.SQLException if missingTable(e) => () }
-    def exists(table: String): Boolean =
-      try { conn.createStatement().execute(s"SELECT 1 FROM $table WHERE 1=0"); true }
+    def exists(table: String): Boolean = {
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
       catch { case _: java.sql.SQLException => false }
+      finally st.close()
+    }
     def truncateStage(t: TargetInfo): Unit =
-      try conn.createStatement().execute(dialect.truncateSql(t))
+      try execSql(dialect.truncateSql(t))
       catch { case e: java.sql.SQLException if missingTable(e) => () } // stage may not exist
     def dropMarker(): Unit =
-      try conn.createStatement().execute(s"DROP TABLE $markerTable")
+      try execSql(s"DROP TABLE $markerTable")
       catch { case _: java.sql.SQLException => () } // marker survives: retried next run
     // Neutralize-then-drop: once a target's stage is empty, its leftover
     // snapshot can never compensate anything away (delete matches stage
@@ -333,9 +344,9 @@ object JdbcUpsertSink {
         val base = pre.substring(0, pre.length - "__pre".length)
         // dialect-free neutralize (stage is small post-success); stage may
         // already be gone — both statements are individually safe to re-run
-        try conn.createStatement().execute(s"DELETE FROM ${base}__stage")
+        try execSql(s"DELETE FROM ${base}__stage")
         catch { case e: java.sql.SQLException if missingTable(e) => () }
-        try conn.createStatement().execute(s"DROP TABLE $pre")
+        try execSql(s"DROP TABLE $pre")
         catch { case e: java.sql.SQLException if missingTable(e) => () }
       }
       // Reached only when EVERY discovered pair is cleaned — a cleanup
@@ -344,7 +355,7 @@ object JdbcUpsertSink {
     } else targets.reverse.foreach { case (t, _) =>
       if (exists(preTable(t))) {
         if (exists(s"${t.table}__stage"))
-          conn.createStatement().execute(compensateSql(t))
+          execSql(compensateSql(t))
         dropPre(t)
       }
     }
@@ -353,7 +364,7 @@ object JdbcUpsertSink {
     try {
       var keyMaps = Map.empty[String, DataFrame]
       targets.foreach { case (t, view0) =>
-        preSnapshotSql(t).foreach(conn.createStatement().execute)
+        preSnapshotSql(t).foreach(execSql)
         loaded ::= t
         keyMaps += t.table -> loadOne(spark, jdbcUrl, props, conn, dialect,
           t, view0, keyMaps)
@@ -380,7 +391,7 @@ object JdbcUpsertSink {
         loaded.foreach { t =>
           val compensated =
             if (!exists(s"${t.table}__stage")) true // nothing merged: pre-only
-            else try { conn.createStatement().execute(compensateSql(t)); true }
+            else try { execSql(compensateSql(t)); true }
             catch { case ce: java.sql.SQLException => e.addSuppressed(ce); false }
           if (compensated)
             try dropPre(t) // strict now: don't let it mask the original error
