@@ -38,17 +38,29 @@ object Bench {
       }.sorted
       (times(times.length / 2), times.head)
     }
-    val results = selected.map { case (name, fn) => name -> medianMin(fn) }
     // Serving/gate split for the gated queries: time the gate-free
     // (serving-only) variant too, so a regression in the real operator
     // can't hide inside verification-gate noise. gate = full - serving,
     // clamped at 0 (run-to-run noise can invert tiny differences).
-    val splits = selected.flatMap { case (name, _) =>
-      SparkEntry.servingQueries.get(name).map { sfn =>
-        val full = results.toMap.apply(name)._1
+    //
+    // The split is measured IMMEDIATELY after that query's full reps, not
+    // in a second loop after the whole suite: by the end of a 110-query
+    // run the session has hours of localCheckpoint'd RDD blocks awaiting
+    // GC-driven ContextCleaner cleanup, and late-run split entries were
+    // measured up to 4x slower than fresh-session medians (r10 artifact
+    // read serving > full for q82/q87). Session state is also cleared
+    // between queries so one query's leaked cache can't tax the next.
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double))]
+    val splits = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double))]
+    selected.foreach { case (name, fn) =>
+      val full = medianMin(fn)
+      results += name -> full
+      SparkEntry.servingQueries.get(name).foreach { sfn =>
         val serv = medianMin(sfn)._1
-        name -> (serv, math.max(0.0, full - serv))
+        splits += name -> (serv, math.max(0.0, full._1 - serv))
       }
+      spark.catalog.clearCache()
+      System.gc()
     }
     def jsonMap(f: ((Double, Double)) => Double) = results
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")

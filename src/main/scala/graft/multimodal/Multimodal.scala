@@ -170,26 +170,13 @@ object Multimodal {
     }
 
     def decode(payload: Array[Byte]): Decoded = {
-      import javax.sound.sampled.{AudioFormat, AudioSystem}
       try {
-        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-        val fmt = in.getFormat
-        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
-          fmt.getSampleRate, false)
-        val pcm = AudioSystem.getAudioInputStream(target, in)
-        val buf = new Array[Byte](8192)
-        var sum2 = 0.0; var peak = 0.0; var samples = 0L
-        var read = pcm.read(buf)
-        while (read > 0) {
-          var i = 0
-          while (i + 1 < read) {
-            val s = ((buf(i) & 0xFF) | (buf(i + 1) << 8)).toShort / 32768.0
-            sum2 += s * s
-            val a = math.abs(s); if (a > peak) peak = a
-            samples += 1; i += 2
-          }
-          read = pcm.read(buf)
+        val pcm = openPcm16(payload)
+        val fmt = pcm.getFormat
+        var sum2 = 0.0; var peak = 0.0
+        val samples = foreachPcmSample(pcm) { s =>
+          sum2 += s * s
+          val a = math.abs(s); if (a > peak) peak = a
         }
         val channels = fmt.getChannels
         val frames = samples / math.max(1, channels)
@@ -203,6 +190,56 @@ object Multimodal {
         case _: IllegalArgumentException                          => fake(payload) // unconvertible format
       }
     }
+  }
+
+  /** In-memory payload → 16-bit signed little-endian PCM stream, any
+    * container/PCM flavor the JDK parses. The conversion stream owns the
+    * container stream, so closing the returned stream closes the chain.
+    */
+  private def openPcm16(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+      fmt.getSampleRate, false)
+    AudioSystem.getAudioInputStream(target, in)
+  }
+
+  /** One streaming pass over a 16-bit LE PCM stream, O(1) memory,
+    * delivering each normalized sample in [-1, 1] to `f`.
+    *
+    * A `read()` is NOT assumed frame-aligned: an odd return count carries
+    * its trailing low byte into the next buffer instead of dropping it —
+    * a drop would shift lo/hi pairing for the rest of the stream and
+    * desynchronize sample indices between callers' passes. The stream is
+    * closed in a finally (conversion streams close their source chain).
+    *
+    * @return the number of samples delivered
+    */
+  private def foreachPcmSample(
+      pcm: javax.sound.sampled.AudioInputStream)(f: Double => Unit): Long = {
+    var samples = 0L
+    try {
+      val buf = new Array[Byte](8192)
+      var carry = Int.MinValue // pending low byte from an odd read, else sentinel
+      var read = pcm.read(buf)
+      while (read > 0) {
+        var i = 0
+        if (carry != Int.MinValue) {
+          f(((carry & 0xFF) | (buf(0) << 8)).toShort / 32768.0)
+          samples += 1; carry = Int.MinValue; i = 1
+        }
+        while (i + 1 < read) {
+          f(((buf(i) & 0xFF) | (buf(i + 1) << 8)).toShort / 32768.0)
+          samples += 1; i += 2
+        }
+        if (i < read) carry = buf(i).toInt
+        read = pcm.read(buf)
+      }
+    } finally pcm.close()
+    samples
   }
 
   /** 64-bit audio ENERGY-hash — the audio member of the perceptual-hash
@@ -225,24 +262,11 @@ object Multimodal {
     * documented rather than mixed down).
     */
   def audioHash64(payload: Array[Byte]): Option[Long] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
-    def openPcm() = {
-      val in = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      val fmt = in.getFormat
-      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-        fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
-        fmt.getSampleRate, false)
-      AudioSystem.getAudioInputStream(target, in)
-    }
     try {
-      // pass 1: sample count
-      var n = 0L
-      locally {
-        val pcm = openPcm(); val buf = new Array[Byte](8192)
-        var read = pcm.read(buf)
-        while (read > 0) { n += read / 2; read = pcm.read(buf) }
-      }
+      // pass 1: sample count — foreachPcmSample's leftover-byte carry
+      // makes the count exact even when a read() returns an odd byte
+      // count, so pass-2 indices line up sample-for-sample with it.
+      val n = foreachPcmSample(openPcm16(payload))(_ => ())
       if (n < 64) None
       else {
         // balanced 64-window partition: first n%64 windows one sample wider
@@ -254,18 +278,11 @@ object Multimodal {
         }
         val sum2 = new Array[Double](64)
         val cnt = new Array[Long](64)
-        val pcm = openPcm(); val buf = new Array[Byte](8192)
         var idx = 0L; var w = 0
-        var read = pcm.read(buf)
-        while (read > 0) {
-          var i = 0
-          while (i + 1 < read) {
-            while (w < 63 && idx >= bounds(w + 1)) w += 1
-            val s = ((buf(i) & 0xFF) | (buf(i + 1) << 8)).toShort / 32768.0
-            sum2(w) += s * s; cnt(w) += 1
-            idx += 1; i += 2
-          }
-          read = pcm.read(buf)
+        foreachPcmSample(openPcm16(payload)) { s =>
+          while (w < 63 && idx >= bounds(w + 1)) w += 1
+          sum2(w) += s * s; cnt(w) += 1
+          idx += 1
         }
         val e = Array.tabulate(64)(k => if (cnt(k) == 0) 0.0 else sum2(k) / cnt(k))
         val mean = e.sum / 64

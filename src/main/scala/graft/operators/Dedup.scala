@@ -468,7 +468,21 @@ object Dedup {
     * value (e.g. all-zero chunks from near-blank inputs) is the skew to
     * watch — the same salting/cap guidance as the LSH band joins applies.
     */
-  def hammingPairs(withSig: DataFrame, maxDist: Int = 3): DataFrame = {
+  def hammingPairs(withSig: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingPairsCore(withSig, maxDist, keyCols = Nil)
+
+  /** [[hammingPairs]] restricted to pairs sharing `keyCol` — the key
+    * joins the blocking equi-key, so cross-key candidates are never even
+    * enumerated (this is BLOCKING, not post-filtering: at scale the key
+    * typically slashes each chunk bucket's fan-out, e.g. per-frame-index
+    * matching in [[graft.multimodal.Multimodal.nearDupVideoPairs]]).
+    * Output: (keyCol, id_a, id_b, hamming), one row per key and pair.
+    */
+  def hammingPairsBy(withSig: DataFrame, keyCol: String, maxDist: Int = 3): DataFrame =
+    hammingPairsCore(withSig, maxDist, keyCols = Seq(keyCol))
+
+  private def hammingPairsCore(
+      withSig: DataFrame, maxDist: Int, keyCols: Seq[String]): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist in [0, 64), got $maxDist")
     val chunks = maxDist + 1
     // Balanced exact partition of the 64 bits into `chunks` NON-EMPTY
@@ -482,24 +496,27 @@ object Dedup {
     val rem = 64 % chunks
     val widths = (0 until chunks).map(c => base + (if (c < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val chunked = withSig.select(col("id"), col("sig"),
+    val carry = keyCols.map(col)
+    val chunked = withSig.select(carry ++ Seq(col("id"), col("sig"),
       explode(array((0 until chunks).map { c =>
         val w = widths(c)
         val mask = if (w >= 64) -1L else (1L << w) - 1   // 1L<<64 wraps to 1
         struct(lit(c).as("chunk"),
           shiftright(col("sig"), offsets(c)).bitwiseAND(lit(mask)).as("ch"))
-      }: _*)).as("b"))
-      .select(col("id"), col("sig"), col("b.chunk"), col("b.ch"))
+      }: _*)).as("b")): _*)
+      .select(carry ++ Seq(col("id"), col("sig"), col("b.chunk"), col("b.ch")): _*)
     val a = chunked.as("a"); val b = chunked.as("b")
     val hamming = {
       val x = col("a.sig").bitwiseXOR(col("b.sig"))
       bit_count(x)
     }
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming.as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+    val joinCond = (keyCols.map(k => col(s"a.`$k`") === col(s"b.`$k`")) ++
+      Seq(col("a.chunk") === col("b.chunk"), col("a.ch") === col("b.ch"),
+        col("a.id") < col("b.id"))).reduce(_ && _)
+    a.join(b, joinCond)
+      .select(keyCols.map(k => col(s"a.`$k`").as(k)) ++
+        Seq(col("a.id").as("id_a"), col("b.id").as("id_b"), hamming.as("hamming")): _*)
+      .dropDuplicates(keyCols ++ Seq("id_a", "id_b"))
       .where(col("hamming") <= maxDist)
   }
 
@@ -569,27 +586,42 @@ object Dedup {
     // hybrid path's collect is a typed primitive-tuple Dataset (specialized
     // Tuple2[Long, Long]) — no cap-sized array of boxed generic Rows ever
     // lands on the driver.
-    val overCap = typed.limit((driverMaxEdges + 1).toInt).count() > driverMaxEdges
-    if (overCap) connectedComponentsDistributed(pairs)
-    else {
-      val capped = typed.collect()
-      // Driver union-find with path compression, min id as root label.
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
+    //
+    // The edge frame is PERSISTED across the probe: upstream is typically
+    // an un-cached LSH/exact-verify pair search — the dominant cost of any
+    // clustering-backed dedup — and without the cache the probe job and the
+    // follow-up (collect or distributed propagation) would each execute
+    // that pair search once, doubling the expensive stage. With the cache
+    // every pair partition is computed exactly once, whichever path the
+    // routing takes; the distributed path reads the same cached frame.
+    typed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val overCap = typed.limit((driverMaxEdges + 1).toInt).count() > driverMaxEdges
+      if (overCap)
+        connectedComponentsDistributed(typed.toDF("id_a", "id_b"))
+      else {
+        val capped = typed.collect()
+        // Driver union-find with path compression, min id as root label.
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        capped.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+        }
+        val labels = parent.keys.toSeq.map(id => (id, find(id)))
+        spark.createDataset(labels).toDF("id", "label")
       }
-      capped.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
-      }
-      val labels = parent.keys.toSeq.map(id => (id, find(id)))
-      spark.createDataset(labels).toDF("id", "label")
-    }
+    } finally typed.unpersist()
+    // Safe to unpersist before the caller consumes the result: the hybrid
+    // path's frame is driver-local data and the distributed path returns a
+    // localCheckpoint'd frame with no lineage back to the cached edges.
   }
 
   /** Distributed min-label propagation with pointer jumping (driver-looped

@@ -519,9 +519,13 @@ object TextQueries {
         .where(col("text").isNotNull && length(trim(col("text"))) > 0)
         .groupBy(expr("substring(trim(text), 1, 25)").as("s"))
         .agg(min(col("doc_id")).as("id"))
+      // Twin ids live in the NEGATIVE namespace (-id - 1): disjoint from
+      // real doc ids at every scale factor, unlike an additive offset that
+      // a large corpus's doc_id range could collide with (and the oracle
+      // mirroring the same arithmetic would mask the collision).
       val strings = s0.select(col("id"), col("s"))
         .unionByName(s0.where(pmod(col("id"), lit(6)) === 0)
-          .select((col("id") + 1000000L).as("id"),
+          .select((-col("id") - 1L).as("id"),
             concat(lit("q"), expr("substring(s, 2)")).as("s")))
       graft.operators.EditSimilarity
         .editDistanceSelfJoin(strings, "s", "id", tau = 1)
@@ -1851,7 +1855,7 @@ object TextQueries {
         |  GROUP BY 2),
         | s AS (SELECT id, s FROM s0
         |  UNION ALL
-        |  SELECT id + 1000000, 'q' || substring(s, 2) FROM s0 WHERE id % 6 = 0)
+        |  SELECT -id - 1, 'q' || substring(s, 2) FROM s0 WHERE id % 6 = 0)
         | SELECT a.id AS id_a, b.id AS id_b,
         |   CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
         | FROM s a JOIN s b

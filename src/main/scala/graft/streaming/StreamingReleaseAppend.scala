@@ -79,6 +79,17 @@ final class StreamingReleaseAppend(
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fpPath = new org.apache.hadoop.fs.Path(root, "_prior_fingerprint")
+    // The fingerprint commits FIRST — it is the init's identity record,
+    // and the batch -1 appends run only under a matching fingerprint.
+    // Were it written last, a crash between the corpus append and the
+    // fingerprint commit would leave committed prior-A data with no
+    // identity on disk; a later init with prior B would see no
+    // fingerprint, the idempotent sink would skip the already-committed
+    // A corpus, and B's registry would land next to it — exactly the
+    // cross-release splice this guard exists to refuse. With fp-first,
+    // every crash window re-inits cleanly under the SAME prior (the
+    // appends below are idempotent per batch id) and refuses a
+    // different one.
     if (fs.exists(fpPath)) {
       val in = fs.open(fpPath)
       val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -88,18 +99,27 @@ final class StreamingReleaseAppend(
           s"prior release (recorded $found, this call $fp) — appending a new " +
           "stream onto another release's registry would splice dedup " +
           "verdicts across releases. Use a fresh root.")
-      ()  // same prior: the idempotent re-init no-op
     } else {
-      corpusStore.append(
-        prior.corpus.select("doc_id", "text"), priorBatchId)
-      registryStore.append(
-        prior.minhashSig.select("id", "sig", "fp"), priorBatchId)
+      if (corpusStore.committed(spark, priorBatchId) ||
+          registryStore.committed(spark, priorBatchId))
+        throw new IllegalStateException(
+          s"StreamingReleaseAppend at $root holds committed prior data but " +
+            "no _prior_fingerprint — an init from a pre-fingerprint layout " +
+            "or a tampered root; its prior identity cannot be verified. " +
+            "Use a fresh root.")
       val tmp = new org.apache.hadoop.fs.Path(root, "_prior_fingerprint.tmp")
       val out = fs.create(tmp, true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
       if (!fs.rename(tmp, fpPath) && !fs.exists(fpPath))
         throw new java.io.IOException(s"could not commit $fpPath")
     }
+    // Reached only under a present-and-matching fingerprint. Idempotent:
+    // committed stores skip, so a crash anywhere between the fingerprint
+    // commit and here is healed by re-initializing with the same prior.
+    corpusStore.append(
+      prior.corpus.select("doc_id", "text"), priorBatchId)
+    registryStore.append(
+      prior.minhashSig.select("id", "sig", "fp"), priorBatchId)
   }
 
   /** The release as of all committed batches — what the next batch

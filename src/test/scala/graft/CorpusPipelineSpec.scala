@@ -55,6 +55,33 @@ class CorpusPipelineSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("CC computes the upstream pair plan ONCE on both routes (persisted across the probe)") {
+    // The caller's pair frame is typically an un-persisted LSH pair search
+    // — the dominant cost of clustering-backed dedup. The routing probe
+    // (limit(cap+1).count()) plus the follow-up collect/propagation must
+    // cost ONE evaluation of that plan, not two: an accumulator inside the
+    // upstream plan counts per-row evaluations.
+    def countedPairs(acc: org.apache.spark.util.LongAccumulator) =
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDS()
+        .map { t => acc.add(1); t }
+        .toDF("id_a", "id_b")
+    // under-cap (driver union-find) route
+    val a1 = spark.sparkContext.longAccumulator("pairEvalsHybrid")
+    val cc1 = Dedup.connectedComponents(countedPairs(a1), driverMaxEdges = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1.value === 3L,
+      s"hybrid route evaluated the pair plan ${a1.value / 3.0}x — must be exactly once")
+    assert(cc1(3L) === 1L && cc1(11L) === 10L)
+    // over-cap (distributed propagation) route — the propagation reads the
+    // same cached frame, so the pair search still runs once.
+    val a2 = spark.sparkContext.longAccumulator("pairEvalsDistributed")
+    val cc2 = Dedup.connectedComponents(countedPairs(a2), driverMaxEdges = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2.value === 3L,
+      s"distributed route evaluated the pair plan ${a2.value / 3.0}x — must be exactly once")
+    assert(cc2 === cc1)
+  }
+
   test("keepBestInCluster keeps the highest-scoring member; loners survive") {
     // cluster {1,2,3}: doc 2 scores highest; cluster {10,11}: tie on score
     // breaks to the lower id; docs 20, 21 are in no cluster.
