@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{EventQueries, MultimodalQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{EventQueries, MultimodalQueries, RelationalQueries, TextQueries, VectorQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,14 +26,14 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.all ++
-      VectorQueries.defs ++ MultimodalQueries.defs)
+      VectorQueries.defs ++ MultimodalQueries.defs ++ WebQueries.defs)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(Sessions.init(s), dir))
       }
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ MultimodalQueries.oracles
+      VectorQueries.oracles ++ MultimodalQueries.oracles ++ WebQueries.oracles
 
   /** Serving-only (gate-free) variants of the gated queries, keyed by the
     * same names as [[queries]] — measurement surface for Bench's

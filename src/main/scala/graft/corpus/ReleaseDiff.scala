@@ -73,6 +73,47 @@ object ReleaseDiff {
         when(col("__ex"), lit(1.0d)).otherwise(col("__bj")).as("best_jaccard"))
   }
 
+  /** [[classify]] plus a τ-bounded EDIT-DISTANCE leg for SHORT strings
+    * — typo-level duplicates (one character off in a title or name)
+    * shred every n-gram shingle they touch, so shingle Jaccard misses
+    * them entirely on short fields while a human calls them the same
+    * string. Docs whose text is at most `editMaxLen` chars on both
+    * sides run through the PassJoin blocking
+    * ([[graft.operators.EditSimilarity.editDistancePairsBetween]]);
+    * a candidate within `editTau` edits of any release doc upgrades
+    * `novel` → `near`.
+    *
+    * The length bound is semantic, not just cost: edit distance τ means
+    * "almost identical" for a 20-char title but nothing for a 20 kB
+    * document (where Jaccard is the right lens) — and it also keeps the
+    * probe fan-out (O(τ³) keys × string length) off the long tail.
+    *
+    * @return (doc_id, verdict, best_jaccard, best_edit_dist) —
+    *         `best_edit_dist` is the min distance within `editTau` to
+    *         any short release doc (null when none, or when the
+    *         candidate exceeds `editMaxLen`), reported independently of
+    *         which leg decided the verdict.
+    */
+  def classifyWithEdits(candidates: DataFrame, release: DataFrame,
+                        textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        editTau: Int = 2, editMaxLen: Int = 64): DataFrame = {
+    val short = (df: DataFrame) => df.where(col(s"`$textCol`").isNotNull &&
+      length(col(s"`$textCol`")) <= editMaxLen)
+    val bestEdit = graft.operators.EditSimilarity
+      .editDistancePairsBetween(short(candidates), short(release),
+        textCol, idCol, editTau)
+      .groupBy(col("id_left").as("doc_id"))
+      .agg(min("edit_dist").as("best_edit_dist"))
+    classify(candidates, release, textCol, idCol, n, threshold)
+      .join(bestEdit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("verdict") === "novel" && col("best_edit_dist").isNotNull,
+            lit("near"))
+          .otherwise(col("verdict")).as("verdict"),
+        col("best_jaccard"), col("best_edit_dist"))
+  }
+
   /** Signature-route triage against a retained registry `(id, sig)` —
     * same verdict contract, estimated Jaccard, banding-bounded recall
     * for `near` (an `exact` candidate produces the identical signature

@@ -512,6 +512,71 @@ object Multimodal {
   def nearDupImagePairs(media: Dataset[MediaRecord], maxDist: Int = 10): DataFrame =
     graft.operators.Dedup.hammingPairs(imageHashes(media), maxDist)
 
+  /** Per-frame perceptual hashes for multi-frame assets: REAL frame
+    * enumeration ([[sampleFrames]] — animated GIF natively; codec
+    * formats take the marked fallback and drop here) → per-frame
+    * [[aHash64]] → (id, frame_idx, sig). Frames that fail decode drop
+    * their row, mirroring [[imageHashes]].
+    */
+  def videoFrameHashes(media: Dataset[MediaRecord], everyNth: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    sampleFrames(media, everyNth)
+      .filter(f => f.decoded && f.frame_png.nonEmpty)
+      .mapPartitions(_.flatMap(f =>
+        aHash64(f.frame_png).map(sig => (f.asset_id, f.frame_idx, sig))))
+      .toDF("id", "frame_idx", "sig")
+  }
+
+  /** VIDEO near-duplicate pairs: aligned-frame MAJORITY vote over
+    * per-frame perceptual hashes — the fourth modality (after text
+    * SimHash, image aHash, audio energy hash) on the engine's one
+    * Hamming-pigeonhole dedup idiom.
+    *
+    * Two assets pair iff at least `minFrameFrac` of their common frame
+    * span has frame-`i`-to-frame-`i` aHash distance <= `maxDist`:
+    * per-frame candidates come from
+    * [[graft.operators.Dedup.hammingPairsBy]] keyed on `frame_idx` (the
+    * frame index joins the blocking key, so only aligned frames are
+    * ever candidates), then one (id_a, id_b) aggregation counts matched
+    * frames against `least(n_a, n_b)`. Scale shape: frame hashes are
+    * ~16 bytes/frame regardless of payload size; the expensive decode
+    * runs ONCE (the hash frame is eagerly localCheckpoint'd, so the
+    * count aggregation and the two sides of the blocking self-join all
+    * read the materialized blocks instead of re-decoding), and every
+    * later stage is a keyed shuffle on frame or pair keys.
+    *
+    * @return (id_a, id_b, matched_frames, min_frames)
+    */
+  def nearDupVideoPairs(
+      media: Dataset[MediaRecord],
+      maxDist: Int = 10,
+      everyNth: Int = 1,
+      minFrameFrac: Double = 0.5): DataFrame =
+    nearDupVideoPairsFromHashes(
+      videoFrameHashes(media, everyNth).localCheckpoint(true), maxDist, minFrameFrac)
+
+  /** [[nearDupVideoPairs]] over an already-computed (id, frame_idx, sig)
+    * frame-hash frame — the entry point when hashes are persisted as an
+    * index (the streaming-index pattern) or shared across thresholds.
+    */
+  def nearDupVideoPairsFromHashes(
+      frameHashes: DataFrame,
+      maxDist: Int = 10,
+      minFrameFrac: Double = 0.5): DataFrame = {
+    require(minFrameFrac > 0.0 && minFrameFrac <= 1.0,
+      s"minFrameFrac in (0, 1], got $minFrameFrac")
+    val n = frameHashes.groupBy("id").agg(count(lit(1)).as("n_frames"))
+    val matched = graft.operators.Dedup
+      .hammingPairsBy(frameHashes, "frame_idx", maxDist)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("matched_frames"))
+    matched
+      .join(n.select(col("id").as("id_a"), col("n_frames").as("n_a")), Seq("id_a"))
+      .join(n.select(col("id").as("id_b"), col("n_frames").as("n_b")), Seq("id_b"))
+      .withColumn("min_frames", least(col("n_a"), col("n_b")))
+      .where(col("matched_frames") >= ceil(col("min_frames") * lit(minFrameFrac)))
+      .select("id_a", "id_b", "matched_frames", "min_frames")
+  }
+
   /** Frame/chunk sampling plumbing: split a payload into fixed-size chunks
     * (byte-level stand-in for containers the JDK cannot parse) — explode
     * keeps it distributed, chunk index is carried for downstream ordering.

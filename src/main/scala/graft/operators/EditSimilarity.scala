@@ -32,42 +32,45 @@ import org.apache.spark.sql.functions._
   */
 object EditSimilarity {
 
-  /** All unordered pairs `(id_a, id_b, edit_dist)` with
-    * `levenshtein <= tau`, `id_a < id_b`. Null strings are dropped;
-    * empty and shorter-than-`tau+1` strings partition into zero-width
-    * segments whose empty-key buckets still yield complete candidates
-    * (verified exactly like every other pair).
-    */
-  def editDistanceSelfJoin(df: DataFrame, strCol: String, idCol: String,
-                           tau: Int): DataFrame = {
-    require(tau >= 1 && tau <= 8, s"tau in [1, 8], got $tau")
-    val segs = tau + 1
-    val base = df.where(col(s"`$strCol`").isNotNull)
+  private def baseOf(df: DataFrame, strCol: String, idCol: String): DataFrame =
+    df.where(col(s"`$strCol`").isNotNull)
       .select(col(s"`$idCol`").as("id"), col(s"`$strCol`").as("s"))
       .withColumn("len", length(col("s")))
 
-    def widthOf(l: Column, i: Column): Column =
-      floor(l / segs).cast("int") + when(i < l % segs, 1).otherwise(0)
-    def startOf(l: Column, i: Column): Column =
-      (i * floor(l / segs).cast("int") + least(i, l % segs)).cast("int")
+  private def widthOf(segs: Int)(l: Column, i: Column): Column =
+    floor(l / segs).cast("int") + when(i < l % segs, 1).otherwise(0)
+  private def startOf(segs: Int)(l: Column, i: Column): Column =
+    (i * floor(l / segs).cast("int") + least(i, l % segs)).cast("int")
 
+  /** Index side: each string's `tau + 1` exact segments as
+    * `(len, segIdx, segment)` keys.
+    */
+  private def indexKeys(base: DataFrame, tau: Int): DataFrame = {
+    val segs = tau + 1
     val iSeq = sequence(lit(0), lit(tau))
-    val idx = base.select(col("id").as("id_i"),
+    base.select(col("id").as("id_i"),
         explode(transform(iSeq, i =>
           struct(col("len").as("klen"), i.as("seg"),
-            col("s").substr(startOf(col("len"), i) + 1,
-              widthOf(col("len"), i)).as("kstr")))).as("k"))
+            col("s").substr(startOf(segs)(col("len"), i) + 1,
+              widthOf(segs)(col("len"), i)).as("kstr")))).as("k"))
       .select(col("id_i"), col("k.klen"), col("k.seg"), col("k.kstr"))
+  }
 
+  /** Probe side: every substring a compatible-length index string's
+    * segment could be — O(tau³) keys per row, map-side, per-row deduped.
+    */
+  private def probeKeys(base: DataFrame, tau: Int): DataFrame = {
+    val segs = tau + 1
+    val iSeq = sequence(lit(0), lit(tau))
     val emptyKeys = array().cast(
       "array<struct<klen:int,seg:int,kstr:string>>")
-    val probe = base.select(col("id").as("id_p"),
+    base.select(col("id").as("id_p"),
         explode(array_distinct(flatten(flatten(transform(
           sequence(greatest(col("len") - tau, lit(0)).cast("int"),
             (col("len") + tau).cast("int")),
           l => transform(iSeq, i => {
-            val w = widthOf(l, i)
-            val st = startOf(l, i)
+            val w = widthOf(segs)(l, i)
+            val st = startOf(segs)(l, i)
             val qlo = greatest(st - tau, lit(0))
             val qhi = least(st + tau, col("len") - w)
             when(qhi >= qlo,
@@ -77,7 +80,20 @@ object EditSimilarity {
               .otherwise(emptyKeys)
           })))))).as("k"))
       .select(col("id_p"), col("k.klen"), col("k.seg"), col("k.kstr"))
+  }
 
+  /** All unordered pairs `(id_a, id_b, edit_dist)` with
+    * `levenshtein <= tau`, `id_a < id_b`. Null strings are dropped;
+    * empty and shorter-than-`tau+1` strings partition into zero-width
+    * segments whose empty-key buckets still yield complete candidates
+    * (verified exactly like every other pair).
+    */
+  def editDistanceSelfJoin(df: DataFrame, strCol: String, idCol: String,
+                           tau: Int): DataFrame = {
+    require(tau >= 1 && tau <= 8, s"tau in [1, 8], got $tau")
+    val base = baseOf(df, strCol, idCol)
+    val idx = indexKeys(base, tau)
+    val probe = probeKeys(base, tau)
     val cand = probe.join(idx,
         probe("klen") === idx("klen") && probe("seg") === idx("seg") &&
           probe("kstr") === idx("kstr") && probe("id_p") =!= idx("id_i"))
@@ -94,5 +110,35 @@ object EditSimilarity {
         levenshtein(col("__sa"), col("__sb"), tau).cast("long"))
       .where(col("edit_dist") >= 0)
       .select("id_a", "id_b", "edit_dist")
+  }
+
+  /** DIRECTED cross-corpus variant: all `(id_left, id_right, edit_dist)`
+    * with `levenshtein <= tau` between a left (probe) and right (index)
+    * frame — the [[Dedup.minhashLshPairsBetween]] shape for edit
+    * distance (release-diff triage of short-string fields: titles,
+    * names). Same blocking, full recall at the bound; ids are NOT
+    * compared across sides (a shared id means the row genuinely appears
+    * in both corpora and pairs at distance 0).
+    */
+  def editDistancePairsBetween(left: DataFrame, right: DataFrame,
+                               strCol: String, idCol: String,
+                               tau: Int): DataFrame = {
+    require(tau >= 1 && tau <= 8, s"tau in [1, 8], got $tau")
+    val baseL = baseOf(left, strCol, idCol)
+    val baseR = baseOf(right, strCol, idCol)
+    val idx = indexKeys(baseR, tau)
+    val probe = probeKeys(baseL, tau)
+    val cand = probe.join(idx,
+        probe("klen") === idx("klen") && probe("seg") === idx("seg") &&
+          probe("kstr") === idx("kstr"))
+      .select(col("id_p").as("id_left"), col("id_i").as("id_right"))
+      .distinct()
+    val sl = baseL.select(col("id").as("id_left"), col("s").as("__sl"))
+    val sr = baseR.select(col("id").as("id_right"), col("s").as("__sr"))
+    cand.join(sl, "id_left").join(sr, "id_right")
+      .withColumn("edit_dist",
+        levenshtein(col("__sl"), col("__sr"), tau).cast("long"))
+      .where(col("edit_dist") >= 0)
+      .select("id_left", "id_right", "edit_dist")
   }
 }

@@ -125,6 +125,68 @@ object MultimodalQueries {
     Multimodal.MediaRecord(id, "audio", bos.toByteArray, s"mem://$id.wav")
   }
 
+  /** Deterministically render doc `id`'s VIDEO asset — a 4-frame 64×64
+    * animated GIF (the one video-like container the JDK decodes
+    * natively). Frame 0's pattern is shared by SUPER-group `(id%8)/2`,
+    * frames 1–3 are per-group — so same-group videos match on all 4
+    * frames while the two groups of a super-group match on exactly 1 of
+    * 4 (below the majority threshold 2): the partial-match leg of the
+    * majority vote is exercised by construction, not just all-or-nothing
+    * pairs. Three +4-luminance noise pixels per (id, frame) keep
+    * same-group payloads byte-distinct (GIF palettes carry the exact
+    * gray levels, so the noise stays a perceptual no-op, as in
+    * [[renderAsset]]'s PNG case). The full 28-pattern family has min
+    * pairwise Hamming distance 20 (spec-pinned) — a 10-bit margin over
+    * maxDist=10 on the cross-group side, exact hash equality on the
+    * same-group side. `id % 13 == 5` docs get undecodable junk (they
+    * must appear in NO pair).
+    */
+  private[graft] def renderVideoAsset(id: Long): Multimodal.MediaRecord = {
+    if (id % 13 == 5) {
+      val junk = Array.tabulate(64)(i => mix64(id * 64 + i).toByte)
+      return Multimodal.MediaRecord(id, "video", junk, s"mem://$id.bin")
+    }
+    val g = id % 8
+    val frames = (0 until 4).map { k =>
+      val pattern =
+        if (k == 0) groupPattern(1000L + g / 2) else groupPattern(g * 4 + k)
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 64) {
+        var x = 0
+        while (x < 64) {
+          val bit = (y / 8) * 8 + (x / 8)
+          val v = if (((pattern >>> bit) & 1L) == 1L) 220 else 40
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      var j = 0
+      while (j < 3) {
+        val h = mix64(id * 16 + k * 4 + j)
+        val nx = (h & 63L).toInt; val ny = ((h >>> 6) & 63L).toInt
+        val p = img.getRGB(nx, ny)
+        val v = math.min(255, ((p >> 16) & 0xFF) + 4)
+        img.setRGB(nx, ny, (v << 16) | (v << 8) | v)
+        j += 1
+      }
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(img =>
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    Multimodal.MediaRecord(id, "video", bos.toByteArray, s"mem://$id.gif")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Image near-duplicate detection over the rendered corpus: real
     // decode + aHash + pigeonhole Hamming banding; emitted pairs are
@@ -155,6 +217,25 @@ object MultimodalQueries {
       Multimodal.nearDupAudioPairs(media, maxDist = 10)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Video (frame-sequence) near-duplicate detection over the rendered
+    // animated-GIF corpus: real multi-frame decode + per-frame aHash +
+    // per-frame-index Hamming blocking + the majority-of-frames vote.
+    // The oracle recomputes the pair set from ids (same-group decodable
+    // pairs match on all 4 frames; the two groups of a super-group share
+    // only frame 0 — 1 of 4 is under the majority threshold, so the
+    // partial-match rejection leg is load-bearing in the hash compare).
+    "q113_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(7)) === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(renderVideoAsset))
+      Multimodal.nearDupVideoPairs(media, maxDist = 10, everyNth = 1,
+          minFrameFrac = 0.5)
+        .select(col("id_a"), col("id_b"), col("matched_frames"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -172,6 +253,19 @@ object MultimodalQueries {
         |  SELECT doc_id FROM documents
         |  WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5)
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sel a JOIN sel b
+        |   ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    // Same-group videos match on all 4 rendered frames, so
+    // matched_frames is exactly 4 for every emitted pair — the literal
+    // is part of the check: an off-by-one in the frame count or a frame
+    // failing to match breaks the hash compare.
+    "q113_video_neardup" ->
+      """WITH sel AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 7 = 1 AND doc_id % 13 <> 5)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(4 AS BIGINT) AS matched_frames
         | FROM sel a JOIN sel b
         |   ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")

@@ -17,11 +17,13 @@ object TextQueries {
 
   // DuckDB mirror of TextFns.normalize (RE2 'g' flag; Spark replaces all by
   // default): Unicode letter/digit classes + raw-text fallback when the
-  // cleaned form is empty.
-  private val cleanedSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
-  private val normSql =
-    s"(CASE WHEN $cleanedSql = '' THEN trim(text) ELSE $cleanedSql END)"
+  // cleaned form is empty. Parameterized by column so title-shaped
+  // queries (q118) mirror the same normalization.
+  private def cleanedSqlFor(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  private def normSqlFor(c: String) =
+    s"(CASE WHEN ${cleanedSqlFor(c)} = '' THEN trim($c) ELSE ${cleanedSqlFor(c)} END)"
+  private val normSql = normSqlFor("text")
 
   def all: Map[String, Q] = defs ++ more
 
@@ -188,6 +190,13 @@ object TextQueries {
 
     "q82_release_pipeline" -> mkQ82(gated = true),
 
+    // The release workflow with ALL THREE optional stages active —
+    // novelty pre-filter, boilerplate-line removal (1b), and paragraph
+    // near-dup (3b) — gated on the same independent stage-by-stage
+    // recomposition as q82, with the 1b leg threaded in. q82 keeps 1b
+    // off, so the pair pins both configurations on the driver surface.
+    "q114_release_all_stages" -> mkQ82(gated = true, boilerplate = true),
+
     "q87_incremental_release" -> mkQ87(gated = true),
 
     // DSIR-style targeted selection: weight every corpus doc by the
@@ -220,6 +229,34 @@ object TextQueries {
           docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
           docs.where(pmod(col("doc_id"), lit(7)) === 0),
           "text", "doc_id", n = 3, threshold = 0.5)
+        .withColumn("best_jaccard", round(col("best_jaccard"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // Release-diff triage over SHORT strings (titles = first 15 chars)
+    // with the τ-bounded edit leg on: candidates with doc_id % 11 == 1
+    // become a one-character TYPO of the release doc at
+    // doc_id - (doc_id % 7) — guaranteed in-release base, and at 15
+    // chars (≤ 2 word shingles) the typo drops shingle Jaccard to
+    // ≤ 1/3, so the Jaccard leg calls them novel while the edit leg
+    // (distance 1) upgrades them to near. Fully oracled: DuckDB
+    // mirrors the fingerprint, shingle-Jaccard, and brute-force
+    // levenshtein legs and composes the same verdict.
+    "q118_release_diff_edits" -> ((s, dir) => {
+      val titles = Tables(s, dir, "documents")
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), expr("substring(trim(text), 1, 15)").as("title"))
+      val rel = titles.where(pmod(col("doc_id"), lit(7)) === 0)
+      val base = titles.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val relOf = titles.select(col("doc_id").as("rid"), col("title").as("rtitle"))
+      val cand = base
+        .join(relOf, col("rid") === col("doc_id") - pmod(col("doc_id"), lit(7)), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 1 && col("rtitle").isNotNull,
+              concat(lit("q"), expr("substring(rtitle, 2)")))
+            .otherwise(col("title")).as("title"))
+      graft.corpus.ReleaseDiff.classifyWithEdits(cand, rel, "title", "doc_id",
+          n = 3, threshold = 0.5, editTau = 1, editMaxLen = 15)
         .withColumn("best_jaccard", round(col("best_jaccard"), 4))
         .orderBy("doc_id")
     }),
@@ -891,6 +928,7 @@ object TextQueries {
     "q52_corpus_pipeline"  -> mkQ52(gated = false),
     "q57_incremental_dedup" -> mkQ57(gated = false),
     "q82_release_pipeline" -> mkQ82(gated = false),
+    "q114_release_all_stages" -> mkQ82(gated = false, boilerplate = true),
     "q87_incremental_release" -> mkQ87(gated = false)
   )
 
@@ -1040,14 +1078,32 @@ object TextQueries {
   // run() threads the stages (filter ordering, column plumbing,
   // anti-join orientation, stage insertion points) breaks parity and
   // fails the driver's rows-only check.
-  private def mkQ82(gated: Boolean): Q = (s, dir) => {
+  private def mkQ82(gated: Boolean, boilerplate: Boolean = false): Q = (s, dir) => {
     import graft.operators.{Decontaminate, LmScore, Pii, TextStats}
     val docs = Tables(s, dir, "documents")
     val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
     val ref   = docs.where(pmod(col("doc_id"), lit(10)) === 0)
-    val cand  = docs.where(pmod(col("doc_id"), lit(97)) =!= 0 &&
+    val cand0 = docs.where(pmod(col("doc_id"), lit(97)) =!= 0 &&
                            pmod(col("doc_id"), lit(10)) =!= 0)
-    val cfg = graft.corpus.ReleasePipeline.Config(paragraphDedup = true)
+    // `boilerplate` (the q114 variant) turns on stage 1b as well — ALL
+    // THREE optional stages active; the recompose below mirrors the
+    // insertion point (after scrub, before the quality battery). The
+    // benchmark corpus has no high-df lines of its own (max line df ≈ 3
+    // at sf0.01, under the default minDf), so the variant also INJECTS
+    // site-furniture footers in-plan (the q99 convention) into a third
+    // of the candidates — stage 1b must strip them corpus-wide or the
+    // parity recompose (which strips them too) diverges; with the stage
+    // broken the footers would instead perturb quality, dedup, and
+    // novelty downstream.
+    val cand =
+      if (!boilerplate) cand0
+      else cand0.withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"),
+              lit("\nSubscribe to our newsletter today\nFollow us on social media")))
+          .otherwise(col("text")))
+    val cfg = graft.corpus.ReleasePipeline.Config(paragraphDedup = true,
+      boilerplateLineDedup = boilerplate)
     val res = graft.corpus.ReleasePipeline.run(cand, bench, cfg, Some(ref))
     val out =
       if (!gated) res.corpus
@@ -1066,7 +1122,17 @@ object TextQueries {
           "left_anti")
         val scrub = staged(
           acq.select(col("doc_id"), Pii.redact(col("text")).as("text")))
-        val qual = scrub.join(TextStats.gopherVerdicts(scrub, "text", "doc_id")
+        // 1b (q114 only): the recompose threads the boilerplate-line
+        // stage at the same point as the pipeline — the line-df kernel
+        // itself is q99-oracled, so the gate's subject stays threading.
+        val lineClean =
+          if (!cfg.boilerplateLineDedup) scrub
+          else staged(TextStats.removeBoilerplateLines(
+              scrub, "text", "doc_id", cfg.boilerplateMinDf)
+            .where(length(trim(col("scrubbed"))) > 0)
+            .select(col("id").as("doc_id"), col("scrubbed").as("text")))
+        val qual = lineClean.join(
+          TextStats.gopherVerdicts(lineClean, "text", "doc_id")
           .where(col("pass")).select(col("id").as("doc_id")), "doc_id")
         val reExact = staged(Dedup.exactByFingerprint(qual, "text", "doc_id"))
         // Signature frame SHARED with the pipeline (Result.minhashSig, the
@@ -1594,6 +1660,47 @@ object TextQueries {
         |  round(CASE WHEN ex.doc_id IS NOT NULL THEN 1.0 ELSE nb.bj END, 4) AS best_jaccard
         | FROM (SELECT doc_id FROM base WHERE doc_id % 7 <> 0) c
         | LEFT JOIN ex ON ex.doc_id = c.doc_id LEFT JOIN nb ON nb.doc_id = c.doc_id
+        | ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
+    "q118_release_diff_edits" ->
+      s"""WITH t AS (SELECT doc_id, substring(trim(text), 1, 15) AS title
+        |   FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        | rel AS (SELECT doc_id, title FROM t WHERE doc_id % 7 = 0),
+        | cand AS (SELECT c.doc_id,
+        |   CASE WHEN c.doc_id % 11 = 1 AND r.title IS NOT NULL
+        |        THEN 'q' || substring(r.title, 2) ELSE c.title END AS title
+        |   FROM t c LEFT JOIN t r ON r.doc_id = c.doc_id - (c.doc_id % 7)
+        |   WHERE c.doc_id % 7 <> 0),
+        | ex AS (SELECT DISTINCT c.doc_id FROM
+        |   (SELECT doc_id, md5(${normSqlFor("title")}) AS fp FROM cand WHERE trim(title) <> '') c
+        |   JOIN (SELECT DISTINCT md5(${normSqlFor("title")}) AS fp FROM rel WHERE trim(title) <> '') r
+        |   ON c.fp = r.fp),
+        | shc AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(title), '\\s+') AS w FROM cand WHERE trim(title) <> '')),
+        | shr AS (SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(title), '\\s+') AS w FROM rel WHERE trim(title) <> '')),
+        | exc AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM shc),
+        | exr AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM shr),
+        | nb AS (SELECT cid AS doc_id, max(jaccard) AS bj FROM (
+        |   SELECT a.doc_id AS cid, b.doc_id AS rid,
+        |     CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |   FROM exc a JOIN exr b ON a.g = b.g
+        |   GROUP BY a.doc_id, b.doc_id)
+        |  WHERE jaccard >= 0.5 GROUP BY cid),
+        | ed AS (SELECT c.doc_id, CAST(min(levenshtein(c.title, r.title)) AS BIGINT) AS bed
+        |   FROM cand c JOIN rel r ON abs(length(c.title) - length(r.title)) <= 1
+        |   GROUP BY c.doc_id HAVING min(levenshtein(c.title, r.title)) <= 1)
+        | SELECT c.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+        |       WHEN nb.bj IS NOT NULL THEN 'near'
+        |       WHEN ed.bed IS NOT NULL THEN 'near'
+        |       ELSE 'novel' END AS verdict,
+        |  round(CASE WHEN ex.doc_id IS NOT NULL THEN 1.0 ELSE nb.bj END, 4) AS best_jaccard,
+        |  ed.bed AS best_edit_dist
+        | FROM cand c LEFT JOIN ex ON ex.doc_id = c.doc_id
+        | LEFT JOIN nb ON nb.doc_id = c.doc_id
+        | LEFT JOIN ed ON ed.doc_id = c.doc_id
         | ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
     "q84_topk_by_score" ->
       """SELECT lang, doc_id, n_tokens FROM (

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.UrlFns
+import graft.operators.Domains
+
+/** URL/domain-aware corpus operators on the driver surface. The
+  * documents table carries no URL column, so — the q71/q97 in-plan
+  * injection convention — a deterministic messy URL is constructed
+  * from `doc_id` inside the plan (mixed-case scheme/host, `www.`,
+  * default and non-default ports, trailing slashes, tracking params,
+  * fragments), the REAL operators canonicalize/cap/mix over it, and
+  * the DuckDB oracle builds the identical URL and mirrors the
+  * canonicalization regex pipeline verbatim — so every branch of the
+  * canonical form is exercised and hash-checked.
+  */
+object WebQueries {
+
+  /** Deterministic messy URL from doc_id, exercising every
+    * canonicalization branch. Port cases line up with the scheme
+    * derivation (`%6==0 -> :443` falls on `%3==0` https docs,
+    * `%6==2 -> :80` on http docs — both stripped; `%6==3 -> :8080`
+    * survives).
+    */
+  private[graft] def injectedUrl: Column = {
+    val id = col("doc_id")
+    concat(
+      when(pmod(id, lit(3)) === 0, lit("HTTPS")).otherwise(lit("http")),
+      lit("://"),
+      when(pmod(id, lit(4)) === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), pmod(id, lit(25)).cast("string"),
+      lit(".Example"), pmod(id, lit(5)).cast("string"), lit(".Com"),
+      when(pmod(id, lit(6)) === 0, lit(":443"))
+        .when(pmod(id, lit(6)) === 2, lit(":80"))
+        .when(pmod(id, lit(6)) === 3, lit(":8080"))
+        .otherwise(lit("")),
+      lit("/A/"), pmod(id, lit(17)).cast("string"),
+      when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0,
+          concat(lit("?utm_source=news&id="), pmod(id, lit(11)).cast("string")))
+        .when(pmod(id, lit(5)) === 1,
+          concat(lit("?id="), pmod(id, lit(11)).cast("string"), lit("&utm_campaign=x")))
+        .when(pmod(id, lit(5)) === 2, lit("?utm_medium=a&utm_term=b"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(9)) === 0, lit("#Sec1")).otherwise(lit("")))
+  }
+
+  /** The oracle's identical URL construction in DuckDB SQL. */
+  private val urlSql =
+    """(CASE WHEN doc_id%3=0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      |(CASE WHEN doc_id%4=0 THEN 'WWW.' ELSE '' END) ||
+      |'Site' || CAST(doc_id%25 AS VARCHAR) || '.Example' || CAST(doc_id%5 AS VARCHAR) || '.Com' ||
+      |(CASE WHEN doc_id%6=0 THEN ':443' WHEN doc_id%6=2 THEN ':80' WHEN doc_id%6=3 THEN ':8080' ELSE '' END) ||
+      |'/A/' || CAST(doc_id%17 AS VARCHAR) ||
+      |(CASE WHEN doc_id%2=0 THEN '/' ELSE '' END) ||
+      |(CASE WHEN doc_id%5=0 THEN '?utm_source=news&id=' || CAST(doc_id%11 AS VARCHAR)
+      |      WHEN doc_id%5=1 THEN '?id=' || CAST(doc_id%11 AS VARCHAR) || '&utm_campaign=x'
+      |      WHEN doc_id%5=2 THEN '?utm_medium=a&utm_term=b'
+      |      ELSE '' END) ||
+      |(CASE WHEN doc_id%9=0 THEN '#Sec1' ELSE '' END)""".stripMargin
+      .replaceAll("\n", " ")
+
+  /** The oracle's mirror of the [[UrlFns]] regex pipeline: parts
+    * extracted from a column named `url`, producing sch/host/path/q.
+    */
+  private val partsSql =
+    """lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS hp,
+      |regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+      |regexp_replace(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)', 1), '(^|&)(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)=[^&]*', '', 'g'), '^&', '') AS q""".stripMargin
+      .replaceAll("\n", " ")
+
+  private val hostSql =
+    """CASE WHEN sch='http' THEN regexp_replace(hp, ':80$', '')
+      |     WHEN sch='https' THEN regexp_replace(hp, ':443$', '')
+      |     ELSE hp END""".stripMargin.replaceAll("\n", " ")
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL canonicalization: every branch (case folding, www, default
+    // vs non-default ports, trailing slash, tracking-param removal with
+    // survivor order preserved, fragment drop) hash-checked per doc.
+    "q115_url_canonical" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), injectedUrl.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlFns.canonicalUrl(col("url")).as("curl"),
+          UrlFns.urlHost(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain cap: at most 3 docs per canonical host, deterministic
+    // lowest-id-first — the window rule the oracle mirrors exactly.
+    "q116_domain_cap" -> ((s, dir) => {
+      val withHost = Tables(s, dir, "documents")
+        .select(col("doc_id"), injectedUrl.as("url"))
+        .select(col("doc_id"), UrlFns.urlHost(col("url")).as("host"))
+      Domains.perDomainCap(withHost, "host", "doc_id", cap = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Domain-stratified mixing: per-host deterministic hash fractions
+    // (all of one host, a quarter of another, 1/16 of the rest) —
+    // summarized per host so the oracle checks both the predicate and
+    // the stratum routing.
+    "q117_domain_mix" -> ((s, dir) => {
+      val withHost = Tables(s, dir, "documents")
+        .select(col("doc_id"), injectedUrl.as("url"))
+        .select(col("doc_id"), UrlFns.urlHost(col("url")).as("host"))
+      Domains.domainStratifiedSample(withHost, "host", "doc_id",
+          Map("site1.example1.com" -> 1.0, "site7.example2.com" -> 0.25),
+          defaultFraction = 0.0625)
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_doc_id"))
+        .orderBy("host")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q115_url_canonical" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         | p AS (SELECT doc_id, url, $partsSql FROM u),
+         | c AS (SELECT doc_id, url, sch, path, q, $hostSql AS host FROM p)
+         | SELECT doc_id, url,
+         |   sch || '://' || host || path ||
+         |     (CASE WHEN q='' THEN '' ELSE '?' || q END) AS curl,
+         |   host
+         | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q116_domain_cap" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         | p AS (SELECT doc_id, url, $partsSql FROM u),
+         | c AS (SELECT doc_id, $hostSql AS host FROM p),
+         | r AS (SELECT doc_id, host,
+         |   row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn FROM c)
+         | SELECT doc_id, host FROM r WHERE rn <= 3 ORDER BY doc_id""".stripMargin
+        .replaceAll("\n", " "),
+    "q117_domain_mix" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         | p AS (SELECT doc_id, url, $partsSql FROM u),
+         | c AS (SELECT doc_id, $hostSql AS host FROM p)
+         | SELECT host, count(*) AS n_kept, min(doc_id) AS min_doc_id
+         | FROM c
+         | WHERE md5(CAST(doc_id AS VARCHAR)) < CASE host
+         |   WHEN 'site1.example1.com' THEN 'ffffffffffffffffffffffffffffffff'
+         |   WHEN 'site7.example2.com' THEN '40000000000000000000000000000000'
+         |   ELSE '10000000000000000000000000000000' END
+         | GROUP BY host ORDER BY host""".stripMargin.replaceAll("\n", " ")
+  )
+}

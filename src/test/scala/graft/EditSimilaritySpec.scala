@@ -42,6 +42,41 @@ class EditSimilaritySpec extends SparkSuite {
     assert(got.contains((9L, 10L, 1L)) && got.contains((9L, 11L, 1L)))
   }
 
+  private def bruteBetween(left: Seq[(Long, String)], right: Seq[(Long, String)], tau: Int) =
+    (for {
+      l <- left; r <- right
+      d = lev(l._2, r._2) if d <= tau
+    } yield (l._1, r._1, d.toLong)).toSet
+
+  test("between-variant: directed cross-corpus pairs == brute force; no within-side pairs") {
+    val left = Seq(1L -> "spark catalyst", 2L -> "tungsten", 3L -> "unique left")
+    val right = Seq(10L -> "spark catalist", 11L -> "tungsten", 12L -> "unrelated string")
+    val got = EditSimilarity
+      .editDistancePairsBetween(left.toDF("id", "s"), right.toDF("id", "s"),
+        "s", "id", tau = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === bruteBetween(left, right, 1))
+    assert(got === Set((1L, 10L, 1L), (2L, 11L, 0L)))
+    // within-side near-pairs must NOT appear (1-2 vs each other etc.)
+    assert(got.forall { case (l, r, _) => l < 10 && r >= 10 })
+  }
+
+  test("between-variant tau=2 parity with brute force on real part names, planted typos") {
+    val rel = Tables(spark, sf("sf0.001"), "part")
+      .where(col("p_partkey") <= 150)
+      .select(col("p_partkey"), col("p_name")).as[(Long, String)]
+      .collect().toSeq
+    val cand = rel.take(30).map { case (id, n) => (id + 100000L, "q" + n.drop(1)) } ++
+      rel.slice(30, 40).map { case (id, n) => (id + 200000L, "qz" + n.drop(2)) } ++
+      Seq((900000L, "nothing like a part name"))
+    val got = EditSimilarity
+      .editDistancePairsBetween(cand.toDF("id", "s"), rel.toDF("id", "s"),
+        "s", "id", tau = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === bruteBetween(cand, rel, 2))
+    assert(got.size >= 40, s"planted cross pairs missing: ${got.size}")
+  }
+
   test("tau=2 full parity with brute force on real part names") {
     val rows = Tables(spark, sf("sf0.001"), "part")
       .where(col("p_partkey") <= 300)

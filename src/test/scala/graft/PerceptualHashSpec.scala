@@ -155,6 +155,90 @@ class PerceptualHashSpec extends SparkSuite {
     assert(want.nonEmpty)
   }
 
+  test("hammingPairsBy: the key BLOCKS — cross-key twins never pair; within-key = brute force") {
+    // ids 1/2 share sig at key 0; ids 3/4 share the SAME sig but at
+    // different keys — identical signatures, zero emitted pairs.
+    val rows = Seq(
+      (0, 1L, 0x0F0FL), (0, 2L, 0x0F0FL),
+      (0, 3L, 0xABCDL), (1, 4L, 0xABCDL),
+      (1, 5L, 0x1111L), (1, 6L, 0x1110L)
+    ).toDF("frame_idx", "id", "sig")
+    val got = Dedup.hammingPairsBy(rows, "frame_idx", maxDist = 3)
+      .select("frame_idx", "id_a", "id_b")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got === Set((0, 1L, 2L), (1, 5L, 6L)))
+  }
+
+  test("nearDupVideoPairsFromHashes: majority vote over aligned frames, min-frame-span rule") {
+    // assets: 10/11 same on all 4 frames; 12 matches 10 on frame 0 only
+    // (1 of 4 < the 0.5 majority); 13 has just 2 frames, both matching 10
+    // (2 of min(2,4)=2 -> pairs even at frac 1.0).
+    def sig(k: Int, distinct: Boolean) =
+      if (distinct) 0x5555000000000000L + k * 1024 + 512 else k * 8L
+    val fh = Seq(
+      (10L, 0, sig(0, false)), (10L, 1, sig(1, false)), (10L, 2, sig(2, false)), (10L, 3, sig(3, false)),
+      (11L, 0, sig(0, false)), (11L, 1, sig(1, false)), (11L, 2, sig(2, false)), (11L, 3, sig(3, false)),
+      (12L, 0, sig(0, false)), (12L, 1, sig(1, true)), (12L, 2, sig(2, true)), (12L, 3, sig(3, true)),
+      (13L, 0, sig(0, false)), (13L, 1, sig(1, false))
+    ).toDF("id", "frame_idx", "sig")
+    val got = Multimodal.nearDupVideoPairsFromHashes(fh, maxDist = 3, minFrameFrac = 0.5)
+      .select("id_a", "id_b", "matched_frames", "min_frames")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // (12,13) pairs too: their common span is only frames {0,1} and
+    // frame 0 matches — 1 >= ceil(0.5 * 2). The short-span rule is
+    // deliberate (a clip matching its full overlap with a longer video
+    // is a near-dup); the strict check below shows frac 1.0 rejects it.
+    assert(got === Set((10L, 11L, 4L, 4L), (10L, 13L, 2L, 2L),
+      (11L, 13L, 2L, 2L), (12L, 13L, 1L, 2L)))
+    // at frac 1.0 the short asset still pairs (its whole span matches);
+    // the 1-of-4 partial match still doesn't
+    val strict = Multimodal.nearDupVideoPairsFromHashes(fh, maxDist = 3, minFrameFrac = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict === Set((10L, 11L), (10L, 13L), (11L, 13L)))
+  }
+
+  test("q113 rendered-corpus video near-dup: pairs == same-group pairs, partial matches rejected") {
+    import graft.queries.MultimodalQueries
+    // the margin the oracle's exactness rests on: min pairwise Hamming
+    // distance over the FULL 28-pattern frame family (4 shared frame-0
+    // patterns + 24 per-group frame patterns) far above maxDist 10
+    val idxs = (0L until 8L).flatMap(g => Seq(1000L + g / 2) ++ (1 to 3).map(k => g * 4 + k)).distinct
+    val pats = idxs.map(MultimodalQueries.groupPattern)
+    val minD = (for (i <- pats.indices; j <- i + 1 until pats.length)
+      yield hamming(pats(i), pats(j))).min
+    assert(minD >= 20, s"frame patterns too close: $minD")
+    val dir = sf("sf0.001")
+    val got = MultimodalQueries.defs("q113_video_neardup")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val sel = Tables(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.expr("doc_id % 7 = 1 AND doc_id % 13 <> 5"))
+      .select("doc_id").as[Long].collect().sorted
+    val want = (for {
+      i <- sel.indices; j <- i + 1 until sel.length
+      if sel(i) % 8 == sel(j) % 8
+    } yield (sel(i), sel(j), 4L)).toSet
+    assert(got === want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+    // partial-match rejection is load-bearing: the two groups of a
+    // super-group DO match on frame 0 — drop the majority rule to a
+    // 1-frame threshold and those cross-group pairs must appear.
+    val media = Tables(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.expr("doc_id % 7 = 1"))
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map(MultimodalQueries.renderVideoAsset))
+    val loose = Multimodal.nearDupVideoPairs(media, maxDist = 10, everyNth = 1,
+        minFrameFrac = 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val superPairs = (for {
+      i <- sel.indices; j <- i + 1 until sel.length
+      if sel(i) % 8 / 2 == sel(j) % 8 / 2
+    } yield (sel(i), sel(j))).toSet
+    assert(loose === superPairs,
+      s"missing=${(superPairs -- loose).take(5)} extra=${(loose -- superPairs).take(5)}")
+    assert(superPairs.size > want.size)
+  }
+
   test("q101 rendered-corpus image near-dup: pairs == same-group decodable pairs") {
     import graft.queries.MultimodalQueries
     // the pattern family's separation margin the oracle's exactness

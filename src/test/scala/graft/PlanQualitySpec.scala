@@ -46,6 +46,31 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("rangepartitioning"))   // the output sort only
   }
 
+  test("q115 URL canonicalization is map-side: only the output sort exchanges") {
+    // the whole canonicalization (scheme/host/path/query regex pipeline)
+    // is one projection of built-in expressions — no shuffle, no UDF
+    val plan = formatted("q115_url_canonical")
+    assert(!plan.contains("hashpartitioning") && !plan.contains("SinglePartition"),
+      plan)
+    assert(plan.contains("rangepartitioning"))   // the output sort only
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("q116 per-domain cap costs exactly one hash shuffle (the host window)") {
+    val plan = formatted("q116_domain_cap")
+    assert("hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    // Spark 4 rank-limit pushdown: the cap filters rank<=3 map-side
+    // before the exchange, so a mega-domain ships <= cap rows per task
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q117 domain mixing is one map-side predicate + one aggregation shuffle") {
+    val plan = formatted("q117_domain_mix")
+    assert("hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("partial_count"), plan)   // map-side combine
+  }
+
   test("q26 plans through the custom AsOfJoinExec") {
     assert(formatted("q26_asof_join").contains("AsOfJoin"))
   }

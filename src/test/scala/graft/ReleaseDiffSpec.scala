@@ -43,6 +43,38 @@ class ReleaseDiffSpec extends SparkSuite {
     assert(got.find(_._1 == 13L).get._3.isEmpty)
   }
 
+  test("edit leg: typo-level short-string dups upgrade novel -> near; long docs are exempt") {
+    val rel = Seq(
+      (1L, "Spark Catalyst"),
+      (2L, "a very long document body " * 4 + "with plenty of shingles to share")
+    ).toDF("doc_id", "text")
+    val cand = Seq(
+      // one substitution off a release title: every word shingle differs
+      // (2-word strings shingle whole), so the Jaccard leg says novel —
+      // the edit leg must upgrade
+      (10L, "Spork Catalyst"),
+      // identical short string -> exact, and best_edit_dist reports 0
+      (11L, "Spark Catalyst"),
+      // near the LONG release doc via shingles; too long for the edit leg
+      (12L, "a very long document body " * 4 + "with plenty of shingles to spare"),
+      // nothing like anything
+      (13L, "quantum chromodynamics")
+    ).toDF("doc_id", "text")
+    val got = ReleaseDiff.classifyWithEdits(cand, rel, "text", "doc_id",
+        n = 3, threshold = 0.5, editTau = 2, editMaxLen = 20)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Double], Option[Long])].collect()
+    val verdicts = got.map(r => r._1 -> r._2).toMap
+    assert(verdicts === Map(10L -> "near", 11L -> "exact", 12L -> "near", 13L -> "novel"))
+    val edits = got.map(r => r._1 -> r._4).toMap
+    assert(edits(10L) === Some(1L))   // the upgrade's evidence
+    assert(edits(11L) === Some(0L))
+    assert(edits(12L) === None)       // exceeds editMaxLen -> leg skipped
+    assert(edits(13L) === None)
+    // the upgraded doc carries no jaccard (the jaccard leg did not fire)
+    assert(got.find(_._1 == 10L).get._3.isEmpty)
+  }
+
   test("fixture run: one verdict per candidate, values internally consistent") {
     val docs = Tables(spark, sf("sf0.001"), "documents")
     val cand = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlFns
+import graft.operators.Domains
+
+class UrlDomainsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlFns.canonicalUrl(col("url"))).as[String].collect().toSeq
+
+  test("canonicalUrl: every branch — case, www, default ports, slash, tracking, fragment") {
+    val got = canon(
+      "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&a=1&fbclid=z#frag",
+      "http://Site.org:8080/a/b/",
+      "http://a.com",
+      "http://a.com/?utm_medium=x",
+      "http://a.com:80/p?b=2&a=1",
+      "http://a.com:443/p"
+    )
+    assert(got === Seq(
+      // scheme+host folded, www and :443 stripped, PATH case kept,
+      // trailing slash gone, tracked params out, survivor kept, no '#'
+      "https://example.com/Path?a=1",
+      // non-default port survives
+      "http://site.org:8080/a/b",
+      "http://a.com",
+      // query fully stripped -> no '?', root slash stripped
+      "http://a.com",
+      // :80 is http's default; surviving param ORDER preserved (b before a)
+      "http://a.com/p?b=2&a=1",
+      // :443 is NOT http's default -> kept
+      "http://a.com:443/p"
+    ))
+  }
+
+  test("canonicalUrl: params NAMED like tracked ones mid-name are not clipped") {
+    assert(canon("https://a.com/p?xutm_source=1&prefetch=2&ref=drop&href=keep") ===
+      Seq("https://a.com/p?xutm_source=1&prefetch=2&href=keep"))
+  }
+
+  test("urlHost: lowercased, www/default-port stripped, scheme-aware") {
+    val got = Seq(
+      "HTTP://WWW.A.com:80/x", "https://B.org:443", "https://c.net:80/y")
+      .toDF("url").select(UrlFns.urlHost(col("url"))).as[String].collect().toSeq
+    // :80 under httpS is NOT the default -> kept
+    assert(got === Seq("a.com", "b.org", "c.net:80"))
+  }
+
+  test("perDomainCap: lowest-id-first, deterministic; small groups pass whole") {
+    val docs = Seq(
+      (5L, "a.com"), (1L, "a.com"), (3L, "a.com"), (9L, "a.com"),
+      (2L, "b.com"), (7L, "b.com")
+    ).toDF("doc_id", "host")
+    val kept = Domains.perDomainCap(docs, "host", "doc_id", cap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 2L, 7L))
+    val all = Domains.perDomainCap(docs, "host", "doc_id", cap = 10).count()
+    assert(all === 6)
+  }
+
+  test("domainStratifiedSample: fraction 1.0 keeps a host whole, default 0.0 drops the rest") {
+    val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "keep.com" else "drop.com"))
+      .toDF("doc_id", "host")
+    val kept = Domains.domainStratifiedSample(docs, "host", "doc_id",
+        Map("keep.com" -> 1.0), defaultFraction = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === (1L to 40L).filter(_ % 2 == 0).toSet)
+  }
+}
