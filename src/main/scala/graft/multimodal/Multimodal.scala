@@ -555,6 +555,30 @@ object Multimodal {
     nearDupVideoPairsFromHashes(
       videoFrameHashes(media, everyNth).localCheckpoint(true), maxDist, minFrameFrac)
 
+  /** 64-bit WHOLE-video signature from a (id, frame_idx, sig) frame-hash
+    * frame: bit j set iff a majority of the asset's frame hashes set bit
+    * j — the [[graft.operators.Dedup.simhashSignatures]] majority-vote
+    * aggregation with frame hashes in place of token hashes. One word
+    * per asset, so a video index costs what an image index costs: the
+    * INDEX route (band-partitioned stores, streaming near-dup) where
+    * [[nearDupVideoPairs]]' aligned-frame vote is the exact route.
+    * Frame-count-invariant under uniform subsampling in expectation;
+    * pairs found over these signatures should be confirmed with the
+    * aligned-frame vote when precision matters (majority folding can in
+    * principle collide distinct frame sequences).
+    */
+  def videoHashes64(frameHashes: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      (0 until 64).map(j =>
+        sum(shiftright(col("sig"), j).bitwiseAND(lit(1L))).as(s"__b$j"))
+    frameHashes.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j =>
+          when(col(s"__b$j") * 2 >= col("__n"), shiftleft(lit(1L), j))
+            .otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
   /** [[nearDupVideoPairs]] over an already-computed (id, frame_idx, sig)
     * frame-hash frame — the entry point when hashes are persisted as an
     * index (the streaming-index pattern) or shared across thresholds.

@@ -197,6 +197,38 @@ class PerceptualHashSpec extends SparkSuite {
     assert(strict === Set((10L, 11L), (10L, 13L), (11L, 13L)))
   }
 
+  test("videoHashes64: majority fold — identical sequences collide, index route matches exact route") {
+    // hand-built: asset 1/2 share all frames -> identical signature;
+    // asset 3 shares 1 of 4 frames with 1 -> the shared frame's bits are
+    // a 1-of-4 minority wherever the other three frames disagree
+    val fh = Seq(
+      (1L, 0, 0xF0F0F0F0L), (1L, 1, 0x0F0FL), (1L, 2, 0xAAAAL), (1L, 3, 0x5555L),
+      (2L, 0, 0xF0F0F0F0L), (2L, 1, 0x0F0FL), (2L, 2, 0xAAAAL), (2L, 3, 0x5555L),
+      (3L, 0, 0xF0F0F0F0L), (3L, 1, 0x33CCL), (3L, 2, 0xCC33L), (3L, 3, 0x1248L)
+    ).toDF("id", "frame_idx", "sig")
+    val sigs = Multimodal.videoHashes64(fh)
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    // index route over the rendered q113 corpus: one word per asset,
+    // same pair set as the aligned-frame exact route (same-group videos
+    // share ALL frames; cross-group majorities diverge far past the bound)
+    import graft.queries.MultimodalQueries
+    val dir = sf("sf0.001")
+    val media = Tables(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.expr("doc_id % 7 = 1"))
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map(MultimodalQueries.renderVideoAsset))
+    val fhr = Multimodal.videoFrameHashes(media, everyNth = 1).localCheckpoint(true)
+    val indexPairs = Dedup.hammingPairs(Multimodal.videoHashes64(fhr), maxDist = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exactPairs = Multimodal.nearDupVideoPairsFromHashes(fhr, maxDist = 10,
+        minFrameFrac = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(indexPairs === exactPairs)
+    assert(indexPairs.nonEmpty)
+  }
+
   test("q113 rendered-corpus video near-dup: pairs == same-group pairs, partial matches rejected") {
     import graft.queries.MultimodalQueries
     // the margin the oracle's exactness rests on: min pairwise Hamming

@@ -180,7 +180,10 @@ class PlanQualitySpec extends SparkSuite {
     val gateQueries = Set("q37_simhash", "q43_ann_lsh", "q52_corpus_pipeline",
       "q56_ann_ivf", "q57_incremental_dedup", "q59_ann_pq", "q70_cosine_banded",
       "q74_semdedup", "q45_knn_join", "q82_release_pipeline",
-      "q87_incremental_release")
+      "q87_incremental_release",
+      // q114 is q82's all-optional-stages variant: the SAME single 1-row
+      // LM-floor gate broadcast, nothing new
+      "q114_release_all_stages")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(gateQueries)
       .filter { name =>

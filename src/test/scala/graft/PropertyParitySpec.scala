@@ -204,4 +204,59 @@ class PropertyParitySpec extends SparkSuite {
       assert(want.nonEmpty, s"tau=$tau generated no qualifying pairs")
     }
   }
+
+  test("editDistancePairsBetween == directed brute force on random small-alphabet strings") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen = Gen.choose(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for ((tau, round) <- Seq(1, 2, 3).zipWithIndex) {
+      val left = sample(Gen.listOfN(25, strGen), 9700L + round)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val right = sample(Gen.listOfN(25, strGen), 9800L + round)
+        .zipWithIndex.map { case (s, i) => (100L + i, s) }
+      val got = EditSimilarity
+        .editDistancePairsBetween(left.toDF("id", "s"), right.toDF("id", "s"),
+          "s", "id", tau)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        l <- left; r <- right
+        d = lev(l._2, r._2) if d <= tau
+      } yield (l._1, r._1, d.toLong)).toSet
+      assert(got === want, s"tau=$tau: missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+      assert(want.nonEmpty, s"tau=$tau generated no qualifying cross pairs")
+    }
+  }
+
+  test("hammingPairsBy == per-key brute force on random signatures with planted cross-key twins") {
+    for ((maxDist, round) <- Seq(3, 10, 16).zipWithIndex) {
+      val n = 40
+      val base = sample(Gen.listOfN(n, Gen.long), 7300L + round)
+      val keys = sample(Gen.listOfN(n, Gen.choose(0, 3)), 7400L + round)
+      // plant identical signatures under DIFFERENT keys: blocked by key,
+      // they must never pair
+      val rows = base.zip(keys).zipWithIndex.map { case ((s, k), i) => (i.toLong, k, s) } ++
+        Seq((1000L, 0, base.head), (1001L, 1, base.head))
+      val got = Dedup.hammingPairsBy(rows.toDF("id", "key", "sig"), "key", maxDist)
+        .select("key", "id_a", "id_b", "hamming")
+        .as[(Int, Long, Long, Int)].collect().toSet
+      val want = (for {
+        i <- rows.indices; j <- i + 1 until rows.length
+        if rows(i)._2 == rows(j)._2
+        d = java.lang.Long.bitCount(rows(i)._3 ^ rows(j)._3) if d <= maxDist
+        lo = math.min(rows(i)._1, rows(j)._1); hi = math.max(rows(i)._1, rows(j)._1)
+      } yield (rows(i)._2, lo, hi, d)).toSet
+      assert(got === want, s"maxDist=$maxDist: missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+      assert(!got.exists { case (_, a, b, _) => a == 1000L && b == 1001L },
+        "identical signatures under different keys must not pair")
+    }
+  }
 }

@@ -61,6 +61,29 @@ class UrlDomainsSpec extends SparkSuite {
     assert(all === 6)
   }
 
+  test("URL canonicalization + domain mixing run unchanged in Structured Streaming (stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = in.toDF().toDF("doc_id", "url")
+      .withColumn("host", UrlFns.urlHost(col("url")))
+      .withColumn("curl", UrlFns.canonicalUrl(col("url")))
+      .where(graft.operators.Sampling.byHashPredicate(col("doc_id"), 1.0))
+    val q = out.writeStream.format("memory").queryName("url_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "HTTPS://WWW.A.com:443/P/?utm_source=x&k=1#f"),
+        (2L, "http://b.org:8080/q"))
+      q.processAllAvailable()
+      val rows = spark.table("url_stream")
+        .select("doc_id", "host", "curl").as[(Long, String, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(rows(1L) === (("a.com", "https://a.com/P?k=1")))
+      assert(rows(2L) === (("b.org:8080", "http://b.org:8080/q")))
+    } finally q.stop()
+  }
+
   test("domainStratifiedSample: fraction 1.0 keeps a host whole, default 0.0 drops the rest") {
     val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "keep.com" else "drop.com"))
       .toDF("doc_id", "host")
