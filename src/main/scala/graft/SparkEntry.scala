@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{EventQueries, MultimodalQueries, RelationalQueries, TextQueries, VectorQueries, WebQueries}
+import graft.queries.{EventQueries, ModelDataQueries, MultimodalQueries, RelationalQueries, TextQueries, VectorQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,21 +26,23 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.all ++
-      VectorQueries.defs ++ MultimodalQueries.defs ++ WebQueries.defs)
+      VectorQueries.defs ++ MultimodalQueries.defs ++ WebQueries.defs ++
+      ModelDataQueries.defs)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(Sessions.init(s), dir))
       }
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ MultimodalQueries.oracles ++ WebQueries.oracles
+      VectorQueries.oracles ++ MultimodalQueries.oracles ++ WebQueries.oracles ++
+      ModelDataQueries.oracles
 
   /** Serving-only (gate-free) variants of the gated queries, keyed by the
     * same names as [[queries]] — measurement surface for Bench's
     * serving/gate split; NOT part of the correctness contract.
     */
   def servingQueries: Map[String, (SparkSession, String) => DataFrame] =
-    (TextQueries.serving ++ VectorQueries.serving)
+    (TextQueries.serving ++ VectorQueries.serving ++ ModelDataQueries.serving)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(Sessions.init(s), dir))
       }

@@ -49,6 +49,51 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
+  /** Contrastive hard-negative mining: for each anchor, the `k` MOST
+    * similar corpus rows that are genuinely different — cosine strictly
+    * below `dupThreshold` (near-duplicates make false negatives that
+    * poison a contrastive loss) and not the anchor row itself. The
+    * training-pair sampler for embedding/retrieval models: positives come
+    * from the near-dup family ([[cosineDupPairsExactBlocked]] et al.),
+    * negatives must be hard (high similarity) but not duplicates.
+    *
+    * Shape: EXACT route — anchors are the small side (a per-batch sample
+    * of the corpus), so the cross join broadcasts them and each corpus
+    * partition scores its rows against every anchor locally: one dot
+    * product per (anchor, row), norms computed once per input row below
+    * the join, no corpus shuffle. The per-anchor cut is a rank window on
+    * `anchor_id` whose `WindowGroupLimit` pushdown keeps ≤ k rows per
+    * anchor per map task before the exchange. At 100 TB the anchor batch
+    * is what you size (10³–10⁴ per pass); for anchor sets too large to
+    * broadcast, route anchors through [[lshTopKPartitioned]] with k
+    * padded by the expected dup count, then apply the same
+    * `cosine < dupThreshold` filter — same emission contract, recall
+    * bounded by the LSH stripe instead of exact.
+    */
+  def hardNegatives(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      vecCol: String,
+      anchorId: String,
+      corpusId: String,
+      k: Int,
+      dupThreshold: Double
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = broadcast(
+      anchors.select(col(s"`$anchorId`").as("anchor_id"), col(s"`$vecCol`").as("__av"))
+        .withColumn("__an", VectorFns.norm2(col("__av"))))
+    val c = corpus.select(col(s"`$corpusId`").as("negative_id"), col(s"`$vecCol`").as("__cv"))
+      .withColumn("__cn", VectorFns.norm2(col("__cv")))
+    val scored = a.crossJoin(c)
+      .where(col("anchor_id") =!= col("negative_id"))
+      .select(col("anchor_id"), col("negative_id"),
+        (VectorFns.dot(col("__av"), col("__cv")) / (col("__an") * col("__cn"))).as("cosine"))
+      .where(col("cosine") < dupThreshold)
+    val w = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("negative_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Attach the sign-projection LSH bucket id (`__bucket`) to every row:
     * one codegen'd `sign_bands` kernel call per row — map-side, zero
     * shuffle (it replaced a posexplode + nBits-aggregate shuffle of

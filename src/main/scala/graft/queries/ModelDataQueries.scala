@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Bpe, QualityModel, Similarity, TextStats}
+import graft.sources.Warc
+
+/** Model-facing data artifacts on the driver surface: the corpus n-gram
+  * table, contrastive hard negatives, WARC ingest round-trip, the
+  * trainable quality classifier, and BPE vocabulary learning.
+  */
+object ModelDataQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Payload for the WARC round trip: docs at `doc_id % 23 == 0` carry a
+    * decoy — a syntactically perfect WARC header INSIDE the payload —
+    * so the oracle passes only if framing is Content-Length-driven (any
+    * delimiter/regex splitter shears these payloads).
+    */
+  private def warcPayload = when(pmod(col("doc_id"), lit(23)) === 0,
+      concat(col("text"),
+        lit("\r\nWARC/1.0\r\nContent-Length: 999999\r\n\r\n")))
+    .otherwise(col("text"))
+
+  /** q123's shared distributed half: word frequencies + 12 learned
+    * merges. Eager (learning is a driver loop over dictionary-sized
+    * jobs); the word-frequency frame persists across the iteration and
+    * releases before return.
+    */
+  private def bpeLearned(s: SparkSession, dir: String,
+                         withReference: Boolean): DataFrame = {
+    import s.implicits._
+    val wf = Bpe.wordFrequencies(Tables(s, dir, "documents"), "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val got = s.createDataset(Bpe.learnMerges(wf, numMerges = 12))
+        .select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), col("count").as("cnt"))
+      if (!withReference) got.orderBy("rank")
+      else {
+        // the gate's independent recomposition: the single-process
+        // reference over the COLLECTED dictionary (bounded — distinct
+        // words, Zipf-sized) must produce the identical merge table
+        val ref = s.createDataset(Bpe.learnMergesLocal(
+            wf.as[(String, Long)].collect().toSeq, numMerges = 12))
+          .select(col("rank").cast("long").as("rank"), col("left"),
+            col("right"), col("count").as("cnt"))
+        val key = concat_ws("|", col("rank"), col("left"), col("right"), col("cnt"))
+        Gates.setParity(got.withColumn("__k", key), ref.withColumn("__k", key), "__k")
+          .drop("__k").orderBy("rank")
+      }
+    } finally wf.unpersist()
+  }
+
+  def defs: Map[String, Q] = Map(
+    // Corpus n-gram count table: top-20 grams at orders 1..3,
+    // deterministic ranking — one projection generates every order.
+    "q119_ngram_table" -> ((s, dir) => {
+      TextStats.ngramCountTable(Tables(s, dir, "documents"), "text",
+          maxOrder = 3, topK = 20)
+        .select(col("ord").cast("long").as("ord"), col("gram"), col("cnt"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("ord", "rank")
+    }),
+
+    // Contrastive hard negatives: per anchor (vec_id % 50 == 0) the 5
+    // most similar corpus vectors strictly below the near-dup bound.
+    "q120_hard_negatives" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val anchors = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.hardNegatives(anchors, emb, "embedding",
+          "vec_id", "vec_id", k = 5, dupThreshold = 0.95)
+        .select(col("anchor_id"), col("negative_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("anchor_id", "rank")
+    }),
+
+    // WARC ingest round trip: render every doc into multi-record WARC
+    // blobs in-plan (37 "files", records in doc_id order), parse with
+    // the byte-level Content-Length parser, emit per-record identity —
+    // the oracle recomputes uri/length/md5 straight from `documents`,
+    // so any framing error (including shearing on the in-payload decoy
+    // headers) breaks the hash.
+    "q121_warc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(pmod(col("doc_id"), lit(37)).as("file_id"), col("doc_id"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("uri"),
+          warcPayload.as("payload"))
+        .as[(Long, Long, String, String)]
+      val files = docs.groupByKey(_._1).mapGroups { (fid, it) =>
+        val blob = it.toSeq.sortBy(_._2).foldLeft(Array.emptyByteArray) {
+          case (acc, (_, id, uri, pay)) =>
+            acc ++ Warc.render("response", s"<urn:graft:$id>", uri,
+              pay.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        (s"mem://$fid.warc", blob)
+      }.toDF("path", "content")
+      Warc.records(files)
+        .where(col("valid"))
+        .select(
+          regexp_extract(col("record_id"), "<urn:graft:(\\d+)>", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Trainable quality classifier: 3 full-batch GD steps at lr=0.5 on
+    // the fixed 5-feature featurizer, label = (lang = 'en'); emits the
+    // one-row fit summary. The oracle unrolls all three steps in SQL.
+    "q122_quality_model" -> ((s, dir) => {
+      val feats = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(QualityModel.features(col("text")).as("f"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val w = QualityModel.trainLogistic(feats, "f", "y",
+          dim = QualityModel.FeatureDim, steps = 3, lr = 0.5)
+        QualityModel.fitSummary(feats, "f", "y", w).localCheckpoint(true)
+      } finally feats.unpersist()
+    }),
+
+    // BPE vocabulary learning, gated: the distributed dictionary
+    // iteration must equal the single-process reference merge-for-merge
+    // (rank, pair, count) — iterative argmax semantics no SQL oracle
+    // can mirror, so the gate is exact table parity with an independent
+    // recomposition (the q82 convention).
+    "q123_bpe_merges" -> ((s, dir) => bpeLearned(s, dir, withReference = true))
+  )
+
+  /** Gate-free serving variant (Bench's serving/gate split). */
+  def serving: Map[String, Q] = Map(
+    "q123_bpe_merges" -> ((s, dir) => bpeLearned(s, dir, withReference = false))
+  )
+
+  private val cosSql =
+    """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      | sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB fragments for the q122 featurizer — mirrors
+    * [[QualityModel.features]] column-for-column ('g' flag: DuckDB's
+    * regexp_replace is first-match by default, Spark's is global).
+    */
+  private def ratioSql(pattern: String): String =
+    s"""CASE WHEN len(text)=0 THEN 0.0
+       | ELSE CAST(len(text)-len(regexp_replace(text,'$pattern','','g')) AS DOUBLE)/len(text) END"""
+      .stripMargin.replaceAll("\n", " ")
+
+  private def gAvg(src: String, residual: String): String =
+    (0 until 5).map(j => s"avg(($residual)*f$j) AS g$j").mkString(
+      s"SELECT ", ", ", s" FROM $src")
+
+  private def margin(w: String): String =
+    (0 until 5).map(j => s"$w.c$j*f$j").mkString("+")
+
+  def oracles: Map[String, String] = Map(
+    "q119_ngram_table" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        | g AS (
+        |  SELECT 1 AS ord, unnest(w) AS gram FROM t
+        |  UNION ALL
+        |  SELECT 2, unnest(list_transform(generate_series(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1])) FROM t WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT 3, unnest(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) FROM t WHERE len(w) >= 3),
+        | c AS (SELECT ord, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        | r AS (SELECT ord, gram, cnt, row_number() OVER
+        |   (PARTITION BY ord ORDER BY cnt DESC, gram ASC) AS "rank" FROM c)
+        | SELECT CAST(ord AS BIGINT) AS ord, gram, cnt, "rank"
+        | FROM r WHERE "rank" <= 20 ORDER BY ord, "rank"""".stripMargin
+        .replaceAll("\n", " "),
+    "q120_hard_negatives" ->
+      s"""WITH sc AS (
+         | SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id, $cosSql AS cosine
+         | FROM embeddings a JOIN embeddings b
+         |   ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+         | r AS (SELECT anchor_id, negative_id, cosine, row_number() OVER
+         |   (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id ASC) AS "rank"
+         |  FROM sc WHERE cosine < 0.95)
+         | SELECT anchor_id, negative_id, round(cosine, 6) AS cosine, "rank"
+         | FROM r WHERE "rank" <= 5 ORDER BY anchor_id, "rank"""".stripMargin
+        .replaceAll("\n", " "),
+    "q121_warc_roundtrip" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 23 = 0 THEN text || chr(13) || chr(10) || 'WARC/1.0'
+        |    || chr(13) || chr(10) || 'Content-Length: 999999'
+        |    || chr(13) || chr(10) || chr(13) || chr(10)
+        |   ELSE text END AS payload
+        | FROM documents WHERE text IS NOT NULL)
+        | SELECT doc_id,
+        |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  CAST(octet_length(encode(payload)) AS BIGINT) AS content_length,
+        |  md5(payload) AS payload_md5
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q122_quality_model" -> {
+      val f =
+        s"""SELECT CASE WHEN lang='en' THEN 1.0 ELSE 0.0 END AS y, 1.0 AS f0,
+           | ln(1 + (CASE WHEN trim(text)='' THEN 0
+           |   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)) AS f1,
+           | ${ratioSql("[^A-Za-z0-9\\s]")} AS f2,
+           | ${ratioSql("[0-9]")} AS f3,
+           | ${ratioSql("[A-Z]")} AS f4
+           | FROM documents WHERE text IS NOT NULL""".stripMargin
+      val wStep = (prev: String, grad: String) =>
+        (0 until 5).map(j => s"$prev.c$j-0.5*$grad.g$j AS c$j")
+          .mkString("SELECT ", ", ", s" FROM $prev, $grad")
+      s"""WITH f AS ($f),
+         | g1 AS (${gAvg("f", "0.5-y")}),
+         | w1 AS (${(0 until 5).map(j => s"0.0-0.5*g$j AS c$j").mkString("SELECT ", ", ", " FROM g1")}),
+         | g2 AS (${gAvg("f, w1", s"1/(1+exp(-(${margin("w1")})))-y")}),
+         | w2 AS (${wStep("w1", "g2")}),
+         | g3 AS (${gAvg("f, w2", s"1/(1+exp(-(${margin("w2")})))-y")}),
+         | w3 AS (${wStep("w2", "g3")}),
+         | sc AS (SELECT y, 1/(1+exp(-(${margin("w3")}))) AS p FROM f, w3),
+         | agg AS (SELECT count(*) AS n_docs,
+         |   sum(CASE WHEN (CASE WHEN p > 0.5 THEN 1.0 ELSE 0.0 END) = y
+         |       THEN 1 ELSE 0 END) AS n_correct,
+         |   avg(-(y*ln(p)+(1-y)*ln(1-p))) AS mean_nll FROM sc)
+         | SELECT agg.n_docs,
+         |  ${(0 until 5).map(j => s"round(w3.c$j, 6) AS w$j").mkString(", ")},
+         |  CAST(agg.n_correct AS BIGINT) AS n_correct,
+         |  round(agg.mean_nll, 6) AS mean_nll
+         | FROM agg, w3""".stripMargin.replaceAll("\n", " ")
+    }
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextStats}
+
+/** ngramCountTable + hardNegatives fixtures (the q119/q120 operators). */
+class ModelDataSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ngramCountTable: hand-checked counts, deterministic tie ranking") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextStats.ngramCountTable(docs, "text", maxOrder = 3, topK = 2)
+      .select("ord", "gram", "cnt", "rank")
+      .as[(Int, String, Long, Int)].collect().toSet
+    assert(got === Set(
+      (1, "a", 3L, 1), (1, "b", 3L, 2),            // count tie -> gram asc
+      (2, "a b", 3L, 1), (2, "b a", 1L, 2),        // "b a" < "b c"
+      (3, "a b a", 1L, 1), (3, "a b c", 1L, 2)))
+  }
+
+  test("ngramCountTable: docs shorter than the order emit nothing at that order; blanks skipped") {
+    val docs = Seq((1L, "x"), (2L, "  "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextStats.ngramCountTable(docs, "text", maxOrder = 3, topK = 10)
+      .select("ord", "gram", "cnt", "rank")
+      .as[(Int, String, Long, Int)].collect().toSet
+    assert(got === Set((1, "x", 1L, 1)))
+  }
+
+  test("ngramCountTable: topK beyond distinct grams keeps ranks contiguous") {
+    val docs = Seq((1L, "p q")).toDF("doc_id", "text")
+    val got = TextStats.ngramCountTable(docs, "text", maxOrder = 2, topK = 100)
+      .select("ord", "gram", "rank").as[(Int, String, Int)].collect().toSet
+    assert(got === Set((1, "p", 1), (1, "q", 2), (2, "p q", 1)))
+  }
+
+  test("hardNegatives: self and near-dups excluded, rank by cosine then id") {
+    val vs = Seq(
+      (0L, Seq(1f, 0f)),        // anchor
+      (1L, Seq(2f, 0f)),        // cosine 1.0 -> near-dup, excluded
+      (2L, Seq(0.9f, 0.1f)),    // cosine ~0.994 -> excluded at 0.95
+      (3L, Seq(1f, 1f)),        // cosine ~0.707
+      (6L, Seq(2f, 2f)),        // cosine ~0.707 (tie with 3 -> lower id first)
+      (4L, Seq(0f, 1f)),        // cosine 0
+      (5L, Seq(-1f, 0f))        // cosine -1
+    ).toDF("vec_id", "embedding")
+    val anchors = vs.where(col("vec_id") === 0)
+    val got = Similarity.hardNegatives(anchors, vs, "embedding", "vec_id", "vec_id",
+        k = 3, dupThreshold = 0.95)
+      .select("anchor_id", "negative_id", "rank").as[(Long, Long, Int)]
+      .collect().sortBy(_._3)
+    assert(got.toSeq === Seq((0L, 3L, 1), (0L, 6L, 2), (0L, 4L, 3)))
+  }
+
+  test("hardNegatives: k larger than the qualifying pool returns the whole pool") {
+    val vs = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(vs.where(col("vec_id") === 0), vs,
+        "embedding", "vec_id", "vec_id", k = 10, dupThreshold = 0.95)
+      .select("negative_id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+}

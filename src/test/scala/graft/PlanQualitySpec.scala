@@ -71,6 +71,25 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("partial_count"), plan)   // map-side combine
   }
 
+  test("q119 n-gram table: one gram aggregation + rank-limit pushdown on the order window") {
+    val plan = formatted("q119_ngram_table")
+    // the per-order cut would be a maxOrder-partition exchange of EVERY
+    // distinct gram without the pushdown; with it each map task ships
+    // <= topK rows per order
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("partial_count"), plan)   // map-side gram combine
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("q120 hard negatives: anchors broadcast, rank-limit pushdown, no corpus shuffle before scoring") {
+    val plan = formatted("q120_hard_negatives")
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the only hash exchange belongs to the per-anchor window (+ output
+    // sort range partitioning); the corpus scores map-side under the
+    // broadcast
+    assert("hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("q26 plans through the custom AsOfJoinExec") {
     assert(formatted("q26_asof_join").contains("AsOfJoin"))
   }
@@ -183,7 +202,11 @@ class PlanQualitySpec extends SparkSuite {
       "q87_incremental_release",
       // q114 is q82's all-optional-stages variant: the SAME single 1-row
       // LM-floor gate broadcast, nothing new
-      "q114_release_all_stages")
+      "q114_release_all_stages",
+      // q123's parity gate broadcasts a 1-row mismatch count (the q87
+      // idiom); the anchors side of q120's exact hard-negative scan is a
+      // deliberate small-side broadcast
+      "q123_bpe_merges", "q120_hard_negatives")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(gateQueries)
       .filter { name =>
