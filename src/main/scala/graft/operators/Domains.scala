@@ -43,4 +43,60 @@ object Domains {
       fractions: Map[String, Double],
       defaultFraction: Double = 0.0): DataFrame =
     Sampling.stratifiedByHash(docs, hostCol, idCol, fractions, defaultFraction)
+
+  /** URL-level dedup: keep ONE doc per canonical URL (lowest `idCol` —
+    * the crawl's re-fetches, mirror schemes, tracking-param variants
+    * and `www.` aliases collapse to a single row). This is the FIRST
+    * dedup a web pipeline runs — it is free compared to content dedup
+    * (one shuffle on the canonical key, no shingles, no pairs) and
+    * removes the bulk of crawl redundancy before shingle/MinHash
+    * machinery ever scans text. Canonicalization is
+    * [[graft.functions.UrlFns.canonicalUrl]] (map-side, codegen'd);
+    * docs whose URL fails to canonicalize (no `scheme://host` — the
+    * extraction yields an empty host, so EVERY junk URL would collapse
+    * into one "://" group) pass through untouched — an unparseable URL
+    * is no evidence of duplication.
+    */
+  def dedupByCanonicalUrl(docs: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val url = col(s"`$urlCol`")
+    val parseable = coalesce(
+      length(graft.functions.UrlFns.urlHost(url)) > 0, lit(false))
+    val keyed = docs.withColumn("__curl",
+      graft.functions.UrlFns.canonicalUrl(url))
+    val w = Window.partitionBy(col("__curl")).orderBy(col(s"`$idCol`"))
+    keyed.where(parseable)
+      .withColumn("__url_rn", row_number().over(w))
+      .where(col("__url_rn") <= 1)
+      .drop("__url_rn")
+      .unionByName(keyed.where(!parseable))
+      .drop("__curl")
+  }
+
+  /** Domain blocklist: drop every doc whose host (or any parent domain
+    * — `ads.tracker.example.com` matches a blocklisted `example.com`)
+    * appears in `blockedHosts`. The blocklist is CONFIG, not data
+    * (UT1/SafeSearch-style lists are 10⁵–10⁶ hosts — the `fractions`
+    * map idiom at larger size): membership compiles to an `InSet` hash
+    * probe over the host's dotted-suffix chain — one map-side
+    * predicate, zero shuffle, zero join. A blocklist too large for the
+    * closure should instead explode the suffix chain, broadcast-semi-
+    * join the list, and anti-join ids back — the shuffle that buys.
+    *
+    * Suffix semantics: a host with k labels probes its k dotted
+    * suffixes (`a.b.c` → a.b.c, b.c, c), so list entries match whole
+    * registrable domains, never substrings (`notexample.com` does NOT
+    * match a blocked `example.com`). Null hosts pass through — no host
+    * is no evidence.
+    */
+  def applyBlocklist(docs: DataFrame, hostCol: String,
+                     blockedHosts: Seq[String]): DataFrame = {
+    if (blockedHosts.isEmpty) return docs
+    val host = col(s"`$hostCol`")
+    val labels = split(host, "\\.")
+    val suffixes = transform(
+      sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+    docs.where(
+      !coalesce(exists(suffixes, s => s.isInCollection(blockedHosts)), lit(false)))
+  }
 }

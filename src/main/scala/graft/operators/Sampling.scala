@@ -415,4 +415,46 @@ object Sampling {
         col("__tf_s") <=> col("__tf_ms") && col("__tf_b") === col("__tf_mb"))
       .drop("__tf_ms", "__tf_mb")
   }
+
+  /** Token-budget mixture allocation: given per-stratum token
+    * availability and NORMALIZED target mixture weights, find the
+    * largest total token count T ≤ `budget` achievable at exactly those
+    * proportions without oversampling any stratum —
+    * T* = min(budget, min_s avail_s / w_s) — and the per-stratum take
+    * ⌊w_s·T*⌋ and sampling fraction to feed [[stratifiedByHash]]. The
+    * planning step every mixture build runs ("web 70 / code 20 /
+    * wiki 10 at 500B tokens — what fraction of each do I keep?"); a
+    * stratum missing from `avail` pins T* to 0 (the mixture is
+    * infeasible, and silently renormalizing would misreport it).
+    *
+    * Shape: weights are config (strata-sized) and broadcast-join the
+    * availability aggregate; T* is ONE double read on the driver (the
+    * centroid-read idiom) re-entering as a literal — no 1-row
+    * cross-join gate shape, no corpus access at all (callers pass the
+    * already-aggregated per-stratum counts).
+    */
+  def mixtureAllocation(avail: DataFrame, stratumCol: String, tokensCol: String,
+                        weights: Map[String, Double], budget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    require(math.abs(weights.values.sum - 1.0) < 1e-9,
+      s"weights must be normalized, sum to ${weights.values.sum}")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = avail.sparkSession
+    import spark.implicits._
+    val joined = broadcast(weights.toSeq.toDF("stratum", "weight"))
+      .join(avail.select(col(s"`$stratumCol`").as("stratum"),
+        col(s"`$tokensCol`").cast("long").as("n_avail")), Seq("stratum"), "left")
+      .select(col("stratum"), coalesce(col("n_avail"), lit(0L)).as("n_avail"),
+        col("weight"))
+    val tCap = joined
+      .agg(min(col("n_avail").cast("double") / col("weight"))).head().getDouble(0)
+    val tStar = math.min(budget.toDouble, tCap)
+    val take = floor(col("weight") * lit(tStar))
+    joined.select(col("stratum"), col("n_avail"),
+      round(col("weight"), 6).as("weight"),
+      take.cast("long").as("n_take"),
+      round(when(col("n_avail") > 0, take / col("n_avail")).otherwise(lit(0.0)), 6)
+        .as("fraction"))
+  }
 }

@@ -129,7 +129,20 @@ object ModelDataQueries {
     // (rank, pair, count) — iterative argmax semantics no SQL oracle
     // can mirror, so the gate is exact table parity with an independent
     // recomposition (the q82 convention).
-    "q123_bpe_merges" -> ((s, dir) => bpeLearned(s, dir, withReference = true))
+    "q123_bpe_merges" -> ((s, dir) => bpeLearned(s, dir, withReference = true)),
+
+    // Mixture planning: largest token total at exactly 50/30/20 across
+    // three sources within a 6000-token budget (availability binds at
+    // small SFs, the budget at large — both branches live), with the
+    // per-source take and sampling fraction.
+    "q125_mixture_allocation" -> ((s, dir) => {
+      val avail = Tables(s, dir, "documents")
+        .groupBy(col("source").as("stratum"))
+        .agg(sum(graft.functions.TextFns.tokenCount(col("text"))).as("n_tokens"))
+      graft.operators.Sampling.mixtureAllocation(avail, "stratum", "n_tokens",
+          Map("src1" -> 0.5, "src2" -> 0.3, "src5" -> 0.2), budget = 6000L)
+        .orderBy("stratum")
+    })
   )
 
   /** Gate-free serving variant (Bench's serving/gate split). */
@@ -229,6 +242,24 @@ object ModelDataQueries {
          |  CAST(agg.n_correct AS BIGINT) AS n_correct,
          |  round(agg.mean_nll, 6) AS mean_nll
          | FROM agg, w3""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q125_mixture_allocation" ->
+      """WITH av AS (SELECT source AS stratum,
+        |   CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |     AS n_avail
+        |  FROM documents GROUP BY 1),
+        | w(stratum, weight) AS (VALUES ('src1', CAST(0.5 AS DOUBLE)),
+        |   ('src2', CAST(0.3 AS DOUBLE)), ('src5', CAST(0.2 AS DOUBLE))),
+        | j AS (SELECT w.stratum, coalesce(av.n_avail, 0) AS n_avail, w.weight
+        |       FROM w LEFT JOIN av USING (stratum)),
+        | t AS (SELECT least(6000.0, min(CAST(n_avail AS DOUBLE)/weight)) AS tstar
+        |       FROM j)
+        | SELECT j.stratum, j.n_avail, round(j.weight, 6) AS weight,
+        |   CAST(floor(j.weight * t.tstar) AS BIGINT) AS n_take,
+        |   round(CASE WHEN j.n_avail > 0
+        |     THEN CAST(floor(j.weight * t.tstar) AS BIGINT) / j.n_avail
+        |     ELSE 0.0 END, 6) AS fraction
+        | FROM j, t ORDER BY j.stratum""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -25,8 +25,12 @@ object WebQueries {
     * `%6==2 -> :80` on http docs — both stripped; `%6==3 -> :8080`
     * survives).
     */
-  private[graft] def injectedUrl: Column = {
-    val id = col("doc_id")
+  private[graft] def injectedUrl: Column = injectedUrlOn(col("doc_id"))
+
+  /** The same messy URL over an arbitrary id expression (q124 folds the
+    * id to force canonical collisions).
+    */
+  private[graft] def injectedUrlOn(id: Column): Column = {
     concat(
       when(pmod(id, lit(3)) === 0, lit("HTTPS")).otherwise(lit("http")),
       lit("://"),
@@ -48,20 +52,24 @@ object WebQueries {
       when(pmod(id, lit(9)) === 0, lit("#Sec1")).otherwise(lit("")))
   }
 
-  /** The oracle's identical URL construction in DuckDB SQL. */
-  private val urlSql =
-    """(CASE WHEN doc_id%3=0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
-      |(CASE WHEN doc_id%4=0 THEN 'WWW.' ELSE '' END) ||
-      |'Site' || CAST(doc_id%25 AS VARCHAR) || '.Example' || CAST(doc_id%5 AS VARCHAR) || '.Com' ||
-      |(CASE WHEN doc_id%6=0 THEN ':443' WHEN doc_id%6=2 THEN ':80' WHEN doc_id%6=3 THEN ':8080' ELSE '' END) ||
-      |'/A/' || CAST(doc_id%17 AS VARCHAR) ||
-      |(CASE WHEN doc_id%2=0 THEN '/' ELSE '' END) ||
-      |(CASE WHEN doc_id%5=0 THEN '?utm_source=news&id=' || CAST(doc_id%11 AS VARCHAR)
-      |      WHEN doc_id%5=1 THEN '?id=' || CAST(doc_id%11 AS VARCHAR) || '&utm_campaign=x'
-      |      WHEN doc_id%5=2 THEN '?utm_medium=a&utm_term=b'
+  /** The oracle's identical URL construction in DuckDB SQL, over an
+    * arbitrary id expression.
+    */
+  private def urlSqlOn(id: String): String =
+    s"""(CASE WHEN $id%3=0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      |(CASE WHEN $id%4=0 THEN 'WWW.' ELSE '' END) ||
+      |'Site' || CAST($id%25 AS VARCHAR) || '.Example' || CAST($id%5 AS VARCHAR) || '.Com' ||
+      |(CASE WHEN $id%6=0 THEN ':443' WHEN $id%6=2 THEN ':80' WHEN $id%6=3 THEN ':8080' ELSE '' END) ||
+      |'/A/' || CAST($id%17 AS VARCHAR) ||
+      |(CASE WHEN $id%2=0 THEN '/' ELSE '' END) ||
+      |(CASE WHEN $id%5=0 THEN '?utm_source=news&id=' || CAST($id%11 AS VARCHAR)
+      |      WHEN $id%5=1 THEN '?id=' || CAST($id%11 AS VARCHAR) || '&utm_campaign=x'
+      |      WHEN $id%5=2 THEN '?utm_medium=a&utm_term=b'
       |      ELSE '' END) ||
-      |(CASE WHEN doc_id%9=0 THEN '#Sec1' ELSE '' END)""".stripMargin
+      |(CASE WHEN $id%9=0 THEN '#Sec1' ELSE '' END)""".stripMargin
       .replaceAll("\n", " ")
+
+  private val urlSql = urlSqlOn("doc_id")
 
   /** The oracle's mirror of the [[UrlFns]] regex pipeline: parts
     * extracted from a column named `url`, producing sch/host/path/q.
@@ -115,6 +123,25 @@ object WebQueries {
         .groupBy("host")
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_doc_id"))
         .orderBy("host")
+    }),
+
+    // URL-level dedup + domain blocklist: ids fold mod 60 so canonical
+    // collisions actually occur (re-fetches / scheme+tracking variants
+    // collapse, keep-lowest-id); the blocklist drops a whole registrable
+    // domain by suffix (every site*.example3.com host) plus one exact
+    // host, matched on the port-stripped hostname.
+    "q124_url_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          injectedUrlOn(pmod(col("doc_id"), lit(60))).as("url"))
+        .withColumn("host", UrlFns.urlHost(col("url")))
+        .withColumn("hostname", regexp_replace(col("host"), ":\\d+$", ""))
+      val unblocked = Domains.applyBlocklist(docs, "hostname",
+        Seq("example3.com", "site6.example1.com"))
+      Domains.dedupByCanonicalUrl(unblocked, "url", "doc_id")
+        .select(col("doc_id"), col("host"),
+          UrlFns.canonicalUrl(col("url")).as("curl"))
+        .orderBy("doc_id")
     })
   )
 
@@ -146,6 +173,21 @@ object WebQueries {
          |   WHEN 'site1.example1.com' THEN 'ffffffffffffffffffffffffffffffff'
          |   WHEN 'site7.example2.com' THEN '40000000000000000000000000000000'
          |   ELSE '10000000000000000000000000000000' END
-         | GROUP BY host ORDER BY host""".stripMargin.replaceAll("\n", " ")
+         | GROUP BY host ORDER BY host""".stripMargin.replaceAll("\n", " "),
+    "q124_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, ${urlSqlOn("(doc_id%60)")} AS url FROM documents),
+         | p AS (SELECT doc_id, url, $partsSql FROM u),
+         | c AS (SELECT doc_id, url, sch, path, q, $hostSql AS host FROM p),
+         | h AS (SELECT doc_id, host,
+         |   regexp_replace(host, ':[0-9]+$$', '') AS hostname,
+         |   sch || '://' || host || path ||
+         |     (CASE WHEN q='' THEN '' ELSE '?' || q END) AS curl FROM c),
+         | nb AS (SELECT * FROM h WHERE NOT (
+         |   hostname = 'example3.com' OR hostname LIKE '%.example3.com' OR
+         |   hostname = 'site6.example1.com' OR hostname LIKE '%.site6.example1.com')),
+         | r AS (SELECT doc_id, host, curl,
+         |   row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn FROM nb)
+         | SELECT doc_id, host, curl FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        .replaceAll("\n", " ")
   )
 }

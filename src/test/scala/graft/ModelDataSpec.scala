@@ -60,4 +60,30 @@ class ModelDataSpec extends SparkSuite {
       .select("negative_id").as[Long].collect().toSeq
     assert(got === Seq(1L))
   }
+
+  test("mixtureAllocation: availability binds, floor take, fractions; missing stratum pins T to 0") {
+    val avail = Seq(("web", 1000L), ("code", 150L), ("wiki", 500L))
+      .toDF("stratum", "n_tokens")
+    // T* = min(10000, min(1000/.5=2000, 150/.3=500, 500/.2=2500)) = 500
+    val rows = graft.operators.Sampling
+      .mixtureAllocation(avail, "stratum", "n_tokens",
+        Map("web" -> 0.5, "code" -> 0.3, "wiki" -> 0.2), budget = 10000L)
+      .select("stratum", "n_avail", "n_take")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows === Map("web" -> ((1000L, 250L)), "code" -> ((150L, 150L)),
+      "wiki" -> ((500L, 100L))))
+    // the budget binds when availability is plentiful
+    val small = graft.operators.Sampling
+      .mixtureAllocation(avail, "stratum", "n_tokens",
+        Map("web" -> 0.5, "code" -> 0.3, "wiki" -> 0.2), budget = 100L)
+      .select("stratum", "n_take").as[(String, Long)].collect().toMap
+    assert(small === Map("web" -> 50L, "code" -> 30L, "wiki" -> 20L))
+    // a weighted stratum absent from avail makes the mixture infeasible
+    val zero = graft.operators.Sampling
+      .mixtureAllocation(avail, "stratum", "n_tokens",
+        Map("web" -> 0.5, "missing" -> 0.5), budget = 100L)
+      .select("stratum", "n_take").as[(String, Long)].collect().toMap
+    assert(zero === Map("web" -> 0L, "missing" -> 0L))
+  }
 }

@@ -92,4 +92,42 @@ class UrlDomainsSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === (1L to 40L).filter(_ % 2 == 0).toSet)
   }
+
+  test("dedupByCanonicalUrl: scheme-case/www/port/tracking variants collapse to lowest id; null-host urls pass through") {
+    val docs = Seq(
+      (1L, "HTTPS://WWW.A.com:443/P?utm_source=x&k=1"),
+      (5L, "https://a.com/P?k=1&utm_campaign=y"),       // same canonical as 1
+      (3L, "https://a.com/P?k=1#frag"),                 // same canonical as 1
+      (2L, "https://a.com/P?k=2"),                      // different query
+      (9L, "not a url at all"),                         // null canonical
+      (10L, "also not a url")                           // null canonical
+    ).toDF("doc_id", "url")
+    val kept = Domains.dedupByCanonicalUrl(docs, "url", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 9L, 10L))
+  }
+
+  test("applyBlocklist: suffix-chain matching — whole domains, exact hosts, never substrings") {
+    val docs = Seq(
+      (1L, "ads.tracker.example.com"),   // parent example.com blocked
+      (2L, "example.com"),               // exact
+      (3L, "notexample.com"),            // substring must NOT match
+      (4L, "good.org"),
+      (5L, "bad.good.org"),              // exact host blocked below
+      (6L, null.asInstanceOf[String])    // null host passes
+    ).toDF("doc_id", "host")
+    val kept = Domains.applyBlocklist(docs, "host",
+        Seq("example.com", "bad.good.org"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L, 6L))
+    // empty blocklist is the identity
+    assert(Domains.applyBlocklist(docs, "host", Seq.empty).count() === 6L)
+  }
+
+  test("applyBlocklist is a map-side predicate: zero exchanges") {
+    val docs = Seq((1L, "a.b.c")).toDF("doc_id", "host")
+    val plan = Domains.applyBlocklist(docs, "host", Seq("x.com"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
