@@ -75,7 +75,9 @@ object QualityModel {
         avg(resid * element_at(f, 1)).as("g0"),
         (1 until dim).map(j => avg(resid * element_at(f, j + 1)).as(s"g$j")): _*)
         .head()
-      w = Array.tabulate(dim)(j => w(j) - lr * grads.getDouble(j))
+      // empty corpus: avg is null — no evidence, weights stand
+      w = Array.tabulate(dim)(j =>
+        if (grads.isNullAt(j)) w(j) else w(j) - lr * grads.getDouble(j))
     }
     w
   }

@@ -92,12 +92,12 @@ object ModelDataQueries {
           warcPayload.as("payload"))
         .as[(Long, Long, String, String)]
       val files = docs.groupByKey(_._1).mapGroups { (fid, it) =>
-        val blob = it.toSeq.sortBy(_._2).foldLeft(Array.emptyByteArray) {
-          case (acc, (_, id, uri, pay)) =>
-            acc ++ Warc.render("response", s"<urn:graft:$id>", uri,
-              pay.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val out = new java.io.ByteArrayOutputStream()
+        it.toSeq.sortBy(_._2).foreach { case (_, id, uri, pay) =>
+          out.write(Warc.render("response", s"<urn:graft:$id>", uri,
+            pay.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         }
-        (s"mem://$fid.warc", blob)
+        (s"mem://$fid.warc", out.toByteArray)
       }.toDF("path", "content")
       Warc.records(files)
         .where(col("valid"))

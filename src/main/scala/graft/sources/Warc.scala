@@ -49,14 +49,16 @@ object Warc {
       payload: Array[Byte])
 
   private val Magic = "WARC/".getBytes(UTF_8)
+  private val CrlfCrlf = "\r\n\r\n".getBytes(UTF_8)
   /** Header blocks are small by spec practice; a missing CRLF CRLF must
     * not scan gigabytes of payload looking for one.
     */
   private val MaxHeaderBytes = 64 * 1024
 
-  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+  private def byteIndexOf(hay: Array[Byte], needle: Array[Byte], from: Int,
+                      until: Int = Int.MaxValue): Int = {
     var i = math.max(from, 0)
-    val last = hay.length - needle.length
+    val last = math.min(hay.length, until) - needle.length
     while (i <= last) {
       var j = 0
       while (j < needle.length && hay(i + j) == needle(j)) j += 1
@@ -66,20 +68,27 @@ object Warc {
     -1
   }
 
-  /** Parse every record in a WARC blob. Bytes before the first magic and
-    * between records (broken trailers, garbage) are skipped by resyncing
-    * on the magic; framing failures quarantine one record each.
+  /** Parse every record in a WARC blob, lazily — one record held at a
+    * time beyond the input buffer itself. Bytes before the first magic
+    * and between records (broken trailers, garbage) are skipped by
+    * resyncing on the magic; framing failures quarantine one record
+    * each.
     */
-  def parseAll(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val out = Seq.newBuilder[WarcRecord]
-    var pos = indexOf(bytes, Magic, 0)
-    while (pos >= 0) {
-      val (rec, next) = parseOne(bytes, pos)
-      out += rec
-      pos = if (next > pos) indexOf(bytes, Magic, next) else -1
+  def parseIterator(bytes: Array[Byte]): Iterator[WarcRecord] =
+    new scala.collection.AbstractIterator[WarcRecord] {
+      // NB: byteIndexOf, not bare indexOf — Iterator inherits its own
+      // indexOf(elem, from), which would consume THIS iterator
+      private var pos = byteIndexOf(bytes, Magic, 0)
+      override def hasNext: Boolean = pos >= 0
+      override def next(): WarcRecord = {
+        val (rec, nxt) = parseOne(bytes, pos)
+        pos = if (nxt > pos) byteIndexOf(bytes, Magic, nxt) else -1
+        rec
+      }
     }
-    out.result()
-  }
+
+  /** [[parseIterator]], materialized (fixtures and small blobs). */
+  def parseAll(bytes: Array[Byte]): Seq[WarcRecord] = parseIterator(bytes).toSeq
 
   /** Parse the record whose version line starts at `pos`; returns the
     * record and the offset to resume scanning from.
@@ -89,11 +98,8 @@ object Warc {
                 cl: Long = -1L) =
       WarcRecord(pos.toLong, valid = false, err, tpe, id, uri, cl, Array.emptyByteArray)
     val hdrLimit = math.min(bytes.length, pos + MaxHeaderBytes)
-    val hdrEnd = indexOf(bytes.slice(pos, hdrLimit),
-      "\r\n\r\n".getBytes(UTF_8), 0) match {
-      case -1 => -1
-      case i  => pos + i
-    }
+    // bounded in-place scan — no per-record copy of the header window
+    val hdrEnd = byteIndexOf(bytes, CrlfCrlf, pos, hdrLimit)
     if (hdrEnd < 0)
       return (invalid("no CRLF CRLF header terminator"), pos + Magic.length)
     val headerText = new String(bytes, pos, hdrEnd - pos, UTF_8)
@@ -155,7 +161,7 @@ object Warc {
       files.select(col("path").cast("string"), col("content"))
         .as[(String, Array[Byte])]
     typed.flatMap { case (path, bytes) =>
-      parseAll(if (bytes == null) Array.emptyByteArray else bytes)
+      parseIterator(if (bytes == null) Array.emptyByteArray else bytes)
         .map(r => (path, r.offset, r.valid, r.error, r.warc_type,
           r.record_id, r.target_uri, r.content_length, r.payload))
     }.toDF("path", "offset", "valid", "error", "warc_type", "record_id",
