@@ -259,4 +259,59 @@ class PropertyParitySpec extends SparkSuite {
         "identical signatures under different keys must not pair")
     }
   }
+
+  test("WARC render -> parse round-trips arbitrary payloads, including embedded magic and CRLF runs") {
+    import graft.sources.Warc
+    // adversarial alphabet: payload bytes drawn from fragments that
+    // include the record magic, header-terminator runs, and raw bytes
+    val fragGen = Gen.oneOf(
+      Gen.const("WARC/1.0\r\n".getBytes("UTF-8")),
+      Gen.const("\r\n\r\n".getBytes("UTF-8")),
+      Gen.const("Content-Length: 7\r\n".getBytes("UTF-8")),
+      Gen.listOfN(5, Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+    for (round <- 0 until 3) {
+      val payloads = sample(Gen.listOfN(12,
+        Gen.choose(0, 6).flatMap(k => Gen.listOfN(k, fragGen).map(_.flatten.toArray))),
+        6400L + round)
+      val blob = payloads.zipWithIndex.foldLeft(Array.emptyByteArray) {
+        case (acc, (p, i)) => acc ++ Warc.render("response", s"<urn:p:$i>", s"u$i", p)
+      }
+      val rs = Warc.parseAll(blob)
+      assert(rs.length === payloads.length, s"round=$round")
+      assert(rs.forall(_.valid))
+      assert(rs.map(_.record_id) === payloads.indices.map(i => s"<urn:p:$i>"))
+      rs.zip(payloads).foreach { case (r, p) =>
+        assert(r.content_length === p.length.toLong)
+        assert(r.payload.toSeq === p.toSeq)
+      }
+    }
+  }
+
+  test("mixtureAllocation == local closed form on random availabilities and weights") {
+    import graft.operators.Sampling
+    for (round <- 0 until 3) {
+      val strata = ('a' to 'f').map(_.toString)
+      val avails = sample(Gen.listOfN(strata.length, Gen.choose(0L, 5000L)), 5500L + round)
+      val raw = sample(Gen.listOfN(strata.length, Gen.choose(1, 9)), 5600L + round)
+      val wsum = raw.sum.toDouble
+      val weights = strata.zip(raw.map(_ / wsum)).toMap
+      val budget = sample(Gen.choose(100L, 20000L), 5700L + round)
+      // drop one stratum from avail every other round (the infeasible path)
+      val presentN = if (round % 2 == 0) strata.length else strata.length - 1
+      val avail = strata.take(presentN).zip(avails)
+        .toDF("stratum", "n_tokens")
+      val got = Sampling.mixtureAllocation(avail, "stratum", "n_tokens",
+          weights, budget)
+        .select("stratum", "n_avail", "n_take")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val availMap = strata.take(presentN).zip(avails).toMap.withDefaultValue(0L)
+      val tStar = math.min(budget.toDouble,
+        strata.map(s => availMap(s).toDouble / weights(s)).min)
+      val want = strata.map(s =>
+        s -> ((availMap(s), math.floor(weights(s) * tStar).toLong))).toMap
+      assert(got === want, s"round=$round budget=$budget")
+      assert(got.values.forall { case (av, take) => take <= av })
+    }
+  }
 }
