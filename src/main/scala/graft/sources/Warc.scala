@@ -173,4 +173,26 @@ object Warc {
     */
   def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     records(spark.read.format("binaryFile").load(path))
+
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+
+  /** STREAMING ingest: the crawl-drain path — WARC files land
+    * continuously, each micro-batch parses only the newly arrived files
+    * (the file-stream source checkpoints processed paths, so a restart
+    * never re-parses history), and the record frame composes with the
+    * stateless URL/domain family and the streaming dedup indexes
+    * downstream. Drive with `Trigger.AvailableNow` +
+    * `maxFilesPerTrigger` for continuous compaction (SCALE §1/§8
+    * posture); parsing itself is the same per-file kernel as the batch
+    * path — stateless, so exactly-once reduces to the source's
+    * file-tracking plus an idempotent sink.
+    */
+  def readStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    records(spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema).load(path))
 }

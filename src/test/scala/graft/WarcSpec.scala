@@ -88,4 +88,32 @@ class WarcSpec extends SparkSuite {
       .select("record_id").as[String].collect().toSet
     assert(fromDisk === Set("<urn:test:1>", "<urn:test:2>", "<urn:test:3>"))
   }
+
+  test("readStream drains new WARC files incrementally; restart never re-parses history") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("warcstream")
+    val ckpt = Files.createTempDirectory("warcstream_ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drain(): Unit = {
+      val q = Warc.readStream(spark, dir.toString + "/*.warc")
+        .select("record_id")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = batch.as[String].collect()
+          seen.synchronized { seen ++= ids }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    Files.write(dir.resolve("a.warc"),
+      rec(1, "aa".getBytes(UTF_8)) ++ rec(2, "bb".getBytes(UTF_8)))
+    drain()
+    assert(seen.sorted === Seq("<urn:test:1>", "<urn:test:2>"))
+    // second file lands; the restarted AvailableNow query parses ONLY it
+    Files.write(dir.resolve("b.warc"), rec(3, "cc".getBytes(UTF_8)))
+    drain()
+    assert(seen.sorted === Seq("<urn:test:1>", "<urn:test:2>", "<urn:test:3>"))
+  }
 }
