@@ -55,6 +55,7 @@ object Sessions {
     graft.functions.NGramGenerator.register(spark)
     graft.functions.SketchExpressions.register(spark)
     graft.functions.TextMetricsExpr.register(spark)
+    graft.functions.HtmlTextExpr.register(spark)
     spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
     spark
   }

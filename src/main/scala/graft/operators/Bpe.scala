@@ -15,16 +15,17 @@ import org.apache.spark.storage.StorageLevel
   * iterates over the CORPUS — it iterates over the distinct-WORD
   * frequency dictionary, which is Zipf-bounded (a 100 TB crawl has
   * ~10⁷–10⁸ distinct words, not 10¹³). So the corpus is touched exactly
-  * once (one tokenize + count shuffle, [[wordFrequencies]]); every merge
-  * iteration is then a dictionary-sized job: adjacent symbol pairs
-  * explode map-side via array HOFs, one (left, right) hash aggregation
-  * with partial sums, a 1-row `TakeOrdered` argmax (count DESC, pair ASC
-  * — ties deterministic), and the merge applies as a codegen'd
-  * `aggregate` HOF fold (greedy leftmost non-overlapping, the classic
-  * rule) — no UDF, no driver-side dictionary until a caller explicitly
-  * asks for the bounded reference path.
+  * once (one tokenize + count shuffle, [[wordFrequencies]]), and
+  * [[learnMerges]] hybrid-routes the merge loop on the dictionary's
+  * size: under the cap (every real corpus) the loop runs single-process
+  * over the collected dictionary; over it, the distributed iteration
+  * takes over — adjacent symbol pairs explode map-side via array HOFs,
+  * one (left, right) hash aggregation with partial sums, a 1-row
+  * `TakeOrdered` argmax (count DESC, pair ASC — ties deterministic),
+  * and the merge applies as a codegen'd `aggregate` HOF fold (greedy
+  * leftmost non-overlapping, the classic rule) — no UDF on either path.
   *
-  * Iteration hygiene follows `Dedup.connectedComponentsDistributed`:
+  * Distributed-iteration hygiene follows `Dedup.connectedComponentsDistributed`:
   * the dictionary persists across iterations (each pair count reads the
   * CACHED frame, not the re-derived lineage), lineage truncates with
   * `localCheckpoint` every few merges so the plan doesn't grow per
@@ -75,10 +76,53 @@ object Bpe {
       st => when(st.getField("prev").isNull, st.getField("out"))
         .otherwise(concat(st.getField("out"), array(st.getField("prev")))))
 
-  /** Learn up to `numMerges` merges from a (word, freq) frame. Stops
-    * early when no adjacent pair remains (every word fully merged).
+  /** Learn up to `numMerges` merges from a (word, freq) frame — the
+    * PRODUCTION entry point, hybrid-routed like
+    * `Dedup.connectedComponents`: a count probe sizes the dictionary,
+    * and under `localDictCap` the merge loop runs single-process over
+    * the collected dictionary ([[learnMergesLocal]]); only an over-cap
+    * dictionary takes the distributed iteration.
+    *
+    * The local path is the correct default for EVERY real corpus: the
+    * distinct-word dictionary is Zipf-bounded (~10⁶–10⁸ rows at 100 TB,
+    * each a short string + count — hundreds of MB at worst), while a
+    * realistic tokenizer vocab is ~32k merges, and the distributed loop
+    * pays ~2 Spark jobs plus a full dictionary rewrite PER MERGE (~64k
+    * jobs at 32k merges — driver-loop seconds dwarfing the actual work).
+    * Locally those 32k merges are one in-memory loop. The corpus itself
+    * is never part of either loop — [[wordFrequencies]] touched it
+    * exactly once. Both paths share the same determinism contract
+    * (greedy leftmost application; ties by count DESC then unsigned
+    * UTF-8 byte order of left, right), pinned merge-for-merge by
+    * BpeSpec's routing parity and q123's gate.
     */
-  def learnMerges(wordFreq: DataFrame, numMerges: Int): Seq[Merge] = {
+  def learnMerges(wordFreq: DataFrame, numMerges: Int,
+                  localDictCap: Long = 4000000L): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    val typed = wordFreq
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+    // Persisted across the probe (the connectedComponents idiom): the
+    // probe and the follow-up (collect or the distributed loop's first
+    // pass) would otherwise each re-run the upstream corpus tokenize +
+    // count shuffle.
+    typed.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val overCap = typed.limit((localDictCap + 1).toInt).count() > localDictCap
+      if (overCap) learnMergesDistributed(typed.toDF("word", "freq"), numMerges)
+      else learnMergesLocal(typed.collect().toSeq, numMerges)
+    } finally typed.unpersist()
+  }
+
+  /** The distributed merge iteration — [[learnMerges]]' over-cap
+    * fallback (a dictionary too large to collect: adversarial key
+    * spaces, not natural language). Each merge costs one argmax job
+    * plus one rewrite of the dictionary; stops early when no adjacent
+    * pair remains (every word fully merged).
+    */
+  def learnMergesDistributed(wordFreq: DataFrame, numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val merges = Seq.newBuilder[Merge]
     var dict = wordFreq
@@ -220,7 +264,10 @@ object Bpe {
     */
   private[graft] def encodeWord(word: String,
                                 ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms = word.map(_.toString).toArray
+    // code-POINT symbols, matching both learning paths: UTF-16-unit
+    // symbolization (word.map(_.toString)) would shear supplementary
+    // characters into surrogate halves the merge table can never match
+    var syms = codePointSymbols(word)
     var cont = syms.length >= 2
     while (cont) {
       var bestRank = Int.MaxValue

@@ -87,16 +87,26 @@ object Domains {
     * registrable domains, never substrings (`notexample.com` does NOT
     * match a blocked `example.com`). Null hosts pass through — no host
     * is no evidence.
+    *
+    * Both sides normalize before matching: the host column is
+    * lowercased and stripped of an optional `:port` suffix and trailing
+    * dot ([[graft.functions.UrlFns.urlHost]] keeps a non-default port —
+    * `example.com:8080` must still match a blocked `example.com`), and
+    * list entries are lowercased and dot-stripped — so caller-side
+    * pre-normalization is a convenience, not a correctness precondition.
     */
   def applyBlocklist(docs: DataFrame, hostCol: String,
                      blockedHosts: Seq[String]): DataFrame = {
-    if (blockedHosts.isEmpty) return docs
-    val host = col(s"`$hostCol`")
+    val blocked = blockedHosts.map(_.toLowerCase.stripSuffix("."))
+      .filter(_.nonEmpty)
+    if (blocked.isEmpty) return docs
+    val host = regexp_replace(
+      regexp_replace(lower(col(s"`$hostCol`")), ":[0-9]+$", ""), "\\.$", "")
     val labels = split(host, "\\.")
     val suffixes = transform(
       sequence(lit(1), size(labels)),
       i => array_join(slice(labels, i, size(labels) - i + 1), "."))
     docs.where(
-      !coalesce(exists(suffixes, s => s.isInCollection(blockedHosts)), lit(false)))
+      !coalesce(exists(suffixes, s => s.isInCollection(blocked)), lit(false)))
   }
 }

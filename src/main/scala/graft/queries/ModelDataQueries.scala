@@ -25,10 +25,14 @@ object ModelDataQueries {
         lit("\r\nWARC/1.0\r\nContent-Length: 999999\r\n\r\n")))
     .otherwise(col("text"))
 
-  /** q123's shared distributed half: word frequencies + 12 learned
-    * merges. Eager (learning is a driver loop over dictionary-sized
-    * jobs); the word-frequency frame persists across the iteration and
-    * releases before return.
+  /** q123's shared half: word frequencies + 12 learned merges. The
+    * GATED variant runs the distributed iteration explicitly
+    * (`learnMergesDistributed` — the gate's whole subject is
+    * distributed == single-process parity; the routed entry point would
+    * take the local path at this dictionary size and compare local to
+    * local). The serving variant measures what a user actually ships:
+    * the hybrid-routed [[Bpe.learnMerges]]. The word-frequency frame
+    * persists across the iteration and releases before return.
     */
   private def bpeLearned(s: SparkSession, dir: String,
                          withReference: Boolean): DataFrame = {
@@ -36,7 +40,10 @@ object ModelDataQueries {
     val wf = Bpe.wordFrequencies(Tables(s, dir, "documents"), "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val got = s.createDataset(Bpe.learnMerges(wf, numMerges = 12))
+      val learned =
+        if (withReference) Bpe.learnMergesDistributed(wf, numMerges = 12)
+        else Bpe.learnMerges(wf, numMerges = 12)
+      val got = s.createDataset(learned)
         .select(col("rank").cast("long").as("rank"), col("left"),
           col("right"), col("count").as("cnt"))
       if (!withReference) got.orderBy("rank")

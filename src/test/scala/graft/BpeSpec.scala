@@ -23,16 +23,16 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.learnMergesLocal(handFreq, numMerges = 10) === handMerges)
   }
 
-  test("distributed learnMerges == hand derivation on the fixture") {
+  test("distributed learnMergesDistributed == hand derivation on the fixture") {
     val wf = handFreq.toDF("word", "freq")
-    assert(Bpe.learnMerges(wf, numMerges = 10) === handMerges)
+    assert(Bpe.learnMergesDistributed(wf, numMerges = 10) === handMerges)
   }
 
   test("greedy leftmost non-overlap: 'aaa' merges to [aa, a], never overlapped") {
     val freq = Seq(("aaa", 1L))
     val want = Seq(Merge(0, "a", "a", 2L), Merge(1, "aa", "a", 1L))
     assert(Bpe.learnMergesLocal(freq, 5) === want)
-    assert(Bpe.learnMerges(freq.toDF("word", "freq"), 5) === want)
+    assert(Bpe.learnMergesDistributed(freq.toDF("word", "freq"), 5) === want)
   }
 
   test("distributed == local on random corpora, including supplementary-plane words") {
@@ -45,11 +45,23 @@ class BpeSpec extends SparkSuite {
       // on both routes (String.map-by-char would shear it locally)
       val wf = (words.zip(freqs) ++ Seq(("𝄞a𝄞a", 4L), ("é½é", 2L)))
         .groupBy(_._1).map { case (w, ps) => (w, ps.map(_._2).sum) }.toSeq
-      val got = Bpe.learnMerges(wf.toDF("word", "freq"), numMerges = 10)
+      val got = Bpe.learnMergesDistributed(wf.toDF("word", "freq"), numMerges = 10)
       val want = Bpe.learnMergesLocal(wf, numMerges = 10)
       assert(got === want, s"round=$round")
       assert(want.nonEmpty)
     }
+  }
+
+  test("hybrid routing: under-cap takes the local path, over-cap the distributed loop — identical tables") {
+    val wf = (handFreq ++ Seq(("𝄞a𝄞a", 4L), ("cba", 2L))).toDF("word", "freq")
+    // under the default cap: routed == local reference
+    val routed = Bpe.learnMerges(wf, numMerges = 10)
+    assert(routed === Bpe.learnMergesLocal(
+      handFreq ++ Seq(("𝄞a𝄞a", 4L), ("cba", 2L)), numMerges = 10))
+    // localDictCap = 1 forces the over-cap (distributed) route — the
+    // merge table must be IDENTICAL (the routing must be invisible)
+    assert(Bpe.learnMerges(wf, numMerges = 10, localDictCap = 1L) === routed)
+    assert(routed.nonEmpty)
   }
 
   test("encodeWord applies merges lowest-rank-first; encode() round-trips the training dict") {
@@ -70,7 +82,22 @@ class BpeSpec extends SparkSuite {
   test("empty corpus learns no merges; single-char words contribute no pairs") {
     assert(Bpe.learnMergesLocal(Seq.empty, 5) === Seq.empty)
     assert(Bpe.learnMerges(Seq.empty[(String, Long)].toDF("word", "freq"), 5) === Seq.empty)
+    assert(Bpe.learnMergesDistributed(
+      Seq.empty[(String, Long)].toDF("word", "freq"), 5) === Seq.empty)
     assert(Bpe.learnMergesLocal(Seq(("a", 9L), ("b", 3L)), 5) === Seq.empty)
+  }
+
+  test("encodeWord symbolizes by code point: learned supplementary merges apply at encode time") {
+    // "𝄞a" merged during learning must match at encode: UTF-16-unit
+    // symbolization would shear 𝄞 into surrogate halves that never
+    // equal the merge table's code-point symbols
+    val merges = Bpe.learnMergesLocal(Seq(("𝄞a𝄞a", 4L)), numMerges = 10)
+    assert(merges.head === Merge(0, "𝄞", "a", 8L))
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    assert(Bpe.encodeWord("𝄞a𝄞a", ranks) === Seq("𝄞a𝄞a"))
+    assert(Bpe.encodeWord("𝄞ab", ranks) === Seq("𝄞a", "b"))
+    // unseen supplementary chars stay whole single symbols
+    assert(Bpe.encodeWord("😀", Map.empty) === Seq("😀"))
   }
 
   test("wordFrequencies: one corpus pass, null/blank docs excluded") {

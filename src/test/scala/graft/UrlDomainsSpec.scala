@@ -124,6 +124,22 @@ class UrlDomainsSpec extends SparkSuite {
     assert(Domains.applyBlocklist(docs, "host", Seq.empty).count() === 6L)
   }
 
+  test("applyBlocklist normalizes both sides: ports, case, trailing dots") {
+    val docs = Seq(
+      (1L, "example.com:8080"),          // urlHost keeps non-default ports
+      (2L, "Sub.EXAMPLE.com"),           // mixed-case host
+      (3L, "example.com."),              // FQDN trailing dot
+      (4L, "fine.org:8080"),
+      (5L, "tracker.net")                // blocked via an UPPERCASE+dot entry
+    ).toDF("doc_id", "host")
+    val kept = Domains.applyBlocklist(docs, "host",
+        Seq("EXAMPLE.com", "Tracker.NET."))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(4L))
+    // a blocklist that normalizes to empty entries is the identity
+    assert(Domains.applyBlocklist(docs, "host", Seq(".", "")).count() === 5L)
+  }
+
   test("applyBlocklist is a map-side predicate: zero exchanges") {
     val docs = Seq((1L, "a.b.c")).toDF("doc_id", "host")
     val plan = Domains.applyBlocklist(docs, "host", Seq("x.com"))
