@@ -42,7 +42,8 @@ object SparkEntry {
     * serving/gate split; NOT part of the correctness contract.
     */
   def servingQueries: Map[String, (SparkSession, String) => DataFrame] =
-    (TextQueries.serving ++ VectorQueries.serving ++ ModelDataQueries.serving)
+    (TextQueries.serving ++ VectorQueries.serving ++ ModelDataQueries.serving ++
+      WebQueries.serving)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(Sessions.init(s), dir))
       }

@@ -138,6 +138,72 @@ object ModelDataQueries {
     // recomposition (the q82 convention).
     "q123_bpe_merges" -> ((s, dir) => bpeLearned(s, dir, withReference = true)),
 
+    // Gzipped WARC round trip — q121's framing subject over the gzip
+    // layer: blobs compress in-plan as member-per-record `.warc.gz`
+    // (Common Crawl's on-disk convention; every 5th file whole-file
+    // gzipped instead, so both layouts are exercised), records()
+    // auto-detects and decompresses per file, and the oracle recomputes
+    // per-record identity straight from `documents` — a framing OR
+    // decompression error (including on the in-payload decoy headers)
+    // breaks the hash.
+    "q126_warc_gzip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(pmod(col("doc_id"), lit(37)).as("file_id"), col("doc_id"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("uri"),
+          warcPayload.as("payload"))
+        .as[(Long, Long, String, String)]
+      val files = docs.groupByKey(_._1).mapGroups { (fid, it) =>
+        val recs = it.toSeq.sortBy(_._2).map { case (_, id, uri, pay) =>
+          Warc.render("response", s"<urn:graft:$id>", uri,
+            pay.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val bytes =
+          if (fid % 5 == 0) Warc.gzipMember(recs.reduce(_ ++ _))
+          else recs.map(Warc.gzipMember).reduce(_ ++ _)
+        (s"mem://$fid.warc.gz", bytes)
+      }.toDF("path", "content")
+      Warc.records(files)
+        .where(col("valid"))
+        .select(
+          regexp_extract(col("record_id"), "<urn:graft:(\\d+)>", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML -> text extraction, oracled end to end: each doc renders as a
+    // full HTML page in-plan (doctype, title, script/style/comment
+    // decoys, inline tags in the h1, per-line <p> body over text made
+    // deliberately messy — injected markup characters, blank lines,
+    // whitespace runs — plus an entity footer), html_text extracts, and
+    // the oracle composes the expected text in closed form from
+    // `documents` via the extraction's documented whitespace contract.
+    // Any tag-strip / entity-decode / segmentation error breaks the hash.
+    "q127_html_extract" -> ((s, dir) => {
+      val messy = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("  A&B <tag> x  \n\n  ")).otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("\n line2  with   spaces \n\tline3 > 5 ")).otherwise(lit("")))
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        messy, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val body = concat_ws("",
+        transform(split(esc, "\n"), l => concat(lit("<p>"), l, lit("</p>"))))
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+        lit("</title><script>var trap = \"<p>decoy & x</p>\";</script>"),
+        lit("<style>p{color:red}</style></head><body><!-- hidden -->"),
+        lit("<h1>Doc <b>"), col("doc_id"), lit("</b></h1>"), body,
+        lit("<p>f&amp;oo &lt;b&gt; &#8212; &#x2014; tail</p></body></html>"))
+      Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.HtmlTextExpr.htmlText(html).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
     // Mixture planning: largest token total at exactly 50/30/20 across
     // three sources within a 6000-token budget (availability binds at
     // small SFs, the budget at large — both branches live), with the
@@ -250,6 +316,32 @@ object ModelDataQueries {
          |  round(agg.mean_nll, 6) AS mean_nll
          | FROM agg, w3""".stripMargin.replaceAll("\n", " ")
     },
+    "q126_warc_gzip" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 23 = 0 THEN text || chr(13) || chr(10) || 'WARC/1.0'
+        |    || chr(13) || chr(10) || 'Content-Length: 999999'
+        |    || chr(13) || chr(10) || chr(13) || chr(10)
+        |   ELSE text END AS payload
+        | FROM documents WHERE text IS NOT NULL)
+        | SELECT doc_id,
+        |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  CAST(octet_length(encode(payload)) AS BIGINT) AS content_length,
+        |  md5(payload) AS payload_md5
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q127_html_extract" ->
+      """WITH m AS (SELECT doc_id,
+        |  (CASE WHEN doc_id%3=0 THEN '  A&B <tag> x  ' || chr(10) || chr(10) || '  ' ELSE '' END)
+        |  || text ||
+        |  (CASE WHEN doc_id%4=0 THEN chr(10) || ' line2  with   spaces ' || chr(10) || chr(9) || 'line3 > 5 ' ELSE '' END) AS messy
+        | FROM documents WHERE text IS NOT NULL),
+        | n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |   messy, '[ \t\r]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n+', chr(10), 'g')) AS norm
+        | FROM m)
+        | SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+        |  || (CASE WHEN norm = '' THEN '' ELSE chr(10) || norm END)
+        |  || chr(10) || 'f&oo <b> ' || chr(8212) || ' ' || chr(8212) || ' tail' AS extracted
+        | FROM n ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q125_mixture_allocation" ->
       """WITH av AS (SELECT source AS stratum,
         |   CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0

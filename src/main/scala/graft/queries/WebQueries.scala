@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.corpus.{CrawlPipeline, ReleasePipeline}
 import graft.functions.UrlFns
 import graft.operators.Domains
+import graft.sources.Warc
 
 /** URL/domain-aware corpus operators on the driver surface. The
   * documents table carries no URL column, so — the q71/q97 in-plan
@@ -142,8 +144,102 @@ object WebQueries {
         .select(col("doc_id"), col("host"),
           UrlFns.canonicalUrl(col("url")).as("curl"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "q128_crawl_release" -> mkQ128(gated = true)
   )
+
+  /** Gate-free serving variants (Bench's serving/gate split). */
+  def serving: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_crawl_release" -> mkQ128(gated = false)
+  )
+
+  /** The crawl-to-release CAPSTONE: the brief's end-to-end story as one
+    * driver-visible composition — gzipped WARC blobs → parse → HTTP
+    * split → HTML→text extraction → domain blocklist → canonical-URL
+    * dedup → per-domain cap → the full release battery
+    * ([[CrawlPipeline.run]]). The crawl builds in-plan from `documents`
+    * (the q121/q126 convention): per doc, a messy URL with canonical
+    * collisions (ids fold mod 3, so re-fetch variants exist and URL
+    * dedup must keep the lowest id), a full HTML page with script/title
+    * decoys wrapping the escaped text, an HTTP 200 envelope, one gzip
+    * member per record, 37 "files".
+    *
+    * Gated on the q82/q114 convention: an independent recomposition
+    * derives the SAME documents straight from the table — the expected
+    * extracted text in closed form (title + whitespace-collapsed text,
+    * the extraction contract), the web stages as direct operator calls,
+    * the release battery a second time — and the final corpora must
+    * match id-for-id. The recomposition never touches a WARC byte, so
+    * parity verifies the entire gzip → WARC → HTTP → HTML byte path AND
+    * the stage threading; any framing, decompression, extraction, or
+    * composition error surfaces as a doc whose text (and therefore
+    * dedup/quality fate) diverges, emitting zero rows.
+    */
+  private def mkQ128(gated: Boolean): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      import s.implicits._
+      val blocked = Seq("example3.com", "site6.example1.com")
+      val cap = 25
+      val docs0 = Tables(s, dir, "documents").where(col("text").isNotNull)
+      val bench = docs0.where(pmod(col("doc_id"), lit(97)) === 0)
+      val cand = docs0.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val url = injectedUrlOn(col("doc_id") - pmod(col("doc_id"), lit(3)))
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>t</title>" +
+          "<script>var x = \"<p>&amp;\";</script></head><body><p>"),
+        esc, lit("</p></body></html>"))
+      val typed = cand
+        .select(pmod(col("doc_id"), lit(37)).as("file_id"), col("doc_id"),
+          url.as("url"), html.as("html"))
+        .as[(Long, Long, String, String)]
+      val files = typed.groupByKey(_._1).mapGroups { (fid, it) =>
+        val out = new java.io.ByteArrayOutputStream()
+        it.toSeq.sortBy(_._2).foreach { case (_, id, u, h) =>
+          val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + h)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.write(Warc.gzipMember(
+            Warc.render("response", s"<urn:graft:$id>", u, payload)))
+        }
+        (s"mem://$fid.warc.gz", out.toByteArray)
+      }.toDF("path", "content")
+      val res = CrawlPipeline.run(files, bench,
+        docId = regexp_extract(col("record_id"), "<urn:graft:(\\d+)>", 1)
+          .cast("long"),
+        web = CrawlPipeline.WebConfig(blockedHosts = blocked, domainCap = cap),
+        release = ReleasePipeline.Config())
+      val out =
+        if (!gated) {
+          graft.core.Frames.releaseAfterNextAction(s, res.release.minhashSig)
+          res.release.corpus
+        } else {
+          // the closed-form expected extraction: the page is one <p>
+          // block under a constant title, so extracted text = "t\n" +
+          // the text with ALL whitespace runs collapsed to single
+          // spaces and ends trimmed (the html_text whitespace contract)
+          val norm = trim(regexp_replace(col("text"), "\\s+", " "))
+          val expText = when(norm === "", lit("t"))
+            .otherwise(concat(lit("t\n"), norm))
+          val expDocs = cand.select(col("doc_id"), url.as("url"),
+            UrlFns.urlHost(url).as("host"), expText.as("text"))
+          val reCleaned = Domains.perDomainCap(
+            Domains.dedupByCanonicalUrl(
+              Domains.applyBlocklist(expDocs, "host", blocked),
+              "url", "doc_id"),
+            "host", "doc_id", cap)
+          val reRel = ReleasePipeline.run(
+            reCleaned.select(col("doc_id"), col("text")), bench,
+            ReleasePipeline.Config())
+          graft.core.Frames.releaseAfterNextAction(s,
+            res.release.minhashSig, reRel.minhashSig)
+          Gates.setParity(res.release.corpus, reRel.corpus, "doc_id")
+        }
+      out.select(col("doc_id"),
+          graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }
 
   def oracles: Map[String, String] = Map(
     "q115_url_canonical" ->
