@@ -68,7 +68,14 @@ object Bench {
       .map { case (k, (s, g)) => s"\"$k\":{\"serving\":$s,\"gate\":$g}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},"serving_split":$splitJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jsonMap(_._1)},"queries_min":${jsonMap(_._2)},"serving_split":$splitJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json truncates stdout at 2,000 chars, which
+    // loses most per-query timings; persist the complete artifact so every
+    // round's full surface is diffable (SPARK_GRAFT_BENCH_OUT overrides).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -69,7 +69,15 @@ object CrawlPipeline {
     */
   def pageDocs(files: DataFrame,
                docId: Column = xxhash64(col("record_id"))): DataFrame =
-    Warc.httpResponses(Warc.records(files))
+    pageDocsFromRecords(Warc.records(files), docId)
+
+  /** [[pageDocs]] over an already-parsed [[Warc.records]] frame — the
+    * entry the streaming drain uses ([[Warc.readStream]] emits the
+    * record frame directly).
+    */
+  def pageDocsFromRecords(records: DataFrame,
+               docId: Column = xxhash64(col("record_id"))): DataFrame =
+    Warc.httpResponses(records)
       .select(docId.as("doc_id"),
         col("target_uri").as("url"),
         UrlFns.urlHost(col("target_uri")).as("host"),

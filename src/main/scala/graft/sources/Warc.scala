@@ -405,7 +405,12 @@ object Warc {
     * path — stateless, so exactly-once reduces to the source's
     * file-tracking plus an idempotent sink.
     */
-  def readStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    records(spark.readStream.format("binaryFile")
-      .schema(binaryFileSchema).load(path))
+  def readStream(spark: org.apache.spark.sql.SparkSession, path: String,
+                 maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+    val bounded = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    records(bounded.load(path))
+  }
 }

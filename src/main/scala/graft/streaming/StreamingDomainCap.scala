@@ -50,8 +50,11 @@ object StreamingDomainCap {
 
   /** Wire: group the doc stream by host, run the stateful cap.
     * `caps` overrides the default per host ("this domain gets 10k,
-    * everything else 100"). ProcessingTime mode — capping is an
-    * arrival-order concept, independent of event time.
+    * everything else 100"). TimeMode.None — capping is an
+    * arrival-order concept using no timers, and a processing-time
+    * stateful operator makes every trigger a potential timer-firing
+    * batch, which under `Trigger.AvailableNow` keeps scheduling
+    * no-data micro-batches forever after a file source drains.
     */
   def verdicts(docs: Dataset[Doc], defaultCap: Int,
                caps: Map[String, Int] = Map.empty): Dataset[Verdict] = {
@@ -60,6 +63,6 @@ object StreamingDomainCap {
       "caps must be non-negative")
     docs.groupByKey(_.host)
       .transformWithState(new CapProcessor(caps, defaultCap),
-        TimeMode.ProcessingTime(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
   }
 }
