@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** BM25 full-text retrieval over a document corpus — the lexical
+  * retrieval leg a training-data pipeline needs for
+  * retrieval-based decontamination, targeted data selection, and
+  * eval-set neighbor audits (the text twin of [[Similarity.knnJoin]]).
+  *
+  * Okapi BM25 with the Lucene idf form:
+  *
+  *   idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   w(t, d)   = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  *   score(q,d)= Σ_{t ∈ distinct(q)} w(t, d)
+  *
+  * 100 TB shape: [[index]] is the inverted index as two columnar
+  * frames — term frequencies (one explode + one (doc_id, term)
+  * shuffle) and doc lengths (derived from that frame, never a second
+  * text scan). Build it once, persist/write it, serve every query
+  * batch against it. The query workload is broadcast-small by
+  * assumption (a benchmark or query batch, not a second corpus):
+  * document frequency aggregates only over terms some query mentions
+  * (semi-filter BEFORE the df shuffle), scoring is a broadcast join
+  * onto the tf frame, and no all-pairs path exists anywhere. Top-k
+  * per query is a rank cut Spark rewrites to WindowGroupLimit
+  * (partial per partition, no global sort). For a query side too
+  * large to broadcast, the same frames ARE the inverted index —
+  * score with a shuffled term join instead; only the join strategy
+  * changes.
+  */
+object Bm25 {
+
+  final case class Params(k1: Double = 1.2, b: Double = 0.75)
+
+  /** The inverted index: `tf` = (doc_id, term, tf) over lowercased
+    * whitespace tokens; `dl` = (doc_id, dl) doc lengths. Blank/null
+    * docs drop (no terms → never retrievable). Both frames are
+    * write-able columnar artifacts — at corpus scale, persist them
+    * (or save as bucketed-by-term parquet) and reuse across query
+    * batches instead of re-deriving from text.
+    */
+  final case class Index(tf: DataFrame, dl: DataFrame)
+
+  def index(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val tf = docs.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").cast("long").as("doc_id"),
+        explode(TextFns.tokens(lower(col(s"`$textCol`")))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    Index(tf, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+  }
+
+  /** Top-k BM25 hits per query against a prebuilt index:
+    * (query_id, doc_id, score, rank), rank 1-based by (score desc,
+    * doc_id asc). `queries` is (query_id, query text), broadcast-small
+    * (see object doc). Scores round to 6 decimals BEFORE ranking so
+    * the ordering is reproducible across platforms' floating-point
+    * summation.
+    */
+  def topK(ix: Index, queries: DataFrame, queryIdCol: String,
+           queryTextCol: String, k: Int, params: Params = Params()): DataFrame = {
+    require(k > 0, "k must be positive")
+    // N and avgdl: one metadata-sized aggregate, broadcast back
+    val stats = ix.dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val qTerms = queries
+      .where(col(s"`$queryTextCol`").isNotNull)
+      .select(col(s"`$queryIdCol`").cast("long").as("query_id"),
+        explode(array_distinct(
+          TextFns.tokens(lower(col(s"`$queryTextCol`"))))).as("term"))
+    // df only for terms some query mentions: semi-join BEFORE the df
+    // aggregation so the shuffle carries query-vocabulary terms, not
+    // the corpus vocabulary
+    val df = ix.tf.join(broadcast(qTerms.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"),
+        col("avgdl"))
+    val scored = ix.tf
+      .join(broadcast(qTerms.join(broadcast(idf), "term")), "term")
+      .join(ix.dl, "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("idf") * col("tf") * lit(params.k1 + 1.0) /
+          (col("tf") + lit(params.k1) *
+            (lit(1.0 - params.b) + lit(params.b) * col("dl") / col("avgdl"))))
+          .as("w"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("w"), 6).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rank") <= k)
+  }
+
+  /** Convenience: build the index inline and query it. Prefer
+    * [[index]] + [[topK]] with a persisted index when serving more
+    * than one query batch — this form re-derives the index per call.
+    */
+  def topK(docs: DataFrame, queries: DataFrame, idCol: String,
+           textCol: String, queryIdCol: String, queryTextCol: String,
+           k: Int): DataFrame =
+    topK(index(docs, idCol, textCol), queries, queryIdCol, queryTextCol, k)
+}

@@ -259,6 +259,36 @@ object Bpe {
       .toDF("id", "bpe_tokens", "n_bpe_tokens")
   }
 
+  /** [[encode]] by a structurally different route — merges applied in
+    * RANK ORDER as successive columnar [[applyMergeCol]] passes over
+    * per-word symbol arrays (the learning path's rewrite expression),
+    * then words reassembled in document order. For a LEARNED merge
+    * table the two routes provably agree: a pair learned at rank j can
+    * only mention symbols created before j, so applying rank k never
+    * re-creates a lower-rank pair, making rank-order exhaustive
+    * application identical to [[encodeWord]]'s lowest-present-rank
+    * loop. VERIFICATION route: plan depth grows with the merge count
+    * (one fold expression per merge), so it is the cross-check for
+    * demo-sized tables (q130's gate), not the 32k-merge serving path.
+    */
+  def encodeColumnar(df: DataFrame, textCol: String, idCol: String,
+                     merges: Seq[Merge]): DataFrame = {
+    val words = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").cast("long").as("id"),
+        posexplode(graft.functions.TextFns.tokens(col(s"`$textCol`")))
+          .as(Seq("pos", "word")))
+    val syms = merges.sortBy(_.rank).foldLeft(charSymbols(col("word"))) {
+      (acc, m) => applyMergeCol(acc, m.left, m.right)
+    }
+    words.select(col("id"), col("pos"), syms.as("toks"))
+      .groupBy("id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        s => s.getField("toks"))).as("bpe_tokens"))
+      .select(col("id"), col("bpe_tokens"),
+        size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
+  }
+
   /** Standard BPE encode of one word: repeatedly apply the present pair
     * with the lowest merge rank until none applies.
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bpe, QualityModel, Similarity, TextStats}
+import graft.operators.{Bm25, Bpe, QualityModel, Similarity, TextStats}
 import graft.sources.Warc
 
 /** Model-facing data artifacts on the driver surface: the corpus n-gram
@@ -60,6 +60,42 @@ object ModelDataQueries {
           .drop("__k").orderBy("rank")
       }
     } finally wf.unpersist()
+  }
+
+  /** q130's shared half: learn 12 merges (hybrid route), encode the
+    * corpus with the per-word lowest-rank-first loop ([[Bpe.encode]]).
+    * The GATED variant also encodes via the independent rank-order
+    * columnar route ([[Bpe.encodeColumnar]]) and requires the full
+    * token SEQUENCES to agree doc-for-doc (fingerprint over the joined
+    * token list) — two structurally different implementations of BPE
+    * application must produce identical segmentations. Docs with at
+    * least one token only (the columnar route has no row to carry an
+    * empty doc).
+    */
+  private def bpeEncoded(s: SparkSession, dir: String,
+                         gated: Boolean): DataFrame = {
+    val docs = Tables(s, dir, "documents").where(col("text").isNotNull &&
+      size(graft.functions.TextFns.tokens(col("text"))) > 0)
+    val merges = Bpe.learnMerges(
+      Bpe.wordFrequencies(docs, "text"), numMerges = 12)
+    // \n-joined: tokens are whitespace-split, so none can contain the
+    // separator and the fingerprint sees every token boundary
+    def fingerprinted(enc: DataFrame): DataFrame =
+      enc.select(col("id").as("doc_id"), col("n_bpe_tokens"),
+        xxhash64(concat_ws("\n", col("bpe_tokens"))).as("tok_fp"))
+    val loop = fingerprinted(Bpe.encode(docs, "text", "doc_id", merges))
+    val out =
+      if (!gated) loop
+      else {
+        val columnar = fingerprinted(
+          Bpe.encodeColumnar(docs, "text", "doc_id", merges))
+        val key = concat_ws("|",
+          col("doc_id"), col("n_bpe_tokens"), col("tok_fp"))
+        Gates.setParity(loop.withColumn("__k", key),
+            columnar.withColumn("__k", key), "__k")
+          .drop("__k")
+      }
+    out.orderBy("doc_id")
   }
 
   def defs: Map[String, Q] = Map(
@@ -204,6 +240,26 @@ object ModelDataQueries {
         .orderBy("doc_id")
     }),
 
+    // BM25 retrieval: every 101st doc becomes a query (its first five
+    // tokens), top-10 hits over the whole corpus — idf, length
+    // normalization, rounding-before-rank and the doc_id tiebreak all
+    // hash-checked against DuckDB's closed-form mirror.
+    "q129_bm25_topk" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+      val queries = docs
+        .where(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(
+            graft.functions.TextFns.tokens(lower(col("text"))), 1, 5), " ")
+            .as("qtext"))
+      Bm25.topK(docs, queries, "doc_id", "text", "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q130_bpe_encode" -> ((s, dir) => bpeEncoded(s, dir, gated = true)),
+
     // Mixture planning: largest token total at exactly 50/30/20 across
     // three sources within a 6000-token budget (availability binds at
     // small SFs, the budget at large — both branches live), with the
@@ -220,7 +276,8 @@ object ModelDataQueries {
 
   /** Gate-free serving variant (Bench's serving/gate split). */
   def serving: Map[String, Q] = Map(
-    "q123_bpe_merges" -> ((s, dir) => bpeLearned(s, dir, withReference = false))
+    "q123_bpe_merges" -> ((s, dir) => bpeLearned(s, dir, withReference = false)),
+    "q130_bpe_encode" -> ((s, dir) => bpeEncoded(s, dir, gated = false))
   )
 
   private val cosSql =
@@ -246,6 +303,31 @@ object ModelDataQueries {
     (0 until 5).map(j => s"$w.c$j*f$j").mkString("+")
 
   def oracles: Map[String, String] = Map(
+    // BM25: the full scoring pipeline in closed form — tf/dl/df/avgdl
+    // over the same lowercased whitespace tokens, the Lucene idf, and
+    // round-before-rank with the doc_id tiebreak.
+    "q129_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        | tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        | st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        | qt AS (SELECT DISTINCT doc_id AS query_id, unnest(w[1:5]) AS term
+        |  FROM d WHERE doc_id % 101 = 0),
+        | df AS (SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+        | sc AS (SELECT qt.query_id, tf.doc_id,
+        |   round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+        |     tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qt JOIN df ON qt.term = df.term JOIN tf ON qt.term = tf.term
+        |   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY 1, 2),
+        | r AS (SELECT query_id, doc_id, score, row_number() OVER
+        |   (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS "rank" FROM sc)
+        | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
+        | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+        .replaceAll("\n", " "),
     "q119_ngram_table" ->
       """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),

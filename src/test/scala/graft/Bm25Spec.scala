@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bm25
+
+class Bm25Spec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat"),
+    (3L, "cat cat cat"),
+    (4L, "birds fly"),
+    (5L, "   "),                       // blank: never indexed
+    (6L, null.asInstanceOf[String]))   // null: never indexed
+    .toDF("doc_id", "text")
+
+  test("hand-computed scores: idf, tf saturation, length normalization, tiebreak") {
+    val queries = Seq((10L, "cat"), (11L, "sat mat"), (12L, "")).toDF("qid", "q")
+    val got = Bm25.topK(Bm25.index(docs, "doc_id", "text"), queries,
+        "qid", "q", k = 10)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).toSeq).toMap
+
+    // index: N = 4 docs (blank/null drop), dl = 6,3,3,2 -> avgdl = 3.5
+    val n = 4.0; val avgdl = 3.5
+    def w(tf: Double, df: Double, dl: Double): Double =
+      math.log(1 + (n - df + 0.5) / (df + 0.5)) *
+        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // "cat": df=2 (docs 1, 3); tf=3 in doc 3 saturates above doc 1's tf=1
+    assert(got(10L).map(t => (t._2, t._3)) ===
+      Seq((3L, r6(w(3, 2, 3))), (1L, r6(w(1, 2, 6)))))
+    // "sat mat": both terms hit doc 1 (score sums over terms), doc 2
+    // matches "sat" only and ranks below despite its shorter length
+    assert(got(11L).map(t => (t._2, t._3)) ===
+      Seq((1L, r6(w(1, 2, 6) + w(1, 1, 6))), (2L, r6(w(1, 2, 3)))))
+    // empty query: no terms, no hits
+    assert(!got.contains(12L))
+  }
+
+  test("k cuts per query; rank ties break by doc_id") {
+    // two docs with identical text score identically for "birds" —
+    // the lower doc_id must take rank 1
+    val d2 = docs.union(Seq((7L, "birds fly")).toDF("doc_id", "text"))
+    val hits = Bm25.topK(Bm25.index(d2, "doc_id", "text"),
+        Seq((1L, "birds")).toDF("qid", "q"), "qid", "q", k = 1)
+      .select("doc_id", "rank").as[(Long, Int)].collect()
+    assert(hits === Array((4L, 1)))
+  }
+
+  test("prebuilt index reuses across query batches; scoring plan broadcasts the query side") {
+    val ix = Bm25.index(docs, "doc_id", "text")
+    val ixTf = ix.tf.persist()
+    try {
+      val ixP = Bm25.Index(ixTf, ix.dl)
+      val a = Bm25.topK(ixP, Seq((1L, "cat")).toDF("qid", "q"), "qid", "q", 5)
+      val b = Bm25.topK(ixP, Seq((2L, "dog")).toDF("qid", "q"), "qid", "q", 5)
+      assert(a.count() === 2L && b.count() === 1L)
+      val plan = a.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // query terms + idf reach the tf frame as a broadcast join, and
+      // the top-k is a WindowGroupLimit cut, not a global sort
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("WindowGroupLimit"), plan)
+    } finally { ixTf.unpersist(); () }
+  }
+}

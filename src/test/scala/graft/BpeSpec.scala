@@ -100,6 +100,36 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.encodeWord("😀", Map.empty) === Seq("😀"))
   }
 
+  test("encodeColumnar == encode on random corpora (learned tables), incl. supplementary plane") {
+    // the q130 gate's subject: the per-word lowest-rank-first loop and
+    // the rank-order columnar fold are structurally different
+    // implementations that must segment identically under any LEARNED
+    // merge table (rank k never re-creates a lower-rank pair)
+    val rnd = new scala.util.Random(20260815L)
+    val alphabets = Seq("ab", "abc", "a𝄞b")
+    alphabets.foreach { alpha =>
+      val docs = (1L to 20L).map { id =>
+        val words = (0 until 1 + rnd.nextInt(4)).map { _ =>
+          val cps = alpha.codePoints().toArray
+          (0 until 1 + rnd.nextInt(6))
+            .map(_ => new String(Character.toChars(cps(rnd.nextInt(cps.length)))))
+            .mkString
+        }
+        (id, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val merges = Bpe.learnMerges(Bpe.wordFrequencies(docs, "text"), 6)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.concat_ws("\n",
+              org.apache.spark.sql.functions.col("bpe_tokens")),
+            org.apache.spark.sql.functions.col("n_bpe_tokens"))
+          .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(canon(Bpe.encodeColumnar(docs, "text", "doc_id", merges)) ===
+        canon(Bpe.encode(docs, "text", "doc_id", merges)),
+        s"alphabet=$alpha merges=$merges")
+    }
+  }
+
   test("wordFrequencies: one corpus pass, null/blank docs excluded") {
     val docs = Seq((1L, "x y x"), (2L, "  "), (3L, null.asInstanceOf[String]), (4L, "y"))
       .toDF("doc_id", "text")
