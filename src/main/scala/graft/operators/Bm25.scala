@@ -97,12 +97,22 @@ object Bm25 {
       .where(col("rank") <= k)
   }
 
-  /** Convenience: build the index inline and query it. Prefer
-    * [[index]] + [[topK]] with a persisted index when serving more
-    * than one query batch — this form re-derives the index per call.
+  /** Convenience: build the index inline and query it. The tf frame is
+    * consumed three times inside [[topK]] (doc lengths, df, scoring),
+    * so it persists for the call and releases after the action that
+    * consumes the result — without this the tokenize + (doc, term)
+    * shuffle would run three times per query batch. Prefer [[index]] +
+    * [[topK]] with a caller-persisted index when serving more than one
+    * query batch.
     */
   def topK(docs: DataFrame, queries: DataFrame, idCol: String,
            textCol: String, queryIdCol: String, queryTextCol: String,
-           k: Int): DataFrame =
-    topK(index(docs, idCol, textCol), queries, queryIdCol, queryTextCol, k)
+           k: Int): DataFrame = {
+    val ix = index(docs, idCol, textCol)
+    val tf = ix.tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = topK(Index(tf, tf.groupBy("doc_id").agg(sum("tf").as("dl"))),
+      queries, queryIdCol, queryTextCol, k)
+    graft.core.Frames.releaseAfterNextAction(docs.sparkSession, tf)
+    out
+  }
 }

@@ -139,4 +139,33 @@ object Decontaminate {
       .select(col("id").as("__contaminated_id"))
     corpus.join(hits, q(idCol) === col("__contaminated_id"), "left_anti")
   }
+
+  /** RETRIEVAL-based contamination audit — the soft complement of the
+    * exact n-gram family: each benchmark item retrieves its BM25 top-k
+    * corpus docs ([[Bm25.topK]]), and a doc scoring ≥ `minScore` in any
+    * item's top-k is reported with its evidence: (doc_id, n_hits = how
+    * many items retrieved it, max_score, top_benchmark_id = the
+    * highest-scoring item, score ties → highest id). Catches reworded /
+    * partially-overlapping leakage that shreds exact n-grams — the
+    * near-miss review queue next to [[clean]]'s hard drops.
+    *
+    * Scale shape is [[Bm25]]'s: benchmark items are the
+    * broadcast-small query side by construction (eval suites), the
+    * per-doc rollup adds one doc-keyed aggregation of the (≤ items×k)
+    * hit frame.
+    */
+  def byRetrieval(
+      corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, benchIdCol: String,
+      k: Int = 10, minScore: Double = 0.0
+  ): DataFrame =
+    Bm25.topK(corpus, benchmark, idCol, textCol,
+        benchIdCol, benchTextCol, k)
+      .where(col("score") >= minScore)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("score"), col("query_id"))).as("__best"))
+      .select(col("doc_id"), col("n_hits"),
+        col("__best.score").as("max_score"),
+        col("__best.query_id").as("top_benchmark_id"))
 }

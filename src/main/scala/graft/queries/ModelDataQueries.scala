@@ -260,6 +260,20 @@ object ModelDataQueries {
 
     "q130_bpe_encode" -> ((s, dir) => bpeEncoded(s, dir, gated = true)),
 
+    // Retrieval-based decontamination: every 97th doc is a benchmark
+    // item querying the rest of the corpus (BM25 top-5, score floor 1);
+    // each flagged doc reports hit count, best score, and the
+    // highest-scoring item — the near-miss review queue beside the
+    // exact n-gram clean. Fully oracled.
+    "q131_retrieval_decon" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+      graft.operators.Decontaminate.byRetrieval(
+          docs.where(pmod(col("doc_id"), lit(97)) =!= 0), "text", "doc_id",
+          docs.where(pmod(col("doc_id"), lit(97)) === 0), "text", "doc_id",
+          k = 5, minScore = 1.0)
+        .orderBy("doc_id")
+    }),
+
     // Mixture planning: largest token total at exactly 50/30/20 across
     // three sources within a 6000-token budget (availability binds at
     // small SFs, the budget at large — both branches live), with the
@@ -327,6 +341,37 @@ object ModelDataQueries {
         |   (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS "rank" FROM sc)
         | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
         | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+        .replaceAll("\n", " "),
+    // q131: the q129 scoring mirror with corpus = non-benchmark docs,
+    // queries = benchmark docs' full text, then the per-doc evidence
+    // rollup (hit count, max score, argmax item with the ties-high rule).
+    "q131_retrieval_decon" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 97 <> 0),
+        | tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        | st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        | qt AS (SELECT DISTINCT doc_id AS query_id, unnest(w) AS term
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |   FROM documents WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 97 = 0)),
+        | df AS (SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+        | sc AS (SELECT qt.query_id, tf.doc_id,
+        |   round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+        |     tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |  FROM qt JOIN df ON qt.term = df.term JOIN tf ON qt.term = tf.term
+        |   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY 1, 2),
+        | r AS (SELECT query_id, doc_id, score, row_number() OVER
+        |   (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk FROM sc),
+        | h AS (SELECT query_id, doc_id, score FROM r WHERE rk <= 5 AND score >= 1.0),
+        | g AS (SELECT doc_id, count(*) AS n_hits FROM h GROUP BY 1),
+        | b AS (SELECT doc_id, score AS max_score, query_id AS top_benchmark_id,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, query_id DESC) AS rn
+        |  FROM h)
+        | SELECT g.doc_id, g.n_hits, b.max_score, b.top_benchmark_id
+        | FROM g JOIN b ON g.doc_id = b.doc_id AND b.rn = 1 ORDER BY g.doc_id""".stripMargin
         .replaceAll("\n", " "),
     "q119_ngram_table" ->
       """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w

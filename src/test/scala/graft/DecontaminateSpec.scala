@@ -60,4 +60,35 @@ class DecontaminateSpec extends SparkSuite {
       benchmark, "text", n = 3).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("byRetrieval: reworded leakage surfaces, hit rollup + argmax ties high, floor filters") {
+    val cand = Seq(
+      (1L, "alpha beta gamma delta shared"),   // rewording of item 10
+      (2L, "unrelated text about nothing"),
+      (3L, "alpha beta gamma delta shared"))   // identical twin of 1
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "shared delta gamma beta alpha"),  // word-permuted: zero 3-gram overlap
+      (11L, "alpha beta gamma delta shared"))  // exact item
+      .toDF("doc_id", "text")
+    // the exact n-gram route misses the permutation entirely
+    assert(Decontaminate.contaminationHits(
+      Seq((1L, "alpha beta gamma delta shared")).toDF("doc_id", "text"),
+      "text", "doc_id",
+      bench.where(col("doc_id") === 10L), "text", n = 3).count() === 0L)
+    val got = Decontaminate.byRetrieval(cand, "text", "doc_id",
+        bench, "text", "doc_id", k = 5, minScore = 0.1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // docs 1 and 3 hit BOTH items (same terms), doc 2 shares no term
+    assert(got.keySet === Set(1L, 3L))
+    assert(got(1L)._1 === 2L && got(3L)._1 === 2L)
+    // identical docs score identically against both items; the argmax
+    // breaks the item tie HIGH (11 > 10)
+    assert(got(1L)._3 === 11L && got(3L)._3 === 11L)
+    assert(got(1L)._2 === got(3L)._2 && got(1L)._2 > 0.0)
+    // a floor above every score empties the report
+    assert(Decontaminate.byRetrieval(cand, "text", "doc_id",
+      bench, "text", "doc_id", k = 5, minScore = 1e9).count() === 0L)
+  }
 }
