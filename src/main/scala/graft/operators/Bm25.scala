@@ -63,8 +63,14 @@ object Bm25 {
   def topK(ix: Index, queries: DataFrame, queryIdCol: String,
            queryTextCol: String, k: Int, params: Params = Params()): DataFrame = {
     require(k > 0, "k must be positive")
-    // N and avgdl: one metadata-sized aggregate, broadcast back
-    val stats = ix.dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    // N and avgdl: one metadata-sized aggregate as a bounded scalar
+    // read (the centroid idiom) — re-entering as literals keeps the
+    // scoring plan pure equi-join (no 1-row crossJoin broadcast).
+    // Empty corpus: the tf joins below produce no rows regardless, so
+    // any avgdl placeholder is unreachable.
+    val statsRow = ix.dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = if (statsRow.isNullAt(1)) 1.0 else statsRow.getDouble(1)
     val qTerms = queries
       .where(col(s"`$queryTextCol`").isNotNull)
       .select(col(s"`$queryIdCol`").cast("long").as("query_id"),
@@ -75,18 +81,16 @@ object Bm25 {
     // the corpus vocabulary
     val df = ix.tf.join(broadcast(qTerms.select("term").distinct()), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = df.crossJoin(broadcast(stats))
-      .select(col("term"),
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))).as("idf"),
-        col("avgdl"))
+    val idf = df.select(col("term"),
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))).as("idf"))
     val scored = ix.tf
       .join(broadcast(qTerms.join(broadcast(idf), "term")), "term")
       .join(ix.dl, "doc_id")
       .select(col("query_id"), col("doc_id"),
         (col("idf") * col("tf") * lit(params.k1 + 1.0) /
           (col("tf") + lit(params.k1) *
-            (lit(1.0 - params.b) + lit(params.b) * col("dl") / col("avgdl"))))
+            (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(avgdl))))
           .as("w"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum("w"), 6).as("score"))

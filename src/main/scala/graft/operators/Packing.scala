@@ -126,4 +126,38 @@ object Packing {
         expr(s"start_token div ${capacity}L").as("chunk_id"),
         pmod(col("start_token"), lit(capacity)).as("offset_in_chunk"))
   }
+
+  /** WITHIN-document sliding-window chunking — the retrieval/embedding
+    * layout next to [[packChunks]]' training layout: each doc yields
+    * windows of up to `window` tokens starting at 0, stride, 2·stride, …
+    * (every start < the doc's token count, so the tail is always
+    * covered; the final windows may be short). Output: (doc_id,
+    * chunk_idx, start_token, n_tokens, chunk_text).
+    *
+    * Entirely map-side — one projection of array HOFs per doc, zero
+    * shuffles at any corpus size (chunking never needs cross-document
+    * context; contrast the prefix-sum machinery above, which exists
+    * precisely because packing does).
+    */
+  def slidingWindows(df: DataFrame, textCol: String, idCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(stride >= 1 && stride <= window,
+      "stride must be in [1, window] (stride > window would skip tokens)")
+    val toks = graft.functions.TextFns.tokens(col(s"`$textCol`"))
+    df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").cast("long").as("doc_id"), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          // Column `/` is double division; the cast truncates toward
+          // zero == floor here (size >= 1 after the filter)
+          sequence(lit(0), ((size(col("__toks")) - 1) / stride).cast("int")),
+          i => slice(col("__toks"), i * stride + 1, lit(window))))
+          .as(Seq("chunk_idx", "__chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_token"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics operators that need aggregation (the per-row signals
@@ -651,5 +651,56 @@ object TextStats {
       .partitionBy("ord").orderBy(col("cnt").desc, col("gram").asc)
     counted.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
+  }
+
+  /** Term-distribution DRIFT between two corpora — the release-health
+    * monitor for "did this acquisition/release shift the vocabulary":
+    * per term, counts and unigram probabilities in each corpus plus the
+    * term's Jensen–Shannon divergence contribution (base-2; m is the
+    * even mixture, one-sided terms contribute only their present side,
+    * total JS = Σ contributions ∈ [0, 1]). `minCount` drops tail terms
+    * whose individual contributions are float noise (report scope, not
+    * probability scope — probabilities are computed over ALL terms
+    * first).
+    *
+    * Shape: one (term) count shuffle per corpus, per-side totals as a
+    * bounded scalar read re-entering as literals (the centroid idiom —
+    * the projection stays join-free), one full-outer term join —
+    * term-dictionary-sized (Zipf). The joined count frame persists for
+    * the call (it feeds the totals probe and the projection) and
+    * releases after the consuming action.
+    */
+  def termDrift(a: DataFrame, b: DataFrame, textCol: String,
+                minCount: Long = 1L): DataFrame = {
+    def counts(df: DataFrame) = df
+      .where(col(s"`$textCol`").isNotNull)
+      .select(explode(graft.functions.TextFns.tokens(
+        lower(col(s"`$textCol`")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val joined = counts(a).withColumnRenamed("cnt", "cnt_a")
+      .join(counts(b).withColumnRenamed("cnt", "cnt_b"),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = joined.agg(sum("cnt_a"), sum("cnt_b")).head()
+    val (totA, totB) =
+      (if (t.isNullAt(0)) 0L else t.getLong(0),
+       if (t.isNullAt(1)) 0L else t.getLong(1))
+    // empty-side guard: a zero total divides nowhere (its cnt is 0 for
+    // every term, and 0-count sides take the otherwise(0.0) branch)
+    val pa = col("cnt_a") / lit(math.max(totA, 1L)).cast("double")
+    val pb = col("cnt_b") / lit(math.max(totB, 1L)).cast("double")
+    val m = (pa + pb) / lit(2.0)
+    val side = (p: Column) =>
+      when(p > 0, p * log2(p / m) / lit(2.0)).otherwise(lit(0.0))
+    val out = joined
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        pa.as("p_a"), pb.as("p_b"),
+        (side(pa) + side(pb)).as("js_contrib"))
+      .where(col("cnt_a") + col("cnt_b") >= minCount)
+    graft.core.Frames.releaseAfterNextAction(a.sparkSession, joined)
+    out
   }
 }

@@ -274,6 +274,33 @@ object ModelDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window chunking (the retrieval/embedding layout): windows
+    // of 40 tokens at stride 25 per doc, tail always covered, trailing
+    // windows short — start arithmetic, window contents (md5'd), and
+    // counts all hash-checked.
+    "q132_sliding_chunks" -> ((s, dir) => {
+      graft.operators.Packing.slidingWindows(
+          Tables(s, dir, "documents"), "text", "doc_id",
+          window = 40, stride = 25)
+        .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+          col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Term-distribution drift: src1 vs the rest of the corpus —
+    // per-term counts, unigram probabilities, and Jensen–Shannon
+    // contributions (the release-health monitor), tail-thinned to
+    // terms with >= 25 total occurrences.
+    "q133_term_drift" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextStats.termDrift(docs.where(col("source") === "src1"),
+          docs.where(col("source") =!= "src1"), "text", minCount = 25L)
+        .select(col("term"), col("cnt_a"), col("cnt_b"),
+          round(col("p_a"), 8).as("p_a"), round(col("p_b"), 8).as("p_b"),
+          round(col("js_contrib"), 9).as("js_contrib"))
+        .orderBy("term")
+    }),
+
     // Mixture planning: largest token total at exactly 50/30/20 across
     // three sources within a 6000-token budget (availability binds at
     // small SFs, the budget at large — both branches live), with the
@@ -372,6 +399,39 @@ object ModelDataQueries {
         |  FROM h)
         | SELECT g.doc_id, g.n_hits, b.max_score, b.top_benchmark_id
         | FROM g JOIN b ON g.doc_id = b.doc_id AND b.rn = 1 ORDER BY g.doc_id""".stripMargin
+        .replaceAll("\n", " "),
+    "q132_sliding_chunks" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        | c AS (SELECT doc_id, i AS chunk_idx, i*25 AS start_token,
+        |   w[i*25+1 : least(i*25+40, len(w))] AS chunk
+        |  FROM d, unnest(generate_series(0, (len(w)-1)//25)) AS t(i))
+        | SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(start_token AS BIGINT) AS start_token,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        | FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+        .replaceAll("\n", " "),
+    "q133_term_drift" ->
+      """WITH ta AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '' AND source = 'src1'),
+        | tb AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '' AND source <> 'src1'),
+        | ca AS (SELECT term, count(*) AS cnt_a FROM ta GROUP BY 1),
+        | cb AS (SELECT term, count(*) AS cnt_b FROM tb GROUP BY 1),
+        | j AS (SELECT coalesce(ca.term, cb.term) AS term,
+        |   coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        | t AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM j),
+        | e AS (SELECT term, cnt_a, cnt_b,
+        |   CAST(cnt_a AS DOUBLE)/CAST(t.tot_a AS DOUBLE) AS pa,
+        |   CAST(cnt_b AS DOUBLE)/CAST(t.tot_b AS DOUBLE) AS pb
+        |  FROM j CROSS JOIN t)
+        | SELECT term, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+        |  round(pa, 8) AS p_a, round(pb, 8) AS p_b,
+        |  round((CASE WHEN pa > 0 THEN pa*log2(pa/((pa+pb)/2))/2 ELSE 0 END) +
+        |        (CASE WHEN pb > 0 THEN pb*log2(pb/((pa+pb)/2))/2 ELSE 0 END), 9) AS js_contrib
+        | FROM e WHERE cnt_a + cnt_b >= 25 ORDER BY term""".stripMargin
         .replaceAll("\n", " "),
     "q119_ngram_table" ->
       """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w

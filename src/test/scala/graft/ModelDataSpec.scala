@@ -86,4 +86,29 @@ class ModelDataSpec extends SparkSuite {
       .select("stratum", "n_take").as[(String, Long)].collect().toMap
     assert(zero === Map("web" -> 0L, "missing" -> 0L))
   }
+
+  test("termDrift: hand-computed JS contributions, one-sided terms contribute p/2, minCount thins") {
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")   // totals: x=2, y=1 (3)
+    val b = Seq((2L, "x z")).toDF("doc_id", "text")     // totals: x=1, z=1 (2)
+    val got = TextStats.termDrift(a, b, "text")
+      .select("term", "cnt_a", "cnt_b", "p_a", "p_b", "js_contrib")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def js(pa: Double, pb: Double): Double = {
+      val m = (pa + pb) / 2
+      (if (pa > 0) pa * math.log(pa / m) / math.log(2) / 2 else 0.0) +
+        (if (pb > 0) pb * math.log(pb / m) / math.log(2) / 2 else 0.0)
+    }
+    assert(got("x") === (("x", 2L, 1L, 2.0 / 3, 0.5, js(2.0 / 3, 0.5))))
+    // one-sided terms: the present side's p/2 exactly
+    assert(got("y")._6 === (1.0 / 3) / 2 && got("y")._3 === 0L)
+    assert(got("z")._6 === 0.5 / 2 && got("z")._2 === 0L)
+    // total JS over all terms stays in [0, 1]
+    val total = got.values.map(_._6).sum
+    assert(total > 0.0 && total <= 1.0)
+    // minCount is report scope only: x's probabilities are unchanged
+    val thinned = TextStats.termDrift(a, b, "text", minCount = 2L)
+      .select("term", "p_a").as[(String, Double)].collect().toMap
+    assert(thinned.keySet === Set("x") && thinned("x") === 2.0 / 3)
+  }
 }

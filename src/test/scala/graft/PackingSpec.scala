@@ -55,4 +55,26 @@ class PackingSpec extends SparkSuite {
       (3L, 600L, 610L, 1L, 88L),
       (4L, 610L, 1110L, 1L, 98L)))
   }
+
+  test("slidingWindows: stride starts, short tail windows, blank/null drop, bad stride rejected") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),            // 7 tokens
+      (2L, "x y"),                      // shorter than the window
+      (3L, "   "),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Packing.slidingWindows(docs, "text", "doc_id",
+        window = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start_token", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 3L, "a b c"),
+      (1L, 1L, 2L, 3L, "c d e"),
+      (1L, 2L, 4L, 3L, "e f g"),
+      (1L, 3L, 6L, 1L, "g"),            // tail window, short
+      (2L, 0L, 0L, 2L, "x y")))
+    intercept[IllegalArgumentException](
+      Packing.slidingWindows(docs, "text", "doc_id", window = 3, stride = 4))
+  }
 }

@@ -206,7 +206,10 @@ class PlanQualitySpec extends SparkSuite {
       // q123's parity gate broadcasts a 1-row mismatch count (the q87
       // idiom); the anchors side of q120's exact hard-negative scan is a
       // deliberate small-side broadcast
-      "q123_bpe_merges", "q120_hard_negatives")
+      "q123_bpe_merges", "q120_hard_negatives",
+      // q128/q130 are setParity-gated (the same single 1-row mismatch
+      // broadcast); their serving variants plan pure equi-joins
+      "q128_crawl_release", "q130_bpe_encode")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(gateQueries)
       .filter { name =>
