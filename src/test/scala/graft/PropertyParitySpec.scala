@@ -314,4 +314,77 @@ class PropertyParitySpec extends SparkSuite {
       assert(got.values.forall { case (av, take) => take <= av })
     }
   }
+
+  test("Bm25.topK == local brute-force scoring on random small-vocab corpora") {
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    for (round <- 0 until 4) {
+      val nDocs = 5 + round * 4
+      val docs = (1L to nDocs.toLong).map { id =>
+        val len = sample(Gen.choose(0, 8), 9500L + round * 100 + id)
+        val words = sample(Gen.listOfN(len, Gen.oneOf(vocab)), 9600L + round * 100 + id)
+        (id, words.mkString(" "))
+      }
+      val queries = (100L to 102L).map { qid =>
+        val words = sample(Gen.listOfN(3, Gen.oneOf(vocab)), 9700L + round * 10 + qid)
+        (qid, words.mkString(" "))
+      }
+      val k = 4
+      val got = graft.operators.Bm25.topK(docs.toDF("doc_id", "text"),
+          queries.toDF("qid", "q"), "doc_id", "text", "qid", "q", k)
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      // local reference: same formula, rounded before ranking
+      val tf = docs.flatMap { case (id, t) =>
+        t.trim.split("\\s+").filter(_.nonEmpty).groupBy(identity)
+          .map { case (w, g) => (id, w, g.length.toLong) }
+      }
+      val dl = tf.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val n = dl.size.toDouble
+      val avgdl = dl.values.sum.toDouble / n
+      val dfm = tf.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = queries.flatMap { case (qid, q) =>
+        val terms = q.trim.split("\\s+").filter(_.nonEmpty).distinct
+        val scores = dl.keys.toSeq.map { id =>
+          val s = terms.map { t =>
+            val f = tf.find(x => x._1 == id && x._2 == t).map(_._3.toDouble).getOrElse(0.0)
+            if (f == 0) 0.0
+            else math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+              f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+          }.sum
+          (id, r6(s))
+        }.filter(_._2 != 0.0)
+        scores.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((id, s), i) => (qid, id, s, i + 1) }
+      }.toSet
+      assert(got === want, s"round=$round: missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("slidingWindows == local window arithmetic on random docs") {
+    for (round <- 0 until 3) {
+      val window = 2 + round * 2
+      val stride = 1 + round
+      val docs = (1L to 12L).map { id =>
+        val len = sample(Gen.choose(0, 11), 9900L + round * 20 + id)
+        (id, (1 to len).map(i => s"w${(i * id) % 7}").mkString(" "))
+      }
+      val got = graft.operators.Packing.slidingWindows(
+          docs.toDF("doc_id", "text"), "text", "doc_id", window, stride)
+        .select("doc_id", "chunk_idx", "start_token", "n_tokens", "chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val want = docs.flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) Seq.empty
+        else (0 to (toks.length - 1) / stride).map { i =>
+          val chunk = toks.slice(i * stride, i * stride + window)
+          (id, i.toLong, (i * stride).toLong, chunk.length.toLong,
+            chunk.mkString(" "))
+        }
+      }.toSet
+      assert(got === want, s"round=$round window=$window stride=$stride")
+    }
+  }
 }
