@@ -904,4 +904,37 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** QUALITY-AWARE survivor selection over near-dup clusters: cluster
+    * the pair evidence with [[connectedComponents]] and keep exactly
+    * one doc per cluster — the highest `scoreCol`, ties broken by
+    * lowest id (the keep-lowest-id rule is the scoreCol=constant
+    * special case). Docs appearing in no pair are their own singleton
+    * cluster and always survive. Output: the surviving docs' columns
+    * plus `cluster_label` (cluster-min id).
+    *
+    * The standard dedup convention keeps the lowest id, which throws
+    * away information when cluster members differ in quality (a clean
+    * page and its boilerplate-ridden re-crawl are near-dups; keeping
+    * by id is a coin flip). Shape: the CC labels frame (pair-sized)
+    * joins the corpus on id — AQE broadcasts it in the common case —
+    * and the survivor cut is one window partitioned by cluster label
+    * (bounded per cluster; the rank-1 cut rides the WindowGroupLimit
+    * pushdown like every other top-1 in the engine).
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         scoreCol: String): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    val labeled = docs
+      .join(labels, col(s"`$idCol`") === col("__cc_id"), "left")
+      .withColumn("cluster_label",
+        coalesce(col("__cc_label"), col(s"`$idCol`").cast("long")))
+      .drop("__cc_id", "__cc_label")
+    val w = Window.partitionBy("cluster_label")
+      .orderBy(col(s"`$scoreCol`").desc, col(s"`$idCol`").asc)
+    labeled.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk")
+  }
 }

@@ -679,6 +679,25 @@ object TextQueries {
       Dedup.connectedComponentsDistributed(pairs).orderBy("id")
     }),
 
+    // Quality-aware dedup survivors: q109's clusters, but per cluster
+    // the TOKEN-RICHEST doc survives (ties lowest id) instead of the
+    // lowest id — singletons pass through as their own cluster. The
+    // oracle recomputes clusters via the recursive-CTE closure and
+    // mirrors the survivor window.
+    "q134_cluster_survivors" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .where(length(trim(col("text"))) > 0)
+      val pairs = Dedup.ngramJaccardPairs(base, "text", "doc_id",
+          n = 3, threshold = 0.6)
+        .select("id_a", "id_b")
+      Dedup.keepBestPerCluster(
+          base.select(col("doc_id"),
+            TextFns.tokenCount(col("text")).cast("long").as("n_tokens")),
+          pairs, "doc_id", "n_tokens")
+        .select(col("doc_id"), col("cluster_label"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Per-language corpus datasheet: the release-audit aggregate (docs,
     // tokens, blanks, distinct fingerprints, docs in exact-dup clusters)
     // — dup figures use the q31 fingerprint convention so they agree
@@ -1944,6 +1963,33 @@ object TextQueries {
         |   UNION
         |   SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
         | SELECT id, min(reach) AS label FROM r GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
+    "q134_cluster_survivors" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s,
+        |    len(w) AS n_tokens
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        | pp AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |  WHERE jaccard >= 0.6),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM pp
+        |       UNION ALL SELECT id_b, id_a FROM pp),
+        | r(id, reach) AS (
+        |   SELECT DISTINCT src, src FROM e
+        |   UNION
+        |   SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        | lab AS (SELECT id, min(reach) AS label FROM r GROUP BY id),
+        | ld AS (SELECT sh.doc_id, coalesce(lab.label, sh.doc_id) AS cluster_label, sh.n_tokens
+        |        FROM sh LEFT JOIN lab ON sh.doc_id = lab.id),
+        | rk AS (SELECT doc_id, cluster_label, n_tokens, row_number() OVER
+        |   (PARTITION BY cluster_label ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM ld)
+        | SELECT doc_id, cluster_label, CAST(n_tokens AS BIGINT) AS n_tokens
+        | FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q105_zipf_stats" ->
       """WITH tok AS (
         |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t

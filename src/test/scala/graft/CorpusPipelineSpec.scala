@@ -245,4 +245,26 @@ class CorpusPipelineSpec extends SparkSuite {
       .where(col("count") > 1).count()
     assert(fpDups === 0)
   }
+
+  test("keepBestPerCluster: chain cluster keeps the top score (ties low id); singletons survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 1L),    // cluster {1,2,3} via the chain below
+      (2L, 5L),    // highest score in the cluster -> survivor
+      (3L, 5L),    // same score, higher id -> loses the tie
+      (4L, 0L))    // no pair: singleton, survives at any score
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.keepBestPerCluster(
+        docs, pairs, "doc_id", "score")
+      .select("doc_id", "cluster_label", "score")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L, 5L), (4L, 4L, 0L)))
+    // scoreCol = constant degenerates to the keep-lowest-id rule
+    val lowId = graft.operators.Dedup.keepBestPerCluster(
+        docs.withColumn("c", org.apache.spark.sql.functions.lit(0)),
+        pairs, "doc_id", "c")
+      .select("doc_id").as[Long].collect().toSet
+    assert(lowId === Set(1L, 4L))
+  }
 }
