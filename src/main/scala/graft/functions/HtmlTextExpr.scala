@@ -109,9 +109,18 @@ object HtmlTextKernel {
           }
         }
       } else if (c == '&') {
-        val semi = html.indexOf(';', i + 1)
+        // bounded window scan: an unbounded indexOf(';') is O(n) per
+        // '&' — quadratic on ampersand-heavy text with no semicolons
+        // (crawl pages do this); no entity is longer than 12 chars
+        var semi = -1
+        var s = i + 1
+        val lim = math.min(n, i + 13)
+        while (semi < 0 && s < lim) {
+          if (html.charAt(s) == ';') semi = s
+          s += 1
+        }
         val decoded =
-          if (semi > i && semi - i <= 12) decodeEntity(html.substring(i + 1, semi))
+          if (semi > i) decodeEntity(html.substring(i + 1, semi))
           else null
         if (decoded != null) {
           var d = 0
@@ -144,7 +153,12 @@ object HtmlTextKernel {
             Integer.parseInt(ent.substring(2), 16)
           else Integer.parseInt(ent.substring(1))
         } catch { case _: NumberFormatException => -1 }
-      if (cp > 0 && Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+      // surrogate code points are "valid" to isValidCodePoint but
+      // decode to a LONE surrogate — invalid UTF-16 that corrupts any
+      // downstream byte encode; treat like any unrecognized entity
+      if (cp > 0 && Character.isValidCodePoint(cp) &&
+          !(cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
+        new String(Character.toChars(cp))
       else null
     } else named.getOrElse(ent, null)
 

@@ -119,4 +119,63 @@ object Bm25 {
     graft.core.Frames.releaseAfterNextAction(docs.sparkSession, tf)
     out
   }
+
+  /** PERSISTENT inverted index: the tf frame on disk as batch-appended
+    * parquet ([[graft.load.IdempotentParquetSink]] — exactly-once per
+    * batch id), the durable form of the object doc's "build once,
+    * persist, serve every query batch" — and the retrieval twin of
+    * [[graft.streaming.StreamingDedup.LshIndex]]'s on-disk registry.
+    *
+    * Doc lengths and corpus stats derive from the stored tf at read
+    * (one aggregation over the index, never a second text scan), so an
+    * append costs only the new batch's tokenize + (doc, term) shuffle,
+    * while df/idf at query time always reflect the WHOLE index — a doc
+    * indexed months ago reweights automatically as the corpus grows.
+    * Wire a stream as `foreachBatch((b, id) => ix.append(b, idCol,
+    * textCol, id))`; re-delivered batch ids skip (the
+    * StreamingReleaseAppend convention), making ingest restart-safe.
+    * Batches must carry docs NOT already indexed (re-ingesting an id
+    * double-counts it — the dedup family runs upstream of indexing).
+    */
+  final class DiskIndex(val root: String) extends Serializable {
+    val store = new graft.load.IdempotentParquetSink(s"$root/tf")
+
+    /** Index one batch. @return false if `batchId` already committed. */
+    def append(docs: DataFrame, idCol: String, textCol: String,
+               batchId: Long): Boolean =
+      store.append(index(docs, idCol, textCol).tf, batchId)
+
+    /** The current index over all committed batches. */
+    def read(spark: org.apache.spark.sql.SparkSession): Index = {
+      val raw = store.read(spark)
+      val tf =
+        if (raw.columns.isEmpty)  // no committed batch yet
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("term",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("tf",
+                org.apache.spark.sql.types.LongType))))
+        else raw.select("doc_id", "term", "tf")
+      Index(tf, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+    }
+
+    /** Query the stored index (tf cached for the call's three
+      * consumers, released after the consuming action).
+      */
+    def topK(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+             queryIdCol: String, queryTextCol: String, k: Int,
+             params: Params = Params()): DataFrame = {
+      val tf = read(spark).tf
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Bm25.topK(
+        Index(tf, tf.groupBy("doc_id").agg(sum("tf").as("dl"))),
+        queries, queryIdCol, queryTextCol, k, params)
+      graft.core.Frames.releaseAfterNextAction(spark, tf)
+      out
+    }
+  }
 }

@@ -113,13 +113,30 @@ object Warc {
     * is buffered (~3–5× the compressed blob binaryFile already holds) —
     * see SCALE.md's WARC section.
     */
-  def parseAuto(bytes: Array[Byte]): Iterator[WarcRecord] =
+  /** Decompressed-output ceiling per file: just under the JVM array
+    * bound the downstream parser needs anyway. Real crawl files sit far
+    * below it; a decompression bomb (or a pathological multi-GB member)
+    * hits the cap and QUARANTINES instead of driving the task into OOM
+    * — the same cost-one-record contract as every other corruption.
+    */
+  val MaxDecompressedBytes: Long = Int.MaxValue.toLong - 64L
+
+  def parseAuto(bytes: Array[Byte],
+                maxDecompressedBytes: Long = MaxDecompressedBytes): Iterator[WarcRecord] =
     if (!isGzip(bytes)) parseIterator(bytes)
     else {
       val out = new java.io.ByteArrayOutputStream()
       val bad = Seq.newBuilder[WarcRecord]
-      gunzipMembers(bytes).foreach {
-        case (_, Right(data)) => out.write(data)
+      val it = gunzipMembers(bytes, maxDecompressedBytes)
+      var capped = false
+      while (it.hasNext && !capped) it.next() match {
+        case (off, Right(data)) =>
+          if (out.size().toLong + data.length > maxDecompressedBytes) {
+            capped = true
+            bad += WarcRecord(off.toLong, valid = false,
+              s"gzip member: decompressed output exceeds $maxDecompressedBytes bytes",
+              "", "", "", -1L, Array.emptyByteArray)
+          } else out.write(data)
         case (off, Left(err)) =>
           bad += WarcRecord(off.toLong, valid = false, s"gzip member: $err",
             "", "", "", -1L, Array.emptyByteArray)
@@ -135,13 +152,14 @@ object Warc {
     * aborts the whole stream at the first bad member.
     */
   private[sources] def gunzipMembers(
-      bytes: Array[Byte]): Iterator[(Int, Either[String, Array[Byte]])] =
+      bytes: Array[Byte],
+      maxMemberBytes: Long = MaxDecompressedBytes): Iterator[(Int, Either[String, Array[Byte]])] =
     new scala.collection.AbstractIterator[(Int, Either[String, Array[Byte]])] {
       private var pos = if (bytes.length >= 2) 0 else -1
       override def hasNext: Boolean = pos >= 0
       override def next(): (Int, Either[String, Array[Byte]]) = {
         val cur = pos
-        val (res, nxt) = gzMember(bytes, cur)
+        val (res, nxt) = gzMember(bytes, cur, maxMemberBytes)
         pos =
           if (nxt > cur) (if (nxt >= bytes.length) -1 else nxt)
           else byteIndexOf(bytes, GzMagic, cur + 1) // corrupt member: resync
@@ -152,8 +170,8 @@ object Warc {
   /** One gzip member starting at `pos`: (decompressed bytes or error,
     * offset just past the member's trailer; -1 on failure).
     */
-  private def gzMember(bytes: Array[Byte],
-                       pos: Int): (Either[String, Array[Byte]], Int) = {
+  private def gzMember(bytes: Array[Byte], pos: Int,
+                       maxMemberBytes: Long = MaxDecompressedBytes): (Either[String, Array[Byte]], Int) = {
     def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     if (pos + 10 > bytes.length) return (Left("truncated gzip header"), -1)
@@ -184,7 +202,14 @@ object Warc {
       val buf = new Array[Byte](64 * 1024)
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) {
+          // bomb guard: bail BEFORE buffering past the cap, so a
+          // hostile member costs at most cap bytes of heap, then
+          // quarantines like any other corruption
+          if (out.size().toLong + n > maxMemberBytes)
+            return (Left(s"member decompresses past $maxMemberBytes bytes"), -1)
+          out.write(buf, 0, n)
+        }
         else if (!inf.finished()) return (Left("truncated deflate stream"), -1)
       }
       val data = out.toByteArray

@@ -69,4 +69,28 @@ class Bm25Spec extends SparkSuite {
       assert(plan.contains("WindowGroupLimit"), plan)
     } finally { ixTf.unpersist(); () }
   }
+
+  test("DiskIndex: batch appends == inline index; re-delivery skips; restart-safe; empty index") {
+    val root = java.nio.file.Files.createTempDirectory("bm25_ix").toString
+    val ix = new Bm25.DiskIndex(root)
+    val q = Seq((1L, "cat sat")).toDF("qid", "q")
+    // empty index: queries return no hits, not an error
+    assert(ix.topK(spark, q, "qid", "q", 5).count() === 0L)
+    val batch0 = docs.where(col("doc_id") <= 2L)
+    val batch1 = docs.where(col("doc_id") > 2L)
+    assert(ix.append(batch0, "doc_id", "text", 0L))
+    assert(ix.append(batch1, "doc_id", "text", 1L))
+    // the stored index answers exactly like the inline index over the
+    // union — df/idf/avgdl reflect the WHOLE index after each append
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val want = rows(Bm25.topK(docs, q, "doc_id", "text", "qid", "q", 5))
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
+    // re-delivered batch id: skipped, index unchanged
+    assert(!ix.append(batch0, "doc_id", "text", 0L))
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
+    // a fresh handle on the same root (restart) reads the same index
+    assert(rows(new Bm25.DiskIndex(root).topK(spark, q, "qid", "q", 5)) === want)
+  }
 }

@@ -76,4 +76,21 @@ class HtmlTextSpec extends SparkSuite {
     assert(got(0)._2 === Some("Header & more\nbody text"))
     assert(got(1)._2 === None) // null-safe
   }
+
+  test("ampersand-heavy text stays linear; surrogate entities stay literal") {
+    // 200k bare ampersands with no semicolon anywhere: the bounded
+    // entity window must keep this linear (an unbounded indexOf(';')
+    // made it quadratic — minutes instead of milliseconds)
+    val heavy = "&" * 200000
+    val t0 = System.nanoTime()
+    assert(HtmlTextKernel.extractText(heavy) === heavy)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0)
+    // an entity whose ';' lies beyond the 12-char window is literal text
+    assert(HtmlTextKernel.extractText("&aaaaaaaaaaaaaaaa;") === "&aaaaaaaaaaaaaaaa;")
+    // numeric entities in the surrogate range would decode to a LONE
+    // surrogate (invalid UTF-16) — they stay literal like any
+    // unrecognized entity; a real supplementary entity still decodes
+    assert(HtmlTextKernel.extractText("a&#xD800;b") === "a&#xD800;b")
+    assert(HtmlTextKernel.extractText("a&#x1F600;b") === "a\ud83d\ude00b")
+  }
 }

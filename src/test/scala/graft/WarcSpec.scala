@@ -238,4 +238,23 @@ class WarcSpec extends SparkSuite {
     drain()
     assert(seen.sorted === Seq("<urn:test:1>", "<urn:test:2>", "<urn:test:3>"))
   }
+
+  test("decompression bombs quarantine at the size cap instead of exhausting heap") {
+    val small = Warc.gzipMember(rec(1, "ok".getBytes(UTF_8)))
+    // one member whose decompressed size exceeds a tiny per-member cap:
+    // quarantined with the cap reason, scan resyncs, later members survive
+    val big = Warc.gzipMember(Array.fill[Byte](4096)('x'))
+    val rs = Warc.parseAuto(big ++ small, maxDecompressedBytes = 1024L).toSeq
+    assert(rs.count(_.valid) === 1 && rs.find(_.valid).get.record_id === "<urn:test:1>")
+    assert(rs.exists(r => !r.valid && r.error.contains("decompresses past")))
+    // total-output cap: first member fits, the next would push the
+    // concatenated output past the cap -> one cap record, parse of the
+    // buffered prefix still yields the first record
+    val half = Warc.gzipMember(rec(2, Array.fill[Byte](500)('y')))
+    val rs2 = Warc.parseAuto(half ++ half, maxDecompressedBytes = 800L).toSeq
+    assert(rs2.count(_.valid) === 1)
+    assert(rs2.exists(r => !r.valid && r.error.contains("exceeds 800 bytes")))
+    // default cap leaves normal files untouched
+    assert(Warc.parseAuto(small ++ small).count(_.valid) === 2)
+  }
 }
