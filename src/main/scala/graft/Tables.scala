@@ -56,6 +56,7 @@ object Sessions {
     graft.functions.SketchExpressions.register(spark)
     graft.functions.TextMetricsExpr.register(spark)
     graft.functions.HtmlTextExpr.register(spark)
+    graft.functions.HtmlLinksExpr.register(spark)
     spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
     spark
   }

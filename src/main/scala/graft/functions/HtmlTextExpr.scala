@@ -144,7 +144,7 @@ object HtmlTextKernel {
     normalize(raw)
   }
 
-  private def decodeEntity(ent: String): String =
+  private[functions] def decodeEntity(ent: String): String =
     if (ent.isEmpty) null
     else if (ent.charAt(0) == '#') {
       val cp =

@@ -301,6 +301,8 @@ object ModelDataQueries {
         .orderBy("term")
     }),
 
+    "q137_bm25_disk" -> mkQ137(gated = true),
+
     // Mixture planning: largest token total at exactly 50/30/20 across
     // three sources within a 6000-token budget (availability binds at
     // small SFs, the budget at large — both branches live), with the
@@ -318,8 +320,53 @@ object ModelDataQueries {
   /** Gate-free serving variant (Bench's serving/gate split). */
   def serving: Map[String, Q] = Map(
     "q123_bpe_merges" -> ((s, dir) => bpeLearned(s, dir, withReference = false)),
-    "q130_bpe_encode" -> ((s, dir) => bpeEncoded(s, dir, gated = false))
+    "q130_bpe_encode" -> ((s, dir) => bpeEncoded(s, dir, gated = false)),
+    "q137_bm25_disk" -> mkQ137(gated = false)
   )
+
+  /** Persistent BM25 retrieval: the corpus lands in [[Bm25.DiskIndex]]
+    * as two idempotent batch appends (the streaming-ingest shape; one
+    * re-delivered batch id proves the no-double-count contract
+    * in-plan), then the STORED index serves the q129 query set. Gated
+    * on exact hit-set parity (query_id:doc_id:rank) against the inline
+    * index over the same corpus plus a 1e-9 score-agreement cap — the
+    * disk route must be indistinguishable from a fresh index. The
+    * serving variant measures what a user ships: append + read + topK,
+    * no second index.
+    */
+  private def mkQ137(gated: Boolean): Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+    val queries = docs.where(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(
+          graft.functions.TextFns.tokens(lower(col("text"))), 1, 5), " ")
+          .as("qtext"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q137_ix").toString
+    val ix = new Bm25.DiskIndex(root)
+    ix.append(docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", 0L)
+    ix.append(docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", 1L)
+    // re-delivery no-ops: a restarted ingest must not double-count
+    ix.append(docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", 0L)
+    val disk = ix.topK(s, queries, "query_id", "qtext", k = 10)
+    val out =
+      if (!gated) disk
+      else {
+        val inline =
+          Bm25.topK(docs, queries, "doc_id", "text", "query_id", "qtext", k = 10)
+        def key(d: DataFrame) = d.select(
+          concat_ws(":", col("query_id"), col("doc_id"), col("rank")).as("k"))
+        val scoreGap = disk.as("d")
+          .join(inline.as("i"), Seq("query_id", "doc_id"))
+          .agg(max(abs(col("d.score") - col("i.score"))).as("__gap"))
+        Gates.setParityOn(disk, key(disk), key(inline), "k")
+          .crossJoin(broadcast(scoreGap))
+          .where(col("__gap") <= 1e-9).drop("__gap")
+      }
+    out.select(col("query_id"), col("doc_id"),
+        round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
 
   private val cosSql =
     """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /

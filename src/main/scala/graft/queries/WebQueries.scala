@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.corpus.{CrawlPipeline, ReleasePipeline}
-import graft.functions.UrlFns
+import graft.functions.{HtmlLinksExpr, UrlFns}
 import graft.operators.Domains
 import graft.sources.Warc
 
@@ -88,6 +88,59 @@ object WebQueries {
       |     WHEN sch='https' THEN regexp_replace(hp, ':443$', '')
       |     ELSE hp END""".stripMargin.replaceAll("\n", " ")
 
+  /** Deterministic HTML page with injected links (the q127 idiom,
+    * aimed at `html_links`): two links per doc — double-quoted href
+    * with an `&amp;` query entity and an anchor carrying an inline tag
+    * + entity; uppercase `<A HREF='…'>` single-quoted with
+    * whitespace-run anchor — plus a third unquoted-href link on every
+    * 3rd doc, wrapped in decoys the extractor must skip (script'd
+    * anchor, comment'd anchor, `<a name=…>` without href).
+    */
+  private[graft] def injectedLinksHtml: Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<html><head><title>T</title><script>var a=\"" +
+        "<a href='http://decoy.example/x'>d</a>\";</script></head>" +
+        "<body><p>intro</p>"),
+      lit("<a href=\"http://h"), pmod(id * 3 + 1, lit(7)).cast("string"),
+      lit(".example/p/"), id.cast("string"),
+      lit("?a=1&amp;b=2\">Link <b>"), id.cast("string"),
+      lit("</b> &amp; more</a>"),
+      lit("<a name=\"x\">no link</a>" +
+        "<!-- <a href=\"http://c.example/\">c</a> -->"),
+      lit("<A HREF='http://h"), pmod(id * 5 + 2, lit(7)).cast("string"),
+      lit(".example/q/"), id.cast("string"), lit("'> second   link </A>"),
+      when(pmod(id, lit(3)) === 0,
+          concat(lit("<a rel=nofollow href=http://h"),
+            pmod(id * 2 + 3, lit(7)).cast("string"),
+            lit(".example/r/"), id.cast("string"),
+            lit(" target=_blank>plain</a>")))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
+  /** The oracle's closed form of [[injectedLinksHtml]]'s extraction:
+    * (link_idx, href, anchor) per doc — entity already decoded, anchor
+    * already whitespace-collapsed per the html_text contract.
+    */
+  private val linksSql =
+    """SELECT doc_id, 0 AS link_idx,
+      |  'http://h' || CAST((doc_id*3+1)%7 AS VARCHAR) || '.example/p/' ||
+      |    CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS href,
+      |  'Link ' || CAST(doc_id AS VARCHAR) || ' & more' AS anchor
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, 1,
+      |  'http://h' || CAST((doc_id*5+2)%7 AS VARCHAR) || '.example/q/' ||
+      |    CAST(doc_id AS VARCHAR),
+      |  'second link' FROM documents
+      |UNION ALL
+      |SELECT doc_id, 2,
+      |  'http://h' || CAST((doc_id*2+3)%7 AS VARCHAR) || '.example/r/' ||
+      |    CAST(doc_id AS VARCHAR),
+      |  'plain' FROM documents WHERE doc_id%3=0""".stripMargin
+      .replaceAll("\n", " ")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // URL canonicalization: every branch (case folding, www, default
     // vs non-default ports, trailing slash, tracking-param removal with
@@ -146,7 +199,39 @@ object WebQueries {
         .orderBy("doc_id")
     }),
 
-    "q128_crawl_release" -> mkQ128(gated = true)
+    "q128_crawl_release" -> mkQ128(gated = true),
+
+    // Outlink extraction: html_links over the injected page — every
+    // href form, entity decode in href AND anchor, anchor whitespace
+    // contract, and all three decoys, hash-checked per (doc, link).
+    "q135_link_extract" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(HtmlLinksExpr.htmlLinks(injectedLinksHtml)))
+        .select(col("doc_id"), col("pos").cast("long").as("link_idx"),
+          col("col.href").as("href"), col("col.anchor").as("anchor"))
+        .orderBy("doc_id", "link_idx")
+    }),
+
+    // The link graph: extracted edges aggregated to (src_host,
+    // dst_host) with link and distinct-doc counts — html_links composed
+    // with the REAL urlHost parse, cross-checked against the oracle's
+    // closed-form modular host arithmetic (the parse must invert the
+    // injection exactly).
+    "q136_anchor_graph" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(
+          concat(lit("h"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example")).as("src_host"),
+          col("doc_id"),
+          explode(HtmlLinksExpr.htmlLinks(injectedLinksHtml)).as("link"))
+        .select(col("src_host"), col("doc_id"),
+          UrlFns.urlHost(col("link.href")).as("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("src_host", "dst_host")
+    })
   )
 
   /** Gate-free serving variants (Bench's serving/gate split). */
@@ -284,6 +369,20 @@ object WebQueries {
          | r AS (SELECT doc_id, host, curl,
          |   row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn FROM nb)
          | SELECT doc_id, host, curl FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        .replaceAll("\n", " "),
+    "q135_link_extract" ->
+      s"""WITH l AS ($linksSql)
+         | SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, anchor
+         | FROM l ORDER BY doc_id, link_idx""".stripMargin.replaceAll("\n", " "),
+    "q136_anchor_graph" ->
+      s"""WITH l AS ($linksSql),
+         | e AS (SELECT 'h' || CAST(doc_id%7 AS VARCHAR) || '.example' AS src_host,
+         |   'h' || CAST(CASE link_idx WHEN 0 THEN (doc_id*3+1)%7
+         |     WHEN 1 THEN (doc_id*5+2)%7 ELSE (doc_id*2+3)%7 END AS VARCHAR) ||
+         |     '.example' AS dst_host, doc_id FROM l)
+         | SELECT src_host, dst_host, count(*) AS n_links,
+         |   count(DISTINCT doc_id) AS n_docs
+         | FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host""".stripMargin
         .replaceAll("\n", " ")
   )
 }
