@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.corpus.{CrawlPipeline, ReleasePipeline}
 import graft.functions.{HtmlLinksExpr, UrlFns}
-import graft.operators.Domains
+import graft.operators.{Domains, LinkGraph}
 import graft.sources.Warc
 
 /** URL/domain-aware corpus operators on the driver surface. The
@@ -231,6 +231,29 @@ object WebQueries {
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("src_host", "dst_host")
+    }),
+
+    // PageRank over a doc-level link graph (two arithmetic outlinks per
+    // doc, every 5th doc dangling): 3 damped iterations with full
+    // dangling-mass redistribution, hash-checked per node against the
+    // oracle's three UNROLLED iterations of the identical update rule —
+    // contributions, dangling term, and teleport all float-exact to the
+    // 8dp rounding.
+    "q138_pagerank" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      // doc_ids are contiguous 0..n-1 (TESTDATA contract), so % n keeps
+      // every edge inside the node universe; the count is the same
+      // bounded scalar pageRank itself needs
+      val n = docs.count()
+      val base = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val edges = base.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 17 + 3, lit(n)).as("dst"))
+        .union(base.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 29 + 7, lit(n)).as("dst")))
+      LinkGraph.pageRank(edges, "src", "dst", iterations = 3,
+          damping = 0.85, nodes = Some(docs))
+        .select(col("node").as("doc_id"), round(col("rank"), 8).as("rank"))
+        .orderBy("doc_id")
     })
   )
 
@@ -383,6 +406,38 @@ object WebQueries {
          | SELECT src_host, dst_host, count(*) AS n_links,
          |   count(DISTINCT doc_id) AS n_docs
          | FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host""".stripMargin
-        .replaceAll("\n", " ")
+        .replaceAll("\n", " "),
+    "q138_pagerank" -> {
+      // one PageRank iteration, unrolled: rPrev -> cK (contributions),
+      // dK (dangling mass), rK (update) — the exact float composition
+      // the operator computes
+      def iter(k: Int): String = {
+        val (p, c, d, r) = (s"r${k - 1}", s"c$k", s"d$k", s"r$k")
+        s"""$c AS (SELECT e.dst AS node, sum(r.rank/od.od) AS cs
+           | FROM e JOIN $p r ON e.src=r.node JOIN od ON e.src=od.src
+           | GROUP BY e.dst),
+           |$d AS (SELECT coalesce(sum(r.rank),0) AS dm FROM $p r
+           | LEFT JOIN od ON r.node=od.src WHERE od.src IS NULL),
+           |$r AS (SELECT nodes.node,
+           | (1-0.85)/(SELECT n FROM nn) + 0.85*(coalesce($c.cs,0) +
+           |   (SELECT dm FROM $d)/(SELECT n FROM nn)) AS rank
+           | FROM nodes LEFT JOIN $c ON nodes.node=$c.node)""".stripMargin
+      }
+      s"""WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |nodes AS (SELECT doc_id AS node FROM documents),
+         |e AS (SELECT doc_id AS src,
+         |   (doc_id*17+3)%(SELECT count(*) FROM documents) AS dst
+         | FROM documents WHERE doc_id%5<>0
+         | UNION ALL
+         | SELECT doc_id, (doc_id*29+7)%(SELECT count(*) FROM documents)
+         | FROM documents WHERE doc_id%5<>0),
+         |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+         |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node AS doc_id, round(rank, 8) AS rank
+         |FROM r3 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }
