@@ -32,6 +32,23 @@ final class IdempotentParquetSink(val root: String) extends Serializable {
 
   private def marker(id: Long) = new Path(s"$root/_committed/$id")
   private def batchDir(id: Long) = s"$root/data/batch=$id"
+  private def compactDir(id: Long) = s"$root/compact/upto=$id"
+  private def compactMarker(id: Long) = new Path(s"$root/_compacted/$id")
+
+  private def listIds(spark: SparkSession, dir: String): Array[Long] = {
+    val f = fs(spark)
+    val p = new Path(s"$root/$dir")
+    if (!f.exists(p)) Array.empty[Long]
+    else f.listStatus(p).map(_.getPath.getName.toLong)
+  }
+
+  /** The highest compaction watermark: batches with id <= it live in
+    * that compaction's single directory, not their own.
+    */
+  private def watermark(spark: SparkSession): Option[Long] = {
+    val ws = listIds(spark, "_compacted")
+    if (ws.isEmpty) None else Some(ws.max)
+  }
 
   def committed(spark: SparkSession, batchId: Long): Boolean =
     fs(spark).exists(marker(batchId))
@@ -50,16 +67,49 @@ final class IdempotentParquetSink(val root: String) extends Serializable {
     }
   }
 
-  /** All rows of all committed batches (uncommitted partials excluded). */
+  /** All rows of all committed batches (uncommitted partials excluded):
+    * the latest compaction's directory, if any, plus every batch
+    * committed after its watermark.
+    */
   def read(spark: SparkSession): DataFrame = {
+    val w = watermark(spark)
+    val live = listIds(spark, "_committed")
+      .filter(id => w.forall(id > _)).sorted.map(batchDir)
+    val dirs = w.map(compactDir).toSeq ++ live
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** Merge everything [[read]] currently sees into ONE directory — the
+    * maintenance op for long-lived sinks (a years-old streaming index
+    * otherwise accumulates one directory per micro-batch, and
+    * object-store listing becomes the read bottleneck). Offline op:
+    * don't run concurrently with appends.
+    *
+    * Crash-safe by ordering: the merged data lands in a NEW
+    * `compact/upto=<maxId>` directory that stays invisible until its
+    * `_compacted/<maxId>` watermark is created (a crash before the
+    * marker changes nothing); only then are superseded data
+    * directories deleted. Batch MARKERS are never deleted — a
+    * re-delivered old batch id must keep skipping after its data moved
+    * into the compaction.
+    *
+    * @return true if a compaction ran, false if there was nothing to
+    *         merge (zero or one live directory).
+    */
+  def compact(spark: SparkSession): Boolean = {
     val f = fs(spark)
-    val mDir = new Path(s"$root/_committed")
-    val ids =
-      if (!f.exists(mDir)) Array.empty[Long]
-      else f.listStatus(mDir).map(_.getPath.getName.toLong)
-    if (ids.isEmpty)
-      spark.emptyDataFrame
-    else
-      spark.read.parquet(ids.sorted.map(batchDir): _*)
+    val w = watermark(spark)
+    val live = listIds(spark, "_committed").filter(id => w.forall(id > _))
+    val nDirs = live.length + w.size
+    if (live.isEmpty || nDirs <= 1) return false
+    val upTo = live.max
+    read(spark).write.mode("overwrite").parquet(compactDir(upTo))
+    f.mkdirs(compactMarker(upTo).getParent)
+    f.create(compactMarker(upTo), true).close()
+    // superseded data (old compaction + folded batches) — markers stay
+    w.foreach(old => f.delete(new Path(compactDir(old)), true))
+    live.foreach(id => f.delete(new Path(batchDir(id)), true))
+    true
   }
 }

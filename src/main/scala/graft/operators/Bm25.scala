@@ -145,6 +145,14 @@ object Bm25 {
                batchId: Long): Boolean =
       store.append(index(docs, idCol, textCol).tf, batchId)
 
+    /** Merge the per-batch postings into one directory (offline
+      * maintenance — a long-lived streaming index otherwise pays one
+      * listing per micro-batch ever appended). Queries are invariant;
+      * re-delivered old batch ids keep skipping.
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession): Boolean =
+      store.compact(spark)
+
     /** The current index over all committed batches. */
     def read(spark: org.apache.spark.sql.SparkSession): Index = {
       val raw = store.read(spark)

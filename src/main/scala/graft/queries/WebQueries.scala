@@ -254,6 +254,26 @@ object WebQueries {
           damping = 0.85, nodes = Some(docs))
         .select(col("node").as("doc_id"), round(col("rank"), 8).as("rank"))
         .orderBy("doc_id")
+    }),
+
+    // Anchor-document construction (anchor text as document expansion —
+    // the classic IR signal): all anchors pointing at a target host,
+    // rolled into one fingerprinted anchor doc per target. One explode
+    // + one host-keyed shuffle; at 100 TB you keep the exploded
+    // (target, anchor) frame and index it — the md5 here makes the
+    // full multiset hash-checkable.
+    "q139_anchor_docs" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(HtmlLinksExpr.htmlLinks(injectedLinksHtml)).as("link"))
+        .select(UrlFns.urlHost(col("link.href")).as("dst_host"),
+          col("link.anchor").as("anchor"))
+        .groupBy("dst_host")
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct(col("anchor")).as("n_distinct"),
+          md5(concat_ws("\n", sort_array(collect_list(col("anchor")))))
+            .as("anchor_doc_md5"))
+        .orderBy("dst_host")
     })
   )
 
@@ -438,6 +458,16 @@ object WebQueries {
          |${iter(3)}
          |SELECT node AS doc_id, round(rank, 8) AS rank
          |FROM r3 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q139_anchor_docs" ->
+      s"""WITH l AS ($linksSql),
+         | e AS (SELECT 'h' || CAST(CASE link_idx WHEN 0 THEN (doc_id*3+1)%7
+         |     WHEN 1 THEN (doc_id*5+2)%7 ELSE (doc_id*2+3)%7 END AS VARCHAR) ||
+         |     '.example' AS dst_host, anchor FROM l)
+         | SELECT dst_host, count(*) AS n_anchors,
+         |   count(DISTINCT anchor) AS n_distinct,
+         |   md5(string_agg(anchor, chr(10) ORDER BY anchor)) AS anchor_doc_md5
+         | FROM e GROUP BY dst_host ORDER BY dst_host""".stripMargin
+        .replaceAll("\n", " ")
   )
 }

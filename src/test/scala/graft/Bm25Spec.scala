@@ -93,4 +93,41 @@ class Bm25Spec extends SparkSuite {
     // a fresh handle on the same root (restart) reads the same index
     assert(rows(new Bm25.DiskIndex(root).topK(spark, q, "qid", "q", 5)) === want)
   }
+
+  test("DiskIndex: streaming foreachBatch ingest + compaction keep queries invariant") {
+    val landing = java.nio.file.Files.createTempDirectory("bm25_land").toString
+    val cp = java.nio.file.Files.createTempDirectory("bm25_cp").toString
+    val ix = new Bm25.DiskIndex(
+      java.nio.file.Files.createTempDirectory("bm25_six").toString)
+    val q = Seq((1L, "cat sat")).toDF("qid", "q")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    def drain(): Unit = {
+      val s = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true").parquet(landing)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          ix.append(b, "doc_id", "text", id); ()
+        }
+        .start()
+      s.awaitTermination(120000)
+    }
+    docs.where(col("doc_id") <= 2L).select("doc_id", "text")
+      .write.parquet(s"$landing/p1")
+    drain()
+    docs.where(col("doc_id") > 2L).select("doc_id", "text")
+      .write.parquet(s"$landing/p2")
+    drain()
+    val want = rows(Bm25.topK(docs, q, "doc_id", "text", "qid", "q", 5))
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
+    // restart with no new files: re-delivers nothing, index unchanged
+    drain()
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
+    // compaction: one postings directory, identical retrieval
+    assert(ix.compact(spark))
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
+  }
 }

@@ -55,4 +55,32 @@ class IdempotentParquetSinkSpec extends SparkSuite {
     assert(sink.read(spark).orderBy("id").as[(Long, String)].collect().toSeq
       === Seq((1L, "x"), (2L, "y"), (3L, "z")))
   }
+
+  test("compaction: content invariant, markers survive, appends continue, repeatable") {
+    val sink = new IdempotentParquetSink(
+      Files.createTempDirectory("idem_cmp").toString + "/t")
+    def rows = sink.read(spark).orderBy("id").as[(Long, String)].collect().toSeq
+
+    assert(!sink.compact(spark)) // empty: nothing to merge
+    assert(sink.append(Seq((1L, "a")).toDF("id", "v"), 0L))
+    assert(!sink.compact(spark)) // one live dir: still nothing to merge
+    assert(sink.append(Seq((2L, "b")).toDF("id", "v"), 1L))
+    assert(sink.append(Seq((3L, "c")).toDF("id", "v"), 2L))
+    val before = rows
+    assert(sink.compact(spark))
+    assert(rows === before)
+    // re-delivered pre-compaction batch id still skips (markers survive)
+    assert(!sink.append(Seq((1L, "dup")).toDF("id", "v"), 0L))
+    assert(rows === before)
+    // appends continue past the watermark; a second compaction folds the
+    // old compaction + the new batch into one directory again
+    assert(sink.append(Seq((4L, "d")).toDF("id", "v"), 3L))
+    assert(rows === before :+ (4L, "d"))
+    assert(sink.compact(spark))
+    assert(rows === before :+ (4L, "d"))
+    assert(!sink.compact(spark)) // single compacted dir: no-op
+    // and the sink still accepts new batches afterwards
+    assert(sink.append(Seq((5L, "e")).toDF("id", "v"), 4L))
+    assert(rows === before ++ Seq((4L, "d"), (5L, "e")))
+  }
 }
