@@ -60,6 +60,11 @@ object LinkGraph {
     require(n > 0, "pageRank over an empty node set")
     val teleport = (1.0 - damping) / n
     var ranks = nodeDf.select(col("node"), lit(1.0 / n).as("rank"))
+    // Each iteration scans the previous ranks TWICE (contributions +
+    // dangling mass): persist every iteration's ranks so the second
+    // scan reads cache instead of recomputing the whole chain (without
+    // this the lineage re-executes ~2^k times between checkpoints).
+    val iterCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var i = 0
     while (i < iterations) {
       val contrib = eod
@@ -76,9 +81,19 @@ object LinkGraph {
             (coalesce(col("cs"), lit(0.0)) + col("dm") / lit(n.toDouble)))
             .as("rank"))
       i += 1
-      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
+      if (i % 4 == 0 && i < iterations) {
+        // eager checkpoint truncates lineage AND materializes the
+        // window's caches, which are then safe to drop
+        ranks = ranks.localCheckpoint(true)
+        iterCaches.foreach(_.unpersist(blocking = false))
+        iterCaches.clear()
+      } else if (i < iterations) {
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        iterCaches += ranks
+      }
     }
-    graft.core.Frames.releaseAfterNextAction(spark, nodeDf, eod, dangling)
+    graft.core.Frames.releaseAfterNextAction(
+      spark, (Seq(nodeDf, eod, dangling) ++ iterCaches.toSeq): _*)
     ranks
   }
 
