@@ -45,6 +45,62 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contaminationHits]] behind a BLOOM-FILTER prefilter — the route for
+    * benchmark suites whose distinct-gram set is too large to broadcast as
+    * an exact hash set (the 13-gram rule over a large eval battery can
+    * reach 10⁸+ grams; an exact broadcast set of strings stops fitting
+    * long before a fixed-size bit array does).
+    *
+    * Three stages, same output contract as [[contaminationHits]]:
+    *  1. BUILD — benchmark grams hash (xxhash64) into one Bloom sketch via
+    *     a distributed, map-side-combinable aggregation; the one-row
+    *     binary is read back as a bounded driver scalar (size capped by
+    *     `expectedGrams`/`fpp` and Spark's own bloom-filter conf caps).
+    *  2. PREFILTER — corpus grams probe the inlined sketch map-side
+    *     (codegen, zero shuffle); only possible hits survive. No false
+    *     negatives, so survivors are a superset of the true hits.
+    *  3. VERIFY — survivors exact-join the real benchmark gram set on the
+    *     gram STRING (hash collisions and Bloom false positives both die
+    *     here), then the per-doc distinct-hit count.
+    *
+    * Output is EXACTLY [[contaminationHits]]' — the sketch only shrinks
+    * the verify join's probe side. 100 TB shape: the corpus is scanned
+    * once and never shuffled; what reaches the verify shuffle is
+    * `true_hits + fpp × corpus_grams` rows, orders of magnitude below the
+    * corpus. Choose `fpp` against gram volume: 1% of 10¹² grams is still
+    * 10¹⁰ rows — at that scale spend the bits (`expectedGrams` up, `fpp`
+    * down) before widening the verify join.
+    */
+  def bloomContaminationHits(
+      corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      n: Int = 3,
+      expectedGrams: Long = 4000000L,
+      fpp: Double = 0.03
+  ): DataFrame = {
+    require(expectedGrams > 0, s"expectedGrams must be positive: $expectedGrams")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    graft.functions.BloomExpressions.register(corpus.sparkSession)
+    val bench = grams(benchmark, benchTextCol, None, n)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedGrams, fpp)
+    val bloom = bench
+      .agg(graft.functions.BloomExpressions
+        .bloomAgg(xxhash64(col("g")), expectedGrams, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bloom == null) {
+      // empty benchmark → empty sketch (Spark evals it to null) → nothing
+      // can be contaminated; keep the (id, n_hits) contract
+      return corpus.select(q(idCol).as("id"), lit(0L).as("n_hits")).limit(0)
+    }
+    grams(corpus, textCol, Some(idCol), n)
+      .where(graft.functions.BloomExpressions
+        .mightContain(lit(bloom), xxhash64(col("g"))))
+      .join(bench, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Corpus NOVELTY against a reference corpus — the inverse view of
     * decontamination and the "is this new data worth ingesting" metric
     * (the redundancy-vs-an-existing-release question a data-acquisition

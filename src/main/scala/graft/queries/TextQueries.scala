@@ -303,6 +303,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered decontamination (the 100 TB route of q68): the
+    // benchmark's 4-gram set builds ONE distributed Bloom sketch, the
+    // corpus probes it map-side (codegen, zero shuffle), and only
+    // possible hits reach the exact verify join — output is exactly the
+    // exact rule's (no false negatives; FPs die in the verify join), so
+    // the oracle mirrors the plain n-gram intersection.
+    "q140_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.Decontaminate.bloomContaminationHits(
+          docs.where(pmod(col("doc_id"), lit(97)) =!= 0), "text", "doc_id",
+          docs.where(pmod(col("doc_id"), lit(97)) === 0), "text", n = 4,
+          expectedGrams = 1000000L, fpp = 0.01)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash sampling: reproducible 25% corpus sample keyed on
     // the row (md5), not on RNG/partition layout — stable across runs,
     // engines and corpus growth. Oracle mirrors the predicate verbatim.
@@ -2164,6 +2180,16 @@ object TextQueries {
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
         |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        | corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+        | SELECT doc_id, count(*) AS n_hits FROM corpus JOIN bench USING (g)
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q140_bloom_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-3), i -> array_to_string(list_slice(w, i, i+3), ' ')) END) AS s
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
         |        WHERE text IS NOT NULL AND trim(text) <> '')
         | ), bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),

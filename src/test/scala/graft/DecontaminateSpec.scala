@@ -91,4 +91,57 @@ class DecontaminateSpec extends SparkSuite {
     assert(Decontaminate.byRetrieval(cand, "text", "doc_id",
       bench, "text", "doc_id", k = 5, minScore = 1e9).count() === 0L)
   }
+
+  test("bloomContaminationHits == contaminationHits (no false negatives, FPs verified away)") {
+    val exact = Decontaminate.contaminationHits(corpus, "text", "doc_id",
+      benchmark, "text", n = 3).as[(Long, Long)].collect().toMap
+    val bloom = Decontaminate.bloomContaminationHits(corpus, "text", "doc_id",
+      benchmark, "text", n = 3).as[(Long, Long)].collect().toMap
+    assert(bloom === exact)
+  }
+
+  test("bloom route stays exact even when the sketch is saturated (every probe a maybe)") {
+    // 1 expected item / 50% fpp for dozens of grams → near-every corpus
+    // gram survives the prefilter; the verify join must still produce
+    // the exact answer
+    val exact = Decontaminate.contaminationHits(corpus, "text", "doc_id",
+      benchmark, "text", n = 3).as[(Long, Long)].collect().toMap
+    val dense = Decontaminate.bloomContaminationHits(corpus, "text", "doc_id",
+      benchmark, "text", n = 3, expectedGrams = 1L, fpp = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(dense === exact)
+  }
+
+  test("bloom route: empty benchmark yields the empty (id, n_hits) frame") {
+    val out = Decontaminate.bloomContaminationHits(corpus, "text", "doc_id",
+      benchmark.where(lit(false)), "text", n = 3)
+    assert(out.columns.toSeq === Seq("id", "n_hits"))
+    assert(out.count() === 0L)
+    // blank-only benchmark (no grams) behaves the same
+    assert(Decontaminate.bloomContaminationHits(corpus, "text", "doc_id",
+      Seq((1L, "   ")).toDF("bench_id", "text"), "text", n = 3).count() === 0L)
+  }
+
+  test("bloom route rejects nonsensical sizing") {
+    intercept[IllegalArgumentException] {
+      Decontaminate.bloomContaminationHits(corpus, "text", "doc_id",
+        benchmark, "text", expectedGrams = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Decontaminate.bloomContaminationHits(corpus, "text", "doc_id",
+        benchmark, "text", fpp = 1.0)
+    }
+  }
+
+  test("bloom prefilter is map-side: the probe sits in the corpus scan stage, before any exchange") {
+    val plan = Decontaminate.bloomContaminationHits(corpus, "text", "doc_id",
+        benchmark, "text", n = 3)
+      .queryExecution.executedPlan.toString
+    // the probe is a Filter on might_contain (the expression's own
+    // prettyName) over the exploded corpus grams — assert it exists and
+    // no nested-loop join appeared to ship the sketch (it is inlined as
+    // a literal)
+    assert(plan.contains("might_contain"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }
