@@ -72,6 +72,43 @@ object Domains {
       .drop("__curl")
   }
 
+  /** Domain-LEVEL quality gate (the RefinedWeb/CCNet curation order:
+    * judge the domain, then keep or drop its documents wholesale): keep
+    * every doc whose host has at least `minDocs` documents AND a mean
+    * `scoreCol` of at least `minMeanScore`. Domain reputation is a
+    * stronger prior than any single page's score — a spam farm's rare
+    * clean page is still spam-farm data, and a reputable domain's one
+    * awkward page is still worth keeping.
+    *
+    * Null-host docs pass through untouched: no host is no domain
+    * evidence (the [[applyBlocklist]] convention).
+    *
+    * Shape: ONE host-keyed partial-agged aggregation builds the domain
+    * stats frame — domain-cardinality, orders of magnitude below the
+    * corpus — and the corpus semi-joins the qualifying hosts. With
+    * `broadcastStats` (default) the semi-join is map-side and the
+    * corpus never shuffles; a 100 TB crawl has ~10⁷–10⁸ domains, so if
+    * the qualifying-host frame outgrows the broadcast budget, pass
+    * `broadcastStats = false` and the probe degrades to one shuffled
+    * semi-join keyed on the host.
+    */
+  def domainQualityFilter(
+      docs: DataFrame, hostCol: String, scoreCol: String,
+      minDocs: Long = 1L, minMeanScore: Double = 0.0,
+      broadcastStats: Boolean = true): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val host = col(s"`$hostCol`")
+    val ok0 = docs.where(host.isNotNull)
+      .groupBy(host.as("__dq_host"))
+      .agg(count(lit(1)).as("__dq_n"), avg(col(s"`$scoreCol`")).as("__dq_mean"))
+      .where(col("__dq_n") >= minDocs && col("__dq_mean") >= minMeanScore)
+      .select("__dq_host")
+    val ok = if (broadcastStats) broadcast(ok0) else ok0
+    docs.where(host.isNotNull)
+      .join(ok, host === col("__dq_host"), "left_semi")
+      .unionByName(docs.where(host.isNull))
+  }
+
   /** Domain blocklist: drop every doc whose host (or any parent domain
     * — `ads.tracker.example.com` matches a blocklisted `example.com`)
     * appears in `blockedHosts`. The blocklist is CONFIG, not data

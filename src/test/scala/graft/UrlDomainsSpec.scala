@@ -146,4 +146,41 @@ class UrlDomainsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("domainQualityFilter: both thresholds bite; null hosts pass; routes agree") {
+    val docs = Seq(
+      (1L, Some("good.com"), 0.9), (2L, Some("good.com"), 0.8),      // mean .85, n=2
+      (3L, Some("bad.com"), 0.2), (4L, Some("bad.com"), 0.3),        // mean .25 → cut by mean
+      (5L, Some("thin.com"), 1.0),                                   // n=1 → cut by minDocs
+      (6L, None, 0.0)                                                // no host → passes
+    ).toDF("doc_id", "host", "score")
+    def run(bcast: Boolean) = Domains.domainQualityFilter(
+        docs, "host", "score", minDocs = 2L, minMeanScore = 0.5,
+        broadcastStats = bcast)
+      .select("doc_id").as[Long].collect().toSet
+    val b = run(bcast = true)
+    assert(b === Set(1L, 2L, 6L))
+    // the shuffled-stats route (too many domains to broadcast) agrees
+    assert(run(bcast = false) === b)
+    // a domain is judged wholesale: good.com's weak page 2 survives
+    // BECAUSE its domain mean clears the bar, while thin.com's perfect
+    // page dies with its domain
+    assert(b.contains(2L) && !b.contains(5L))
+  }
+
+  test("domainQualityFilter: defaults are the identity for hosted docs; bad minDocs rejected") {
+    val docs = Seq((1L, "a.com", 0.1), (2L, "b.com", 0.0))
+      .toDF("doc_id", "host", "score")
+    assert(Domains.domainQualityFilter(docs, "host", "score").count() === 2L)
+    intercept[IllegalArgumentException] {
+      Domains.domainQualityFilter(docs, "host", "score", minDocs = 0L)
+    }
+  }
+
+  test("domainQualityFilter broadcasts the qualifying-host frame (corpus never shuffles for the probe)") {
+    val docs = Seq((1L, "a.com", 0.9)).toDF("doc_id", "host", "score")
+    val plan = Domains.domainQualityFilter(docs, "host", "score")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
 }
