@@ -57,6 +57,7 @@ object Sessions {
     graft.functions.TextMetricsExpr.register(spark)
     graft.functions.HtmlTextExpr.register(spark)
     graft.functions.HtmlLinksExpr.register(spark)
+    graft.functions.RobotsExpr.register(spark)
     spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
     spark
   }

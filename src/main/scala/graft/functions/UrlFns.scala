@@ -54,6 +54,16 @@ object UrlFns {
       .otherwise(hp)
   }
 
+  /** RAW path, case and trailing slashes preserved; `/` when the URL has
+    * no path segment (the robots-matching view — `/dir/` and `/dir` are
+    * different robots targets, and canonicalization must not decide
+    * compliance).
+    */
+  def urlRawPath(url: Column): Column = {
+    val p = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    when(p === "", "/").otherwise(p)
+  }
+
   /** Path with trailing slashes stripped, case preserved. */
   def urlPath(url: Column): Column =
     regexp_replace(

@@ -72,6 +72,38 @@ object Domains {
       .drop("__curl")
   }
 
+  /** robots.txt compliance filter: keep only docs whose raw path the
+    * host's robots.txt allows for the `*` agent
+    * ([[graft.functions.RobotsExpr]] semantics: longest matching
+    * pattern wins, ties → allow, `*`/`$` wildcards, no match → allowed).
+    * Docs whose host has no robots row — and docs with a null host —
+    * pass through: absence of a robots.txt means crawl-permitted.
+    *
+    * Shape: robots bodies parse ONCE on the domain-cardinality `robots`
+    * frame (one `robots_rules` call per host, not per doc), which then
+    * broadcasts for a map-side left join + codegen'd predicate — the
+    * corpus never shuffles. For a robots frame beyond the broadcast
+    * budget pass `broadcastRobots = false` (one shuffled join keyed on
+    * host).
+    */
+  def applyRobots(
+      docs: DataFrame, hostCol: String, pathCol: String,
+      robots: DataFrame, robotsHostCol: String = "host",
+      robotsTxtCol: String = "robots_txt",
+      broadcastRobots: Boolean = true): DataFrame = {
+    graft.functions.RobotsExpr.register(docs.sparkSession)
+    val rules = robots.select(
+      col(s"`$robotsHostCol`").as("__rb_host"),
+      graft.functions.RobotsExpr
+        .robotsRules(col(s"`$robotsTxtCol`")).as("__rb_rules"))
+    val r = if (broadcastRobots) broadcast(rules) else rules
+    docs.join(r, col(s"`$hostCol`") === col("__rb_host"), "left")
+      .where(col("__rb_rules").isNull ||
+        graft.functions.RobotsExpr
+          .robotsAllowed(col("__rb_rules"), col(s"`$pathCol`")))
+      .drop("__rb_host", "__rb_rules")
+  }
+
   /** Domain-LEVEL quality gate (the RefinedWeb/CCNet curation order:
     * judge the domain, then keep or drop its documents wholesale): keep
     * every doc whose host has at least `minDocs` documents AND a mean

@@ -277,6 +277,39 @@ object WebQueries {
         .orderBy("doc_id")
     }),
 
+    // robots.txt compliance filter over the injected-URL corpus: each
+    // host gets an in-plan robots body (decoy rules BEFORE any group, a
+    // BadBot group with "Disallow: /", comments, an unknown directive,
+    // an empty Disallow — all of which the parser must ignore) whose *
+    // rules derive from the host index in closed form; the oracle
+    // re-derives every doc's verdict from the same arithmetic (prefix
+    // match + the $-anchored allow + the * wildcard, longest-match
+    // precedence). A wrong parse (e.g. honoring BadBot's "Disallow: /")
+    // empties the result and hash-fails loudly.
+    "q142_robots_filter" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          UrlFns.urlHost(injectedUrl).as("hostname"),
+          UrlFns.urlRawPath(injectedUrl).as("path"))
+      val hosts = docs.select("hostname").distinct()
+        .withColumn("h",
+          regexp_extract(col("hostname"), "^site(\\d+)\\.", 1).cast("int"))
+      val robots = hosts.select(col("hostname").as("host"),
+        concat(
+          lit("Disallow: /decoy-before-any-group\n# robots for host "),
+          col("h").cast("string"),
+          lit("\nUser-Agent: BadBot\nDisallow: /\n\n" +
+            "user-agent: *  # the group we honor\ncrawl-delay: 5\n" +
+            "Disallow: /A/"),
+          pmod(col("h"), lit(17)).cast("string"),
+          lit("\nAllow: /A/"), pmod(col("h"), lit(17)).cast("string"),
+          lit("/$\ndisallow: /A/*"), pmod(col("h"), lit(5)).cast("string"),
+          lit("$\nDisallow:\n")).as("robots_txt"))
+      Domains.applyRobots(docs, "hostname", "path", robots)
+        .select(col("doc_id"), col("hostname"), col("path"))
+        .orderBy("doc_id")
+    }),
+
     // Anchor-document construction (anchor text as document expansion —
     // the classic IR signal): all anchors pointing at a target host,
     // rolled into one fingerprinted anchor doc per target. One explode
@@ -507,6 +540,28 @@ object WebQueries {
          | d AS (SELECT hostname FROM s GROUP BY hostname
          |   HAVING count(*) >= 4 AND avg(score) >= 0.82)
          | SELECT s.doc_id, s.hostname, s.score FROM s JOIN d USING (hostname)
-         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // verdict re-derivation: m1 = the plain Disallow prefix, m2 = the
+    // $-anchored Allow (exact slash path, always 2 chars longer than
+    // m1's pattern so it wins where it matches), m3 = the '/A/*<d>$'
+    // wildcard (matches iff the path ends with the digit — slash paths
+    // never do, so m2∧m3 is impossible and longest-match reduces to
+    // (¬m1 ∧ ¬m3) ∨ m2
+    "q142_robots_filter" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         | p AS (SELECT doc_id, url, $partsSql FROM u),
+         | c AS (SELECT doc_id, $hostSql AS hostname FROM p),
+         | v AS (SELECT doc_id, hostname,
+         |   '/A/' || CAST(doc_id%17 AS VARCHAR) ||
+         |     (CASE WHEN doc_id%2=0 THEN '/' ELSE '' END) AS path,
+         |   CAST((doc_id%25)%17 AS VARCHAR) AS kr,
+         |   CAST((doc_id%25)%5 AS VARCHAR) AS d FROM c),
+         | w AS (SELECT doc_id, hostname, path,
+         |   starts_with(path, '/A/' || kr) AS m1,
+         |   (path = '/A/' || kr || '/') AS m2,
+         |   ends_with(path, d) AS m3 FROM v)
+         | SELECT doc_id, hostname, path FROM w
+         | WHERE (NOT m1 AND NOT m3) OR m2 ORDER BY doc_id""".stripMargin
+        .replaceAll("\n", " ")
   )
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{RobotsExpr, RobotsKernel}
+import graft.operators.Domains
+
+class RobotsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rules(txt: String): Seq[(Boolean, String)] =
+    RobotsKernel.parseRules(txt).toSeq
+
+  test("parseRules: * group extracted; other agents, comments, unknown keys, pre-group rules ignored") {
+    val txt =
+      """|Disallow: /ignored-before-any-group
+         |# a comment line
+         |User-Agent: BadBot
+         |Disallow: /
+         |
+         |user-agent: *   # trailing comment
+         |Crawl-delay: 5
+         |Disallow: /private
+         |Allow: /private/ok
+         |disallow:
+         |Sitemap: https://example.com/sitemap.xml
+         |""".stripMargin
+    assert(rules(txt) === Seq((false, "/private"), (true, "/private/ok")))
+  }
+
+  test("parseRules: multi-agent group applies when ANY of its agents is *; groups for * merge") {
+    val txt =
+      """|User-agent: GoodBot
+         |User-agent: *
+         |Disallow: /a
+         |
+         |User-agent: OtherBot
+         |Disallow: /other-only
+         |
+         |User-agent: *
+         |Allow: /a/b
+         |""".stripMargin
+    assert(rules(txt) === Seq((false, "/a"), (true, "/a/b")))
+  }
+
+  test("parseRules: a user-agent line after a body line starts a NEW group") {
+    val txt =
+      """|User-agent: *
+         |Disallow: /x
+         |User-agent: OnlyBot
+         |Disallow: /y
+         |""".stripMargin
+    assert(rules(txt) === Seq((false, "/x")))
+  }
+
+  test("parseRules: CRLF, mixed-case keys, colon-less junk lines tolerated") {
+    val txt = "USER-AGENT: *\r\nDISALLOW: /q\r\nnot a directive\r\nAllow: /q/r\r\n"
+    assert(rules(txt) === Seq((false, "/q"), (true, "/q/r")))
+  }
+
+  test("matches: prefixes, * wildcards, $ anchor, edge overlaps") {
+    import RobotsKernel.matches
+    assert(matches("/a/b/c", "/a"))
+    assert(!matches("/x/a", "/a"))
+    assert(matches("/a/b.pdf", "/a/*.pdf"))
+    assert(matches("/a/x/y/b.pdf", "/a/*.pdf"))
+    assert(!matches("/a/b.pdfx", "/a/*.pdf$"))
+    assert(matches("/a/b.pdf", "/a/*.pdf$"))
+    assert(matches("/A/7", "/A/*7$"))       // star consumes zero chars
+    assert(matches("/A/100", "*0$"))        // anchored last part flush at end
+    assert(!matches("/A/101", "*0$"))
+    assert(matches("abb", "a*b*b$"))        // middle/last no overlap
+    assert(!matches("ab", "a*b*b$"))
+    assert(matches("/dir/", "/dir/$"))      // literal anchored = exact
+    assert(!matches("/dir/x", "/dir/$"))
+    assert(matches("/any/thing", "/any*"))  // trailing star
+    assert(matches("/a**b", "/a**b"))       // consecutive stars = one
+  }
+
+  test("allowed: longest match wins, tie goes to allow, no match allows") {
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      ("/private/ok/file", true),   // allow /private/ok (len 11) beats /private (8)
+      ("/private/other", false),
+      ("/elsewhere", true),         // no match
+      ("/tie", true)                // tie: allow /tie + disallow /tie → allow
+    ).toDF("path", "want")
+    val txt = "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+      "Disallow: /tie\nAllow: /tie\n"
+    val got = df.select(col("path"), col("want"),
+        RobotsExpr.robotsAllowed(
+          RobotsExpr.robotsRules(lit(txt)), col("path")).as("got"))
+      .collect()
+    got.foreach { case Row(p: String, want: Boolean, g: Boolean) =>
+      assert(g === want, s"path $p")
+    }
+  }
+
+  test("applyRobots: per-host rules enforced; missing-robots hosts and null hosts pass") {
+    val docs = Seq(
+      (1L, Some("a.com"), "/blocked/page"),
+      (2L, Some("a.com"), "/open/page"),
+      (3L, Some("b.com"), "/blocked/page"),  // b.com has no robots row
+      (4L, None, "/blocked/page")            // no host
+    ).toDF("doc_id", "host", "path")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /blocked\n"))
+      .toDF("host", "robots_txt")
+    def run(bcast: Boolean) = Domains.applyRobots(
+        docs, "host", "path", robots, broadcastRobots = bcast)
+      .select("doc_id").as[Long].collect().toSet
+    val b = run(bcast = true)
+    assert(b === Set(2L, 3L, 4L))
+    assert(run(bcast = false) === b)
+  }
+
+  test("applyRobots parses robots once per host and probes map-side (broadcast, no corpus shuffle)") {
+    val docs = Seq((1L, "a.com", "/p")).toDF("doc_id", "host", "path")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /q\n"))
+      .toDF("host", "robots_txt")
+    val plan = Domains.applyRobots(docs, "host", "path", robots)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("robots_allowed"), plan)
+  }
+
+  test("robots expressions participate in whole-stage codegen") {
+    // range keeps the input non-foldable so the expressions actually
+    // run inside generated code rather than constant-folding away
+    val df = spark.range(2)
+      .select(concat(lit("User-agent: *\nDisallow: /"),
+          col("id").cast("string"), lit("\n")).as("txt"),
+        concat(lit("/"), col("id").cast("string"), lit("/y")).as("path"))
+      .select(col("path"), RobotsExpr.robotsAllowed(
+        RobotsExpr.robotsRules(col("txt")), col("path")).as("ok"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(1)" stage marker == inside WholeStageCodegen
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.orderBy("path").as[(String, Boolean)].collect().toSeq ===
+      Seq(("/0/y", false), ("/1/y", false)))
+  }
+}
