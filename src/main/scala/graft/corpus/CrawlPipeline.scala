@@ -25,13 +25,16 @@ import graft.sources.Warc
   *                          suffix probe, cheapest stage so it runs
   *                          FIRST among the web stages: rows it drops
   *                          never reach a shuffle)
-  *   5. URL-level dedup   ([[Domains.dedupByCanonicalUrl]] — one shuffle
+  *   5. robots compliance ([[Domains.applyRobots]], optional — rules
+  *                          parse once per host and broadcast; the
+  *                          corpus filters map-side)
+  *   6. URL-level dedup   ([[Domains.dedupByCanonicalUrl]] — one shuffle
   *                          on the canonical key; removes crawl
   *                          re-fetches before any content dedup pays
   *                          for them)
-  *   6. per-domain cap    ([[Domains.perDomainCap]] — one host-keyed
+  *   7. per-domain cap    ([[Domains.perDomainCap]] — one host-keyed
   *                          shuffle, WindowGroupLimit-cut)
-  *   7. release battery   ([[ReleasePipeline.run]] — PII, quality,
+  *   8. release battery   ([[ReleasePipeline.run]] — PII, quality,
   *                          exact + near dedup, span scrub,
   *                          decontamination, LM floor, packing)
   *
@@ -42,10 +45,14 @@ import graft.sources.Warc
   */
 object CrawlPipeline {
 
-  /** Web-stage knobs. `domainCap <= 0` disables the cap stage. */
+  /** Web-stage knobs. `domainCap <= 0` disables the cap stage; `robots`
+    * (a per-host `(host, robots_txt)` frame — fetch `/robots.txt`
+    * alongside the crawl) enables the compliance stage.
+    */
   final case class WebConfig(
       blockedHosts: Seq[String] = Nil,
-      domainCap: Int = 0)
+      domainCap: Int = 0,
+      robots: Option[DataFrame] = None)
 
   /** Web-stage survivor counts. `pages` counts parsed response pages
     * (post-extraction), the web stages' input.
@@ -83,13 +90,27 @@ object CrawlPipeline {
         UrlFns.urlHost(col("target_uri")).as("host"),
         HtmlTextExpr.htmlText(col("http_body").cast("string")).as("text"))
 
-  /** Web-level cleanup in cost order: blocklist (map-side) → canonical-
-    * URL dedup (one shuffle) → per-domain cap (one shuffle). Input needs
-    * (doc_id, url, host) — [[pageDocs]]' shape.
+  /** Web-level cleanup in cost order: blocklist (map-side InSet) →
+    * robots compliance (map-side after a domain-cardinality broadcast)
+    * → canonical-URL dedup (one shuffle) → per-domain cap (one
+    * shuffle). Input needs (doc_id, url, host) — [[pageDocs]]' shape.
+    *
+    * Robots runs BEFORE URL dedup deliberately: compliance is about
+    * which FETCHES may be used at all, so a disallowed trailing-slash
+    * variant must not win a canonical group (and must not shield its
+    * allowed twin from surviving); it also drops rows before the dedup
+    * shuffle ever sees them.
     */
   def webClean(docs: DataFrame, cfg: WebConfig): DataFrame = {
     val unblocked = Domains.applyBlocklist(docs, "host", cfg.blockedHosts)
-    val urlDeduped = Domains.dedupByCanonicalUrl(unblocked, "url", "doc_id")
+    val polite = cfg.robots match {
+      case Some(r) => Domains.applyRobots(
+          unblocked.withColumn("__path", UrlFns.urlRawPath(col("url"))),
+          "host", "__path", r)
+        .drop("__path")
+      case None => unblocked
+    }
+    val urlDeduped = Domains.dedupByCanonicalUrl(polite, "url", "doc_id")
     if (cfg.domainCap <= 0) urlDeduped
     else Domains.perDomainCap(urlDeduped, "host", "doc_id", cfg.domainCap)
   }
@@ -107,11 +128,7 @@ object CrawlPipeline {
           release: ReleasePipeline.Config = ReleasePipeline.Config()): Result = {
     val pages = pageDocs(files, docId).localCheckpoint(true)
     val unblocked = Domains.applyBlocklist(pages, "host", web.blockedHosts)
-    val cleaned = (if (web.domainCap <= 0)
-        Domains.dedupByCanonicalUrl(unblocked, "url", "doc_id")
-      else Domains.perDomainCap(
-        Domains.dedupByCanonicalUrl(unblocked, "url", "doc_id"),
-        "host", "doc_id", web.domainCap)).localCheckpoint(true)
+    val cleaned = webClean(pages, web).localCheckpoint(true)
     val rel = ReleasePipeline.run(
       cleaned.select(col("doc_id"), col("text")), benchmark, release)
     Result(cleaned, rel,

@@ -122,6 +122,27 @@ class RobotsSpec extends SparkSuite {
     assert(plan.contains("robots_allowed"), plan)
   }
 
+  test("webClean robots stage: compliance before URL dedup — a disallowed variant neither wins nor shields its canonical group") {
+    import graft.corpus.CrawlPipeline
+    val docs = Seq(
+      // canonical twins (trailing slash collapses): the LOWER id is the
+      // disallowed slash variant — robots-after-dedup would keep id 1
+      // (blocked content!) and emit nothing for the group
+      (1L, "http://a.com/dir/", "a.com"),
+      (2L, "http://a.com/dir", "a.com"),
+      (3L, "http://a.com/open", "a.com"))
+      .toDF("doc_id", "url", "host")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /dir/$\n"))
+      .toDF("host", "robots_txt")
+    val kept = CrawlPipeline.webClean(docs,
+        CrawlPipeline.WebConfig(robots = Some(robots)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+    // without robots, canonical dedup keeps the lowest id of the group
+    assert(CrawlPipeline.webClean(docs, CrawlPipeline.WebConfig())
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("robots expressions participate in whole-stage codegen") {
     // range keeps the input non-foldable so the expressions actually
     // run inside generated code rather than constant-folding away
