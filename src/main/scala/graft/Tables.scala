@@ -58,6 +58,7 @@ object Sessions {
     graft.functions.HtmlTextExpr.register(spark)
     graft.functions.HtmlLinksExpr.register(spark)
     graft.functions.RobotsExpr.register(spark)
+    graft.functions.CompressExpr.register(spark)
     spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
     spark
   }

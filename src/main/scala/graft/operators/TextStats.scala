@@ -8,6 +8,27 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** Compression-ratio band filter (the Dolma/RefinedWeb one-number
+    * quality heuristic): keep docs whose raw-DEFLATE compressed/raw
+    * byte ratio ([[graft.functions.CompressExpr]]) falls inside
+    * `[minRatio, maxRatio]` — template spam and boilerplate compress to
+    * almost nothing (below the band), base64/binary junk not at all
+    * (above it), natural language sits between. Null texts drop (no
+    * bytes, no judgement). Pure map-side codegen predicate: zero
+    * shuffle at any corpus size.
+    *
+    * The exact ratio is deflater-implementation detail — calibrate the
+    * band on margin-separated references (the q143 construction), never
+    * on exact values.
+    */
+  def compressionBandFilter(docs: DataFrame, textCol: String,
+                            minRatio: Double, maxRatio: Double): DataFrame = {
+    require(minRatio <= maxRatio, s"empty band [$minRatio, $maxRatio]")
+    graft.functions.CompressExpr.register(docs.sparkSession)
+    val r = graft.functions.CompressExpr.deflateRatio(col(s"`$textCol`"))
+    docs.where(r >= minRatio && r <= maxRatio)
+  }
+
   /** Gopher-style repetition signal: the fraction of a document's word
     * n-grams taken by its single most frequent n-gram. Machine-generated /
     * boilerplate text repeats phrases; the Gopher rules drop documents

@@ -319,6 +319,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Compression-ratio band filter (the Dolma/RefinedWeb one-number
+    // quality heuristic): per doc, TWO margin-separated constructions —
+    // 'rep' (repeated boilerplate, ratio far below the band) and 'rand'
+    // (md5-chain hex, ~4 bits/char, ratio mid-band) — and the filter
+    // must keep exactly the 'rand' rows. The exact ratio is a deflater
+    // implementation detail, so the oracle checks VERDICTS over the
+    // closed-form construction (the q121/q127 idiom), while the spec
+    // pins the ratio values into their bands.
+    "q143_compress_filter" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val synth = docs.select(col("doc_id"), lit("rep").as("kind"),
+          concat(lit("spam ham "),
+            expr("repeat('lorem ipsum dolor ', CAST(doc_id % 5 + 20 AS INT))"))
+            .as("text"))
+        .unionByName(docs.select(col("doc_id"), lit("rand").as("kind"),
+          concat(md5(col("doc_id").cast("string")),
+            md5((col("doc_id") + 1).cast("string")),
+            md5((col("doc_id") + 2).cast("string")),
+            md5((col("doc_id") + 3).cast("string"))).as("text")))
+      graft.operators.TextStats.compressionBandFilter(synth, "text",
+          minRatio = 0.2, maxRatio = 0.95)
+        .select(col("doc_id"), col("kind"))
+        .orderBy("doc_id", "kind")
+    }),
+
     // Deterministic hash sampling: reproducible 25% corpus sample keyed on
     // the row (md5), not on RNG/partition layout — stable across runs,
     // engines and corpus growth. Oracle mirrors the predicate verbatim.
@@ -2186,6 +2211,11 @@ object TextQueries {
         | corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
         | SELECT doc_id, count(*) AS n_hits FROM corpus JOIN bench USING (g)
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // the verdict in closed form: the construction guarantees 'rep'
+    // sits far below the band and 'rand' inside it
+    "q143_compress_filter" ->
+      """SELECT doc_id, 'rand' AS kind FROM documents
+        | ORDER BY doc_id, kind""".stripMargin.replaceAll("\n", " "),
     "q140_bloom_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]

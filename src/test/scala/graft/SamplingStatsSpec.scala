@@ -348,4 +348,41 @@ class SamplingStatsSpec extends SparkSuite {
         "src", "doc_id", "score", 0.5)
     }
   }
+
+  test("deflate_ratio: repetition far below, hex mid-band, binary junk near 1; empty = 0") {
+    import graft.functions.CompressExpr
+    val rep = "lorem ipsum dolor " * 30
+    // md5-chain hex (the q143 construction): ~4 bits/char, no repetition
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = (0 until 8).map { i =>
+      md.digest(i.toString.getBytes).map("%02x".format(_)).mkString
+    }.mkString
+    // md5-chain BYTES as chars (8 bits/char where hex has 4): near 1
+    val junk = (0 until 32).flatMap { i =>
+      md.digest(s"junk$i".getBytes).map(b => ((b & 0x7f) + 1).toChar)
+    }.mkString
+    val got = Seq(("rep", rep), ("hex", hex), ("junk", junk), ("empty", ""))
+      .toDF("kind", "text")
+      .select(col("kind"), CompressExpr.deflateRatio(col("text")).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(got("rep") < 0.1, got("rep"))
+    assert(got("hex") > 0.2 && got("hex") < 0.95, got("hex"))
+    assert(got("junk") > 0.5, got("junk"))
+    assert(got("empty") === 0.0)
+  }
+
+  test("compressionBandFilter keeps exactly the in-band rows; map-side; band guard") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (1L, "boiler " * 100),                                    // below band
+      (2L, (0 until 64).map(i => (i * 37).toHexString).mkString(" ")), // in band
+      (3L, null.asInstanceOf[String])                           // null drops
+    ).toDF("doc_id", "text")
+    val kept = TextStats.compressionBandFilter(docs, "text", 0.2, 0.95)
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException] {
+      TextStats.compressionBandFilter(docs, "text", 0.9, 0.1)
+    }
+  }
 }
