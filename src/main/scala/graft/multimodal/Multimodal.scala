@@ -614,4 +614,41 @@ object Multimodal {
         col("payload").substr(col("chunk_idx") * chunkBytes + 1, lit(chunkBytes))
           .as("chunk"))
   }
+
+  /** MMC4/OBELICS-style image–text INTERLEAVING by embedding affinity:
+    * every image assigns to its single most-similar text chunk (cosine
+    * argmax over the chunk embeddings, ties → lowest chunk id — the
+    * [[graft.operators.Similarity.knnJoin]] k=1 rule), and each chunk
+    * rolls its assigned images into the interleaved-sequence spec a
+    * multimodal training example consumes: images in affinity order
+    * (ties → lowest image id), plus the assignment strength.
+    *
+    * Returns one row per chunk that received at least one image:
+    * (chunk_id, n_images, img_seq — comma-joined image ids in affinity
+    * order, mean_cosine rounded 6dp).
+    *
+    * Scale shape: the chunk side of a document is small by construction
+    * (chunks per doc, not corpus-wide), so the exact knnJoin route's
+    * broadcast is the common case; corpus-scale assignment swaps stage 1
+    * for IVF-partitioned probes ([[graft.operators.Ivf]]) — the rollup
+    * (one chunk-keyed shuffle of image-cardinality rows) is unchanged.
+    * Cosines come from the deterministic elementwise `vec_dot` kernel,
+    * so affinity ORDER is engine-exact, never a float coin flip.
+    */
+  def interleaveByAffinity(
+      chunks: DataFrame, images: DataFrame,
+      embCol: String, chunkIdCol: String, imageIdCol: String): DataFrame = {
+    val assigned = graft.operators.Similarity.knnJoin(
+        images, chunks, embCol, imageIdCol, chunkIdCol, k = 1)
+      .select(col("base_id").as("chunk_id"),
+        col("probe_id").as("image_id"), col("cosine"))
+    assigned.groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_images"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(
+              (-col("cosine")).as("negCos"), col("image_id").as("img")))),
+            e => e.getField("img").cast("string"))).as("img_seq"),
+        round(avg(col("cosine")), 6).as("mean_cosine"))
+  }
 }

@@ -236,6 +236,21 @@ object MultimodalQueries {
           minFrameFrac = 0.5)
         .select(col("id_a"), col("id_b"), col("matched_frames"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // MMC4-style image-text interleaving by embedding affinity: the
+    // first 50 embedding rows play text chunks, the rest play images;
+    // each image assigns to its cosine-argmax chunk (ties low id) and
+    // chunks emit their interleaved image sequence in affinity order.
+    // Oracle = the quadratic assignment + ordered string_agg; the
+    // sequence ORDER is engine-exact because cosines come from the
+    // deterministic elementwise dot kernel on both sides.
+    "q145_interleave" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Multimodal.interleaveByAffinity(
+          e.where(col("vec_id") < 50), e.where(col("vec_id") >= 50),
+          "embedding", "vec_id", "vec_id")
+        .orderBy("chunk_id")
     })
   )
 
@@ -268,6 +283,22 @@ object MultimodalQueries {
         |   CAST(4 AS BIGINT) AS matched_frames
         | FROM sel a JOIN sel b
         |   ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
-        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+    "q145_interleave" ->
+      """WITH sc AS (
+        | SELECT i.vec_id AS image_id, c.vec_id AS chunk_id,
+        |  list_dot_product(CAST(i.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(i.embedding AS DOUBLE[]), CAST(i.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cosine
+        | FROM embeddings i JOIN embeddings c ON i.vec_id >= 50 AND c.vec_id < 50),
+        | a AS (SELECT image_id, chunk_id, cosine FROM (
+        |  SELECT image_id, chunk_id, cosine,
+        |   row_number() OVER (PARTITION BY image_id ORDER BY cosine DESC, chunk_id) AS rn
+        |  FROM sc) WHERE rn = 1)
+        | SELECT chunk_id, count(*) AS n_images,
+        |  string_agg(CAST(image_id AS VARCHAR), ',' ORDER BY cosine DESC, image_id) AS img_seq,
+        |  round(avg(cosine), 6) AS mean_cosine
+        | FROM a GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+        .replaceAll("\n", " ")
   )
 }

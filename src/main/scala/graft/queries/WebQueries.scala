@@ -54,6 +54,30 @@ object WebQueries {
       when(pmod(id, lit(9)) === 0, lit("#Sec1")).otherwise(lit("")))
   }
 
+  /** The q142/q144 per-host robots frame, derived from a frame carrying
+    * `hostname`: each host's body is thick with decoys (rules before any
+    * group, a BadBot `Disallow: /`, comments, an unknown directive, an
+    * empty `Disallow:`) and the `*` rules derive from the host index in
+    * closed form — a plain prefix disallow, a `$`-anchored re-allow of
+    * the exact slash path, and a `*`-wildcard disallow.
+    */
+  private def injectedRobotsFor(docs: DataFrame): DataFrame = {
+    val hosts = docs.select("hostname").distinct()
+      .withColumn("h",
+        regexp_extract(col("hostname"), "^site(\\d+)\\.", 1).cast("int"))
+    hosts.select(col("hostname").as("host"),
+      concat(
+        lit("Disallow: /decoy-before-any-group\n# robots for host "),
+        col("h").cast("string"),
+        lit("\nUser-Agent: BadBot\nDisallow: /\n\n" +
+          "user-agent: *  # the group we honor\ncrawl-delay: 5\n" +
+          "Disallow: /A/"),
+        pmod(col("h"), lit(17)).cast("string"),
+        lit("\nAllow: /A/"), pmod(col("h"), lit(17)).cast("string"),
+        lit("/$\ndisallow: /A/*"), pmod(col("h"), lit(5)).cast("string"),
+        lit("$\nDisallow:\n")).as("robots_txt"))
+  }
+
   /** The oracle's identical URL construction in DuckDB SQL, over an
     * arbitrary id expression.
     */
@@ -291,22 +315,35 @@ object WebQueries {
         .select(col("doc_id"),
           UrlFns.urlHost(injectedUrl).as("hostname"),
           UrlFns.urlRawPath(injectedUrl).as("path"))
-      val hosts = docs.select("hostname").distinct()
-        .withColumn("h",
-          regexp_extract(col("hostname"), "^site(\\d+)\\.", 1).cast("int"))
-      val robots = hosts.select(col("hostname").as("host"),
-        concat(
-          lit("Disallow: /decoy-before-any-group\n# robots for host "),
-          col("h").cast("string"),
-          lit("\nUser-Agent: BadBot\nDisallow: /\n\n" +
-            "user-agent: *  # the group we honor\ncrawl-delay: 5\n" +
-            "Disallow: /A/"),
-          pmod(col("h"), lit(17)).cast("string"),
-          lit("\nAllow: /A/"), pmod(col("h"), lit(17)).cast("string"),
-          lit("/$\ndisallow: /A/*"), pmod(col("h"), lit(5)).cast("string"),
-          lit("$\nDisallow:\n")).as("robots_txt"))
-      Domains.applyRobots(docs, "hostname", "path", robots)
+      Domains.applyRobots(docs, "hostname", "path", injectedRobotsFor(docs))
         .select(col("doc_id"), col("hostname"), col("path"))
+        .orderBy("doc_id")
+    }),
+
+    // The ORACLED web-curation composition (the oracled counterpart of
+    // the gated q128 capstone's web half): blocklist → robots →
+    // domain-level quality gate → per-domain cap, every stage's verdict
+    // re-derived in closed form in one DuckDB CTE chain. Stage order is
+    // the production order (cheap map-side drops first; quality means
+    // computed over the COMPLIANT survivors — the oracle mirrors that
+    // sequencing exactly, so a stage-order bug hash-fails). Thresholds
+    // chosen so every stage bites at sf0.01.
+    "q144_web_curation" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          UrlFns.urlHost(injectedUrl).as("hostname"),
+          UrlFns.urlRawPath(injectedUrl).as("path"))
+      val unblocked = Domains.applyBlocklist(base, "hostname",
+        Seq("example3.com"))
+      val polite = Domains.applyRobots(unblocked, "hostname", "path",
+        injectedRobotsFor(unblocked))
+      val scored = polite.withColumn("score",
+        graft.functions.TextFns.qualityScore(col("text")))
+      val curated = Domains.domainQualityFilter(scored, "hostname", "score",
+        minDocs = 3L, minMeanScore = 0.8)
+      Domains.perDomainCap(curated, "hostname", "doc_id", cap = 10)
+        .select(col("doc_id"), col("hostname"), col("score"))
         .orderBy("doc_id")
     }),
 
@@ -562,6 +599,38 @@ object WebQueries {
          |   ends_with(path, d) AS m3 FROM v)
          | SELECT doc_id, hostname, path FROM w
          | WHERE (NOT m1 AND NOT m3) OR m2 ORDER BY doc_id""".stripMargin
-        .replaceAll("\n", " ")
+        .replaceAll("\n", " "),
+    "q144_web_curation" ->
+      s"""WITH u AS (SELECT doc_id, text, $urlSql AS url FROM documents WHERE text IS NOT NULL),
+         | p AS (SELECT doc_id, text, url, $partsSql FROM u),
+         | c0 AS (SELECT doc_id, text, $hostSql AS hostname FROM p),
+         | c AS (SELECT doc_id, text, hostname,
+         |   '/A/' || CAST(doc_id%17 AS VARCHAR) ||
+         |     (CASE WHEN doc_id%2=0 THEN '/' ELSE '' END) AS path,
+         |   CAST((doc_id%25)%17 AS VARCHAR) AS kr,
+         |   CAST((doc_id%25)%5 AS VARCHAR) AS d FROM c0),
+         | b AS (SELECT * FROM c WHERE NOT (
+         |   regexp_replace(hostname, ':[0-9]+$$','') = 'example3.com' OR
+         |   ends_with(regexp_replace(hostname, ':[0-9]+$$',''), '.example3.com'))),
+         | r AS (SELECT * FROM b WHERE
+         |   (NOT starts_with(path, '/A/' || kr) AND NOT ends_with(path, d))
+         |   OR path = '/A/' || kr || '/'),
+         | m AS (SELECT doc_id, hostname,
+         |   CASE WHEN length(text)=0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text,'[[:punct:]]','','g')) AS DOUBLE)/length(text) END AS punct_ratio,
+         |   CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\\s+')) END AS n_tok,
+         |   CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter(regexp_split_to_array(trim(lower(text)),'\\s+'),
+         |     t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be'], t))) END AS n_stop
+         |  FROM r),
+         | s AS (SELECT doc_id, hostname,
+         |   round(least(n_tok/20.0, 1.0)*0.5 + greatest(0.0, 1.0 - punct_ratio*4.0)*0.25 +
+         |     least((CASE WHEN n_tok=0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE)/n_tok END)*5.0, 1.0)*0.25, 6) AS score
+         |  FROM m),
+         | g AS (SELECT hostname FROM s GROUP BY hostname
+         |   HAVING count(*) >= 3 AND avg(score) >= 0.8),
+         | k AS (SELECT s.doc_id, s.hostname, s.score,
+         |   row_number() OVER (PARTITION BY s.hostname ORDER BY s.doc_id) AS rn
+         |  FROM s JOIN g USING (hostname))
+         | SELECT doc_id, hostname, score FROM k WHERE rn <= 10
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

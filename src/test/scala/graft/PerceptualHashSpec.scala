@@ -293,4 +293,33 @@ class PerceptualHashSpec extends SparkSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     assert(want.nonEmpty)
   }
+
+  test("interleaveByAffinity: argmax assignment, affinity-ordered sequences, unassigned chunks absent") {
+    import org.apache.spark.sql.functions._
+    // 2D embeddings make affinities readable: chunks on the axes,
+    // images at angles between them
+    val chunks = Seq(
+      (0L, Array(1.0f, 0.0f)),   // "x" chunk
+      (1L, Array(0.0f, 1.0f)),   // "y" chunk
+      (2L, Array(-1.0f, 0.0f)))  // nothing assigns here
+      .toDF("vec_id", "embedding")
+    val images = Seq(
+      (10L, Array(0.9f, 0.1f)),  // → chunk 0, strongest
+      (11L, Array(0.6f, 0.4f)),  // → chunk 0, weaker
+      (12L, Array(0.1f, 0.9f))   // → chunk 1
+    ).toDF("vec_id", "embedding")
+    val got = Multimodal.interleaveByAffinity(
+        chunks, images, "embedding", "vec_id", "vec_id")
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_images", "img_seq")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq((0L, 2L, "10,11"), (1L, 1L, "12")))
+    // ties on cosine order by image id: two images at the same angle
+    val tied = Seq((20L, Array(1.0f, 1.0f)), (21L, Array(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val seq = Multimodal.interleaveByAffinity(
+        chunks, tied, "embedding", "vec_id", "vec_id")
+      .where(col("chunk_id") === 0L).select("img_seq").as[String].head()
+    assert(seq === "20,21")
+  }
 }

@@ -143,6 +143,27 @@ class RobotsSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
   }
 
+  test("applyRobots runs unchanged on a stream (stream-static broadcast join, stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /blocked\n"))
+      .toDF("host", "robots_txt")
+    val in = MemoryStream[(Long, String, String)]
+    val out = Domains.applyRobots(
+      in.toDF().toDF("doc_id", "host", "path"), "host", "path", robots)
+    val q = out.writeStream.format("memory").queryName("robots_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "a.com", "/blocked/page"),
+        (2L, "a.com", "/open/page"),
+        (3L, "norobots.com", "/blocked/page"))
+      q.processAllAvailable()
+      assert(spark.table("robots_stream").select("doc_id").as[Long]
+        .collect().toSet === Set(2L, 3L))
+    } finally q.stop()
+  }
+
   test("robots expressions participate in whole-stage codegen") {
     // range keeps the input non-foldable so the expressions actually
     // run inside generated code rather than constant-folding away
