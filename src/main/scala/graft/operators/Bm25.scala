@@ -120,6 +120,57 @@ object Bm25 {
     out
   }
 
+  /** Retrieval-quality EVALUATION over a run table — the feedback loop
+    * that closes the retrieval family (tune BM25/ANN parameters against
+    * judged relevance, audit an index rebuild, regression-gate a
+    * ranking change):
+    *
+    *  - `runs`: (query_id, doc_id, rank) — [[topK]]'s output shape.
+    *  - `qrels`: (query_id, doc_id, rel) graded relevance judgments;
+    *    rel <= 0 rows count as not-relevant judgments.
+    *
+    * Per query (only queries present in `runs`):
+    * (query_id, n_rel, mrr, ndcg) — n_rel = positive judgments for the
+    * query; MRR = 1/rank of the first relevant hit within the top `k`
+    * (0 when none); nDCG@k with exponential gain (2^rel − 1) and
+    * log2(rank+1) discounting, ideal from the query's top-k judgments
+    * by rel (0 when the query has no positive judgment). Both rounded
+    * 6 dp.
+    *
+    * Shape: one (query, doc) equi-join of two rank-bounded frames plus
+    * two query-keyed aggregations — runs are |queries|·k rows and qrels
+    * are judgment-sized, so nothing here scales with the corpus.
+    */
+  def evaluateRuns(runs: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val log2 = (c: org.apache.spark.sql.Column) => log(2.0, c)
+    val r = runs.select(col("query_id"), col("doc_id"), col("rank"))
+      .where(col("rank") <= k)
+    val q = qrels.select(col("query_id"), col("doc_id"), col("rel"))
+      .where(col("rel") > 0)
+    val perQuery = r.join(q, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(coalesce(
+          (pow(lit(2.0), col("rel")) - 1.0) / log2(col("rank") + 1.0),
+          lit(0.0))).as("__dcg"),
+        max(when(col("rel") > 0, lit(1.0) / col("rank"))).as("__mrr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+    val ideal = q.withColumn("__rn", row_number().over(w))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("__rn") <= k,
+          (pow(lit(2.0), col("rel")) - 1.0) / log2(col("__rn") + 1.0))
+          .otherwise(lit(0.0))).as("__idcg"))
+    perQuery.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        round(coalesce(col("__mrr"), lit(0.0)), 6).as("mrr"),
+        round(when(coalesce(col("__idcg"), lit(0.0)) > 0.0,
+          col("__dcg") / col("__idcg")).otherwise(lit(0.0)), 6).as("ndcg"))
+  }
+
   /** PERSISTENT inverted index: the tf frame on disk as batch-appended
     * parquet ([[graft.load.IdempotentParquetSink]] — exactly-once per
     * batch id), the durable form of the object doc's "build once,

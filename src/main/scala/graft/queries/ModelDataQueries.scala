@@ -260,6 +260,34 @@ object ModelDataQueries {
 
     "q130_bpe_encode" -> ((s, dir) => bpeEncoded(s, dir, gated = true)),
 
+    // Retrieval-quality evaluation (nDCG@10 + MRR) over the q129 runs:
+    // graded judgments in closed form — the query doc itself rel 2,
+    // every non-blank doc congruent mod 50 rel 1 — so the oracle can
+    // recompute runs AND metrics end to end. Closes the retrieval
+    // feedback loop: tune/regress ranking changes against judged
+    // relevance without a human in the loop.
+    "q146_retrieval_eval" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+      val queries = docs
+        .where(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(
+            graft.functions.TextFns.tokens(lower(col("text"))), 1, 5), " ")
+            .as("qtext"))
+      val runs = Bm25.topK(docs, queries, "doc_id", "text",
+        "query_id", "qtext", k = 10)
+      val cands = docs.where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(50)).as("__m"))
+      val qrels = queries
+        .select(col("query_id"), pmod(col("query_id"), lit(50)).as("__m"))
+        .join(cands, "__m")
+        .select(col("query_id"), col("doc_id"),
+          when(col("doc_id") === col("query_id"), lit(2))
+            .otherwise(lit(1)).as("rel"))
+      Bm25.evaluateRuns(runs, qrels, k = 10)
+        .orderBy("query_id")
+    }),
+
     // Retrieval-based decontamination: every 97th doc is a benchmark
     // item querying the rest of the corpus (BM25 top-5, score floor 1);
     // each flagged doc reports hit count, best score, and the
@@ -390,32 +418,64 @@ object ModelDataQueries {
   private def margin(w: String): String =
     (0 until 5).map(j => s"$w.c$j*f$j").mkString("+")
 
+  // The q129 BM25 run in closed form — tf/dl/df/avgdl over the same
+  // lowercased whitespace tokens, the Lucene idf, round-before-rank
+  // with the doc_id tiebreak — as a reusable CTE prefix (q129 selects
+  // the run; q146 evaluates metrics over it).
+  private val bm25RunCtes =
+    """d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+      | tf AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY 1, 2),
+      | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      | st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      | qt AS (SELECT DISTINCT doc_id AS query_id, unnest(w[1:5]) AS term
+      |  FROM d WHERE doc_id % 101 = 0),
+      | df AS (SELECT term, count(*) AS df FROM tf
+      |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+      | sc AS (SELECT qt.query_id, tf.doc_id,
+      |   round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+      |     tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+      |  FROM qt JOIN df ON qt.term = df.term JOIN tf ON qt.term = tf.term
+      |   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+      |  GROUP BY 1, 2),
+      | r AS (SELECT query_id, doc_id, score, row_number() OVER
+      |   (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS "rank" FROM sc)"""
+      .stripMargin
+
   def oracles: Map[String, String] = Map(
-    // BM25: the full scoring pipeline in closed form — tf/dl/df/avgdl
-    // over the same lowercased whitespace tokens, the Lucene idf, and
-    // round-before-rank with the doc_id tiebreak.
     "q129_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
-        | tf AS (SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY 1, 2),
-        | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        | st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-        | qt AS (SELECT DISTINCT doc_id AS query_id, unnest(w[1:5]) AS term
-        |  FROM d WHERE doc_id % 101 = 0),
-        | df AS (SELECT term, count(*) AS df FROM tf
-        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
-        | sc AS (SELECT qt.query_id, tf.doc_id,
-        |   round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
-        |     tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
-        |  FROM qt JOIN df ON qt.term = df.term JOIN tf ON qt.term = tf.term
-        |   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-        |  GROUP BY 1, 2),
-        | r AS (SELECT query_id, doc_id, score, row_number() OVER
-        |   (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS "rank" FROM sc)
+      s"""WITH $bm25RunCtes
         | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
         | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
         .replaceAll("\n", " "),
+    // metrics re-derived from the same run CTEs + the closed-form
+    // graded judgments (self rel 2, mod-50 congruents rel 1)
+    "q146_retrieval_eval" ->
+      s"""WITH $bm25RunCtes,
+        | run AS (SELECT query_id, doc_id, "rank" FROM r WHERE "rank" <= 10),
+        | qr AS (SELECT q2.query_id, d2.doc_id,
+        |    CASE WHEN d2.doc_id = q2.query_id THEN 2 ELSE 1 END AS rel
+        |  FROM (SELECT DISTINCT query_id FROM qt) q2
+        |  JOIN (SELECT doc_id FROM d) d2 ON d2.doc_id % 50 = q2.query_id % 50),
+        | pq AS (SELECT run.query_id,
+        |    sum(CASE WHEN qr.rel IS NULL THEN 0.0
+        |      ELSE (pow(2, qr.rel) - 1) / log2(run."rank" + 1) END) AS dcg,
+        |    max(CASE WHEN qr.rel IS NOT NULL THEN 1.0 / run."rank" END) AS mrr
+        |  FROM run LEFT JOIN qr
+        |    ON run.query_id = qr.query_id AND run.doc_id = qr.doc_id
+        |  GROUP BY 1),
+        | ideal AS (SELECT query_id, count(*) AS n_rel,
+        |    sum(CASE WHEN rn <= 10 THEN (pow(2, rel) - 1) / log2(rn + 1) ELSE 0.0 END) AS idcg
+        |  FROM (SELECT query_id, rel, doc_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn FROM qr)
+        |  GROUP BY 1)
+        | SELECT pq.query_id, coalesce(ideal.n_rel, 0) AS n_rel,
+        |   round(coalesce(pq.mrr, 0.0), 6) AS mrr,
+        |   round(CASE WHEN coalesce(ideal.idcg, 0) > 0
+        |     THEN pq.dcg / ideal.idcg ELSE 0.0 END, 6) AS ndcg
+        | FROM pq LEFT JOIN ideal USING (query_id)
+        | ORDER BY query_id""".stripMargin.replaceAll("\n", " "),
     // q131: the q129 scoring mirror with corpus = non-benchmark docs,
     // queries = benchmark docs' full text, then the per-doc evidence
     // rollup (hit count, max score, argmax item with the ties-high rule).

@@ -130,4 +130,37 @@ class Bm25Spec extends SparkSuite {
     assert(ix.compact(spark))
     assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
   }
+
+  test("evaluateRuns: hand-computed nDCG/MRR, k cut, no-judgment and no-hit queries") {
+    // q1: hits at ranks 1 (rel 2), 3 (rel 1); one judged doc (rel 1)
+    //     never retrieved. n_rel = 3.
+    //     dcg  = 3/log2(2) + 1/log2(4) = 3 + 0.5 = 3.5
+    //     idcg = 3/log2(2) + 1/log2(3) + 1/log2(4)
+    //     mrr  = 1/1
+    // q2: no relevant hit in the run; judged docs exist -> ndcg 0, mrr 0
+    // q3: run rows but NO judgments at all -> n_rel 0, both 0
+    val runs = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 11), // rank 11 > k cut
+      (2L, 20L, 1),
+      (3L, 30L, 1)
+    ).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 10L, 2), (1L, 12L, 1), (1L, 99L, 1),
+      (1L, 13L, 2),          // judged, but its hit is beyond the k cut
+      (1L, 11L, 0),          // explicit not-relevant judgment: ignored
+      (2L, 21L, 1)
+    ).toDF("query_id", "doc_id", "rel")
+    val got = Bm25.evaluateRuns(runs, qrels, k = 10)
+      .orderBy("query_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val idcg = 3.0 / 1.0 + 3.0 / (math.log(3) / math.log(2)) +
+      1.0 / 2.0 + 1.0 / (math.log(5) / math.log(2))
+    val wantNdcg = BigDecimal(3.5 / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1L, 4L, 1.0, wantNdcg),
+      (2L, 1L, 0.0, 0.0),
+      (3L, 0L, 0.0, 0.0)))
+    intercept[IllegalArgumentException] { Bm25.evaluateRuns(runs, qrels, 0) }
+  }
 }

@@ -76,6 +76,34 @@ class RobotsSpec extends SparkSuite {
     assert(matches("/a**b", "/a**b"))       // consecutive stars = one
   }
 
+  test("matches agrees with a regex-translation reference on randomized patterns/paths") {
+    // reference: quote literal segments, '*' -> '.*', trailing '$' kept;
+    // regex backtracking is the ground truth for the greedy-earliest
+    // kernel's completeness claim
+    def refMatches(path: String, pattern: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val pat = if (anchored) pattern.dropRight(1) else pattern
+      val rx = "^" + pat.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*") + (if (anchored) "$" else "")
+      rx.r.findFirstIn(path).isDefined
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "ab/."
+    def randStr(max: Int) =
+      (0 until rnd.nextInt(max + 1)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    var checked = 0
+    for (_ <- 0 until 4000) {
+      val nSeg = 1 + rnd.nextInt(3)
+      val pattern = "/" + (0 until nSeg).map(_ => randStr(3)).mkString("*") +
+        (if (rnd.nextBoolean()) "$" else "")
+      val path = "/" + randStr(8)
+      assert(RobotsKernel.matches(path, pattern) === refMatches(path, pattern),
+        s"path='$path' pattern='$pattern'")
+      checked += 1
+    }
+    assert(checked === 4000)
+  }
+
   test("allowed: longest match wins, tie goes to allow, no match allows") {
     import org.apache.spark.sql.Row
     val df = Seq(
