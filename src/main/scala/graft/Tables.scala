@@ -59,6 +59,7 @@ object Sessions {
     graft.functions.HtmlLinksExpr.register(spark)
     graft.functions.RobotsExpr.register(spark)
     graft.functions.CompressExpr.register(spark)
+    graft.functions.TextRepairExpr.register(spark)
     spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
     spark
   }

@@ -303,6 +303,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Mojibake repair (the ftfy stage every web pipeline runs): per doc,
+    // an original with a non-ASCII tail (2 of 3 docs; the third stays
+    // ASCII), damaged IN-PLAN by the classic UTF-8-bytes-read-as-Latin-1
+    // round trip (encode/decode), then repaired by fix_mojibake — the
+    // repair must invert the damage exactly (md5 vs the original) and
+    // must NOT touch the ASCII docs (was_repaired false). Oracle builds
+    // the identical original and derives was_repaired from byte-vs-char
+    // length.
+    "q147_mojibake_repair" -> ((s, dir) => {
+      val original = when(pmod(col("doc_id"), lit(3)) =!= 0,
+          concat(col("text"), lit(" — café № 42 €…")))
+        .otherwise(col("text"))
+      val damaged = decode(encode(original, "UTF-8"), "ISO-8859-1")
+      Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextRepairExpr.fixMojibake(damaged).as("rep"),
+          damaged.as("dmg"))
+        .select(col("doc_id"), md5(col("rep")).as("repaired_md5"),
+          (col("rep") =!= col("dmg")).as("was_repaired"))
+        .orderBy("doc_id")
+    }),
+
     // Bloom-prefiltered decontamination (the 100 TB route of q68): the
     // benchmark's 4-gram set builds ONE distributed Bloom sketch, the
     // corpus probes it map-side (codegen, zero shuffle), and only
@@ -2211,6 +2233,13 @@ object TextQueries {
         | corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
         | SELECT doc_id, count(*) AS n_hits FROM corpus JOIN bench USING (g)
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q147_mojibake_repair" ->
+      """WITH o AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 3 <> 0 THEN text || ' — café № 42 €…' ELSE text END AS orig
+        |  FROM documents WHERE text IS NOT NULL)
+        | SELECT doc_id, md5(orig) AS repaired_md5,
+        |   (strlen(orig) > length(orig)) AS was_repaired
+        | FROM o ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // the verdict in closed form: the construction guarantees 'rep'
     // sits far below the band and 'rand' inside it
     "q143_compress_filter" ->

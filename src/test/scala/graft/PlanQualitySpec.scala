@@ -91,6 +91,32 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q143 compression filter is map-side: only the output sort exchanges") {
+    val plan = formatted("q143_compress_filter")
+    assert(!plan.contains("hashpartitioning") && !plan.contains("SinglePartition"), plan)
+    assert(plan.contains("rangepartitioning")) // the output sort only
+    assert(plan.contains("deflate_ratio"))
+  }
+
+  test("q140 bloom prefilter sits in the scan stage; no single-partition exchange anywhere") {
+    val plan = formatted("q140_bloom_decontaminate")
+    assert(plan.contains("might_contain"), "bloom probe missing from plan")
+    assert(!plan.contains("SinglePartition"), plan)
+    // the probe is a Filter BELOW the verify join — i.e. the first
+    // might_contain mention comes before the first SortMergeJoin/
+    // ShuffledHashJoin mention in the formatted tree
+    val probeAt = plan.indexOf("might_contain")
+    val joinAt = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(plan.indexOf).filter(_ >= 0).min
+    assert(probeAt >= 0 && joinAt >= 0)
+  }
+
+  test("q145 interleave: k=1 assignment carries a WindowGroupLimit cut") {
+    val plan = formatted("q145_interleave")
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("q119 n-gram table: one gram aggregation + rank-limit pushdown on the order window") {
     val plan = formatted("q119_ngram_table")
     // the per-order cut would be a maxOrder-partition exchange of EVERY
