@@ -95,4 +95,32 @@ object Splits {
       .otherwise(TextFns.fingerprint(col(s"`$textCol`")))
     df.withColumn(splitCol, splitExpr(key, fractions))
   }
+
+  /** NEAR-dup-safe splits — the leakage-proof assignment: rows sharing a
+    * near-dup CLUSTER share a split, so a test document can never have a
+    * near-duplicate sibling in train (the q98 leakage audit's failure
+    * mode, prevented by construction). `pairs` is similarity evidence
+    * (id_a, id_b) from any of the engine's pair kernels (MinHash-LSH,
+    * n-gram Jaccard, SimHash, embedding cosine…); connected components
+    * label the clusters, the cluster label keys the split, and
+    * singletons key on their own id.
+    *
+    * Shape: the expensive part is the caller's pair kernel; components
+    * run over PAIR-cardinality evidence ([[graft.operators.Dedup
+    * .connectedComponents]]'s hybrid route), the label frame is
+    * pair-bounded (AQE-broadcast in the common case), and the
+    * assignment itself stays the map-side hash expression.
+    */
+  def nearDupSafe(df: DataFrame, idCol: String, pairs: DataFrame,
+                  fractions: Seq[(String, Double)],
+                  splitCol: String = "split"): DataFrame = {
+    require(!df.columns.contains(splitCol),
+      s"split column '$splitCol' collides with an input column")
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+      .select(col("id").as("__nd_id"), col("label").as("__nd_label"))
+    df.join(labels, col(s"`$idCol`") === col("__nd_id"), "left")
+      .withColumn(splitCol, splitExpr(
+        coalesce(col("__nd_label"), col(s"`$idCol`").cast("long")), fractions))
+      .drop("__nd_id", "__nd_label")
+  }
 }

@@ -742,6 +742,25 @@ object TextQueries {
       Dedup.connectedComponentsDistributed(pairs).orderBy("id")
     }),
 
+    // NEAR-dup-safe split assignment (the leakage-proof split): q109's
+    // clusters key the split hash, so near-duplicate docs land in the
+    // SAME split by construction — the failure mode q98 audits,
+    // prevented at assignment time. Singletons key on their own id.
+    // Oracle: recursive-CTE cluster closure + the q92 hash-threshold
+    // mirror over the cluster label.
+    "q148_neardup_safe_split" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      val pairs = Dedup.ngramJaccardPairs(base, "text", "doc_id",
+          n = 3, threshold = 0.6)
+        .select("id_a", "id_b")
+      graft.corpus.Splits.nearDupSafe(
+          base.select(col("doc_id")), "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-aware dedup survivors: q109's clusters, but per cluster
     // the TOKEN-RICHEST doc survives (ties lowest id) instead of the
     // lowest id — singletons pass through as their own cluster. The
@@ -2026,6 +2045,34 @@ object TextQueries {
         |   UNION
         |   SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
         | SELECT id, min(reach) AS label FROM r GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
+    "q148_neardup_safe_split" ->
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> '')
+        | ), ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        | pp AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) AS jaccard
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |  WHERE jaccard >= 0.6),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM pp
+        |       UNION ALL SELECT id_b, id_a FROM pp),
+        | r(id, reach) AS (
+        |   SELECT DISTINCT src, src FROM e
+        |   UNION
+        |   SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        | lab AS (SELECT id, min(reach) AS label FROM r GROUP BY id),
+        | k AS (SELECT sh.doc_id,
+        |   CAST(coalesce(lab.label, sh.doc_id) AS VARCHAR) AS key
+        |  FROM sh LEFT JOIN lab ON sh.doc_id = lab.id)
+        | SELECT doc_id,
+        |  CASE WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.8)}' THEN 'train'
+        |       WHEN md5(key) < '${graft.operators.Sampling.hexThreshold(0.9)}' THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM k ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q134_cluster_survivors" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]

@@ -67,6 +67,13 @@ class SplitsVocabSpec extends SparkSuite {
     assert(got(1L) === got(2L) && got(2L) === got(3L))
     assert(got(4L) === got(5L))
     assert(got.size === 6)
+    // the first-class operator produces the identical assignment
+    val direct = Splits.nearDupSafe(docs, "doc_id", pairs, fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(direct === got)
+    intercept[IllegalArgumentException] {
+      Splits.nearDupSafe(docs.withColumn("split", lit("x")), "doc_id", pairs, fr)
+    }
   }
 
   test("NULL group keys fail loudly in-plan; NULL text falls back to a singleton group") {
