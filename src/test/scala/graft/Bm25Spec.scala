@@ -163,4 +163,47 @@ class Bm25Spec extends SparkSuite {
       (3L, 0L, 0.0, 0.0)))
     intercept[IllegalArgumentException] { Bm25.evaluateRuns(runs, qrels, 0) }
   }
+
+  test("evaluateRuns agrees with a local reference on randomized runs/qrels") {
+    val rnd = new scala.util.Random(146L)
+    val k = 5
+    val queries = (1L to 12L).toSeq
+    val runs = queries.flatMap { q =>
+      // ranks 1..n for n in [0, 8] (ranks beyond k exercise the cut)
+      (1 to rnd.nextInt(9)).map(r => (q, rnd.nextInt(30).toLong, r))
+    }
+    val qrels = queries.flatMap { q =>
+      (0 until rnd.nextInt(6)).map(_ =>
+        (q, rnd.nextInt(30).toLong, rnd.nextInt(3))) // rel 0 rows too
+    }.distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (q, doc)
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val relOf = qrels.filter(_._3 > 0).map(t => (t._1, t._2) -> t._3).toMap
+    val byQ = relOf.keys.groupBy(_._1)
+    val want = runs.map(_._1).distinct.sorted.map { q =>
+      val hits = runs.filter(t => t._1 == q && t._3 <= k)
+      val dcg = hits.map(t => relOf.get((q, t._2))
+        .map(r => (math.pow(2, r) - 1) / log2(t._3 + 1)).getOrElse(0.0)).sum
+      val rels = byQ.getOrElse(q, Nil).toSeq.map(p => (relOf(p), p._2))
+        .sortBy(t => (-t._1, t._2)).take(k)
+      val idcg = rels.zipWithIndex
+        .map { case ((r, _), i) => (math.pow(2, r) - 1) / log2(i + 2) }.sum
+      val nRel = byQ.get(q).map(_.size.toLong).getOrElse(0L)
+      val mrr = hits.filter(t => relOf.contains((q, t._2))).map(1.0 / _._3)
+        .maxOption.getOrElse(0.0)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (q, nRel, r6(mrr), r6(if (idcg > 0) dcg / idcg else 0.0))
+    }
+    val got = Bm25.evaluateRuns(
+        runs.toDF("query_id", "doc_id", "rank"),
+        qrels.toDF("query_id", "doc_id", "rel"), k)
+      .orderBy("query_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) === want.map(_._1))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._2 === w._2, s"n_rel q${g._1}")
+      assert(math.abs(g._3 - w._3) < 2e-6, s"mrr q${g._1}: ${g._3} vs ${w._3}")
+      assert(math.abs(g._4 - w._4) < 2e-6, s"ndcg q${g._1}: ${g._4} vs ${w._4}")
+    }
+  }
 }
