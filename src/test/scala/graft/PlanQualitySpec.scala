@@ -259,7 +259,11 @@ class PlanQualitySpec extends SparkSuite {
       // q137's gate broadcasts a 1-row mismatch count AND a 1-row max
       // score gap; q138's PageRank broadcasts the 1-row dangling-mass
       // aggregate once per unrolled iteration (3)
-      "q137_bm25_disk", "q138_pagerank")
+      "q137_bm25_disk", "q138_pagerank",
+      // q145's interleave assigns via knnJoin's documented exact
+      // crossJoin route — the 50-row chunk side is the broadcast side
+      // (the q45 rationale; corpus scale swaps stage 1 for IVF probes)
+      "q145_interleave")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(gateQueries)
       .filter { name =>
