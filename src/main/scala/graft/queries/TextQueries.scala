@@ -742,6 +742,20 @@ object TextQueries {
       Dedup.connectedComponentsDistributed(pairs).orderBy("id")
     }),
 
+    // Shard export manifest (the ship-it step): md5-threshold shard
+    // assignment over 8 shards + per-shard row count, token total, and
+    // the order-independent id fingerprint a loader audits shard files
+    // against. Append-stable and engine-mirrorable by construction
+    // (the q92 hash-threshold rule, not a JVM-private hash).
+    "q149_shard_manifest" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.corpus.Export.shardManifest(docs, "doc_id", "n_tokens",
+          nShards = 8)
+        .orderBy("shard")
+    }),
+
     // NEAR-dup-safe split assignment (the leakage-proof split): q109's
     // clusters key the split hash, so near-duplicate docs land in the
     // SAME split by construction — the failure mode q98 audits,
@@ -2045,6 +2059,18 @@ object TextQueries {
         |   UNION
         |   SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
         | SELECT id, min(reach) AS label FROM r GROUP BY id ORDER BY id""".stripMargin.replaceAll("\n", " "),
+    "q149_shard_manifest" -> {
+      val shardCase = (1 until 8).map(i =>
+        s"WHEN md5(CAST(doc_id AS VARCHAR)) < '${graft.operators.Sampling.hexThreshold(i / 8.0)}' THEN ${i - 1}")
+        .mkString("CASE ", " ", " ELSE 7 END")
+      s"""WITH t AS (SELECT doc_id,
+        |   CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\\s+')) END AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        | s AS (SELECT doc_id, n_tok, $shardCase AS shard FROM t)
+        | SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |   md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+        | FROM s GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " ")
+    },
     "q148_neardup_safe_split" ->
       s"""WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
