@@ -228,6 +228,15 @@ class SplitsVocabSpec extends SparkSuite {
     }
     val trainIds = train.select("doc_id").as[Long].collect().toSet
     assert(mixed.select("doc_id").as[Long].collect().forall(trainIds))
+    // 3. ship the train split as shards + manifest: the written files
+    // verify against the manifest and recompose the split exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-ship").toString
+    val manifest = graft.corpus.Export.writeShards(
+        train, "doc_id", "n_tokens", nShards = 2, dir)
+      .as[(Int, Long, Long, String)].collect().toSeq
+    assert(manifest.map(_._2).sum === trainIds.size.toLong)
+    val shipped = spark.read.parquet(dir)
+    assert(shipped.select("doc_id").as[Long].collect().toSet === trainIds)
   }
 
   test("split-leakage audit: exact overlap is zero by construction; CC splits close near leakage") {
