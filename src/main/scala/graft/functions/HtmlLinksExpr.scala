@@ -101,7 +101,13 @@ object HtmlLinksKernel {
           } else if (!closing && name == "a") {
             val href = hrefValue(html, j, math.min(k, n))
             if (href == null) i = tagEnd
-            else {
+            else if (selfClosed) {
+              // `<a href="x"/>` has no inner content — emit an empty
+              // anchor and continue AFTER the tag; scanning for a
+              // nonexistent </a> would swallow the rest of the document
+              out += ((href, ""))
+              i = tagEnd
+            } else {
               val close = indexOfIgnoreCase(html, "</a", tagEnd)
               val innerEnd = if (close < 0) n else close
               val anchor = HtmlTextKernel
@@ -153,7 +159,14 @@ object HtmlLinksKernel {
           i = math.min(ve + 1, until)
         } else {
           while (ve < until && !Character.isWhitespace(html.charAt(ve))) ve += 1
-          if (isHref) return decodeEntities(html.substring(vs, ve))
+          // an unquoted value running flush into the tag's '>' carries a
+          // self-close slash if it ends with '/': `<a href=x/>` means
+          // href "x", not "x/" (a real trailing-slash URL is either
+          // quoted or followed by whitespace)
+          val end =
+            if (ve == until && ve > vs && html.charAt(ve - 1) == '/') ve - 1
+            else ve
+          if (isHref) return decodeEntities(html.substring(vs, end))
           i = ve
         }
       } else if (isHref) return "" // bare `href` with no value

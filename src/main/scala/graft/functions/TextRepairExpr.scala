@@ -30,9 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextRepairKernel {
 
-  // CP1252 specials (bytes 0x80-0x9F) that decode above U+00FF
-  private val cp1252Inverse: java.util.HashMap[Char, Int] = {
-    val m = new java.util.HashMap[Char, Int]()
+  // CP1252 specials (bytes 0x80-0x9F) that decode above U+00FF.
+  // Value type must be java.lang.Integer: with a Scala Int value type,
+  // get() on a missing key unboxes null to 0 and the null-check below
+  // can never fire, silently mapping CJK/emoji chars to byte 0x00.
+  private val cp1252Inverse: java.util.HashMap[Char, java.lang.Integer] = {
+    val m = new java.util.HashMap[Char, java.lang.Integer]()
     val pairs = Seq(
       '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83,
       '„' -> 0x84, '…' -> 0x85, '†' -> 0x86,
@@ -43,7 +46,7 @@ object TextRepairKernel {
       '–' -> 0x96, '—' -> 0x97, '˜' -> 0x98,
       '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
       'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
-    pairs.foreach { case (c, b) => m.put(c, b) }
+    pairs.foreach { case (c, b) => m.put(c, java.lang.Integer.valueOf(b)) }
     m
   }
 

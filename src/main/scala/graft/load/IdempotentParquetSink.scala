@@ -94,6 +94,13 @@ final class IdempotentParquetSink(val root: String) extends Serializable {
     * re-delivered old batch id must keep skipping after its data moved
     * into the compaction.
     *
+    * Cleanup sweeps by LISTING, not by the ids this call folded: every
+    * `compact/upto=*` below the new watermark and every `data/batch=*`
+    * at or below it is superseded, including dirs orphaned by a crash
+    * between a previous compaction's marker creation and its deletes
+    * (those would otherwise leak forever — the next watermark never
+    * revisits them).
+    *
     * @return true if a compaction ran, false if there was nothing to
     *         merge (zero or one live directory).
     */
@@ -107,9 +114,26 @@ final class IdempotentParquetSink(val root: String) extends Serializable {
     read(spark).write.mode("overwrite").parquet(compactDir(upTo))
     f.mkdirs(compactMarker(upTo).getParent)
     f.create(compactMarker(upTo), true).close()
-    // superseded data (old compaction + folded batches) — markers stay
-    w.foreach(old => f.delete(new Path(compactDir(old)), true))
-    live.foreach(id => f.delete(new Path(batchDir(id)), true))
+    sweepSuperseded(spark, upTo)
     true
+  }
+
+  /** Delete every data directory superseded by watermark `upTo`:
+    * compactions below it and batch dirs at or below it. Listed from
+    * the filesystem so crash-orphaned dirs from earlier compactions are
+    * reclaimed too. Markers are never touched.
+    */
+  private def sweepSuperseded(spark: SparkSession, upTo: Long): Unit = {
+    val f = fs(spark)
+    val compactRoot = new Path(s"$root/compact")
+    if (f.exists(compactRoot)) f.listStatus(compactRoot).foreach { st =>
+      val id = st.getPath.getName.stripPrefix("upto=").toLong
+      if (id < upTo) f.delete(st.getPath, true)
+    }
+    val dataRoot = new Path(s"$root/data")
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
+      val id = st.getPath.getName.stripPrefix("batch=").toLong
+      if (id <= upTo) f.delete(st.getPath, true)
+    }
   }
 }

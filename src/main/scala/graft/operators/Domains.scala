@@ -85,6 +85,12 @@ object Domains {
     * corpus never shuffles. For a robots frame beyond the broadcast
     * budget pass `broadcastRobots = false` (one shuffled join keyed on
     * host).
+    *
+    * The rules frame is deduplicated to ONE row per host before the
+    * join (deterministically: lexicographically-least body wins, the
+    * strictest stable choice for a re-fetched robots.txt) — a duplicate
+    * host row would otherwise fan out every doc of that host into
+    * duplicate corpus rows.
     */
   def applyRobots(
       docs: DataFrame, hostCol: String, pathCol: String,
@@ -92,10 +98,13 @@ object Domains {
       robotsTxtCol: String = "robots_txt",
       broadcastRobots: Boolean = true): DataFrame = {
     graft.functions.RobotsExpr.register(docs.sparkSession)
-    val rules = robots.select(
-      col(s"`$robotsHostCol`").as("__rb_host"),
-      graft.functions.RobotsExpr
-        .robotsRules(col(s"`$robotsTxtCol`")).as("__rb_rules"))
+    val rules = robots
+      .groupBy(col(s"`$robotsHostCol`").as("__rb_host"))
+      .agg(min(col(s"`$robotsTxtCol`")).as("__rb_txt"))
+      .select(
+        col("__rb_host"),
+        graft.functions.RobotsExpr
+          .robotsRules(col("__rb_txt")).as("__rb_rules"))
     val r = if (broadcastRobots) broadcast(rules) else rules
     docs.join(r, col(s"`$hostCol`") === col("__rb_host"), "left")
       .where(col("__rb_rules").isNull ||

@@ -35,6 +35,11 @@ object LinkGraph {
     * @param nodes optional node universe (first column = node id).
     *              Defaults to distinct(src ∪ dst). Pass it explicitly
     *              when isolated nodes (no edges at all) must carry rank.
+    *              Edges with an endpoint OUTSIDE the supplied universe
+    *              are dropped before iteration (an out-of-universe src
+    *              has no rank to contribute; mass flowing to an
+    *              out-of-universe dst would silently leak) — the
+    *              mass-conservation invariant holds over the universe.
     * @return (node, rank)
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -43,12 +48,19 @@ object LinkGraph {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(damping >= 0.0 && damping < 1.0, s"damping in [0,1): $damping")
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodeDf = nodes
       .map(d => d.select(col(d.columns.head).as("node")))
-      .getOrElse(e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
+      .getOrElse(e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // With an explicit universe, restrict edges to it (two semi-joins of
+    // edge cardinality, once, before the iteration loop). A src not in
+    // the universe would inject rank from nowhere; a dst not in it would
+    // swallow mass — either silently breaks the sum-to-1 invariant.
+    val e = if (nodes.isEmpty) e0 else e0
+      .join(nodeDf.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(nodeDf.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("od"))
     // (src, dst, od): the per-edge frame every iteration joins — built
     // and persisted ONCE
@@ -102,10 +114,13 @@ object LinkGraph {
     * never call on a corpus-scale edge list.
     */
   private[graft] def pageRankLocal(
-      edges: Seq[(Long, Long)], nodes: Seq[Long],
+      edges0: Seq[(Long, Long)], nodes: Seq[Long],
       iterations: Int, damping: Double): Map[Long, Double] = {
     val n = nodes.size
     require(n > 0)
+    val universe = nodes.toSet
+    val edges = edges0.filter { case (s, d) =>
+      universe.contains(s) && universe.contains(d) }
     val outdeg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toDouble) }
     val teleport = (1.0 - damping) / n
     var ranks = nodes.map(v => (v, 1.0 / n)).toMap

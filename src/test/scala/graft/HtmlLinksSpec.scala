@@ -43,6 +43,19 @@ class HtmlLinksSpec extends SparkSuite {
     assert(links("""<a title="a>b" href="u">t</a>""") === Seq(("u", "t")))
   }
 
+  test("self-closed anchors: empty anchor text, no document swallow, slash-stripped unquoted href") {
+    // a self-closed <a/> has no inner content — the following text and
+    // links must survive (regression: the kernel scanned for a
+    // nonexistent </a> and consumed the rest of the document)
+    assert(links("""<a href="x"/>after <a href="y">t</a>""") ===
+      Seq(("x", ""), ("y", "t")))
+    // unquoted value flush against '/>': the slash is the self-close,
+    // not part of the URL
+    assert(links("<a href=http://u/p/>tail") === Seq(("http://u/p", "")))
+    // quoted trailing slash is preserved
+    assert(links("""<a href="http://u/p/"/>""") === Seq(("http://u/p/", "")))
+  }
+
   test("malformed HTML never throws: unclosed anchor, bare href, nested tag soup") {
     assert(links("<a href=\"u\">runs to end") === Seq(("u", "runs to end")))
     assert(links("<a href>empty</a>") === Seq(("", "empty")))

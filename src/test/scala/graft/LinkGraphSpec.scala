@@ -60,6 +60,20 @@ class LinkGraphSpec extends SparkSuite {
     assert(got(1L) > got(2L))
   }
 
+  test("explicit universe excluding edge endpoints: out-of-universe edges drop, mass conserved") {
+    // edges touching node 9 (outside the universe) must not inject rank
+    // from nowhere (9 as src) nor leak mass into the void (9 as dst)
+    val edges = Seq((0L, 1L), (9L, 1L), (1L, 9L), (1L, 2L), (2L, 0L))
+    val nodes = Seq(0L, 1L, 2L)
+    for (it <- Seq(1, 3)) {
+      val got = distributed(edges, nodes, it)
+      assert(got.keySet === Set(0L, 1L, 2L))
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"iters=$it")
+      val want = LinkGraph.pageRankLocal(edges, nodes, it, 0.85)
+      nodes.foreach(v => assert(math.abs(got(v) - want(v)) < 1e-12, s"node $v"))
+    }
+  }
+
   test("randomized parity with the single-process reference (incl. 8-iter checkpoint path)") {
     val rnd = new scala.util.Random(20260815L)
     for (trial <- 0 until 6) {

@@ -140,6 +140,22 @@ class RobotsSpec extends SparkSuite {
     assert(run(bcast = false) === b)
   }
 
+  test("applyRobots: a re-fetched (duplicate) robots row never fans out docs") {
+    val docs = Seq(
+      (1L, "a.com", "/blocked/page"),
+      (2L, "a.com", "/open/page")
+    ).toDF("doc_id", "host", "path")
+    // two rows for a.com (a re-fetch) — the lexicographically-least body
+    // wins deterministically, and no doc row duplicates
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /blocked\n"),
+      ("a.com", "User-agent: *\nDisallow: /open\n")
+    ).toDF("host", "robots_txt")
+    val got = Domains.applyRobots(docs, "host", "path", robots)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got === Seq(2L)) // "Disallow: /blocked" < "Disallow: /open"
+  }
+
   test("applyRobots parses robots once per host and probes map-side (broadcast, no corpus shuffle)") {
     val docs = Seq((1L, "a.com", "/p")).toDF("doc_id", "host", "path")
     val robots = Seq(("a.com", "User-agent: *\nDisallow: /q\n"))

@@ -45,6 +45,17 @@ class TextRepairSpec extends SparkSuite {
       assert(fix(s) === s, s)
   }
 
+  test("mixed mojibake + unmappable script passes through untouched") {
+    // "cafÃ©" alone would repair, but the CJK/emoji tail has no CP1252
+    // byte, which is evidence of NO damage — the whole string must
+    // survive verbatim. Regression: a Scala-Int-valued inverse map
+    // unboxed a missing key's null to 0, mapping these chars to byte
+    // 0x00 and destroying them.
+    for (s <- Seq("cafÃ© 中文", "naÃ¯ve 🎉", "Ã© кириллица", "cafÃ©中"))
+      assert(fix(s) === s, s)
+    assert(TextRepairKernel.repairOnce("cafÃ© 中文") === null)
+  }
+
   test("invalid byte sequences do not repair (mapping back must yield strict UTF-8)") {
     // 'Ã' alone maps to byte 0xC3 — a dangling UTF-8 lead byte
     assert(fix("Ã") === "Ã")

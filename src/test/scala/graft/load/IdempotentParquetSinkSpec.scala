@@ -83,4 +83,34 @@ class IdempotentParquetSinkSpec extends SparkSuite {
     assert(sink.append(Seq((5L, "e")).toDF("id", "v"), 4L))
     assert(rows === before ++ Seq((4L, "d"), (5L, "e")))
   }
+
+  test("compaction reclaims dirs orphaned by a crash between marker and deletes") {
+    val root = Files.createTempDirectory("idem_orph").toString + "/t"
+    val sink = new IdempotentParquetSink(root)
+    def rows = sink.read(spark).orderBy("id").as[(Long, String)].collect().toSeq
+
+    assert(sink.append(Seq((1L, "a")).toDF("id", "v"), 0L))
+    assert(sink.append(Seq((2L, "b")).toDF("id", "v"), 1L))
+    assert(sink.compact(spark)) // watermark upto=1
+    assert(sink.append(Seq((3L, "c")).toDF("id", "v"), 2L))
+    // simulate the crash: a later compaction wrote its data AND marker
+    // but died before its deletes — recreate the superseded dirs it
+    // would have left behind
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("overwrite").parquet(root + "/data/batch=0")
+    val before = rows
+    assert(sink.compact(spark)) // watermark upto=2, sweep runs
+    assert(rows === before)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    // everything below the new watermark is reclaimed: the old
+    // compaction dir, the crash-orphaned batch dir, the folded batch
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "/compact/upto=1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "/data/batch=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "/data/batch=2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root + "/compact/upto=2")))
+    // markers survive: re-delivered old ids still skip
+    assert(!sink.append(Seq((9L, "dup")).toDF("id", "v"), 0L))
+    assert(rows === before)
+  }
 }
