@@ -60,6 +60,7 @@ object Sessions {
     graft.functions.RobotsExpr.register(spark)
     graft.functions.CompressExpr.register(spark)
     graft.functions.TextRepairExpr.register(spark)
+    graft.functions.LangIdExpr.register(spark)
     spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
     spark
   }

@@ -1030,8 +1030,125 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_ngrams"), min("ngram").as("first_ngram"))
         .orderBy("doc_id")
+    }),
+
+    // Language identification over injected multilingual text (the
+    // q127/q147 in-plan construction idiom): per doc, a held-out
+    // sentence in one of the six model languages (doc_id % 6), with a
+    // short-text row (% 97 → "und" by evidence) and a Cyrillic row
+    // (% 11 → "und" by the avg-logprob floor: an unseen script lands on
+    // the smoothed OOV mass in every language). The oracle re-derives
+    // the ENTIRE fixed trigram model from the same seed literals in SQL
+    // and mirrors scoring, argmax, margin, and both fallbacks.
+    "q150_langid_injected" -> ((s, dir) => {
+      val k = langSnippets.size
+      val body = langSnippets.zipWithIndex.tail.foldLeft(
+          when(pmod(col("doc_id"), lit(k)) === 0, lit(langSnippets.head._2))) {
+        case (acc, ((_, t), i)) =>
+          acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+      }
+      val txt = when(pmod(col("doc_id"), lit(97)) === 0, lit("ab"))
+        .otherwise(concat(
+          when(pmod(col("doc_id"), lit(11)) === 5, lit(cyrSnippet))
+            .otherwise(body),
+          lit(" #"), col("doc_id").cast("string")))
+      graft.operators.LangId.classify(
+          Tables(s, dir, "documents").select(col("doc_id"), txt.as("t")), "t")
+        .select(col("doc_id"), col("lang"),
+          round(col("lang_conf"), 6).as("lang_conf"))
+        .orderBy("doc_id")
+    }),
+
+    // Language histogram over the REAL corpus text — the operator a
+    // crawl pipeline runs right after q128's extraction to mint the
+    // `lang` column every per-language stage consumes. Map-side kernel,
+    // zero shuffle before the lang-cardinality histogram.
+    "q151_langid_corpus" -> ((s, dir) => {
+      graft.operators.LangId.classify(
+          Tables(s, dir, "documents").where(col("text").isNotNull), "text")
+        .groupBy(col("lang").as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+        .orderBy("lang_pred")
     })
   )
+
+  // q150 fixtures: held-out sentences (deliberately NOT in
+  // LangIdModel.seeds — the check is generalization, not recall);
+  // lowercase, apostrophe-free, BMP-only so Spark and DuckDB agree on
+  // length/substr/lower semantics.
+  private val langSnippets: Seq[(String, String)] = Seq(
+    "en" -> "it was a bright cold day in april and the clocks were striking thirteen while people hurried home through the narrow streets",
+    "de" -> "es war ein heller kalter tag im april und die uhren schlugen dreizehn während die leute durch die engen straßen nach hause eilten",
+    "fr" -> "par une froide et claire journée de printemps les horloges sonnaient treize heures et les gens rentraient chez eux par les rues étroites",
+    "es" -> "era un día luminoso y frío de abril y los relojes daban las trece mientras la gente volvía a casa por las calles estrechas",
+    "it" -> "era una luminosa e fredda giornata di aprile e gli orologi battevano le tredici mentre la gente tornava a casa per le strade strette",
+    "pt" -> "era um dia claro e frio de abril e os relógios batiam as treze enquanto as pessoas voltavam para casa pelas ruas estreitas")
+
+  private val cyrSnippet =
+    "все счастливые семьи похожи друг на друга каждая несчастливая семья несчастлива по своему а город спал под снегом"
+
+  // Oracle building blocks: the fixed model re-derived in DuckDB SQL from
+  // the SAME seed literals (single source of truth —
+  // graft.functions.LangIdModel.seeds), Laplace-smoothed over the global
+  // vocabulary exactly as LangIdModel.train does.
+  private def langModelCtes: String = {
+    val seedValues = graft.functions.LangIdModel.seeds
+      .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+    s"""seeds(lang, sd) AS (VALUES $seedValues),
+       | stri AS (SELECT lang, substr(sd, CAST(i AS INT), 3) AS tri
+       |   FROM (SELECT lang, sd, unnest(generate_series(1, length(sd) - 2)) AS i FROM seeds)),
+       | cnt AS (SELECT lang, tri, CAST(count(*) AS DOUBLE) AS c FROM stri GROUP BY 1, 2),
+       | tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY 1),
+       | voc AS (SELECT CAST(count(DISTINCT tri) AS DOUBLE) AS v FROM stri),
+       | mdl AS (SELECT lang, tri, ln((c + 1) / (t + v)) AS lp FROM cnt JOIN tot USING (lang), voc),
+       | oov AS (SELECT lang, ln(1 / (t + v)) AS olp FROM tot, voc)""".stripMargin
+  }
+
+  // Scoring + argmax + margin + fallback mirror over a docs0(doc_id, txt)
+  // CTE; yields top(doc_id, lang, avg, mg) plus the und CASE applied by
+  // the caller. -7.5 mirrors LangId.classify's default minAvgLp.
+  private def langScoreCtes: String =
+    """dtri AS (SELECT doc_id, substr(txt, CAST(i AS INT), 3) AS tri
+      |   FROM (SELECT doc_id, txt, unnest(generate_series(1, length(txt) - 2)) AS i FROM docs0)),
+      | dn AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM dtri GROUP BY 1),
+      | sc AS (SELECT d.doc_id, o.lang, sum(CASE WHEN m.lp IS NULL THEN o.olp ELSE m.lp END) AS s
+      |   FROM dtri d CROSS JOIN oov o
+      |   LEFT JOIN mdl m ON m.lang = o.lang AND m.tri = d.tri
+      |   GROUP BY 1, 2),
+      | rk AS (SELECT doc_id, lang, s,
+      |     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn FROM sc),
+      | top AS (SELECT r1.doc_id, r1.lang, r1.s / dn.n AS avg, (r1.s - r2.s) / dn.n AS mg
+      |   FROM rk r1 JOIN rk r2 ON r1.doc_id = r2.doc_id AND r1.rn = 1 AND r2.rn = 2
+      |   JOIN dn ON dn.doc_id = r1.doc_id)""".stripMargin
+
+  private[queries] def langidInjectedOracle: String = {
+    val snippetCase = langSnippets.zipWithIndex
+      .map { case ((_, t), i) => s"WHEN $i THEN '$t'" }
+      .mkString("(CASE CAST(doc_id % " + langSnippets.size + " AS INT) ", " ", " END)")
+    (s"""WITH $langModelCtes,
+       | docs0 AS (SELECT doc_id,
+       |     CASE WHEN doc_id % 97 = 0 THEN 'ab'
+       |          WHEN doc_id % 11 = 5 THEN '$cyrSnippet' || ' #' || CAST(doc_id AS VARCHAR)
+       |          ELSE $snippetCase || ' #' || CAST(doc_id AS VARCHAR) END AS txt
+       |   FROM documents),
+       | $langScoreCtes
+       | SELECT d.doc_id,
+       |   CASE WHEN t.doc_id IS NULL OR t.avg < -7.5 THEN 'und' ELSE t.lang END AS lang,
+       |   round(coalesce(t.mg, 0.0), 6) AS lang_conf
+       | FROM docs0 d LEFT JOIN top t ON d.doc_id = t.doc_id
+       | ORDER BY d.doc_id""").stripMargin.replaceAll("\n", " ")
+  }
+
+  private[queries] def langidCorpusOracle: String =
+    (s"""WITH $langModelCtes,
+       | docs0 AS (SELECT doc_id, lower(text) AS txt FROM documents WHERE text IS NOT NULL),
+       | $langScoreCtes,
+       | lab AS (SELECT d.doc_id,
+       |     CASE WHEN t.doc_id IS NULL OR t.avg < -7.5 THEN 'und' ELSE t.lang END AS lang_pred
+       |   FROM docs0 d LEFT JOIN top t ON d.doc_id = t.doc_id)
+       | SELECT lang_pred, count(*) AS n_docs, min(doc_id) AS min_doc_id
+       | FROM lab GROUP BY lang_pred ORDER BY lang_pred""").stripMargin
+      .replaceAll("\n", " ")
 
   /** SERVING-ONLY variants of the gated queries — see
     * [[VectorQueries.serving]]: measurement-only definitions without the
@@ -1394,6 +1511,8 @@ object TextQueries {
        |])[-1]""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q150_langid_injected" -> langidInjectedOracle,
+    "q151_langid_corpus" -> langidCorpusOracle,
     "q107_lang_mix" ->
       s"""WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 0 THEN text || ' der die das und ist nicht ein zu mit der die das und ist nicht ein zu mit der die'
@@ -2066,9 +2185,10 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id,
         |   CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text),'\\s+')) END AS n_tok
         |  FROM documents WHERE text IS NOT NULL),
-        | s AS (SELECT doc_id, n_tok, $shardCase AS shard FROM t)
+        | s AS (SELECT doc_id, n_tok, $shardCase AS shard,
+        |   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h FROM t)
         | SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-        |   md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+        |   CAST(sum(h) AS DECIMAL(38,0)) AS ids_fp_sum, bit_xor(h) AS ids_fp_xor
         | FROM s GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " ")
     },
     "q148_neardup_safe_split" ->
