@@ -1,6 +1,6 @@
 package graft.corpus
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shipping a release: deterministic sharding + an integrity manifest —
@@ -33,20 +33,37 @@ object Export {
       Splits.splitExpr(col(s"`$idCol`"), fractions).cast("int"))
   }
 
+  /** Per-row 48-bit id hash for the manifest fingerprint: the first 12
+    * hex digits of `md5(cast(id as string))`, parsed to a long. Engine-
+    * mirrorable (DuckDB: `CAST('0x' || substr(md5(..), 1, 12) AS
+    * BIGINT)`), and 48 bits keeps every value comfortably inside both a
+    * double and a long while `sum` over billions of rows stays within
+    * DECIMAL(38,0).
+    */
+  def idFingerprint(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long")
+
   /** The manifest: per shard — row count, token total, and an
-    * order-independent content fingerprint (md5 over the sorted id
-    * list) a loader or a later audit can verify the shard files
-    * against. One shard-keyed aggregation; the id lists inside are
-    * shard-sized (corpus/nShards — size nShards to taste).
+    * order-independent multiset fingerprint of the id column a loader
+    * or a later audit verifies the shard files against:
+    * `(n_docs, sum(h48(id)) :: DECIMAL(38,0), bit_xor(h48(id)))` with
+    * [[idFingerprint]] as h48. Both combines are COMMUTATIVE and
+    * mergeable, so the aggregation is partial-agged (map-side combine)
+    * and constant-space per shard — a shard of billions of ids costs a
+    * few bytes of state, never a materialized id list (the
+    * `collect_list`+`sort_array` form this replaces buffered the whole
+    * shard's ids in ONE aggregation buffer — the 100 TB OOM).
     */
   def shardManifest(docs: DataFrame, idCol: String, tokenCol: String,
-                    nShards: Int): DataFrame =
+                    nShards: Int): DataFrame = {
+    val h = idFingerprint(col(s"`$idCol`"))
     withShard(docs, idCol, nShards)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col(s"`$tokenCol`")).cast("long").as("n_tokens"),
-        md5(concat_ws(",",
-          sort_array(collect_list(col(s"`$idCol`"))))).as("ids_md5"))
+        sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").as("ids_fp_sum"),
+        bit_xor(h).as("ids_fp_xor"))
+  }
 
   /** Write the corpus as `<dir>/shard=<i>/…parquet` plus
     * `<dir>/_manifest` (the [[shardManifest]] frame) — one shuffle on

@@ -351,9 +351,13 @@ object WebQueries {
     // the classic IR signal): all anchors pointing at a target host,
     // rolled into one fingerprinted anchor doc per target. One explode
     // + one host-keyed shuffle; at 100 TB you keep the exploded
-    // (target, anchor) frame and index it — the md5 here makes the
-    // full multiset hash-checkable.
+    // (target, anchor) frame and index it — the commutative multiset
+    // fingerprint (sum + xor of 48-bit anchor hashes,
+    // [[graft.corpus.Export.idFingerprint]]) is partial-agged and
+    // constant-space per host, so a mega-host costs bytes of state,
+    // never a buffered anchor list.
     "q139_anchor_docs" -> ((s, dir) => {
+      val h = graft.corpus.Export.idFingerprint(col("anchor"))
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(HtmlLinksExpr.htmlLinks(injectedLinksHtml)).as("link"))
@@ -362,8 +366,9 @@ object WebQueries {
         .groupBy("dst_host")
         .agg(count(lit(1)).as("n_anchors"),
           countDistinct(col("anchor")).as("n_distinct"),
-          md5(concat_ws("\n", sort_array(collect_list(col("anchor")))))
-            .as("anchor_doc_md5"))
+          sum(h.cast("decimal(38,0)")).cast("decimal(38,0)")
+            .as("anchor_fp_sum"),
+          bit_xor(h).as("anchor_fp_xor"))
         .orderBy("dst_host")
     })
   )
@@ -554,11 +559,14 @@ object WebQueries {
       s"""WITH l AS ($linksSql),
          | e AS (SELECT 'h' || CAST(CASE link_idx WHEN 0 THEN (doc_id*3+1)%7
          |     WHEN 1 THEN (doc_id*5+2)%7 ELSE (doc_id*2+3)%7 END AS VARCHAR) ||
-         |     '.example' AS dst_host, anchor FROM l)
+         |     '.example' AS dst_host, anchor FROM l),
+         | h AS (SELECT dst_host, anchor,
+         |   CAST('0x' || substr(md5(anchor), 1, 12) AS BIGINT) AS ah FROM e)
          | SELECT dst_host, count(*) AS n_anchors,
          |   count(DISTINCT anchor) AS n_distinct,
-         |   md5(string_agg(anchor, chr(10) ORDER BY anchor)) AS anchor_doc_md5
-         | FROM e GROUP BY dst_host ORDER BY dst_host""".stripMargin
+         |   CAST(sum(ah) AS DECIMAL(38,0)) AS anchor_fp_sum,
+         |   bit_xor(ah) AS anchor_fp_xor
+         | FROM h GROUP BY dst_host ORDER BY dst_host""".stripMargin
         .replaceAll("\n", " "),
     "q141_domain_quality" ->
       s"""WITH u AS (SELECT doc_id, text, $urlSql AS url FROM documents WHERE text IS NOT NULL),

@@ -25,26 +25,44 @@ class ExportSpec extends SparkSuite {
     }
   }
 
+  // local mirror of Export.idFingerprint: first 12 hex digits of
+  // md5(id.toString) parsed as a long
+  private def h48(id: Any): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 12), 16)
+  }
+
   test("shardManifest: counts/token sums/fingerprints recompose to the corpus exactly") {
     val m = Export.shardManifest(docs, "doc_id", "n_tokens", 4)
-      .as[(Int, Long, Long, String)].collect().toSeq.sortBy(_._1)
+      .as[(Int, Long, Long, BigDecimal, Long)].collect().toSeq.sortBy(_._1)
     assert(m.map(_._2).sum === 200L)
     assert(m.map(_._3).sum === (1L to 200L).map(_ % 7 + 1).sum)
-    // fingerprints match a local recomputation of the same assignment
+    // fingerprints match a local recomputation of the same assignment —
+    // commutative (sum + xor of 48-bit id hashes), so the local fold
+    // needs no ordering
     val tagged = Export.withShard(docs, "doc_id", 4)
       .select("shard", "doc_id").as[(Int, Long)].collect()
     val want = tagged.groupBy(_._1).map { case (s, rows) =>
-      val ids = rows.map(_._2).sorted.mkString(",")
-      val d = java.security.MessageDigest.getInstance("MD5")
-      s -> d.digest(ids.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hs = rows.map(r => h48(r._2))
+      s -> (BigDecimal(hs.map(BigInt(_)).sum), hs.reduce(_ ^ _))
     }
-    m.foreach { case (s, _, _, md) => assert(md === want(s), s"shard $s") }
+    m.foreach { case (s, _, _, fpSum, fpXor) =>
+      assert((fpSum, fpXor) === want(s), s"shard $s")
+    }
+    // the aggregation is partial-agged (map-side combine), never a
+    // buffered list: ObjectHashAggregate/collect_list absent from plan
+    val plan = Export.shardManifest(docs, "doc_id", "n_tokens", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), plan)
+    assert(plan.contains("HashAggregate"), plan)
   }
 
   test("writeShards: shard=<i> layout on disk, manifest verifies the files, roundtrip exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
     val manifest = Export.writeShards(docs, "doc_id", "n_tokens", 4, dir)
-      .as[(Int, Long, Long, String)].collect().toSeq.sortBy(_._1)
+      .as[(Int, Long, Long, BigDecimal, Long)].collect().toSeq.sortBy(_._1)
     // layout: one partition directory per non-empty shard
     val shardDirs = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
@@ -53,10 +71,12 @@ class ExportSpec extends SparkSuite {
     // shard's fingerprint from what was actually written
     val back = spark.read.parquet(dir)
     assert(back.count() === 200L)
+    val h = Export.idFingerprint(col("doc_id"))
     val perShard = back.groupBy("shard")
       .agg(count(lit(1)).as("n"), sum("n_tokens").as("t"),
-        md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))).as("md"))
-      .as[(Int, Long, Long, String)].collect().toSeq.sortBy(_._1)
+        sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").as("fps"),
+        bit_xor(h).as("fpx"))
+      .as[(Int, Long, Long, BigDecimal, Long)].collect().toSeq.sortBy(_._1)
     assert(perShard === manifest)
   }
 }
