@@ -61,6 +61,7 @@ object Sessions {
     graft.functions.CompressExpr.register(spark)
     graft.functions.TextRepairExpr.register(spark)
     graft.functions.LangIdExpr.register(spark)
+    graft.functions.HttpDecodeExpr.register(spark)
     spark.experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
     spark
   }

@@ -83,12 +83,23 @@ object CrawlPipeline {
     * record frame directly).
     */
   def pageDocsFromRecords(records: DataFrame,
-               docId: Column = xxhash64(col("record_id"))): DataFrame =
+               docId: Column = xxhash64(col("record_id"))): DataFrame = {
+    graft.functions.HttpDecodeExpr.register(records.sparkSession)
+    // Charset-aware body decode (BOM > Content-Type charset > <meta>
+    // sniff > UTF-8): real crawls are a charset zoo, and a blind UTF-8
+    // cast turns every Latin-1/cp1252/Shift-JIS page into replacement
+    // chars before extraction ever sees it. Missing header → "" (the
+    // kernel treats it as no declaration). Map-side, same stage as the
+    // extraction itself.
+    val decoded = graft.functions.HttpDecodeExpr.decodeHttpBody(
+      col("http_body"),
+      coalesce(element_at(col("http_headers"), lit("content-type")), lit("")))
     Warc.httpResponses(records)
       .select(docId.as("doc_id"),
         col("target_uri").as("url"),
         UrlFns.urlHost(col("target_uri")).as("host"),
-        HtmlTextExpr.htmlText(col("http_body").cast("string")).as("text"))
+        HtmlTextExpr.htmlText(decoded).as("text"))
+  }
 
   /** Web-level cleanup in cost order: blocklist (map-side InSet) →
     * robots compliance (map-side after a domain-cardinality broadcast)

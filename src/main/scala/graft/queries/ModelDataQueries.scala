@@ -25,6 +25,18 @@ object ModelDataQueries {
         lit("\r\nWARC/1.0\r\nContent-Length: 999999\r\n\r\n")))
     .otherwise(col("text"))
 
+  // q152 charset-decode fixtures: per-leg non-ASCII tails, each
+  // encodable in its leg's charset (the doc text itself is ASCII-only,
+  // so the tail carries all the charset-sensitive bytes). Shared with
+  // the oracle's closed-form expected strings.
+  private[queries] val charsetLatTail = " café àèî ©±"
+  private[queries] val charsetCpTail = " café €—™"
+  private[queries] val charsetMetaPrefix = "<meta charset=iso-8859-1><p>"
+  private[queries] val charsetMetaTail = " naïve ôü"
+  private[queries] val charsetUtfTail = " — 中文 €"
+  private[queries] val charsetBogusTail = " résumé ✓"
+  private[queries] val charsetBomTail = " utf16 le ✓ é"
+
   /** q123's shared half: word frequencies + 12 learned merges. The
     * GATED variant runs the distributed iteration explicitly
     * (`learnMergesDistributed` — the gate's whole subject is
@@ -240,6 +252,58 @@ object ModelDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Charset-aware HTTP body decode, oracled end to end: per doc a
+    // FULL HTTP response whose body is encoded in a per-leg charset and
+    // declared per-leg (header charset / <meta> sniff / no declaration
+    // / a bogus charset name that must quarantine to UTF-8 / a UTF-16LE
+    // BOM that must OVERRIDE a lying header), split by the real
+    // Warc.httpResponses path and decoded by decode_http_body. The
+    // oracle states each leg's decoded string in closed form — any
+    // resolution-precedence or decode error breaks the hash.
+    "q152_charset_decode" -> ((s, dir) => {
+      val leg = pmod(col("doc_id"), lit(6))
+      val ct = when(leg === 0, lit("text/html; charset=ISO-8859-1"))
+        .when(leg === 1, lit("text/html; charset=windows-1252"))
+        .when(leg === 2, lit("text/html"))
+        .when(leg === 4, lit("text/html; charset=bogus-zz-9"))
+        .when(leg === 5, lit("text/html; charset=ISO-8859-1")) // the lie
+        .otherwise(lit(""))
+      val head = concat(lit("HTTP/1.1 200 OK\r\n"),
+        when(ct === "", lit("Server: graft\r\n"))
+          .otherwise(concat(lit("Content-Type: "), ct, lit("\r\n"))),
+        lit("\r\n"))
+      // cp1252 tail bytes are a fixed literal (Spark's encode() has no
+      // windows-1252): the doc text itself is ASCII-only, so only the
+      // tail needs the exotic bytes
+      val cpTailBytes = lit(charsetCpTail.getBytes("windows-1252"))
+      val bomLe = lit(Array(0xFF.toByte, 0xFE.toByte))
+      val body = when(leg === 0,
+          encode(concat(col("text"), lit(charsetLatTail)), "ISO-8859-1"))
+        .when(leg === 1, concat(encode(col("text"), "UTF-8"), cpTailBytes))
+        .when(leg === 2, encode(
+          concat(lit(charsetMetaPrefix), col("text"), lit(charsetMetaTail)),
+          "ISO-8859-1"))
+        .when(leg === 4, encode(concat(col("text"), lit(charsetBogusTail)), "UTF-8"))
+        .when(leg === 5, concat(bomLe,
+          encode(concat(col("text"), lit(charsetBomTail)), "UTF-16LE")))
+        .otherwise(encode(concat(col("text"), lit(charsetUtfTail)), "UTF-8"))
+      val recs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(lit("mem://charset.warc").as("path"),
+          col("doc_id").as("offset"),
+          concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("record_id"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("target_uri"),
+          concat(encode(head, "UTF-8"), body).as("payload"),
+          lit(true).as("valid"), lit("response").as("warc_type"))
+      val decoded = graft.functions.HttpDecodeExpr.decodeHttpBody(
+        col("http_body"),
+        coalesce(element_at(col("http_headers"), lit("content-type")), lit("")))
+      Warc.httpResponses(recs)
+        .select(col("offset").as("doc_id"),
+          md5(decoded).as("decoded_md5"),
+          length(decoded).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval: every 101st doc becomes a query (its first five
     // tokens), top-10 hits over the whole corpus — idf, length
     // normalization, rounding-before-rank and the doc_id tiebreak all
@@ -444,6 +508,22 @@ object ModelDataQueries {
       .stripMargin
 
   def oracles: Map[String, String] = Map(
+    // expected decoded strings in closed form, leg by leg — a decode
+    // that honors the wrong declaration (or misses the BOM override)
+    // produces different chars and breaks the md5
+    "q152_charset_decode" ->
+      s"""WITH d AS (SELECT doc_id,
+        |   CASE CAST(doc_id % 6 AS INT)
+        |     WHEN 0 THEN text || '$charsetLatTail'
+        |     WHEN 1 THEN text || '$charsetCpTail'
+        |     WHEN 2 THEN '$charsetMetaPrefix' || text || '$charsetMetaTail'
+        |     WHEN 4 THEN text || '$charsetBogusTail'
+        |     WHEN 5 THEN text || '$charsetBomTail'
+        |     ELSE text || '$charsetUtfTail' END AS expected
+        |  FROM documents WHERE text IS NOT NULL)
+        | SELECT doc_id, md5(expected) AS decoded_md5,
+        |   CAST(length(expected) AS BIGINT) AS n_chars
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q129_bm25_topk" ->
       s"""WITH $bm25RunCtes
         | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
