@@ -53,6 +53,24 @@ final class IdempotentParquetSink(val root: String) extends Serializable {
   def committed(spark: SparkSession, batchId: Long): Boolean =
     fs(spark).exists(marker(batchId))
 
+  /** The current compaction watermark, if any — batches at or below it
+    * live in the compaction directory. Lets sinks built on top key
+    * their own compaction-time artifacts to the same generation.
+    */
+  def compactionWatermark(spark: SparkSession): Option[Long] = watermark(spark)
+
+  /** Rows of committed batches AFTER the compaction watermark only (the
+    * "tail" an upper-layer artifact computed at compact() time has not
+    * seen). Empty schemaless frame when there is no tail.
+    */
+  def readTail(spark: SparkSession): DataFrame = {
+    val w = watermark(spark)
+    val live = listIds(spark, "_committed")
+      .filter(id => w.forall(id > _)).sorted.map(batchDir)
+    if (live.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(live.toSeq: _*)
+  }
+
   /** Write `df` as batch `batchId` unless that id already committed.
     * @return true if this call performed the write, false if skipped. */
   def append(df: DataFrame, batchId: Long): Boolean = {

@@ -61,16 +61,21 @@ object Bm25 {
     * summation.
     */
   def topK(ix: Index, queries: DataFrame, queryIdCol: String,
-           queryTextCol: String, k: Int, params: Params = Params()): DataFrame = {
+           queryTextCol: String, k: Int, params: Params = Params(),
+           corpusStats: Option[(Long, Double)] = None): DataFrame = {
     require(k > 0, "k must be positive")
     // N and avgdl: one metadata-sized aggregate as a bounded scalar
     // read (the centroid idiom) — re-entering as literals keeps the
     // scoring plan pure equi-join (no 1-row crossJoin broadcast).
+    // Callers holding precomputed stats (DiskIndex compaction
+    // artifacts) pass them via `corpusStats` and skip the aggregate.
     // Empty corpus: the tf joins below produce no rows regardless, so
     // any avgdl placeholder is unreachable.
-    val statsRow = ix.dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
-    val nDocs = statsRow.getLong(0)
-    val avgdl = if (statsRow.isNullAt(1)) 1.0 else statsRow.getDouble(1)
+    val (nDocs, avgdl) = corpusStats.getOrElse {
+      val statsRow = ix.dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
+      (statsRow.getLong(0),
+        if (statsRow.isNullAt(1)) 1.0 else statsRow.getDouble(1))
+    }
     val qTerms = queries
       .where(col(s"`$queryTextCol`").isNotNull)
       .select(col(s"`$queryIdCol`").cast("long").as("query_id"),
@@ -198,41 +203,136 @@ object Bm25 {
 
     /** Merge the per-batch postings into one directory (offline
       * maintenance — a long-lived streaming index otherwise pays one
-      * listing per micro-batch ever appended). Queries are invariant;
-      * re-delivered old batch ids keep skipping.
+      * listing per micro-batch ever appended), AND materialize the
+      * query-time artifacts over the compacted generation:
+      *
+      *  - `dl/upto=<w>`  — (doc_id, dl) doc lengths
+      *  - `stats/upto=<w>` — one row (n_docs, sum_dl)
+      *
+      * so serving never re-aggregates doc lengths from the FULL tf
+      * frame again: a query batch reads the artifact and derives only
+      * the post-compaction tail's contribution (batches appended since
+      * `w`). Crash-safe by the sink's own ordering idiom: the
+      * `_aux/<w>` marker is created only after both artifacts are
+      * written, and readers use artifacts only when the marker matches
+      * the CURRENT watermark — a compact() that died mid-artifact
+      * degrades to the derive-from-tf path, never to wrong results.
+      * Queries are invariant; re-delivered old batch ids keep skipping.
       */
-    def compact(spark: org.apache.spark.sql.SparkSession): Boolean =
-      store.compact(spark)
+    def compact(spark: org.apache.spark.sql.SparkSession): Boolean = {
+      val did = store.compact(spark)
+      if (did) {
+        val w = store.compactionWatermark(spark).get
+        val full = store.read(spark).select("doc_id", "term", "tf")
+        val dl = full.groupBy("doc_id").agg(sum("tf").as("dl"))
+        dl.write.mode("overwrite").parquet(dlDir(w))
+        spark.read.parquet(dlDir(w))
+          .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+          .coalesce(1).write.mode("overwrite").parquet(statsDir(w))
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_aux"))
+        fs.create(new org.apache.hadoop.fs.Path(s"$root/_aux/$w"), true).close()
+        // reclaim superseded artifact generations (the sink's sweep idiom)
+        for (dir <- Seq(s"$root/dl", s"$root/stats")) {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+            if (st.getPath.getName.stripPrefix("upto=").toLong < w)
+              fs.delete(st.getPath, true)
+          }
+        }
+      }
+      did
+    }
 
-    /** The current index over all committed batches. */
+    private def dlDir(w: Long) = s"$root/dl/upto=$w"
+    private def statsDir(w: Long) = s"$root/stats/upto=$w"
+
+    /** The compaction generation whose artifacts are complete and
+      * CURRENT (marker exists for the store's present watermark).
+      */
+    private def auxGeneration(
+        spark: org.apache.spark.sql.SparkSession): Option[Long] =
+      store.compactionWatermark(spark).filter { w =>
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(s"$root/_aux/$w"))
+      }
+
+    private def emptyTf(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tf",
+            org.apache.spark.sql.types.LongType))))
+
+    /** Post-watermark postings only (empty-schema frames normalized). */
+    private def tailTf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      val raw = store.readTail(spark)
+      if (raw.columns.isEmpty) emptyTf(spark)
+      else raw.select("doc_id", "term", "tf")
+    }
+
+    /** The current index over all committed batches. With compaction
+      * artifacts present, dl = stored artifact ∪ tail-derived lengths
+      * (tail = batches appended since the compaction; batches carry
+      * previously-unindexed docs per the class contract, so the union
+      * is disjoint by doc) — the full-tf dl aggregation only runs when
+      * no artifact generation is current.
+      */
     def read(spark: org.apache.spark.sql.SparkSession): Index = {
       val raw = store.read(spark)
       val tf =
-        if (raw.columns.isEmpty)  // no committed batch yet
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("doc_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("term",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("tf",
-                org.apache.spark.sql.types.LongType))))
+        if (raw.columns.isEmpty) emptyTf(spark) // no committed batch yet
         else raw.select("doc_id", "term", "tf")
-      Index(tf, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+      val dl = auxGeneration(spark) match {
+        case Some(w) =>
+          spark.read.parquet(dlDir(w)).select("doc_id", "dl").unionByName(
+            tailTf(spark).groupBy("doc_id").agg(sum("tf").as("dl")))
+        case None => tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      }
+      Index(tf, dl)
     }
 
-    /** Query the stored index (tf cached for the call's three
-      * consumers, released after the consuming action).
+    /** Corpus stats (N, avgdl) without touching the full tf frame when
+      * artifacts are current: stored (n_docs, sum_dl) merged with the
+      * tail's — both combines are sums, so the merge is exact.
+      */
+    private def corpusStats(
+        spark: org.apache.spark.sql.SparkSession): Option[(Long, Double)] =
+      auxGeneration(spark).map { w =>
+        val base = spark.read.parquet(statsDir(w)).head()
+        val (n0, s0) = (base.getLong(0),
+          if (base.isNullAt(1)) 0L else base.getLong(1))
+        val tail = tailTf(spark).groupBy("doc_id").agg(sum("tf").as("dl"))
+          .agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+        val (n1, s1) = (tail.getLong(0),
+          if (tail.isNullAt(1)) 0L else tail.getLong(1))
+        val n = n0 + n1
+        (n, if (n == 0) 1.0 else (s0 + s1).toDouble / n)
+      }
+
+    /** Query the stored index (tf cached for the call's consumers,
+      * released after the consuming action). Against a compacted
+      * index, doc lengths come from the `dl` artifact and N/avgdl from
+      * the `stats` artifact (+ tail merge) — no full-tf re-aggregation
+      * on the serving path.
       */
     def topK(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
              queryIdCol: String, queryTextCol: String, k: Int,
              params: Params = Params()): DataFrame = {
-      val tf = read(spark).tf
+      val stats = corpusStats(spark)
+      val ix = read(spark)
+      val tf = ix.tf
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = Bm25.topK(
-        Index(tf, tf.groupBy("doc_id").agg(sum("tf").as("dl"))),
-        queries, queryIdCol, queryTextCol, k, params)
+      val dl = if (stats.isDefined) ix.dl
+        else tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val out = Bm25.topK(Index(tf, dl),
+        queries, queryIdCol, queryTextCol, k, params, corpusStats = stats)
       graft.core.Frames.releaseAfterNextAction(spark, tf)
       out
     }

@@ -131,6 +131,49 @@ class Bm25Spec extends SparkSuite {
     assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
   }
 
+  test("DiskIndex compaction artifacts: dl/stats match recomputation; tail merge; crash degrade") {
+    val root = java.nio.file.Files.createTempDirectory("bm25_aux").toString
+    val ix = new Bm25.DiskIndex(root)
+    val q = Seq((1L, "cat sat")).toDF("qid", "q")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ix.append(docs.where(col("doc_id") <= 2L), "doc_id", "text", 0L))
+    assert(ix.append(docs.where(col("doc_id") > 2L), "doc_id", "text", 1L))
+    val want = rows(Bm25.topK(docs, q, "doc_id", "text", "qid", "q", 5))
+    assert(ix.compact(spark))
+    // artifacts exist for the watermark generation and equal a fresh
+    // full-tf recomputation
+    val w = ix.store.compactionWatermark(spark).get
+    val dlArt = spark.read.parquet(s"$root/dl/upto=$w")
+      .as[(Long, Long)].collect().toSet
+    val dlWant = ix.store.read(spark).groupBy("doc_id")
+      .agg(sum("tf").as("dl")).as[(Long, Long)].collect().toSet
+    assert(dlArt === dlWant)
+    val st = spark.read.parquet(s"$root/stats/upto=$w").head()
+    assert(st.getLong(0) === dlWant.size.toLong)
+    assert(st.getLong(1) === dlWant.toSeq.map(_._2).sum)
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
+    // appends AFTER compaction: artifact + tail merge answers exactly
+    // like an inline index over the union
+    val extra = Seq((100L, "the cat sat on another cat mat")).toDF("doc_id", "text")
+    assert(ix.append(extra, "doc_id", "text", 2L))
+    val wantGrown = rows(Bm25.topK(docs.select("doc_id", "text").unionByName(extra),
+      q, "doc_id", "text", "qid", "q", 5))
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === wantGrown)
+    // crash simulation: aux marker missing for the current generation →
+    // serving degrades to derive-from-tf, identical results
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    assert(ix.compact(spark))
+    val w2 = ix.store.compactionWatermark(spark).get
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_aux/$w2"), false)
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === wantGrown)
+    // superseded artifact generations were reclaimed by the 2nd compact
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/dl/upto=$w")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/stats/upto=$w")))
+  }
+
   test("evaluateRuns: hand-computed nDCG/MRR, k cut, no-judgment and no-hit queries") {
     // q1: hits at ranks 1 (rel 2), 3 (rel 1); one judged doc (rel 1)
     //     never retrieved. n_rel = 3.
