@@ -59,6 +59,62 @@ class ExportSpec extends SparkSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("property: growing the corpus never flips an existing row's shard (randomized)") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 5) {
+      val nShards = 1 + rnd.nextInt(15)
+      val n = 50 + rnd.nextInt(200)
+      val grow = 1 + rnd.nextInt(150)
+      // mixed id types across trials: longs and strings
+      if (trial % 2 == 0) {
+        val ids = Seq.fill(n + grow)(rnd.nextLong()).distinct
+        val pre = Export.withShard(ids.take(n).toDF("id"), "id", nShards)
+          .as[(Long, Int)].collect().toMap
+        val full = Export.withShard(ids.toDF("id"), "id", nShards)
+          .as[(Long, Int)].collect().toMap
+        pre.foreach { case (id, s) =>
+          assert(full(id) === s, s"trial=$trial id=$id moved")
+        }
+      } else {
+        val ids = Seq.fill(n + grow)(s"doc-${rnd.nextInt(1000000)}").distinct
+        val pre = Export.withShard(ids.take(n).toDF("id"), "id", nShards)
+          .as[(String, Int)].collect().toMap
+        val full = Export.withShard(ids.toDF("id"), "id", nShards)
+          .as[(String, Int)].collect().toMap
+        pre.foreach { case (id, s) =>
+          assert(full(id) === s, s"trial=$trial id=$id moved")
+        }
+      }
+    }
+  }
+
+  test("streaming tie-in: shard assignment over a streamed release stays stable across batches") {
+    import graft.corpus.ReleasePipeline
+    val docs0 = Tables(spark, sf("sf0.001"), "documents")
+      .where(col("text").isNotNull)
+    val benchmark = docs0.where(pmod(col("doc_id"), lit(10)) === 0)
+    val base = docs0.where(pmod(col("doc_id"), lit(3)) === 0)
+    val b1 = docs0.where(pmod(col("doc_id"), lit(3)) === 1)
+    val b2 = docs0.where(pmod(col("doc_id"), lit(3)) === 2)
+    val cfg = ReleasePipeline.Config(packCapacity = 256L)
+    val rel = ReleasePipeline.run(base, benchmark, cfg)
+    val root = java.nio.file.Files.createTempDirectory("exp_stream").toString + "/s"
+    val sink = new graft.streaming.StreamingReleaseAppend(root, benchmark, cfg)
+    sink.initPrior(rel.toPrior)
+    def shards(): Map[Long, Int] = Export.withShard(
+        sink.currentPrior(spark).corpus.select("doc_id"), "doc_id", 8)
+      .as[(Long, Int)].collect().toMap
+    val s0 = shards()
+    assert(sink.processBatch(b1, 0L))
+    val s1 = shards()
+    assert(sink.processBatch(b2, 1L))
+    val s2 = shards()
+    // every release grows the corpus; no surviving doc's shard ever moves
+    assert(s1.size > s0.size && s2.size > s1.size)
+    s0.foreach { case (id, s) => assert(s1(id) === s && s2(id) === s, s"doc $id") }
+    s1.foreach { case (id, s) => assert(s2(id) === s, s"doc $id") }
+  }
+
   test("writeShards: shard=<i> layout on disk, manifest verifies the files, roundtrip exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
     val manifest = Export.writeShards(docs, "doc_id", "n_tokens", 4, dir)
