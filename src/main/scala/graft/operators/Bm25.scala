@@ -106,6 +106,109 @@ object Bm25 {
       .where(col("rank") <= k)
   }
 
+  /** [[topK]] with MAX-SCORE term pruning (the WAND family) — exactly
+    * the same results, fewer postings rows through the scoring
+    * pipeline. The classic top-k shortcut: a term's contribution is
+    * bounded by `UB(t) = idf(t) * (k1 + 1)` (the tf saturation limit),
+    * so once a score threshold θ is known, terms whose UB-descending
+    * suffix sum falls below θ are NON-ESSENTIAL — a document matching
+    * only non-essential terms cannot reach the top k and is never
+    * scored at all.
+    *
+    *  1. θ seed: the k-th best SINGLE-TERM score over the top-UB term's
+    *     postings (each single-term score lower-bounds that doc's full
+    *     score, so ≥ k docs truly score ≥ θ). The top-UB term is the
+    *     highest-idf = rarest = cheapest postings list.
+    *  2. Split each query's terms at the suffix-UB boundary (window
+    *     over the query's term list — never a driver loop).
+    *  3. Essential postings join in full; non-essential postings join
+    *     only against docs already matched by an essential term
+    *     (candidate semi-join). Union, then the SAME dl join, scoring
+    *     formula, rounding, and rank cut as [[topK]].
+    *
+    * Exactness under the 6-dp rounding: pruning requires
+    * `suffix_ub < θ − 2·10⁻⁶`, so a pruned doc's rounded score is
+    * strictly below the rounded scores of the ≥ k seed docs — it can
+    * never displace one (ties break inside EQUAL rounded scores only).
+    * Queries with fewer than k seed postings take θ = −∞ (no pruning,
+    * still exact).
+    *
+    * At 100 TB the win is twofold: non-essential postings drop out of
+    * the doc-length join + (query, doc) aggregation, and with postings
+    * stored term-bucketed (the [[DiskIndex]] layout note) the pruned
+    * term set prunes file scans outright. At any scale the plan stays
+    * pure equi-join + WindowGroupLimit — no driver-side iteration.
+    */
+  def topKMaxScore(ix: Index, queries: DataFrame, queryIdCol: String,
+                   queryTextCol: String, k: Int, params: Params = Params(),
+                   corpusStats: Option[(Long, Double)] = None): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val (nDocs, avgdl) = corpusStats.getOrElse {
+      val r = ix.dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 1.0 else r.getDouble(1))
+    }
+    val qTerms = queries
+      .where(col(s"`$queryTextCol`").isNotNull)
+      .select(col(s"`$queryIdCol`").cast("long").as("query_id"),
+        explode(array_distinct(
+          TextFns.tokens(lower(col(s"`$queryTextCol`"))))).as("term"))
+    val df = ix.tf.join(broadcast(qTerms.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = df.select(col("term"),
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))).as("idf"))
+    // per-query term table with UB and its suffix sum in UB-desc order.
+    // Query-cardinality frames (ranked, split) materialize EAGERLY:
+    // each is consumed by several broadcast builds below, and without
+    // the checkpoint every broadcast would re-run the corpus-sized df
+    // aggregation (and the θ seed pass) that feeds them.
+    val wOrd = Window.partitionBy("query_id")
+      .orderBy(col("__ub").desc, col("term"))
+    val ranked = qTerms.join(broadcast(idf), "term")
+      .withColumn("__ub", col("idf") * lit(params.k1 + 1.0))
+      .withColumn("__rnk", row_number().over(wOrd))
+      .withColumn("__sfx", sum("__ub").over(
+        wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .localCheckpoint(true)
+    def wExpr = col("idf") * col("tf") * lit(params.k1 + 1.0) /
+      (col("tf") + lit(params.k1) *
+        (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(avgdl)))
+    // θ: k-th best single-term score over the rarest term's postings
+    val seed = ix.tf
+      .join(broadcast(ranked.where(col("__rnk") === 1)
+        .select("query_id", "term", "idf")), "term")
+      .join(ix.dl, "doc_id")
+      .select(col("query_id"), col("doc_id"), wExpr.as("__w"))
+    val theta = seed
+      .withColumn("__r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__w").desc, col("doc_id"))))
+      .where(col("__r") === k)
+      .select(col("query_id"), col("__w").as("__theta"))
+    val split = ranked.join(broadcast(theta), Seq("query_id"), "left")
+      .withColumn("__ess",
+        col("__theta").isNull || col("__sfx") >= col("__theta") - lit(2e-6))
+      .select("query_id", "term", "idf", "__ess")
+      .localCheckpoint(true)
+    val ess = split.where(col("__ess")).select("query_id", "term", "idf")
+    val non = split.where(!col("__ess")).select("query_id", "term", "idf")
+    val essRows = ix.tf.join(broadcast(ess), "term")
+      .select("query_id", "doc_id", "idf", "tf")
+    val cand = essRows.select("query_id", "doc_id").distinct()
+    val nonRows = ix.tf.join(broadcast(non), "term")
+      .select("query_id", "doc_id", "idf", "tf")
+      .join(cand, Seq("query_id", "doc_id"), "left_semi")
+    val scored = essRows.unionByName(nonRows)
+      .join(ix.dl, "doc_id")
+      .select(col("query_id"), col("doc_id"), wExpr.as("w"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("w"), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rank") <= k)
+  }
+
   /** Convenience: build the index inline and query it. The tf frame is
     * consumed three times inside [[topK]] (doc lengths, df, scoring),
     * so it persists for the call and releases after the action that

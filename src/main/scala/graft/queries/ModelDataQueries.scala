@@ -395,6 +395,13 @@ object ModelDataQueries {
 
     "q137_bm25_disk" -> mkQ137(gated = true),
 
+    // Max-score (WAND-family) pruned BM25 top-k: same queries as q129,
+    // results gated to EXACT parity with the unpruned route (key =
+    // query:doc:rank:score) AND oracled against the same closed-form
+    // BM25 mirror — the pruning is a pure plan optimization, never a
+    // semantics change.
+    "q153_bm25_maxscore" -> mkQ153(gated = true),
+
     // Mixture planning: largest token total at exactly 50/30/20 across
     // three sources within a 6000-token budget (availability binds at
     // small SFs, the budget at large — both branches live), with the
@@ -413,8 +420,41 @@ object ModelDataQueries {
   def serving: Map[String, Q] = Map(
     "q123_bpe_merges" -> ((s, dir) => bpeLearned(s, dir, withReference = false)),
     "q130_bpe_encode" -> ((s, dir) => bpeEncoded(s, dir, gated = false)),
-    "q137_bm25_disk" -> mkQ137(gated = false)
+    "q137_bm25_disk" -> mkQ137(gated = false),
+    "q153_bm25_maxscore" -> mkQ153(gated = false)
   )
+
+  /** q153's shared half: max-score pruned retrieval over the q129
+    * corpus/queries; the gated variant pins exact (query, doc, rank,
+    * score) parity with the unpruned [[Bm25.topK]]. The tf frame
+    * persists across both routes' consumers and releases after the
+    * consuming action.
+    */
+  private def mkQ153(gated: Boolean): Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+    val queries = docs
+      .where(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(
+          graft.functions.TextFns.tokens(lower(col("text"))), 1, 5), " ")
+          .as("qtext"))
+    val ix0 = Bm25.index(docs, "doc_id", "text")
+    val tf = ix0.tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ix = Bm25.Index(tf, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+    val pruned = Bm25.topKMaxScore(ix, queries, "query_id", "qtext", k = 10)
+    val out =
+      if (!gated) pruned
+      else {
+        val plain = Bm25.topK(ix, queries, "query_id", "qtext", k = 10)
+        def key(d: DataFrame) = d.select(concat_ws(":",
+          col("query_id"), col("doc_id"), col("rank"), col("score")).as("k"))
+        Gates.setParityOn(pruned, key(pruned), key(plain), "k")
+      }
+    graft.core.Frames.releaseAfterNextAction(s, tf)
+    out.select(col("query_id"), col("doc_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
 
   /** Persistent BM25 retrieval: the corpus lands in [[Bm25.DiskIndex]]
     * as two idempotent batch appends (the streaming-ingest shape; one
@@ -525,6 +565,13 @@ object ModelDataQueries {
         |   CAST(length(expected) AS BIGINT) AS n_chars
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q129_bm25_topk" ->
+      s"""WITH $bm25RunCtes
+        | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
+        | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+        .replaceAll("\n", " "),
+    // max-score pruning is results-identical to q129 by construction
+    // (and in-plan gated on it), so the same closed-form mirror applies
+    "q153_bm25_maxscore" ->
       s"""WITH $bm25RunCtes
         | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
         | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin

@@ -1069,6 +1069,48 @@ object TextQueries {
         .groupBy(col("lang").as("lang_pred"))
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
         .orderBy("lang_pred")
+    }),
+
+    // The crawl-to-language chain, oracled end to end: per doc a FULL
+    // HTTP response whose body is a Latin-1-ENCODED HTML page carrying
+    // a held-out sentence in one of the six model languages, pushed
+    // through the REAL production path — Warc.httpResponses (HTTP
+    // split) → decode_http_body (header charset) → html_text
+    // (extraction) → LangId.classify. Every byte-level stage must be
+    // exact for the final language call to match the oracle's
+    // closed-form mirror (decode damage shifts trigrams; extraction
+    // damage shifts text) — this is q128's missing last mile: raw
+    // crawl bytes to the `lang` column.
+    "q154_crawl_langid" -> ((s, dir) => {
+      val k = langSnippets.size
+      val snippet = langSnippets.zipWithIndex.tail.foldLeft(
+          when(pmod(col("doc_id"), lit(k)) === 0, lit(langSnippets.head._2))) {
+        case (acc, ((_, t), i)) =>
+          acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+      }
+      val pageText = concat(snippet, lit(" #"), col("doc_id").cast("string"))
+      val html = concat(
+        lit("<html><head>" +
+          "<script>var x = \"decoy charset=utf-16le\";</script></head>" +
+          "<body><p>"),
+        pageText, lit("</p></body></html>"))
+      val payload = concat(
+        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          "charset=ISO-8859-1\r\n\r\n"), "UTF-8"),
+        encode(html, "ISO-8859-1"))
+      val recs = Tables(s, dir, "documents")
+        .select(lit("mem://crawl_langid.warc").as("path"),
+          col("doc_id").as("offset"),
+          concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("record_id"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("target_uri"),
+          payload.as("payload"),
+          lit(true).as("valid"), lit("response").as("warc_type"))
+      val pages = graft.corpus.CrawlPipeline.pageDocsFromRecords(
+        recs, docId = col("offset"))
+      graft.operators.LangId.classify(pages, "text")
+        .select(col("doc_id"), col("lang"),
+          round(col("lang_conf"), 6).as("lang_conf"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1121,10 +1163,21 @@ object TextQueries {
       |   FROM rk r1 JOIN rk r2 ON r1.doc_id = r2.doc_id AND r1.rn = 1 AND r2.rn = 2
       |   JOIN dn ON dn.doc_id = r1.doc_id)""".stripMargin
 
+  private def langSnippetCaseSql: String = langSnippets.zipWithIndex
+    .map { case ((_, t), i) => s"WHEN $i THEN '$t'" }
+    .mkString("(CASE CAST(doc_id % " + langSnippets.size + " AS INT) ", " ", " END)")
+
+  // the classify mirror's final projection over docs0 + top (shared by
+  // q150/q154): und when no trigram or below the -7.5 avg floor
+  private def langVerdictSelect: String =
+    """SELECT d.doc_id,
+      |   CASE WHEN t.doc_id IS NULL OR t.avg < -7.5 THEN 'und' ELSE t.lang END AS lang,
+      |   round(coalesce(t.mg, 0.0), 6) AS lang_conf
+      | FROM docs0 d LEFT JOIN top t ON d.doc_id = t.doc_id
+      | ORDER BY d.doc_id""".stripMargin
+
   private[queries] def langidInjectedOracle: String = {
-    val snippetCase = langSnippets.zipWithIndex
-      .map { case ((_, t), i) => s"WHEN $i THEN '$t'" }
-      .mkString("(CASE CAST(doc_id % " + langSnippets.size + " AS INT) ", " ", " END)")
+    val snippetCase = langSnippetCaseSql
     (s"""WITH $langModelCtes,
        | docs0 AS (SELECT doc_id,
        |     CASE WHEN doc_id % 97 = 0 THEN 'ab'
@@ -1132,12 +1185,20 @@ object TextQueries {
        |          ELSE $snippetCase || ' #' || CAST(doc_id AS VARCHAR) END AS txt
        |   FROM documents),
        | $langScoreCtes
-       | SELECT d.doc_id,
-       |   CASE WHEN t.doc_id IS NULL OR t.avg < -7.5 THEN 'und' ELSE t.lang END AS lang,
-       |   round(coalesce(t.mg, 0.0), 6) AS lang_conf
-       | FROM docs0 d LEFT JOIN top t ON d.doc_id = t.doc_id
-       | ORDER BY d.doc_id""").stripMargin.replaceAll("\n", " ")
+       | $langVerdictSelect""").stripMargin.replaceAll("\n", " ")
   }
+
+  /** q154: the crawl-chain text in closed form (the HTTP split, charset
+    * decode, and html_text stages must all be exact for the Spark side
+    * to reproduce it) + the same classify mirror as q150.
+    */
+  private[queries] def crawlLangidOracle: String =
+    (s"""WITH $langModelCtes,
+       | docs0 AS (SELECT doc_id,
+       |     $langSnippetCaseSql || ' #' || CAST(doc_id AS VARCHAR) AS txt
+       |   FROM documents),
+       | $langScoreCtes
+       | $langVerdictSelect""").stripMargin.replaceAll("\n", " ")
 
   private[queries] def langidCorpusOracle: String =
     (s"""WITH $langModelCtes,
@@ -1513,6 +1574,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q150_langid_injected" -> langidInjectedOracle,
     "q151_langid_corpus" -> langidCorpusOracle,
+    "q154_crawl_langid" -> crawlLangidOracle,
     "q107_lang_mix" ->
       s"""WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 0 THEN text || ' der die das und ist nicht ein zu mit der die das und ist nicht ein zu mit der die'

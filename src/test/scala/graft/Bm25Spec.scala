@@ -174,6 +174,59 @@ class Bm25Spec extends SparkSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/stats/upto=$w")))
   }
 
+  test("topKMaxScore == topK exactly: hand case where pruning certainly fires") {
+    // 'rare' appears in one doc, 'common' in every doc: UB(common) is
+    // tiny vs the θ seeded from 'rare', so 'common' is non-essential
+    // for the mixed query and its postings join only candidates —
+    // results must still be byte-identical
+    val corpus = ((1L to 100L).map(i => (i, s"common filler$i text")) :+
+      (200L, "rare common signal")).toDF("doc_id", "text")
+    val qs = Seq((1L, "rare common"), (2L, "common"), (3L, "rare"),
+      (4L, "absentterm"), (5L, null.asInstanceOf[String])).toDF("qid", "q")
+    val ix = Bm25.index(corpus, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    for (k <- Seq(1, 3, 50)) {
+      val a = rows(Bm25.topK(ix, qs, "qid", "q", k))
+      val b = rows(Bm25.topKMaxScore(ix, qs, "qid", "q", k))
+      assert(a === b, s"k=$k")
+    }
+    assert(rows(Bm25.topKMaxScore(ix, qs, "qid", "q", 1))
+      .filter(_._1 == 1L).map(_._2) === Set(200L))
+  }
+
+  test("topKMaxScore == topK on randomized corpora, queries, k, params") {
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "rareone", "raretwo")
+    for (trial <- 0 until 4) {
+      val nDocs = 20 + rnd.nextInt(60)
+      val corpus = (1L to nDocs.toLong).map { i =>
+        val len = 3 + rnd.nextInt(12)
+        // skewed draw: low indices common, high indices rare
+        val words = Seq.fill(len)(
+          vocab(math.min(vocab.size - 1,
+            (math.abs(rnd.nextGaussian()) * 3).toInt)))
+        (i, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val qs = (1L to 6L).map { q =>
+        val len = 1 + rnd.nextInt(4)
+        (q, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("qid", "q")
+      val ix = Bm25.index(corpus, "doc_id", "text")
+      val k = 1 + rnd.nextInt(8)
+      val p = Bm25.Params(k1 = 0.8 + rnd.nextDouble(), b = rnd.nextDouble())
+      val a = Bm25.topK(ix, qs, "qid", "q", k, p)
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val b = Bm25.topKMaxScore(ix, qs, "qid", "q", k, p)
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(a === b, s"trial=$trial k=$k")
+    }
+  }
+
   test("evaluateRuns: hand-computed nDCG/MRR, k cut, no-judgment and no-hit queries") {
     // q1: hits at ranks 1 (rel 2), 3 (rel 1); one judged doc (rel 1)
     //     never retrieved. n_rel = 3.
