@@ -25,7 +25,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * also what a maintenance compaction would consume (committed dirs in,
   * one compacted dir out, markers swapped).
   */
-final class IdempotentParquetSink(val root: String) extends Serializable {
+final class IdempotentParquetSink(
+    val root: String,
+    val partitionColumns: Seq[String] = Nil) extends Serializable {
+
+  /** Write with the sink's partition layout (every batch dir and every
+    * compaction dir share it, so partition pruning works across the
+    * whole union [[read]] assembles).
+    */
+  private def write(df: DataFrame, dir: String): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
+      .parquet(dir)
+  }
+
+  /** Multi-dir read. With a partition layout, each dir is its own
+    * partitioned table root (Spark's partition inference rejects
+    * several roots in one call), so dirs load separately and union —
+    * partition filters still push into every child scan.
+    */
+  private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    if (partitionColumns.isEmpty) spark.read.parquet(dirs: _*)
+    else dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
 
   private def fs(spark: SparkSession) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -68,7 +89,7 @@ final class IdempotentParquetSink(val root: String) extends Serializable {
     val live = listIds(spark, "_committed")
       .filter(id => w.forall(id > _)).sorted.map(batchDir)
     if (live.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(live.toSeq: _*)
+    else readDirs(spark, live.toSeq)
   }
 
   /** Write `df` as batch `batchId` unless that id already committed.
@@ -77,7 +98,7 @@ final class IdempotentParquetSink(val root: String) extends Serializable {
     val spark = df.sparkSession
     if (committed(spark, batchId)) false
     else {
-      df.write.mode("overwrite").parquet(batchDir(batchId))
+      write(df, batchDir(batchId))
       val f = fs(spark)
       f.mkdirs(marker(batchId).getParent)
       f.create(marker(batchId), true).close()
@@ -95,7 +116,7 @@ final class IdempotentParquetSink(val root: String) extends Serializable {
       .filter(id => w.forall(id > _)).sorted.map(batchDir)
     val dirs = w.map(compactDir).toSeq ++ live
     if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs: _*)
+    else readDirs(spark, dirs)
   }
 
   /** Merge everything [[read]] currently sees into ONE directory — the
@@ -129,7 +150,7 @@ final class IdempotentParquetSink(val root: String) extends Serializable {
     val nDirs = live.length + w.size
     if (live.isEmpty || nDirs <= 1) return false
     val upTo = live.max
-    read(spark).write.mode("overwrite").parquet(compactDir(upTo))
+    write(read(spark), compactDir(upTo))
     f.mkdirs(compactMarker(upTo).getParent)
     f.create(compactMarker(upTo), true).close()
     sweepSuperseded(spark, upTo)

@@ -296,13 +296,34 @@ object Bm25 {
     * Batches must carry docs NOT already indexed (re-ingesting an id
     * double-counts it — the dedup family runs upstream of indexing).
     */
-  final class DiskIndex(val root: String) extends Serializable {
-    val store = new graft.load.IdempotentParquetSink(s"$root/tf")
+  final class DiskIndex(val root: String, val termBuckets: Int = 0)
+      extends Serializable {
+    require(termBuckets >= 0, s"termBuckets must be >= 0, got $termBuckets")
+
+    /** With `termBuckets > 0` the postings store is PARTITIONED by a
+      * term-hash bucket (`bucket = pmod(xxhash64(term), termBuckets)`),
+      * in every batch dir and every compaction dir — the
+      * trillion-posting layout: a query batch touches only its terms'
+      * buckets, so the scoring scan prunes `(termBuckets - |query
+      * buckets|) / termBuckets` of the index FILES outright (doc
+      * lengths and corpus stats come from the compaction artifacts /
+      * full frame, which never needed term locality). Size it so one
+      * bucket ≈ a few files; 0 keeps the flat layout.
+      */
+    val store = new graft.load.IdempotentParquetSink(s"$root/tf",
+      if (termBuckets > 0) Seq("bucket") else Nil)
+
+    private def bucketOf(term: org.apache.spark.sql.Column) =
+      pmod(xxhash64(term), lit(termBuckets.toLong))
 
     /** Index one batch. @return false if `batchId` already committed. */
     def append(docs: DataFrame, idCol: String, textCol: String,
-               batchId: Long): Boolean =
-      store.append(index(docs, idCol, textCol).tf, batchId)
+               batchId: Long): Boolean = {
+      val tf = index(docs, idCol, textCol).tf
+      val out = if (termBuckets > 0)
+        tf.withColumn("bucket", bucketOf(col("term"))) else tf
+      store.append(out, batchId)
+    }
 
     /** Merge the per-batch postings into one directory (offline
       * maintenance — a long-lived streaming index otherwise pays one
@@ -419,21 +440,47 @@ object Bm25 {
         (n, if (n == 0) 1.0 else (s0 + s1).toDouble / n)
       }
 
+    /** The postings frame a QUERY batch needs: with term bucketing,
+      * only the buckets the query vocabulary hashes into (the bucket
+      * list is a bounded driver scalar — at most `termBuckets` longs,
+      * and the query batch is broadcast-small by the class contract),
+      * expressed as a partition-column filter the parquet scan prunes
+      * files with. Unbucketed → the whole store.
+      */
+    private[graft] def scoringTf(spark: org.apache.spark.sql.SparkSession,
+                          queries: DataFrame, queryTextCol: String): DataFrame = {
+      val raw = store.read(spark)
+      if (raw.columns.isEmpty) emptyTf(spark)
+      else if (termBuckets == 0) raw.select("doc_id", "term", "tf")
+      else {
+        val buckets = queries
+          .where(col(s"`$queryTextCol`").isNotNull)
+          .select(explode(array_distinct(
+            TextFns.tokens(lower(col(s"`$queryTextCol`"))))).as("term"))
+          .select(bucketOf(col("term")).as("b")).distinct()
+          .collect().map(_.getLong(0))
+        raw.where(col("bucket").isin(buckets: _*))
+          .select("doc_id", "term", "tf")
+      }
+    }
+
     /** Query the stored index (tf cached for the call's consumers,
       * released after the consuming action). Against a compacted
       * index, doc lengths come from the `dl` artifact and N/avgdl from
       * the `stats` artifact (+ tail merge) — no full-tf re-aggregation
-      * on the serving path.
+      * on the serving path; with term bucketing the scoring scan also
+      * file-prunes to the query vocabulary's buckets.
       */
     def topK(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
              queryIdCol: String, queryTextCol: String, k: Int,
              params: Params = Params()): DataFrame = {
       val stats = corpusStats(spark)
       val ix = read(spark)
-      val tf = ix.tf
+      val tf = (if (termBuckets > 0) scoringTf(spark, queries, queryTextCol)
+                else ix.tf)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dl = if (stats.isDefined) ix.dl
-        else tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        else ix.tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val out = Bm25.topK(Index(tf, dl),
         queries, queryIdCol, queryTextCol, k, params, corpusStats = stats)
       graft.core.Frames.releaseAfterNextAction(spark, tf)

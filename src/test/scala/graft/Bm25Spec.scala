@@ -227,6 +227,41 @@ class Bm25Spec extends SparkSuite {
     }
   }
 
+  test("DiskIndex term bucketing: partitioned layout, file-pruned scoring scan, results invariant") {
+    val root = java.nio.file.Files.createTempDirectory("bm25_bkt").toString
+    val ix = new Bm25.DiskIndex(root, termBuckets = 8)
+    val q = Seq((1L, "cat sat")).toDF("qid", "q")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ix.append(docs.where(col("doc_id") <= 2L), "doc_id", "text", 0L))
+    assert(ix.append(docs.where(col("doc_id") > 2L), "doc_id", "text", 1L))
+    val want = rows(Bm25.topK(docs, q, "doc_id", "text", "qid", "q", 5))
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
+    // on-disk layout: bucket=<b> partition dirs inside each batch dir
+    val b0 = new java.io.File(s"$root/tf/data/batch=0").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(b0.nonEmpty, "batch dir is not bucket-partitioned")
+    // the scoring read carries a partition filter on bucket — the scan
+    // prunes non-query buckets at FILE level
+    val plan = ix.scoringTf(spark, q, "q").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // compaction preserves the layout and the answers (+ artifacts)
+    assert(ix.compact(spark))
+    val cw = ix.store.compactionWatermark(spark).get
+    val cb = new java.io.File(s"$root/tf/compact/upto=$cw").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(cb.nonEmpty, "compaction dir is not bucket-partitioned")
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
+    // appends after compaction: artifact + tail + pruning still exact
+    val extra = Seq((100L, "the cat sat on another cat mat")).toDF("doc_id", "text")
+    assert(ix.append(extra, "doc_id", "text", 2L))
+    val wantGrown = rows(Bm25.topK(
+      docs.select("doc_id", "text").unionByName(extra),
+      q, "doc_id", "text", "qid", "q", 5))
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === wantGrown)
+  }
+
   test("evaluateRuns: hand-computed nDCG/MRR, k cut, no-judgment and no-hit queries") {
     // q1: hits at ranks 1 (rel 2), 3 (rel 1); one judged doc (rel 1)
     //     never retrieved. n_rel = 3.
