@@ -44,7 +44,33 @@ object LinkGraph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
-               nodes: Option[DataFrame] = None): DataFrame = {
+               nodes: Option[DataFrame] = None): DataFrame =
+    run(edges, srcCol, dstCol, iterations, damping, nodes, tol = None)._1
+
+  /** [[pageRank]] with the production stopping rule: iterate until the
+    * L∞ rank change over a 4-iteration window falls to `tol` or below
+    * (checked at each lineage-truncation boundary, so convergence
+    * testing adds NO extra materialization — the checkpoint already
+    * computes the ranks; the delta is one node-keyed join + a 1-row
+    * aggregate whose double is the only extra driver scalar), capped at
+    * `maxIterations`. A 4-step window is a STRICTER signal than a
+    * per-step delta: if four applications of the update move no node
+    * by more than tol, per-step movement is smaller still.
+    *
+    * @return (ranks, iterations actually run)
+    */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                        tol: Double, maxIterations: Int = 100,
+                        damping: Double = 0.85,
+                        nodes: Option[DataFrame] = None): (DataFrame, Int) = {
+    require(tol >= 0.0, s"tol must be >= 0: $tol")
+    run(edges, srcCol, dstCol, maxIterations, damping, nodes, tol = Some(tol))
+  }
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int, damping: Double,
+                  nodes: Option[DataFrame],
+                  tol: Option[Double]): (DataFrame, Int) = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(damping >= 0.0 && damping < 1.0, s"damping in [0,1): $damping")
     val spark = edges.sparkSession
@@ -77,8 +103,12 @@ object LinkGraph {
     // scan reads cache instead of recomputing the whole chain (without
     // this the lineage re-executes ~2^k times between checkpoints).
     val iterCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // previous convergence-window boundary (the uniform init, then each
+    // checkpoint) — already materialized, so the delta join is cheap
+    var lastCheck = ranks
+    var converged = false
     var i = 0
-    while (i < iterations) {
+    while (i < iterations && !converged) {
       val contrib = eod
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), (col("rank") / col("od")).as("c"))
@@ -99,6 +129,14 @@ object LinkGraph {
         ranks = ranks.localCheckpoint(true)
         iterCaches.foreach(_.unpersist(blocking = false))
         iterCaches.clear()
+        tol.foreach { t =>
+          val delta = ranks
+            .join(lastCheck.withColumnRenamed("rank", "__prev"), Seq("node"))
+            .agg(coalesce(max(abs(col("rank") - col("__prev"))), lit(0.0)))
+            .head().getDouble(0)
+          if (delta <= t) converged = true
+          lastCheck = ranks
+        }
       } else if (i < iterations) {
         ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         iterCaches += ranks
@@ -106,7 +144,7 @@ object LinkGraph {
     }
     graft.core.Frames.releaseAfterNextAction(
       spark, (Seq(nodeDf, eod, dangling) ++ iterCaches.toSeq): _*)
-    ranks
+    (ranks, i)
   }
 
   /** Single-process reference for parity gates and specs: the same

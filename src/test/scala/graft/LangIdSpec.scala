@@ -82,6 +82,23 @@ class LangIdSpec extends SparkSuite {
     assert(a.oov.forall(o => o < -7.0 && o > -8.5), a.oov.toSeq.toString)
   }
 
+  test("classify runs unchanged on a stream (stateless map-side expression)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = LangId.classify(in.toDF().toDF("id", "text"), "text")
+      .select("id", "lang")
+    val q = out.writeStream.format("memory").queryName("langid_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, heldOut.toMap.apply("de")), (2L, heldOut.toMap.apply("pt")),
+        (3L, "ab"))
+      q.processAllAvailable()
+      assert(spark.table("langid_stream").as[(Long, String)].collect().toSet ===
+        Set((1L, "de"), (2L, "pt"), (3L, "und")))
+    } finally q.stop()
+  }
+
   test("expression runs inside whole-stage codegen; scores are plan-stable") {
     val df = spark.range(4)
       .select(concat(lit("the quick brown fox jumps over the lazy dog number "),

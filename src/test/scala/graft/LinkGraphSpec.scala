@@ -74,6 +74,35 @@ class LinkGraphSpec extends SparkSuite {
     }
   }
 
+  test("pageRankConverged: early stop on a stable graph, cap respected, parity at the stop point") {
+    // no edges: one update keeps the uniform distribution, so the first
+    // window check (i=4) sees delta 0 and stops far below the cap
+    val nodes = Seq(0L, 1L, 2L)
+    val (r0, it0) = LinkGraph.pageRankConverged(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst",
+      tol = 1e-12, maxIterations = 100, nodes = Some(nodes.toDF("node")))
+    assert(it0 === 4)
+    r0.as[(Long, Double)].collect().foreach { case (_, r) =>
+      assert(math.abs(r - 1.0 / 3) < 1e-12)
+    }
+    // a real graph: the returned ranks equal the fixed-iteration run at
+    // the reported stop point, mass conserved
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L))
+    val (r1, it1) = LinkGraph.pageRankConverged(
+      edges.toDF("src", "dst"), "src", "dst",
+      tol = 1e-7, maxIterations = 60, nodes = Some(nodes.toDF("node")))
+    assert(it1 < 60, s"should converge before the cap, ran $it1")
+    val got = r1.as[(Long, Double)].collect().toMap
+    val want = LinkGraph.pageRankLocal(edges, nodes, it1, 0.85)
+    nodes.foreach(v => assert(math.abs(got(v) - want(v)) < 1e-9, s"node $v"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // cap binds when tol is unreachable
+    val (_, it2) = LinkGraph.pageRankConverged(
+      edges.toDF("src", "dst"), "src", "dst",
+      tol = 0.0, maxIterations = 3, nodes = Some(nodes.toDF("node")))
+    assert(it2 === 3)
+  }
+
   test("randomized parity with the single-process reference (incl. 8-iter checkpoint path)") {
     val rnd = new scala.util.Random(20260815L)
     for (trial <- 0 until 6) {

@@ -263,7 +263,11 @@ class PlanQualitySpec extends SparkSuite {
       // q145's interleave assigns via knnJoin's documented exact
       // crossJoin route — the 50-row chunk side is the broadcast side
       // (the q45 rationale; corpus scale swaps stage 1 for IVF probes)
-      "q145_interleave")
+      "q145_interleave",
+      // q153's max-score gate is the q128 idiom: ONE 1-row mismatch-
+      // count broadcast from setParityOn; the serving variant (the
+      // pruned route alone) plans pure equi-joins
+      "q153_bm25_maxscore")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(gateQueries)
       .filter { name =>

@@ -22,11 +22,21 @@ trap cleanup EXIT
 git -C "$ROOT" worktree add --detach "$WT" "$REF" >/dev/null
 
 run_bench() { # dir label
-  ( cd "$1" &&
+  local out
+  out="$( cd "$1" &&
     SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REPS="$REPS" \
     ${QUERIES:+SPARK_GRAFT_QUERIES="$QUERIES"} \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
-      | sed "s/^\[info\] //; s/^/$2 /" )
+    sbt -batch "runMain graft.Bench" 2>&1 )" || true
+  local line
+  line="$(printf '%s\n' "$out" | grep '"metric"' | sed 's/^\[info\] //' || true)"
+  if [ -z "$line" ]; then
+    # don't die silently (a concurrent sbt holding the project lock is
+    # the classic cause) — surface the tail and fail loudly
+    printf '%s\n' "$out" | tail -5 >&2
+    echo "bench_ab: no metric line from $2 — is another sbt running?" >&2
+    exit 2
+  fi
+  printf '%s %s\n' "$2" "$line"
 }
 
 # Interleave so slow machine drift hits both sides: B first warms the
