@@ -402,6 +402,14 @@ object ModelDataQueries {
     // semantics change.
     "q153_bm25_maxscore" -> mkQ153(gated = true),
 
+    // Term-bucketed persistent index + compaction artifacts on the
+    // driver surface: append -> compact (bucket-partitioned compaction
+    // dir, dl/stats artifacts) -> append (artifact + tail merge) ->
+    // file-pruned query; gated to exact parity with the inline index
+    // and oracled via the shared q129 mirror.
+    "q155_bm25_bucketed" -> mkQ137(gated = true, termBuckets = 8,
+      compactMid = true),
+
     // Mixture planning: largest token total at exactly 50/30/20 across
     // three sources within a 6000-token budget (availability binds at
     // small SFs, the budget at large — both branches live), with the
@@ -421,7 +429,9 @@ object ModelDataQueries {
     "q123_bpe_merges" -> ((s, dir) => bpeLearned(s, dir, withReference = false)),
     "q130_bpe_encode" -> ((s, dir) => bpeEncoded(s, dir, gated = false)),
     "q137_bm25_disk" -> mkQ137(gated = false),
-    "q153_bm25_maxscore" -> mkQ153(gated = false)
+    "q153_bm25_maxscore" -> mkQ153(gated = false),
+    "q155_bm25_bucketed" -> mkQ137(gated = false, termBuckets = 8,
+      compactMid = true)
   )
 
   /** q153's shared half: max-score pruned retrieval over the q129
@@ -466,7 +476,16 @@ object ModelDataQueries {
     * serving variant measures what a user ships: append + read + topK,
     * no second index.
     */
-  private def mkQ137(gated: Boolean): Q = (s, dir) => {
+  /** q137/q155's shared half. q155 (`termBuckets = 8, compactMid =
+    * true`) drives the term-bucketed layout + compaction artifacts on
+    * the driver surface: batch 0 → compact (artifacts materialize, the
+    * compaction dir is bucket-partitioned) → batch 1 (the artifact +
+    * tail merge path) → the file-pruned query — all gated to exact
+    * parity with the inline index AND oracled via the shared q129
+    * mirror.
+    */
+  private def mkQ137(gated: Boolean, termBuckets: Int = 0,
+                     compactMid: Boolean = false): Q = (s, dir) => {
     val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
     val queries = docs.where(pmod(col("doc_id"), lit(101)) === 0)
       .select(col("doc_id").as("query_id"),
@@ -475,8 +494,9 @@ object ModelDataQueries {
           .as("qtext"))
     val root = java.nio.file.Files
       .createTempDirectory("graft_q137_ix").toString
-    val ix = new Bm25.DiskIndex(root)
+    val ix = new Bm25.DiskIndex(root, termBuckets)
     ix.append(docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", 0L)
+    if (compactMid) ix.compact(s)
     ix.append(docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", 1L)
     // re-delivery no-ops: a restarted ingest must not double-count
     ix.append(docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", 0L)
@@ -572,6 +592,13 @@ object ModelDataQueries {
     // max-score pruning is results-identical to q129 by construction
     // (and in-plan gated on it), so the same closed-form mirror applies
     "q153_bm25_maxscore" ->
+      s"""WITH $bm25RunCtes
+        | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
+        | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+        .replaceAll("\n", " "),
+    // the bucketed disk route is results-identical to the inline index
+    // (in-plan gated), so q129's mirror applies here too
+    "q155_bm25_bucketed" ->
       s"""WITH $bm25RunCtes
         | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
         | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin

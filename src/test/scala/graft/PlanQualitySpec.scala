@@ -267,7 +267,10 @@ class PlanQualitySpec extends SparkSuite {
       // q153's max-score gate is the q128 idiom: ONE 1-row mismatch-
       // count broadcast from setParityOn; the serving variant (the
       // pruned route alone) plans pure equi-joins
-      "q153_bm25_maxscore")
+      "q153_bm25_maxscore",
+      // q155 is q137's bucketed+compacted variant: the same two-sided
+      // gate (1-row mismatch count + 1-row max score gap)
+      "q155_bm25_bucketed")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(gateQueries)
       .filter { name =>
@@ -285,7 +288,7 @@ class PlanQualitySpec extends SparkSuite {
     // (InMemoryRelation) subtree is printed under several parents.
     gateQueries.toSeq.sorted.foreach { name =>
       val allowed = Map("q74_semdedup" -> 2, "q137_bm25_disk" -> 2,
-        "q138_pagerank" -> 3).getOrElse(name, 1)
+        "q155_bm25_bucketed" -> 2, "q138_pagerank" -> 3).getOrElse(name, 1)
       val n = """\((\d+)\) BroadcastNestedLoopJoin""".r
         .findAllMatchIn(formatted(name)).map(_.group(1)).toSet.size
       assert(n <= allowed, s"$name has $n nested-loop joins (expected <= $allowed)")
