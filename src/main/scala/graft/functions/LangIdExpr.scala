@@ -26,16 +26,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scoring: lowercase, slide a 3-char window, sum `logp(tri | lang)` per
   * language (out-of-vocabulary trigrams cost the language's smoothed OOV
   * mass `ln(1/(total+V))`), argmax with deterministic ties (language name
-  * ascending). Returns `struct<lang, avg_lp, margin, n_tri>`:
+  * ascending). Returns `struct<lang, avg_lp, margin, oov_gap, n_tri>`:
   *
   *  - `lang`     — argmax language code, or "und" when the text has no
   *                 trigram (length < 3);
-  *  - `avg_lp`   — best per-trigram average log-probability: a calibrated
-  *                 "is this even natural language we know" signal
-  *                 (gibberish / unseen scripts sink toward the OOV floor);
+  *  - `avg_lp`   — best per-trigram average log-probability;
   *  - `margin`   — best minus second-best average: classification
   *                 confidence (mixed-language text compresses it);
+  *  - `oov_gap`  — `avg_lp` minus the argmax language's own smoothed OOV
+  *                 rate: the SELF-CALIBRATING "is this even a language we
+  *                 know" signal. Text sharing no trigram with any seed
+  *                 (an unseen script) scores every language at exactly
+  *                 its OOV rate, so the gap is exactly 0; genuine text in
+  *                 a model language sits well above. Unlike an absolute
+  *                 avg floor, the gap needs no re-tuning when languages
+  *                 with different trigram coverage join the model;
   *  - `n_tri`    — trigram count (evidence size; short strings are noisy).
+  *
+  * Model scope: Latin + Cyrillic scripts. Character TRIGRAMS under-cover
+  * unsegmented CJK at seed-corpus scale (a held-out Chinese sentence can
+  * share zero trigrams with hundreds of seed characters — measured, not
+  * speculation), so CJK coverage needs lower-order char features
+  * (unigram/bigram mixes, the fastText recipe) — a model change, not an
+  * operator change; unseen scripts meanwhile fall back to "und" via the
+  * gap rule.
   *
   * Threshold policy (what counts as "unknown") deliberately lives in the
   * OPERATOR ([[graft.operators.LangId.classify]]), not here — the raw
@@ -143,7 +157,23 @@ object LangIdModel {
       "o mercado vende fruta fresca e legumes das fazendas perto das montanhas. " +
       "choveu a noite toda mas o sol voltou a aparecer no meio da manhã. " +
       "a carta chegou na segunda feira e a resposta foi escrita na mesma semana. " +
-      "todos os anos a família viaja para o mar e passa o verão perto da água."))
+      "todos os anos a família viaja para o mar e passa o verão perto da água."),
+    "ru" -> ("быстрая коричневая лиса прыгает через ленивую собаку пока дети смотрят из окна. " +
+      "это короткая история о погоде и людях которые живут в старом городе у реки. " +
+      "мы всегда должны помнить что знание и свобода идут вместе в каждой свободной стране. " +
+      "студенты читают свои книги в библиотеке и каждый день говорят об истории и науке. " +
+      "было время когда мир казался намного больше и каждое путешествие длилось много недель. " +
+      "говорят что кто рано встаёт тому бог подаёт но терпение тоже великая добродетель. " +
+      "хорошие друзья помогают друг другу в трудные времена и делят вместе хорошие времена. " +
+      "утром она пьёт чашку кофе и ест хлеб с маслом и мёдом. " +
+      "поезд уходит с вокзала в семь и прибывает в город через два часа. " +
+      "рынок продаёт свежие фрукты и овощи с ферм возле гор. " +
+      "вечером город тихий и только ветер шумит в высоких деревьях у дороги. " +
+      "письмо пришло в понедельник и ответ был написан на той же неделе. " +
+      "каждый год семья едет к морю и проводит лето у воды. " +
+      "мой брат играет на пианино а моя сестра поёт вечером старые песни. " +
+      "на рынке можно купить хлеб молоко сыр и тёплые пироги с капустой. " +
+      "зимой дети катаются на санках с горки а весной пускают кораблики по ручьям."))
 
   /** Trained model: languages in ascending order (the tie-break order),
     * per-language trigram→logp tables, per-language OOV log-probability.
@@ -201,6 +231,7 @@ object LangIdKernel {
     StructField("lang", StringType, nullable = false),
     StructField("avg_lp", DoubleType, nullable = false),
     StructField("margin", DoubleType, nullable = false),
+    StructField("oov_gap", DoubleType, nullable = false),
     StructField("n_tri", IntegerType, nullable = false)))
 
   private val und = UTF8String.fromString("und")
@@ -209,7 +240,7 @@ object LangIdKernel {
     val m = LangIdModel.model
     val s = text.toString.toLowerCase(Locale.ROOT)
     val nTri = s.length - 2
-    if (nTri <= 0) return InternalRow(und, 0.0, 0.0, 0)
+    if (nTri <= 0) return InternalRow(und, 0.0, 0.0, 0.0, 0)
     val k = m.langs.length
     val scores = new Array[Double](k)
     var i = 0
@@ -239,7 +270,9 @@ object LangIdKernel {
     }
     val n = nTri.toDouble
     val margin = if (k < 2) 0.0 else (scores(best) - second) / n
-    InternalRow(UTF8String.fromString(m.langs(best)), scores(best) / n, margin, nTri)
+    val avg = scores(best) / n
+    InternalRow(UTF8String.fromString(m.langs(best)), avg, margin,
+      avg - m.oov(best), nTri)
   }
 }
 

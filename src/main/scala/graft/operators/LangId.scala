@@ -19,7 +19,22 @@ import graft.functions.LangIdExpr
   */
 object LangId {
 
-  /** Raw scores: `langid(text)` → struct<lang, avg_lp, margin, n_tri>. */
+  /** The classify OOV-GAP floor splitting "looks like a model language"
+    * from "unseen script / gibberish". The gap (`avg_lp` minus the
+    * argmax language's own smoothed OOV rate) is SELF-CALIBRATING: text
+    * sharing no trigram with any seed scores EXACTLY 0 regardless of
+    * which language wins the argmax or how well-covered its seed is,
+    * while held-out text in a model language sits well above
+    * (spec-pinned per language: ≥ ~0.65 on the current model). Unlike
+    * an absolute avg-logprob floor, no re-tuning is needed when seeds
+    * grow or differently-covered languages join. Single source of
+    * truth — the DuckDB oracle mirrors interpolate this constant.
+    */
+  val DefaultMinOovGap: Double = 0.3
+
+  /** Raw scores: `langid(text)` →
+    * struct<lang, avg_lp, margin, oov_gap, n_tri>.
+    */
   def langid(text: Column): Column = LangIdExpr.langid(text)
 
   /** Adds `langCol` (ISO-ish code or "und") and `confCol` (the
@@ -28,11 +43,10 @@ object LangId {
     * "und" (undetermined) when the evidence does not support a call:
     *  - the text is null or has fewer than `minTrigrams` trigrams
     *    (too short to carry a trigram signature);
-    *  - the best average log-probability sits below `minAvgLp` — the
-    *    text does not look like ANY known language (gibberish, an
-    *    unseen script: every trigram lands on the smoothed OOV floor,
-    *    around -8.1 for this model; real matched text sits above -7.1,
-    *    so the -7.5 default splits the two regimes cleanly);
+    *  - the OOV gap sits below `minOovGap` — the text is statistically
+    *    indistinguishable from "every trigram unknown" (gibberish, an
+    *    unseen script: the gap is exactly 0 there, see
+    *    [[DefaultMinOovGap]]);
     *  - the margin is below `minMargin` (two languages are effectively
     *    tied — heavily mixed text).
     *
@@ -41,7 +55,7 @@ object LangId {
     */
   def classify(
       docs: DataFrame, textCol: String,
-      minAvgLp: Double = -7.5, minMargin: Double = 0.0,
+      minOovGap: Double = DefaultMinOovGap, minMargin: Double = 0.0,
       minTrigrams: Int = 1,
       langCol: String = "lang", confCol: String = "lang_conf"): DataFrame = {
     LangIdExpr.register(docs.sparkSession)
@@ -49,7 +63,8 @@ object LangId {
     docs.withColumn("__lid", lid)
       .withColumn(langCol,
         when(col("__lid").isNull || col("__lid.n_tri") < minTrigrams ||
-            col("__lid.avg_lp") < minAvgLp || col("__lid.margin") < minMargin,
+            col("__lid.oov_gap") < minOovGap ||
+            col("__lid.margin") < minMargin,
           lit("und"))
           .otherwise(col("__lid.lang")))
       .withColumn(confCol, coalesce(col("__lid.margin"), lit(0.0)))

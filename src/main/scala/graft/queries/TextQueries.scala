@@ -1034,10 +1034,10 @@ object TextQueries {
 
     // Language identification over injected multilingual text (the
     // q127/q147 in-plan construction idiom): per doc, a held-out
-    // sentence in one of the six model languages (doc_id % 6), with a
-    // short-text row (% 97 → "und" by evidence) and a Cyrillic row
-    // (% 11 → "und" by the avg-logprob floor: an unseen script lands on
-    // the smoothed OOV mass in every language). The oracle re-derives
+    // sentence in one of the model languages (doc_id % k), with a
+    // short-text row (% 97 → "und" by evidence) and a Greek row
+    // (% 11 → "und" by the OOV-gap floor: an unseen script lands on
+    // the smoothed OOV mass in every language, gap exactly 0). The oracle re-derives
     // the ENTIRE fixed trigram model from the same seed literals in SQL
     // and mirrors scoring, argmax, margin, and both fallbacks.
     "q150_langid_injected" -> ((s, dir) => {
@@ -1049,7 +1049,7 @@ object TextQueries {
       }
       val txt = when(pmod(col("doc_id"), lit(97)) === 0, lit("ab"))
         .otherwise(concat(
-          when(pmod(col("doc_id"), lit(11)) === 5, lit(cyrSnippet))
+          when(pmod(col("doc_id"), lit(11)) === 5, lit(unkSnippet))
             .otherwise(body),
           lit(" #"), col("doc_id").cast("string")))
       graft.operators.LangId.classify(
@@ -1073,7 +1073,8 @@ object TextQueries {
 
     // The crawl-to-language chain, oracled end to end: per doc a FULL
     // HTTP response whose body is a Latin-1-ENCODED HTML page carrying
-    // a held-out sentence in one of the six model languages, pushed
+    // a held-out sentence in one of the model languages (the non-Latin
+    // ones shipped under a UTF-8 header, the rest Latin-1), pushed
     // through the REAL production path — Warc.httpResponses (HTTP
     // split) → decode_http_body (header charset) → html_text
     // (extraction) → LangId.classify. Every byte-level stage must be
@@ -1094,10 +1095,23 @@ object TextQueries {
           "<script>var x = \"decoy charset=utf-16le\";</script></head>" +
           "<body><p>"),
         pageText, lit("</p></body></html>"))
+      // non-Latin-1-encodable snippets (ru/zh) ship under a UTF-8
+      // declaration; everything else under Latin-1 — both legs decode
+      // back to the identical closed-form text, so the oracle is
+      // charset-blind
+      val latinIdxs = langSnippets.zipWithIndex.collect {
+        case ((_, t), i) if java.nio.charset.StandardCharsets.ISO_8859_1
+          .newEncoder().canEncode(t) => i.toLong
+      }
+      val isLatin = pmod(col("doc_id"), lit(k)).isInCollection(latinIdxs)
+      val head = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
+        when(isLatin, lit("ISO-8859-1")).otherwise(lit("UTF-8")),
+        lit("\r\n\r\n"))
       val payload = concat(
-        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
-          "charset=ISO-8859-1\r\n\r\n"), "UTF-8"),
-        encode(html, "ISO-8859-1"))
+        encode(head, "UTF-8"),
+        when(isLatin, encode(html, "ISO-8859-1"))
+          .otherwise(encode(html, "UTF-8")))
       val recs = Tables(s, dir, "documents")
         .select(lit("mem://crawl_langid.warc").as("path"),
           col("doc_id").as("offset"),
@@ -1124,10 +1138,14 @@ object TextQueries {
     "fr" -> "par une froide et claire journée de printemps les horloges sonnaient treize heures et les gens rentraient chez eux par les rues étroites",
     "es" -> "era un día luminoso y frío de abril y los relojes daban las trece mientras la gente volvía a casa por las calles estrechas",
     "it" -> "era una luminosa e fredda giornata di aprile e gli orologi battevano le tredici mentre la gente tornava a casa per le strade strette",
-    "pt" -> "era um dia claro e frio de abril e os relógios batiam as treze enquanto as pessoas voltavam para casa pelas ruas estreitas")
+    "pt" -> "era um dia claro e frio de abril e os relógios batiam as treze enquanto as pessoas voltavam para casa pelas ruas estreitas",
+    "ru" -> "это был яркий холодный день в апреле и часы били тринадцать когда люди спешили домой по узким улицам")
 
-  private val cyrSnippet =
-    "все счастливые семьи похожи друг на друга каждая несчастливая семья несчастлива по своему а город спал под снегом"
+  // unknown-SCRIPT probe: Greek is deliberately NOT in the model, so
+  // every trigram lands on the smoothed OOV mass and the avg floor
+  // calls it "und"
+  private val unkSnippet =
+    "όλες οι ευτυχισμένες οικογένειες μοιάζουν μεταξύ τους κάθε δυστυχισμένη οικογένεια είναι δυστυχισμένη με τον δικό της τρόπο"
 
   // Oracle building blocks: the fixed model re-derived in DuckDB SQL from
   // the SAME seed literals (single source of truth —
@@ -1148,7 +1166,7 @@ object TextQueries {
 
   // Scoring + argmax + margin + fallback mirror over a docs0(doc_id, txt)
   // CTE; yields top(doc_id, lang, avg, mg) plus the und CASE applied by
-  // the caller. -7.5 mirrors LangId.classify's default minAvgLp.
+  // the caller. The und floor interpolates LangId.DefaultMinOovGap.
   private def langScoreCtes: String =
     """dtri AS (SELECT doc_id, substr(txt, CAST(i AS INT), 3) AS tri
       |   FROM (SELECT doc_id, txt, unnest(generate_series(1, length(txt) - 2)) AS i FROM docs0)),
@@ -1168,12 +1186,17 @@ object TextQueries {
     .mkString("(CASE CAST(doc_id % " + langSnippets.size + " AS INT) ", " ", " END)")
 
   // the classify mirror's final projection over docs0 + top (shared by
-  // q150/q154): und when no trigram or below the -7.5 avg floor
+  // q150/q154): und when no trigram, or when the OOV gap (avg minus the
+  // argmax language's own smoothed OOV rate) sits under the default
+  // floor — interpolated from LangId.DefaultMinOovGap
   private def langVerdictSelect: String =
-    """SELECT d.doc_id,
-      |   CASE WHEN t.doc_id IS NULL OR t.avg < -7.5 THEN 'und' ELSE t.lang END AS lang,
+    s"""SELECT d.doc_id,
+      |   CASE WHEN t.doc_id IS NULL
+      |          OR (t.avg - ob.olp) < ${graft.operators.LangId.DefaultMinOovGap}
+      |        THEN 'und' ELSE t.lang END AS lang,
       |   round(coalesce(t.mg, 0.0), 6) AS lang_conf
       | FROM docs0 d LEFT JOIN top t ON d.doc_id = t.doc_id
+      | LEFT JOIN oov ob ON ob.lang = t.lang
       | ORDER BY d.doc_id""".stripMargin
 
   private[queries] def langidInjectedOracle: String = {
@@ -1181,7 +1204,7 @@ object TextQueries {
     (s"""WITH $langModelCtes,
        | docs0 AS (SELECT doc_id,
        |     CASE WHEN doc_id % 97 = 0 THEN 'ab'
-       |          WHEN doc_id % 11 = 5 THEN '$cyrSnippet' || ' #' || CAST(doc_id AS VARCHAR)
+       |          WHEN doc_id % 11 = 5 THEN '$unkSnippet' || ' #' || CAST(doc_id AS VARCHAR)
        |          ELSE $snippetCase || ' #' || CAST(doc_id AS VARCHAR) END AS txt
        |   FROM documents),
        | $langScoreCtes
@@ -1205,8 +1228,11 @@ object TextQueries {
        | docs0 AS (SELECT doc_id, lower(text) AS txt FROM documents WHERE text IS NOT NULL),
        | $langScoreCtes,
        | lab AS (SELECT d.doc_id,
-       |     CASE WHEN t.doc_id IS NULL OR t.avg < -7.5 THEN 'und' ELSE t.lang END AS lang_pred
-       |   FROM docs0 d LEFT JOIN top t ON d.doc_id = t.doc_id)
+       |     CASE WHEN t.doc_id IS NULL
+       |            OR (t.avg - ob.olp) < ${graft.operators.LangId.DefaultMinOovGap}
+       |          THEN 'und' ELSE t.lang END AS lang_pred
+       |   FROM docs0 d LEFT JOIN top t ON d.doc_id = t.doc_id
+       |   LEFT JOIN oov ob ON ob.lang = t.lang)
        | SELECT lang_pred, count(*) AS n_docs, min(doc_id) AS min_doc_id
        | FROM lab GROUP BY lang_pred ORDER BY lang_pred""").stripMargin
       .replaceAll("\n", " ")

@@ -20,36 +20,53 @@ class LangIdSpec extends SparkSuite {
     "fr" -> "elle ouvrit la lettre et lut les nouvelles au sujet de la petite école en buvant son café du matin",
     "es" -> "ella abrió la carta y leyó las noticias sobre la escuela mientras tomaba su café de la mañana",
     "it" -> "lei aprì la lettera e lesse le notizie sulla scuola mentre beveva il suo caffè del mattino",
-    "pt" -> "ela abriu a carta e leu as notícias sobre a escola enquanto tomava o seu café da manhã")
+    "pt" -> "ela abriu a carta e leu as notícias sobre a escola enquanto tomava o seu café da manhã",
+    "ru" -> "она открыла письмо и прочитала новости о школе пока пила свой утренний кофе")
 
-  private def score(s: String): (String, Double, Double, Int) = {
+  private val minGap = graft.operators.LangId.DefaultMinOovGap
+  // unknown-script probes: Greek is not a model language; Chinese is
+  // deliberately out of scope for the trigram model (char trigrams
+  // under-cover unsegmented CJK — see the LangIdExpr scaladoc)
+  private val greek =
+    "η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο ενώ τα παιδιά κοιτάζουν από το παράθυρο"
+  private val chinese = "她打开信读了关于学校的消息一边喝着早晨的咖啡"
+
+  private def score(s: String): (String, Double, Double, Double, Int) = {
     val r = LangIdKernel.eval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-    (r.getUTF8String(0).toString, r.getDouble(1), r.getDouble(2), r.getInt(3))
+    (r.getUTF8String(0).toString, r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getInt(4))
   }
 
-  test("held-out sentences classify to their language with positive margin") {
+  test("held-out sentences classify to their language with positive margin and gap") {
     for ((lang, txt) <- heldOut) {
-      val (got, avg, margin, n) = score(txt)
+      val (got, avg, margin, gap, n) = score(txt)
       assert(got === lang, s"$lang: $txt -> $got (avg=$avg margin=$margin)")
       assert(margin > 0.0, s"$lang margin")
-      assert(avg > -7.5, s"$lang avg_lp=$avg must clear the classify floor")
+      assert(gap > minGap * 2,
+        s"$lang oov_gap=$gap must clear the classify floor $minGap with room")
+      assert(math.abs(gap - (avg - LangIdModel.model.oov(
+        LangIdModel.model.langs.indexOf(got)))) < 1e-12)
       assert(n === txt.length - 2)
     }
   }
 
-  test("unknown script sinks to the OOV floor; gibberish scores far below real text") {
-    val ru = "все счастливые семьи похожи друг на друга каждая несчастливая семья несчастлива по своему"
-    val (_, avg, _, _) = score(ru)
-    assert(avg < -7.5, s"cyrillic avg_lp=$avg must fall below the classify floor")
-    // every language sees only OOV trigrams → avg == that language's OOV rate
-    val m = LangIdModel.model
-    assert(m.oov.exists(o => math.abs(avg - o) < 1e-12))
+  test("unknown scripts have an OOV gap of exactly zero") {
+    for (probe <- Seq(greek, chinese)) {
+      val (_, avg, _, gap, _) = score(probe)
+      // every language sees only OOV trigrams → avg == the argmax
+      // language's OOV rate and the gap is 0 (up to the float noise of
+      // sum(n copies of oov)/n) — the property the und rule keys on
+      // (self-calibrating: no absolute floor to tune)
+      assert(math.abs(gap) < 1e-9, s"probe gap=$gap avg=$avg")
+      assert(LangIdModel.model.oov.exists(o => math.abs(avg - o) < 1e-9))
+    }
   }
 
   test("classify: per-language calls, und fallbacks (short, unknown-script, null)") {
     val rows = heldOut.map { case (l, t) => (l, t) } ++ Seq(
       ("und_short", "ab"),
-      ("und_script", "все счастливые семьи похожи друг на друга каждая несчастливая"),
+      ("und_script", greek),
+      ("und_cjk", chinese),
       ("und_null", null.asInstanceOf[String]))
     val byWant = LangId.classify(rows.toDF("want", "text"), "text")
       .select("want", "lang", "lang_conf").collect()
@@ -58,6 +75,7 @@ class LangIdSpec extends SparkSuite {
     assert(byWant("und_short")._1 === "und")
     assert(byWant("und_short")._2 === 0.0)
     assert(byWant("und_script")._1 === "und")
+    assert(byWant("und_cjk")._1 === "und")
     assert(byWant("und_null")._1 === "und")
     assert(byWant("und_null")._2 === 0.0)
   }
@@ -65,8 +83,8 @@ class LangIdSpec extends SparkSuite {
   test("mixed bilingual text compresses the margin vs pure text") {
     val pureEn = heldOut.toMap.apply("en")
     val pureFr = heldOut.toMap.apply("fr")
-    val (_, _, mPure, _) = score(pureEn)
-    val (langMix, _, mMix, _) = score(pureEn + " " + pureFr)
+    val (_, _, mPure, _, _) = score(pureEn)
+    val (langMix, _, mMix, _, _) = score(pureEn + " " + pureFr)
     assert(Set("en", "fr").contains(langMix))
     assert(mMix < mPure, s"mixed margin $mMix !< pure margin $mPure")
   }
@@ -78,8 +96,9 @@ class LangIdSpec extends SparkSuite {
     assert(a.langs.toSeq === a.langs.toSeq.sorted)
     assert(a.oov.toSeq === b.oov.toSeq)
     for (i <- a.langs.indices) assert(a.logp(i) === b.logp(i))
-    // OOV floor is where the spec + operator docs say it is
-    assert(a.oov.forall(o => o < -7.0 && o > -8.5), a.oov.toSeq.toString)
+    // OOV rates are sane model minima (pure-OOV text gaps to exactly 0
+    // and can never pass the und rule, whatever these absolute values)
+    assert(a.oov.forall(o => o < -7.0 && o > -10.0), a.oov.toSeq.toString)
   }
 
   test("classify runs unchanged on a stream (stateless map-side expression)") {
