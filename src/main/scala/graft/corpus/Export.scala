@@ -46,8 +46,12 @@ object Export {
   /** The manifest: per shard — row count, token total, and an
     * order-independent multiset fingerprint of the id column a loader
     * or a later audit verifies the shard files against:
-    * `(n_docs, sum(h48(id)) :: DECIMAL(38,0), bit_xor(h48(id)))` with
-    * [[idFingerprint]] as h48. Both combines are COMMUTATIVE and
+    * `(n_docs, sum(h48(id)) rendered as a decimal STRING,
+    * bit_xor(h48(id)))` with [[idFingerprint]] as h48. The sum exceeds
+    * 2^53 from tiny corpora up, so the oracle-facing column is a STRING
+    * (exact digits, no float path anywhere downstream) while the
+    * internal accumulator stays DECIMAL(38,0). Both combines are
+    * COMMUTATIVE and
     * mergeable, so the aggregation is partial-agged (map-side combine)
     * and constant-space per shard — a shard of billions of ids costs a
     * few bytes of state, never a materialized id list (the
@@ -61,7 +65,8 @@ object Export {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col(s"`$tokenCol`")).cast("long").as("n_tokens"),
-        sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").as("ids_fp_sum"),
+        sum(h.cast("decimal(38,0)")).cast("decimal(38,0)")
+          .cast("string").as("ids_fp_sum"),
         bit_xor(h).as("ids_fp_xor"))
   }
 

@@ -2276,7 +2276,7 @@ object TextQueries {
         | s AS (SELECT doc_id, n_tok, $shardCase AS shard,
         |   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h FROM t)
         | SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-        |   CAST(sum(h) AS DECIMAL(38,0)) AS ids_fp_sum, bit_xor(h) AS ids_fp_xor
+        |   CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR) AS ids_fp_sum, bit_xor(h) AS ids_fp_xor
         | FROM s GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " ")
     },
     "q148_neardup_safe_split" ->

@@ -367,7 +367,7 @@ object WebQueries {
         .agg(count(lit(1)).as("n_anchors"),
           countDistinct(col("anchor")).as("n_distinct"),
           sum(h.cast("decimal(38,0)")).cast("decimal(38,0)")
-            .as("anchor_fp_sum"),
+            .cast("string").as("anchor_fp_sum"),
           bit_xor(h).as("anchor_fp_xor"))
         .orderBy("dst_host")
     })
@@ -564,7 +564,7 @@ object WebQueries {
          |   CAST('0x' || substr(md5(anchor), 1, 12) AS BIGINT) AS ah FROM e)
          | SELECT dst_host, count(*) AS n_anchors,
          |   count(DISTINCT anchor) AS n_distinct,
-         |   CAST(sum(ah) AS DECIMAL(38,0)) AS anchor_fp_sum,
+         |   CAST(CAST(sum(ah) AS DECIMAL(38,0)) AS VARCHAR) AS anchor_fp_sum,
          |   bit_xor(ah) AS anchor_fp_xor
          | FROM h GROUP BY dst_host ORDER BY dst_host""".stripMargin
         .replaceAll("\n", " "),

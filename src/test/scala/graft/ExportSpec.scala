@@ -36,7 +36,7 @@ class ExportSpec extends SparkSuite {
 
   test("shardManifest: counts/token sums/fingerprints recompose to the corpus exactly") {
     val m = Export.shardManifest(docs, "doc_id", "n_tokens", 4)
-      .as[(Int, Long, Long, BigDecimal, Long)].collect().toSeq.sortBy(_._1)
+      .as[(Int, Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
     assert(m.map(_._2).sum === 200L)
     assert(m.map(_._3).sum === (1L to 200L).map(_ % 7 + 1).sum)
     // fingerprints match a local recomputation of the same assignment —
@@ -46,7 +46,9 @@ class ExportSpec extends SparkSuite {
       .select("shard", "doc_id").as[(Int, Long)].collect()
     val want = tagged.groupBy(_._1).map { case (s, rows) =>
       val hs = rows.map(r => h48(r._2))
-      s -> (BigDecimal(hs.map(BigInt(_)).sum), hs.reduce(_ ^ _))
+      // fp_sum ships as the exact decimal digits: sums exceed 2^53, so
+      // a string column is the only type every downstream hasher agrees on
+      s -> (hs.map(BigInt(_)).sum.toString, hs.reduce(_ ^ _))
     }
     m.foreach { case (s, _, _, fpSum, fpXor) =>
       assert((fpSum, fpXor) === want(s), s"shard $s")
