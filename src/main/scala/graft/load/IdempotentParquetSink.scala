@@ -42,11 +42,33 @@ final class IdempotentParquetSink(
   /** Multi-dir read. With a partition layout, each dir is its own
     * partitioned table root (Spark's partition inference rejects
     * several roots in one call), so dirs load separately and union —
-    * partition filters still push into every child scan.
+    * partition filters still push into every child scan. Dirs holding
+    * no data files are skipped FIRST: a partitioned write of an empty
+    * batch emits only `_SUCCESS` (a normal foreachBatch occurrence),
+    * and parquet schema inference fails on such a dir.
     */
-  private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
-    if (partitionColumns.isEmpty) spark.read.parquet(dirs: _*)
-    else dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val f = fs(spark)
+    val nonEmpty = dirs.filter(hasDataFiles(f, _))
+    if (nonEmpty.isEmpty) spark.emptyDataFrame
+    else if (partitionColumns.isEmpty) spark.read.parquet(nonEmpty: _*)
+    else nonEmpty.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** True iff `dir` exists and contains at least one non-hidden file
+    * (recursively — partition layouts nest data under key=value dirs).
+    */
+  private def hasDataFiles(f: org.apache.hadoop.fs.FileSystem,
+                           dir: String): Boolean = {
+    val p = new Path(dir)
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) return true
+    }
+    false
+  }
 
   private def fs(spark: SparkSession) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -56,11 +78,18 @@ final class IdempotentParquetSink(
   private def compactDir(id: Long) = s"$root/compact/upto=$id"
   private def compactMarker(id: Long) = new Path(s"$root/_compacted/$id")
 
+  /** Parse an entry name to a batch/watermark id; None for foreign
+    * entries (stray files, checksum sidecars, temp dirs) — a marker
+    * directory shared with ANY other writer must never crash the sink.
+    */
+  private def parseId(name: String, prefix: String): Option[Long] =
+    scala.util.Try(name.stripPrefix(prefix).toLong).toOption
+
   private def listIds(spark: SparkSession, dir: String): Array[Long] = {
     val f = fs(spark)
     val p = new Path(s"$root/$dir")
     if (!f.exists(p)) Array.empty[Long]
-    else f.listStatus(p).map(_.getPath.getName.toLong)
+    else f.listStatus(p).flatMap(st => parseId(st.getPath.getName, ""))
   }
 
   /** The highest compaction watermark: batches with id <= it live in
@@ -140,39 +169,60 @@ final class IdempotentParquetSink(
     * (those would otherwise leak forever — the next watermark never
     * revisits them).
     *
+    * @param force compact even when only ONE live directory exists (no
+    *        merge win for the sink itself, but upper layers key
+    *        compaction-generation artifacts to the watermark this
+    *        advances — [[graft.operators.Bm25.DiskIndex]]). Never
+    *        compacts with zero new committed batches.
     * @return true if a compaction ran, false if there was nothing to
     *         merge (zero or one live directory).
     */
-  def compact(spark: SparkSession): Boolean = {
+  def compact(spark: SparkSession, force: Boolean = false): Boolean = {
     val f = fs(spark)
     val w = watermark(spark)
     val live = listIds(spark, "_committed").filter(id => w.forall(id > _))
     val nDirs = live.length + w.size
-    if (live.isEmpty || nDirs <= 1) return false
+    if (live.isEmpty || (nDirs <= 1 && !force)) return false
     val upTo = live.max
-    write(read(spark), compactDir(upTo))
+    val merged = read(spark)
+    // all live dirs can legitimately be empty (0-row batches): advance
+    // the watermark without a data dir — readers skip the missing
+    // compaction dir via the hasDataFiles filter.
+    if (merged.columns.nonEmpty) write(merged, compactDir(upTo))
     f.mkdirs(compactMarker(upTo).getParent)
     f.create(compactMarker(upTo), true).close()
-    sweepSuperseded(spark, upTo)
+    sweepSuperseded(spark, w, upTo)
     true
   }
 
   /** Delete every data directory superseded by watermark `upTo`:
-    * compactions below it and batch dirs at or below it. Listed from
-    * the filesystem so crash-orphaned dirs from earlier compactions are
-    * reclaimed too. Markers are never touched.
+    * compactions below it, plus batch dirs at or below it that are
+    * either marker-COMMITTED (their rows live in the compaction now) or
+    * strictly below the PREVIOUS watermark (long-superseded crash
+    * partials — nothing can still be writing an id the stream has moved
+    * past). An uncommitted dir in (prevW, upTo] is left alone: it may
+    * be an in-flight append whose marker lands after this sweep, and
+    * deleting its data would break every later read. Listed from the
+    * filesystem so crash-orphaned dirs from earlier compactions are
+    * reclaimed too; entries that don't parse as ids are foreign and
+    * never touched. Markers are never deleted.
     */
-  private def sweepSuperseded(spark: SparkSession, upTo: Long): Unit = {
+  private def sweepSuperseded(spark: SparkSession, prevW: Option[Long],
+                              upTo: Long): Unit = {
     val f = fs(spark)
     val compactRoot = new Path(s"$root/compact")
     if (f.exists(compactRoot)) f.listStatus(compactRoot).foreach { st =>
-      val id = st.getPath.getName.stripPrefix("upto=").toLong
-      if (id < upTo) f.delete(st.getPath, true)
+      parseId(st.getPath.getName, "upto=").foreach { id =>
+        if (id < upTo) f.delete(st.getPath, true)
+      }
     }
     val dataRoot = new Path(s"$root/data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
-      val id = st.getPath.getName.stripPrefix("batch=").toLong
-      if (id <= upTo) f.delete(st.getPath, true)
+      parseId(st.getPath.getName, "batch=").foreach { id =>
+        if (id <= upTo &&
+            (committed(spark, id) || prevW.exists(id < _)))
+          f.delete(st.getPath, true)
+      }
     }
   }
 }

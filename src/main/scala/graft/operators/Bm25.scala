@@ -141,11 +141,32 @@ object Bm25 {
     */
   def topKMaxScore(ix: Index, queries: DataFrame, queryIdCol: String,
                    queryTextCol: String, k: Int, params: Params = Params(),
-                   corpusStats: Option[(Long, Double)] = None): DataFrame = {
+                   corpusStats: Option[(Long, Double)] = None): DataFrame =
+    topKMaxScoreCore((_, terms) => ix.tf.join(broadcast(terms), "term"),
+      ix.dl, queries, queryIdCol, queryTextCol, k, params, corpusStats)
+
+  /** [[topKMaxScore]]'s engine, parameterized over HOW postings for a
+    * (query-cardinality, broadcast-small) term frame are fetched.
+    * `postings(stage, terms)` must return the tf rows of exactly the
+    * terms in `terms`, joined with that frame on `term` (so the result
+    * carries `terms`' columns). The inline [[Index]] route joins the
+    * whole tf frame; [[DiskIndex.topKMaxScore]] plugs in a
+    * bucket-pruned scan per stage — the max-score term split then
+    * MULTIPLIES with the term-bucketed file pruning: the θ seed reads
+    * only the rarest terms' buckets, essential postings only the
+    * essential terms' buckets, and the non-essential probe only its
+    * own. `stage` ∈ {"df", "seed", "ess", "non"} labels the four
+    * fetches for instrumentation; semantics must not depend on it.
+    */
+  private[graft] def topKMaxScoreCore(
+      postings: (String, DataFrame) => DataFrame, dlFrame: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, params: Params,
+      corpusStats: Option[(Long, Double)]): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     val (nDocs, avgdl) = corpusStats.getOrElse {
-      val r = ix.dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
+      val r = dlFrame.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
       (r.getLong(0), if (r.isNullAt(1)) 1.0 else r.getDouble(1))
     }
     val qTerms = queries
@@ -153,7 +174,7 @@ object Bm25 {
       .select(col(s"`$queryIdCol`").cast("long").as("query_id"),
         explode(array_distinct(
           TextFns.tokens(lower(col(s"`$queryTextCol`"))))).as("term"))
-    val df = ix.tf.join(broadcast(qTerms.select("term").distinct()), "term")
+    val df = postings("df", qTerms.select("term").distinct())
       .groupBy("term").agg(count(lit(1)).as("df"))
     val idf = df.select(col("term"),
       log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
@@ -175,10 +196,9 @@ object Bm25 {
       (col("tf") + lit(params.k1) *
         (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(avgdl)))
     // θ: k-th best single-term score over the rarest term's postings
-    val seed = ix.tf
-      .join(broadcast(ranked.where(col("__rnk") === 1)
-        .select("query_id", "term", "idf")), "term")
-      .join(ix.dl, "doc_id")
+    val seed = postings("seed",
+        ranked.where(col("__rnk") === 1).select("query_id", "term", "idf"))
+      .join(dlFrame, "doc_id")
       .select(col("query_id"), col("doc_id"), wExpr.as("__w"))
     val theta = seed
       .withColumn("__r", row_number().over(Window.partitionBy("query_id")
@@ -192,14 +212,14 @@ object Bm25 {
       .localCheckpoint(true)
     val ess = split.where(col("__ess")).select("query_id", "term", "idf")
     val non = split.where(!col("__ess")).select("query_id", "term", "idf")
-    val essRows = ix.tf.join(broadcast(ess), "term")
+    val essRows = postings("ess", ess)
       .select("query_id", "doc_id", "idf", "tf")
     val cand = essRows.select("query_id", "doc_id").distinct()
-    val nonRows = ix.tf.join(broadcast(non), "term")
+    val nonRows = postings("non", non)
       .select("query_id", "doc_id", "idf", "tf")
       .join(cand, Seq("query_id", "doc_id"), "left_semi")
     val scored = essRows.unionByName(nonRows)
-      .join(ix.dl, "doc_id")
+      .join(dlFrame, "doc_id")
       .select(col("query_id"), col("doc_id"), wExpr.as("w"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum("w"), 6).as("score"))
@@ -344,8 +364,16 @@ object Bm25 {
       * Queries are invariant; re-delivered old batch ids keep skipping.
       */
     def compact(spark: org.apache.spark.sql.SparkSession): Boolean = {
-      val did = store.compact(spark)
-      if (did) {
+      // force: even a single-batch store compacts — the POINT here is
+      // materializing the dl/stats artifacts keyed to the watermark,
+      // not just directory merging (a no-op store.compact would
+      // silently skip them, and the first compact after one streaming
+      // micro-batch is exactly that case)
+      val did = store.compact(spark, force = true)
+      // an all-empty-batch store compacts to no data dir (schemaless
+      // read): skip the artifacts — without an _aux marker readers use
+      // the derive-from-tf path, which is trivially right when empty
+      if (did && store.read(spark).columns.nonEmpty) {
         val w = store.compactionWatermark(spark).get
         val full = store.read(spark).select("doc_id", "term", "tf")
         val dl = full.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -361,8 +389,10 @@ object Bm25 {
         for (dir <- Seq(s"$root/dl", s"$root/stats")) {
           val p = new org.apache.hadoop.fs.Path(dir)
           if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-            if (st.getPath.getName.stripPrefix("upto=").toLong < w)
-              fs.delete(st.getPath, true)
+            // foreign entries (non-`upto=N` names) are never touched
+            scala.util.Try(st.getPath.getName.stripPrefix("upto=").toLong)
+              .toOption.filter(_ < w)
+              .foreach(_ => fs.delete(st.getPath, true))
           }
         }
       }
@@ -485,6 +515,92 @@ object Bm25 {
         queries, queryIdCol, queryTextCol, k, params, corpusStats = stats)
       graft.core.Frames.releaseAfterNextAction(spark, tf)
       out
+    }
+
+    /** The streaming ingest + maintenance closure in one piece: wire as
+      * `stream.writeStream.foreachBatch(ix.streamingWriter("id", "text",
+      * compactEvery = 64))`. Appends each micro-batch exactly once
+      * (re-delivered ids skip), and runs [[compact]] — artifacts
+      * included — after every `compactEvery`-th batch id, so a
+      * long-lived index never accumulates unbounded per-batch dirs and
+      * serving always has a recent dl/stats generation. Keyed to the
+      * batch id, not a call counter, so restarts don't drift the
+      * schedule. `compactEvery = 0` disables maintenance (append-only).
+      *
+      * Safe with in-flight queries by the marker ordering contract: the
+      * compaction data dir is invisible until the store's `_compacted`
+      * marker lands, and the dl/stats artifacts are used only once the
+      * `_aux` marker matches the CURRENT watermark — a reader racing any
+      * crash window sees either the old generation or the
+      * derive-from-tf path, never wrong results.
+      */
+    def streamingWriter(idCol: String, textCol: String,
+                        compactEvery: Int = 0): (DataFrame, Long) => Unit = {
+      require(compactEvery >= 0, s"compactEvery must be >= 0: $compactEvery")
+      (batch, batchId) => {
+        append(batch, idCol, textCol, batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compact(batch.sparkSession); ()
+        }
+      }
+    }
+
+    /** Plan-build instrumentation: the partition-filter bucket set each
+      * max-score stage's scan was pruned to in the LAST
+      * [[topKMaxScore]] call (stage → buckets). Driver-side only; lets
+      * a spec pin that the essential scan's file filter genuinely
+      * shrank below the query vocabulary's bucket set.
+      */
+    @transient private[graft] var lastStageBuckets: Map[String, Set[Long]] =
+      Map.empty
+
+    /** [[Bm25.topKMaxScore]] over the STORED index — the two pruning
+      * levers composed, multiplying at scale:
+      *
+      *  - max-score splits the query vocabulary into essential /
+      *    non-essential terms (postings-row pruning);
+      *  - term bucketing turns each stage's term set into a partition-
+      *    column filter (FILE pruning).
+      *
+      * So the θ seed pass reads only the rarest terms' buckets, the
+      * essential scan only the essential terms' buckets, and the
+      * non-essential probe only its own — at trillion-posting scale
+      * that is the difference between scanning the query's FULL
+      * vocabulary buckets (what [[topK]] does) and only its essential
+      * ones plus a candidate-filtered probe. df comes from the
+      * query-bucket-pruned scan and is exact: every posting of a query
+      * term lives in that term's bucket. Results are identical to
+      * [[topK]] (the max-score exactness argument is untouched — only
+      * WHERE postings are read changes). Each stage's term frame is
+      * query-cardinality and eagerly materialized upstream, so the
+      * bucket-list collect per stage is a bounded driver read (at most
+      * `termBuckets` longs).
+      */
+    def topKMaxScore(spark: org.apache.spark.sql.SparkSession,
+                     queries: DataFrame, queryIdCol: String,
+                     queryTextCol: String, k: Int,
+                     params: Params = Params()): DataFrame = {
+      val stats = corpusStats(spark)
+      val ix = read(spark)
+      val dl = if (stats.isDefined) ix.dl
+        else ix.tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      lastStageBuckets = Map.empty
+      val fetch: (String, DataFrame) => DataFrame =
+        if (termBuckets == 0)
+          (_, terms) => ix.tf.join(broadcast(terms), "term")
+        else (stage, terms) => {
+          val bs = terms.select(bucketOf(col("term")).as("b")).distinct()
+            .collect().map(_.getLong(0))
+          lastStageBuckets += stage -> bs.toSet
+          val raw = store.read(spark)
+          val scan =
+            if (raw.columns.isEmpty || bs.isEmpty) emptyTf(spark)
+            else raw.where(col("bucket").isin(bs: _*))
+              .select("doc_id", "term", "tf")
+          scan.join(broadcast(terms), "term")
+        }
+      Bm25.topKMaxScoreCore(fetch, dl, queries, queryIdCol, queryTextCol,
+        k, params, stats)
     }
   }
 }

@@ -410,6 +410,16 @@ object ModelDataQueries {
     "q155_bm25_bucketed" -> mkQ137(gated = true, termBuckets = 8,
       compactMid = true),
 
+    // The two retrieval pruning levers COMPOSED: max-score's
+    // essential/non-essential term split drives the term-bucketed
+    // store's file pruning — the θ seed reads only the rarest terms'
+    // buckets, essential postings only theirs, the non-essential probe
+    // only its own. Same corpus/queries/index lifecycle as q155; gated
+    // to exact parity with the inline unpruned index and oracled via
+    // the shared q129 mirror.
+    "q156_bm25_bucketed_maxscore" -> mkQ137(gated = true, termBuckets = 8,
+      compactMid = true, maxScore = true),
+
     // Mixture planning: largest token total at exactly 50/30/20 across
     // three sources within a 6000-token budget (availability binds at
     // small SFs, the budget at large — both branches live), with the
@@ -431,7 +441,9 @@ object ModelDataQueries {
     "q137_bm25_disk" -> mkQ137(gated = false),
     "q153_bm25_maxscore" -> mkQ153(gated = false),
     "q155_bm25_bucketed" -> mkQ137(gated = false, termBuckets = 8,
-      compactMid = true)
+      compactMid = true),
+    "q156_bm25_bucketed_maxscore" -> mkQ137(gated = false, termBuckets = 8,
+      compactMid = true, maxScore = true)
   )
 
   /** q153's shared half: max-score pruned retrieval over the q129
@@ -485,7 +497,8 @@ object ModelDataQueries {
     * mirror.
     */
   private def mkQ137(gated: Boolean, termBuckets: Int = 0,
-                     compactMid: Boolean = false): Q = (s, dir) => {
+                     compactMid: Boolean = false,
+                     maxScore: Boolean = false): Q = (s, dir) => {
     val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
     val queries = docs.where(pmod(col("doc_id"), lit(101)) === 0)
       .select(col("doc_id").as("query_id"),
@@ -500,7 +513,9 @@ object ModelDataQueries {
     ix.append(docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", 1L)
     // re-delivery no-ops: a restarted ingest must not double-count
     ix.append(docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", 0L)
-    val disk = ix.topK(s, queries, "query_id", "qtext", k = 10)
+    val disk =
+      if (maxScore) ix.topKMaxScore(s, queries, "query_id", "qtext", k = 10)
+      else ix.topK(s, queries, "query_id", "qtext", k = 10)
     val out =
       if (!gated) disk
       else {
@@ -599,6 +614,13 @@ object ModelDataQueries {
     // the bucketed disk route is results-identical to the inline index
     // (in-plan gated), so q129's mirror applies here too
     "q155_bm25_bucketed" ->
+      s"""WITH $bm25RunCtes
+        | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
+        | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+        .replaceAll("\n", " "),
+    // bucketed max-score composition: pruning is a plan optimization
+    // on both levers, results-identical to q129's closed form
+    "q156_bm25_bucketed_maxscore" ->
       s"""WITH $bm25RunCtes
         | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
         | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin

@@ -262,6 +262,120 @@ class Bm25Spec extends SparkSuite {
     assert(rows(ix.topK(spark, q, "qid", "q", 5)) === wantGrown)
   }
 
+  test("streamingWriter: scheduled compaction from the maintenance path; crash windows never degrade to wrong results") {
+    val landing = java.nio.file.Files.createTempDirectory("bm25_swl").toString
+    val cp = java.nio.file.Files.createTempDirectory("bm25_swc").toString
+    val root = java.nio.file.Files.createTempDirectory("bm25_swi").toString
+    val ix = new Bm25.DiskIndex(root, termBuckets = 4)
+    val q = Seq((1L, "cat sat")).toDF("qid", "q")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    def drain(): Unit = {
+      val s = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1") // one landing file per batch id
+        .parquet(landing)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch(ix.streamingWriter("doc_id", "text", compactEvery = 2))
+        .start()
+      s.awaitTermination(120000)
+    }
+    docs.where(col("doc_id") <= 2L).select("doc_id", "text")
+      .write.parquet(s"$landing/p0")
+    docs.where(col("doc_id") > 2L).select("doc_id", "text")
+      .write.parquet(s"$landing/p1")
+    drain() // batch ids 0, 1 → compaction fires after id 1
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val w = ix.store.compactionWatermark(spark)
+    assert(w.nonEmpty, "scheduled compaction did not run")
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/_aux/${w.get}")),
+      "scheduled compaction did not materialize artifacts")
+    val want = rows(Bm25.topK(docs, q, "doc_id", "text", "qid", "q", 5))
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
+    assert(rows(ix.topKMaxScore(spark, q, "qid", "q", 5)) === want)
+    // restart with no new files: nothing re-appends, schedule stable
+    drain()
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === want)
+    // CRASH WINDOW 1: compaction died between the store's _compacted
+    // marker and the dl/stats artifacts — watermark advanced, no _aux
+    // for it. Simulate by appending + store-compacting WITHOUT the
+    // artifact step; queries must degrade to derive-from-tf, not to
+    // wrong results.
+    val extra = Seq((100L, "the cat sat on another cat mat")).toDF("doc_id", "text")
+    assert(ix.append(extra, "doc_id", "text", 7L))
+    assert(ix.store.compact(spark, force = true))
+    val w2 = ix.store.compactionWatermark(spark).get
+    assert(w2 > w.get)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$root/_aux/$w2")),
+      "test precondition: no artifacts for the crashed generation")
+    val wantGrown = rows(Bm25.topK(
+      docs.select("doc_id", "text").unionByName(extra),
+      q, "doc_id", "text", "qid", "q", 5))
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === wantGrown)
+    assert(rows(ix.topKMaxScore(spark, q, "qid", "q", 5)) === wantGrown)
+    // recovery: the next maintenance compact() re-materializes artifacts
+    // for a fresh generation (a new batch makes compact() non-trivial)
+    assert(ix.append(
+      Seq((101L, "mat mat cat")).toDF("doc_id", "text"), "doc_id", "text", 8L))
+    assert(ix.compact(spark))
+    val w3 = ix.store.compactionWatermark(spark).get
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/_aux/$w3")))
+    val wantFinal = rows(Bm25.topK(
+      docs.select("doc_id", "text").unionByName(extra)
+        .unionByName(Seq((101L, "mat mat cat")).toDF("doc_id", "text")),
+      q, "doc_id", "text", "qid", "q", 5))
+    assert(rows(ix.topK(spark, q, "qid", "q", 5)) === wantFinal)
+  }
+
+  test("DiskIndex.topKMaxScore: bucket pruning composes with the term split; results invariant") {
+    // 'rare9' appears once; pick a common term whose bucket differs from
+    // rare9's (dynamically — bucket = pmod(xxhash64(term), 8)), so the
+    // essential scan's file filter must be STRICTLY smaller than the
+    // query vocabulary's bucket set when the common term prunes away
+    def bucketOf(t: String): Long = Seq(t).toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(8L))).head().getLong(0)
+    val rare = "rare9"
+    val common = (0 until 64).map(i => s"common$i")
+      .find(c => bucketOf(c) != bucketOf(rare)).get
+    val corpus = ((1L to 100L).map(i => (i, s"$common filler$i text")) :+
+      (200L, s"$rare $common signal")).toDF("doc_id", "text")
+    val qs = Seq((1L, s"$rare $common")).toDF("qid", "q")
+    val root = java.nio.file.Files.createTempDirectory("bm25_bms").toString
+    val ix = new Bm25.DiskIndex(root, termBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // empty index: no hits, no error
+    assert(ix.topKMaxScore(spark, qs, "qid", "q", 5).count() === 0L)
+    assert(ix.append(corpus.where(col("doc_id") <= 50L), "doc_id", "text", 0L))
+    assert(ix.compact(spark)) // artifacts + bucket layout mid-lifecycle
+    assert(ix.append(corpus.where(col("doc_id") > 50L), "doc_id", "text", 1L))
+    for (k <- Seq(1, 3)) {
+      val want = rows(Bm25.topK(corpus, qs, "doc_id", "text", "qid", "q", k))
+      assert(rows(ix.topKMaxScore(spark, qs, "qid", "q", k)) === want, s"k=$k")
+      // stage instrumentation: with k=1 the common term is non-essential
+      // (UB(common) << θ from rare9's single posting), so the essential
+      // scan's bucket filter shrank below the df (query-vocabulary) scan's
+      val b = ix.lastStageBuckets
+      assert(b("ess").subsetOf(b("df")), b.toString)
+      assert(b("non").subsetOf(b("df")), b.toString)
+      if (k == 1) {
+        assert(b("ess") === Set(bucketOf(rare)), b.toString)
+        assert(b("non") === Set(bucketOf(common)), b.toString)
+        assert(b("ess").size < b("df").size, b.toString)
+        assert(b("seed") === Set(bucketOf(rare)), b.toString)
+      }
+    }
+    // the stage scans carry bucket partition filters (file-level prune)
+    val plan = ix.topKMaxScore(spark, qs, "qid", "q", 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+  }
+
   test("evaluateRuns: hand-computed nDCG/MRR, k cut, no-judgment and no-hit queries") {
     // q1: hits at ranks 1 (rel 2), 3 (rel 1); one judged doc (rel 1)
     //     never retrieved. n_rel = 3.

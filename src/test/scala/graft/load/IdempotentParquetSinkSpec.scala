@@ -113,4 +113,60 @@ class IdempotentParquetSinkSpec extends SparkSuite {
     assert(!sink.append(Seq((9L, "dup")).toDF("id", "v"), 0L))
     assert(rows === before)
   }
+
+  test("foreign marker/data entries never crash or get swept; in-flight dirs survive compaction") {
+    val root = Files.createTempDirectory("idem_frn").toString + "/t"
+    val sink = new IdempotentParquetSink(root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    def touch(p: String): Unit = {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(p).getParent)
+      fs.create(new org.apache.hadoop.fs.Path(p), true).close()
+    }
+    assert(sink.append(Seq((1L, "a")).toDF("id", "v"), 0L))
+    // foreign entries a shared filesystem can grow: a checksum sidecar
+    // in the marker dir, a stray temp dir under data/, a readme under
+    // compact/ — none parse as ids, none may crash reads or compaction
+    touch(s"$root/_committed/0.crc")
+    touch(s"$root/data/_tmp_upload/part")
+    touch(s"$root/compact/README.txt")
+    assert(sink.read(spark).count() === 1L)
+    // an IN-FLIGHT append: data written, marker not yet (its id below a
+    // later committed id). Compaction must leave its data alone — the
+    // marker may land right after the sweep.
+    Seq((50L, "inflight")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/data/batch=1")
+    assert(sink.append(Seq((2L, "b")).toDF("id", "v"), 2L))
+    assert(sink.compact(spark)) // upTo = 2; batch=1 is uncommitted
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/batch=1")),
+      "uncommitted in-flight batch dir was deleted by the sweep")
+    // foreign entries untouched by the sweep
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/_tmp_upload")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/compact/README.txt")))
+    assert(sink.read(spark).orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("empty batches: partitioned 0-row appends stay readable; all-empty compaction advances") {
+    val sink = new IdempotentParquetSink(
+      Files.createTempDirectory("idem_mt").toString + "/t", Seq("p"))
+    val empty = Seq.empty[(Long, String)].toDF("id", "p")
+    // a 0-row partitioned write emits only _SUCCESS — a normal
+    // foreachBatch occurrence; it must not poison later reads
+    assert(sink.append(empty, 0L))
+    assert(!sink.append(empty, 0L)) // still idempotent
+    assert(sink.read(spark).count() === 0L)
+    assert(sink.append(Seq((1L, "x")).toDF("id", "p"), 1L))
+    assert(sink.read(spark).as[(Long, String)].collect().toSeq === Seq((1L, "x")))
+    // all-empty store: compaction advances the watermark with no data
+    // dir, and the sink keeps working afterwards
+    val sink2 = new IdempotentParquetSink(
+      Files.createTempDirectory("idem_mt2").toString + "/t", Seq("p"))
+    assert(sink2.append(empty, 0L))
+    assert(sink2.append(empty, 1L))
+    assert(sink2.compact(spark))
+    assert(sink2.read(spark).count() === 0L)
+    assert(sink2.append(Seq((2L, "y")).toDF("id", "p"), 2L))
+    assert(sink2.read(spark).as[(Long, String)].collect().toSeq === Seq((2L, "y")))
+  }
 }

@@ -99,7 +99,12 @@ def main():
         if d.is_dir() and d.name not in oracle:
             n = con.execute(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
             status = "rows-ok" if n > 0 else "EMPTY"
+            results[d.name] = status
             print(f"INFO {d.name}: rows-only, {n} rows ({status})")
+    # Machine-readable verdicts for tools/reconcile.py (round-close gate:
+    # the local replica must be diffed against the DRIVER's artifact).
+    Path(out_dir, "check_results.json").write_text(json.dumps(results,
+                                                              indent=1))
     print(f"\n{n_pass} pass / {n_fail} fail of {len(oracle)} oracle-checked")
     sys.exit(1 if n_fail else 0)
 
