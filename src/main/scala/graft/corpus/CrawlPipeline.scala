@@ -85,14 +85,21 @@ object CrawlPipeline {
   def pageDocsFromRecords(records: DataFrame,
                docId: Column = xxhash64(col("record_id"))): DataFrame = {
     graft.functions.HttpDecodeExpr.register(records.sparkSession)
-    // Charset-aware body decode (BOM > Content-Type charset > <meta>
-    // sniff > UTF-8): real crawls are a charset zoo, and a blind UTF-8
-    // cast turns every Latin-1/cp1252/Shift-JIS page into replacement
-    // chars before extraction ever sees it. Missing header → "" (the
-    // kernel treats it as no declaration). Map-side, same stage as the
+    // Transfer-decode BEFORE charset-decode: a `Transfer-Encoding:
+    // chunked` capture interleaves hex size lines into the body —
+    // charset-decoding them as content shreds the page. Then the
+    // charset-aware decode (BOM > Content-Type charset > <meta> sniff >
+    // UTF-8): real crawls are a charset zoo, and a blind UTF-8 cast
+    // turns every Latin-1/cp1252/Shift-JIS page into replacement chars
+    // before extraction ever sees it. Missing headers → "" (the kernels
+    // treat it as no declaration). Both map-side, same stage as the
     // extraction itself.
-    val decoded = graft.functions.HttpDecodeExpr.decodeHttpBody(
+    val dechunked = graft.functions.HttpDecodeExpr.dechunkHttpBody(
       col("http_body"),
+      coalesce(element_at(col("http_headers"), lit("transfer-encoding")),
+        lit("")))
+    val decoded = graft.functions.HttpDecodeExpr.decodeHttpBody(
+      dechunked,
       coalesce(element_at(col("http_headers"), lit("content-type")), lit("")))
     Warc.httpResponses(records)
       .select(docId.as("doc_id"),

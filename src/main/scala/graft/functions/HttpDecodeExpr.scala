@@ -48,7 +48,16 @@ object HttpDecodeKernel {
       java.util.regex.Pattern.CASE_INSENSITIVE)
 
   def decode(body: Array[Byte], contentType: UTF8String): UTF8String = {
-    // 1. BOM
+    // 1. BOM. UTF-32 sniffs FIRST: its LE BOM (FF FE 00 00) has the
+    // UTF-16LE BOM as a prefix, and its BE BOM (00 00 FE FF) would
+    // otherwise fall through to the declaration path — either way a
+    // UTF-32 body misread as UTF-16/declared charset is replacement soup
+    if (body.length >= 4 && body(0) == 0xFF.toByte && body(1) == 0xFE.toByte &&
+        body(2) == 0 && body(3) == 0)
+      return decodeWith(body, 4, Charset.forName("UTF-32LE"))
+    if (body.length >= 4 && body(0) == 0 && body(1) == 0 &&
+        body(2) == 0xFE.toByte && body(3) == 0xFF.toByte)
+      return decodeWith(body, 4, Charset.forName("UTF-32BE"))
     if (body.length >= 3 && body(0) == 0xEF.toByte && body(1) == 0xBB.toByte &&
         body(2) == 0xBF.toByte)
       return decodeWith(body, 3, StandardCharsets.UTF_8)
@@ -83,7 +92,10 @@ object HttpDecodeKernel {
     * — covers both `<meta charset=utf-8>` and the http-equiv form
     * (whose `content` value embeds the same `charset=` parameter).
     * Only matches inside a meta tag, so a page that merely MENTIONS
-    * "charset=" in text does not hijack the decode.
+    * "charset=" in text does not hijack the decode. A meta-declared
+    * UTF-16 variant maps to UTF-8 (the WHATWG prescan rule: a document
+    * whose in-body declaration was ASCII-readable cannot actually be
+    * UTF-16 — honoring the label would shred the real bytes).
     */
   def metaCharset(head: String): Option[Charset] = {
     var from = 0
@@ -95,7 +107,12 @@ object HttpDecodeKernel {
       val stop = if (end < 0) lower.length else end
       val m = CharsetParam.matcher(lower.substring(tag, stop))
       if (m.find()) {
-        val cs = lookup(m.group(1))
+        val cs = lookup(m.group(1)).map { c =>
+          val n = c.name().toUpperCase(java.util.Locale.ROOT)
+          if (n.startsWith("UTF-16") || n.startsWith("UTF-32"))
+            StandardCharsets.UTF_8
+          else c
+        }
         if (cs.isDefined) return cs
       }
       from = stop + 1
@@ -115,6 +132,99 @@ object HttpDecodeKernel {
       java.nio.ByteBuffer.wrap(body, offset, body.length - offset)).toString
     UTF8String.fromString(out)
   }
+
+  // a chunk-size line is a bounded hex number (+ optional extensions):
+  // anything longer is not chunked framing
+  private val MaxChunkSizeLine = 256
+
+  /** Reassemble a `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
+    * hex-size line (chunk extensions after `;` ignored) CRLF, data CRLF,
+    * …, `0` CRLF, optional trailer fields — dropped; they are framing,
+    * not content. No-op unless `chunked` is the FINAL listed transfer
+    * coding. Quarantine posture (crawl bytes are untrusted, the
+    * function is total):
+    *
+    *  - the FIRST size line doesn't parse → the body was never chunked
+    *    framing despite the header (servers lie): returned UNCHANGED;
+    *  - framing breaks after valid chunks (bad mid-stream size line,
+    *    missing data CRLF) → the successfully reassembled prefix;
+    *  - a chunk's data runs past the record end (truncated capture) →
+    *    whatever bytes are present (honest truncation).
+    */
+  def dechunk(body: Array[Byte], transferEncoding: UTF8String): Array[Byte] = {
+    val te = if (transferEncoding == null) "" else transferEncoding.toString
+    val isChunked = te.toLowerCase(java.util.Locale.ROOT)
+      .split(",").map(_.trim).lastOption.contains("chunked")
+    if (!isChunked || body.length == 0) return body
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var pos = 0
+    var first = true
+    def salvage(): Array[Byte] =
+      if (first) body else out.toByteArray
+    while (pos < body.length) {
+      // the size line: bytes up to CRLF, bounded
+      val lim = math.min(body.length - 1, pos + MaxChunkSizeLine)
+      var eol = -1
+      var i = pos
+      while (eol < 0 && i < lim) {
+        if (body(i) == '\r' && body(i + 1) == '\n') eol = i
+        i += 1
+      }
+      if (eol < 0) return salvage()
+      var hexEnd = pos
+      while (hexEnd < eol && body(hexEnd) != ';' && body(hexEnd) != ' ')
+        hexEnd = hexEnd + 1
+      if (hexEnd == pos) return salvage()
+      var size = 0L
+      var j = pos
+      while (j < hexEnd) {
+        val d = Character.digit(body(j).toChar, 16)
+        if (d < 0) return salvage()
+        size = size * 16 + d
+        if (size > Int.MaxValue) return salvage()
+        j += 1
+      }
+      pos = eol + 2
+      if (size == 0) return out.toByteArray // trailers are framing, done
+      if (pos + size > body.length) { // truncated capture
+        if (pos < body.length) out.write(body, pos, body.length - pos)
+        return out.toByteArray
+      }
+      out.write(body, pos, size.toInt)
+      pos += size.toInt
+      first = false
+      // data must be followed by CRLF; anything else is broken framing
+      if (pos + 2 <= body.length && body(pos) == '\r' && body(pos + 1) == '\n')
+        pos += 2
+      else return out.toByteArray
+    }
+    out.toByteArray // ran off the end without a 0-chunk: keep the prefix
+  }
+}
+
+/** `dechunk_http_body(body BINARY, transfer_encoding STRING) → BINARY`:
+  * [[HttpDecodeKernel.dechunk]] as a codegen'd expression — runs between
+  * the HTTP envelope split (which carries the header) and the charset
+  * decode, the last byte-level gap to raw crawl captures.
+  */
+case class DechunkHttpBodyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "dechunk_http_body(body BINARY, transfer_encoding STRING) expected")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(body: Any, te: Any): Any =
+    HttpDecodeKernel.dechunk(
+      body.asInstanceOf[Array[Byte]], te.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, t) => s"graft.functions.HttpDecodeKernel.dechunk($b, $t)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dechunk_http_body"
 }
 
 case class DecodeHttpBodyExpr(left: Expression, right: Expression)
@@ -138,11 +248,18 @@ case class DecodeHttpBodyExpr(left: Expression, right: Expression)
 }
 
 object HttpDecodeExpr {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "decode_http_body",
       exprs => DecodeHttpBodyExpr(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dechunk_http_body",
+      exprs => DechunkHttpBodyExpr(exprs.head, exprs(1)), "built-in")
+  }
 
   def decodeHttpBody(body: Column, contentType: Column): Column =
     call_function("decode_http_body", body, contentType)
+
+  def dechunkHttpBody(body: Column, transferEncoding: Column): Column =
+    call_function("dechunk_http_body", body, transferEncoding)
 }

@@ -11,61 +11,68 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `langid(text)` — character-trigram language identification against a
-  * FIXED, in-repo model (the CCNet/C4 stage that runs immediately after
-  * HTML text extraction: every per-language pipeline stage keys on a
-  * `lang` column that raw crawl data does not carry).
+/** `langid(text)` — mixed-order character n-gram language identification
+  * against a FIXED, in-repo model (the CCNet/C4 stage that runs
+  * immediately after HTML text extraction: every per-language pipeline
+  * stage keys on a `lang` column that raw crawl data does not carry).
   *
-  * Model: per-language trigram log-probabilities with add-one (Laplace)
-  * smoothing over the GLOBAL trigram vocabulary of the seed corpus,
-  * trained at class-init from [[LangIdModel.seeds]] — a deterministic,
-  * versioned artifact of this repo, so the same text classifies the same
-  * way on every cluster and every run (and the DuckDB oracle can re-derive
-  * the identical model from the identical seed literals in SQL).
+  * Model: per-language log-probabilities over char n-grams of orders
+  * 1, 2 AND 3 pooled into one feature space (the fastText recipe:
+  * trigrams discriminate segmented scripts, unigrams/bigrams carry
+  * unsegmented CJK, where a held-out sentence can share zero TRIGRAMS
+  * with hundreds of seed characters — measured in earlier rounds), with
+  * add-one (Laplace) smoothing over the GLOBAL gram vocabulary of the
+  * seed corpus, trained at class-init from [[LangIdModel.seeds]] — a
+  * deterministic, versioned artifact of this repo, so the same text
+  * classifies the same way on every cluster and every run (and the
+  * DuckDB oracle can re-derive the identical model from the identical
+  * seed literals in SQL).
   *
-  * Scoring: lowercase, slide a 3-char window, sum `logp(tri | lang)` per
-  * language (out-of-vocabulary trigrams cost the language's smoothed OOV
-  * mass `ln(1/(total+V))`), argmax with deterministic ties (language name
+  * Scoring: lowercase, slide 1/2/3-CODEPOINT windows (codepoints, not
+  * UTF-16 units — supplementary-plane chars like emoji must not split
+  * into surrogate garbage, and the DuckDB mirror's substr() is
+  * codepoint-based), sum `logp(gram | lang)` per language
+  * (out-of-vocabulary grams cost the language's smoothed OOV mass
+  * `ln(1/(total+V))`), argmax with deterministic ties (language name
   * ascending). Returns `struct<lang, avg_lp, margin, oov_gap, n_tri>`:
   *
   *  - `lang`     — argmax language code, or "und" when the text has no
-  *                 trigram (length < 3);
-  *  - `avg_lp`   — best per-trigram average log-probability;
+  *                 trigram (< 3 codepoints: too short to call);
+  *  - `avg_lp`   — best per-GRAM average log-probability (all orders);
   *  - `margin`   — best minus second-best average: classification
   *                 confidence (mixed-language text compresses it);
   *  - `oov_gap`  — `avg_lp` minus the argmax language's own smoothed OOV
   *                 rate: the SELF-CALIBRATING "is this even a language we
-  *                 know" signal. Text sharing no trigram with any seed
-  *                 (an unseen script) scores every language at exactly
-  *                 its OOV rate, so the gap is exactly 0; genuine text in
-  *                 a model language sits well above. Unlike an absolute
-  *                 avg floor, the gap needs no re-tuning when languages
-  *                 with different trigram coverage join the model;
+  *                 know" signal. Text sharing (almost) no gram with any
+  *                 seed scores every language at (almost) exactly its
+  *                 OOV rate, so the gap sits near 0 — an unseen script's
+  *                 only known grams are the spaces/digits it shares with
+  *                 every seed; genuine text in a model language sits far
+  *                 above. Unlike an absolute avg floor, the gap needs no
+  *                 re-tuning when languages with different gram coverage
+  *                 join the model;
   *  - `n_tri`    — trigram count (evidence size; short strings are noisy).
   *
-  * Model scope: Latin + Cyrillic scripts. Character TRIGRAMS under-cover
-  * unsegmented CJK at seed-corpus scale (a held-out Chinese sentence can
-  * share zero trigrams with hundreds of seed characters — measured, not
-  * speculation), so CJK coverage needs lower-order char features
-  * (unigram/bigram mixes, the fastText recipe) — a model change, not an
-  * operator change; unseen scripts meanwhile fall back to "und" via the
-  * gap rule.
+  * Model scope: Latin + Cyrillic + CJK (zh/ja/ko). Unseen scripts fall
+  * back to "und" via the gap rule.
   *
   * Threshold policy (what counts as "unknown") deliberately lives in the
   * OPERATOR ([[graft.operators.LangId.classify]]), not here — the raw
   * scores are the reusable primitive.
   *
   * Execution: one codegen'd map-side kernel call per row — zero shuffle at
-  * any corpus size; the model is a static JVM-singleton (a few hundred
-  * trigrams per language), never a broadcast or a join.
+  * any corpus size; the model is a static JVM-singleton (a few thousand
+  * grams per language), never a broadcast or a join.
   */
 object LangIdModel {
 
   /** The fixed training corpus: (language, seed text) — lowercase,
-    * apostrophe-free, BMP-only by construction (so code-point and UTF-16
-    * indexing agree, and the texts embed verbatim into oracle SQL
-    * literals). Editing a seed changes the model version: every
-    * classification downstream is derived from these strings alone.
+    * apostrophe-free, BMP-only by construction (the texts embed verbatim
+    * into oracle SQL literals; gram extraction is codepoint-based either
+    * way). zh/ja/ko are parallel renderings of the same story themes as
+    * the European seeds, in this repo's own words. Editing a seed
+    * changes the model version: every classification downstream is
+    * derived from these strings alone.
     */
   val seeds: Seq[(String, String)] = Seq(
     "de" -> ("der schnelle braune fuchs springt über den faulen hund während die kinder vom fenster aus zuschauen. " +
@@ -173,7 +180,64 @@ object LangIdModel {
       "каждый год семья едет к морю и проводит лето у воды. " +
       "мой брат играет на пианино а моя сестра поёт вечером старые песни. " +
       "на рынке можно купить хлеб молоко сыр и тёплые пироги с капустой. " +
-      "зимой дети катаются на санках с горки а весной пускают кораблики по ручьям."))
+      "зимой дети катаются на санках с горки а весной пускают кораблики по ручьям."),
+    "zh" -> ("敏捷的棕色狐狸跳过懒惰的狗而孩子们在窗边看着。" +
+      "这是一个关于天气和住在河边老城里的人们的短故事。" +
+      "我们应当永远记得知识和自由在每个自由的国家都是连在一起的。" +
+      "学生们在图书馆里读书每天下午谈论历史和科学。" +
+      "曾经有一个时代世界看起来大得多每次旅行都要花许多星期。" +
+      "人们说早起的鸟儿有虫吃但是第二只老鼠才能得到奶酪。" +
+      "好朋友在困难的时候互相帮助也一起分享美好的时光。" +
+      "政府宣布了一个为全国学校和医院服务的新计划。" +
+      "早晨她喝一杯咖啡吃涂了黄油和蜂蜜的面包。" +
+      "火车七点离开车站两个小时后到达城市。" +
+      "我的哥哥弹钢琴我的妹妹在晚上唱老歌。" +
+      "市场出售来自山边农场的新鲜水果和蔬菜。" +
+      "雨下了一整夜但是太阳在上午晚些时候又出来了。" +
+      "信在星期一到达回信在同一个星期写好。" +
+      "每年这家人都去海边在水边度过夏天。" +
+      "春天的早晨天气晴朗孩子们沿着宽宽的街道走到学校。" +
+      "冬天很寒冷人们穿上厚衣服匆匆走回家里。" +
+      "城里的钟楼每天中午敲十二下声音传得很远。" +
+      "四月的雨水让花园里的花都开了出来。" +
+      "他在窄窄的巷子里走着看见墙边开满了花。" +
+      "晚上八点以后街道变得安静只有风吹过树林。" +
+      "我们一家人喜欢在傍晚沿着河边散步说说一天的事情。" +
+      "图书馆的大门九点打开学生们排着队走进去。"),
+    "ja" -> ("すばやい茶色の狐はなまけた犬を飛びこえて子どもたちは窓から見ている。" +
+      "これは天気と川のそばの古い町に住む人々についての短い物語である。" +
+      "知識と自由はすべての自由な国でともにあることをいつも覚えておくべきだ。" +
+      "学生たちは図書館で本を読み毎日午後に歴史と科学について話す。" +
+      "世界がずっと大きく見えてどの旅も何週間もかかった時代があった。" +
+      "早起きの鳥は虫をつかまえるが二番目のねずみがチーズを手に入れると人は言う。" +
+      "よい友だちは苦しい時に助け合いよい時を分かち合う。" +
+      "政府は国じゅうの学校と病院のための新しい計画を発表した。" +
+      "朝に彼女はコーヒーを一杯飲みバターと蜂蜜をぬったパンを食べる。" +
+      "列車は七時に駅を出て二時間後に町に着く。" +
+      "兄はピアノをひき妹は夜に古い歌をうたう。" +
+      "市場は山の近くの農場からの新しい果物と野菜を売っている。" +
+      "夜のあいだ雨が降ったが朝おそくに太陽がまた出てきた。" +
+      "手紙は月曜日に届き返事は同じ週に書かれた。" +
+      "毎年その家族は海へ行き水のそばで夏を過ごす。" +
+      "よく晴れた四月の朝に子どもたちは広い通りを歩いて学校へ行く。" +
+      "冬はとても寒く人々は厚い上着を着て急いで家に帰る。" +
+      "町の時計台は毎日昼に十二回鐘を打ちその音は遠くまでひびく。" +
+      "雨あがりのせまい道を人々はいそいで歩いて帰っていった。"),
+    "ko" -> ("재빠른 갈색 여우가 게으른 개를 뛰어넘는 동안 아이들은 창가에서 바라본다. " +
+      "이것은 날씨와 강가의 오래된 마을에 사는 사람들에 관한 짧은 이야기이다. " +
+      "지식과 자유는 모든 자유로운 나라에서 함께 간다는 것을 우리는 언제나 기억해야 한다. " +
+      "학생들은 도서관에서 책을 읽고 매일 오후에 역사와 과학에 대해 이야기한다. " +
+      "세상이 훨씬 더 크게 보이고 모든 여행이 몇 주씩 걸리던 시절이 있었다. " +
+      "일찍 일어나는 새가 벌레를 잡지만 두 번째 쥐가 치즈를 얻는다고 사람들은 말한다. " +
+      "좋은 친구들은 어려운 때에 서로 돕고 좋은 때를 함께 나눈다. " +
+      "정부는 온 나라의 학교와 병원을 위한 새로운 계획을 발표했다. " +
+      "아침에 그녀는 커피 한 잔을 마시고 버터와 꿀을 바른 빵을 먹는다. " +
+      "기차는 일곱 시에 역을 떠나 두 시간 뒤에 도시에 닿는다. " +
+      "나의 형은 피아노를 치고 나의 누이는 저녁에 옛 노래를 부른다. " +
+      "시장은 산 가까이 농장에서 온 신선한 과일과 채소를 판다. " +
+      "밤새 비가 내렸지만 늦은 아침에 해가 다시 나왔다. " +
+      "편지는 월요일에 도착했고 답장은 같은 주에 쓰였다. " +
+      "해마다 그 가족은 바다로 가서 물가에서 여름을 보낸다."))
 
   /** Trained model: languages in ascending order (the tie-break order),
     * per-language trigram→logp tables, per-language OOV log-probability.
@@ -184,24 +248,29 @@ object LangIdModel {
       val oov: Array[Double])
       extends Serializable
 
-  /** Laplace-smoothed trigram model over the GLOBAL seed vocabulary:
-    * `logp(tri|lang) = ln((count + 1) / (total_lang + V))`,
-    * `oov(lang) = ln(1 / (total_lang + V))` with `V` = distinct trigrams
-    * across ALL languages' seeds (a shared vocabulary keeps the smoothing
-    * mass comparable across languages).
+  /** All order-1/2/3 codepoint grams of `s`, order-pooled (a 1-char gram
+    * and a 3-char gram never collide — they differ in length).
+    */
+  private[functions] def grams(s: String): Iterator[String] = {
+    val cps = s.codePoints().toArray
+    (1 to 3).iterator.flatMap(o =>
+      (0 to cps.length - o).iterator.map(i => new String(cps, i, o)))
+  }
+
+  /** Laplace-smoothed mixed-order gram model over the GLOBAL seed
+    * vocabulary: `logp(g|lang) = ln((count + 1) / (total_lang + V))`,
+    * `oov(lang) = ln(1 / (total_lang + V))` with `V` = distinct grams of
+    * all orders across ALL languages' seeds (a shared vocabulary keeps
+    * the smoothing mass comparable across languages).
     */
   def train(seedTexts: Seq[(String, String)]): Trained = {
     require(seedTexts.map(_._1).distinct.size == seedTexts.size,
       "duplicate language in seeds")
     val sorted = seedTexts.sortBy(_._1)
     val perLang = sorted.map { case (lang, txt) =>
-      val s = txt.toLowerCase(Locale.ROOT)
       val counts = new java.util.HashMap[String, Long]()
-      var i = 0
-      while (i + 3 <= s.length) {
-        counts.merge(s.substring(i, i + 3), 1L, (a, b) => a + b)
-        i += 1
-      }
+      grams(txt.toLowerCase(Locale.ROOT))
+        .foreach(g => counts.merge(g, 1L, (a, b) => a + b))
       (lang, counts)
     }
     val vocab = new java.util.HashSet[String]()
@@ -239,21 +308,49 @@ object LangIdKernel {
   def eval(text: UTF8String): InternalRow = {
     val m = LangIdModel.model
     val s = text.toString.toLowerCase(Locale.ROOT)
-    val nTri = s.length - 2
+    // codepoint windows (NOT UTF-16 units): supplementary-plane chars
+    // must stay whole, and the oracle mirror's substr() is codepoint-based
+    val cps = s.codePoints().toArray
+    val nTri = cps.length - 2
     if (nTri <= 0) return InternalRow(und, 0.0, 0.0, 0.0, 0)
     val k = m.langs.length
     val scores = new Array[Double](k)
-    var i = 0
-    while (i < nTri) {
-      val tri = s.substring(i, i + 3)
-      var l = 0
-      while (l < k) {
-        val lp = m.logp(l).get(tri)
-        scores(l) += (if (lp == null) m.oov(l) else lp.doubleValue())
-        l += 1
-      }
-      i += 1
+    // Only grams containing at least one LETTER codepoint score: spaces,
+    // digits and punctuation are shared by every language's seed, and
+    // counting them both dilutes CJK evidence and hands unseen scripts a
+    // spurious positive gap (their spaces are "known" to every model).
+    // With the filter, text in a truly unseen script shares NO scored
+    // gram with any seed and gaps to exactly 0 — the und invariant.
+    val isL = new Array[Boolean](cps.length)
+    var ci = 0
+    while (ci < cps.length) {
+      isL(ci) = Character.isLetter(cps(ci)); ci += 1
     }
+    var nGrams = 0
+    var order = 1
+    while (order <= 3) {
+      var i = 0
+      val last = cps.length - order
+      while (i <= last) {
+        var hasLetter = false
+        var j = i
+        while (j < i + order && !hasLetter) { hasLetter = isL(j); j += 1 }
+        if (hasLetter) {
+          val g = new String(cps, i, order)
+          var l = 0
+          while (l < k) {
+            val lp = m.logp(l).get(g)
+            scores(l) += (if (lp == null) m.oov(l) else lp.doubleValue())
+            l += 1
+          }
+          nGrams += 1
+        }
+        i += 1
+      }
+      order += 1
+    }
+    // no letter gram at all (digits/punctuation-only text): no evidence
+    if (nGrams == 0) return InternalRow(und, 0.0, 0.0, 0.0, nTri)
     // argmax + runner-up; langs are ascending, strictly-greater wins →
     // deterministic lowest-name tie-break
     var best = 0
@@ -268,7 +365,7 @@ object LangIdKernel {
       if (l != best && scores(l) > second) second = scores(l)
       l += 1
     }
-    val n = nTri.toDouble
+    val n = nGrams.toDouble
     val margin = if (k < 2) 0.0 else (scores(best) - second) / n
     val avg = scores(best) / n
     InternalRow(UTF8String.fromString(m.langs(best)), avg, margin,

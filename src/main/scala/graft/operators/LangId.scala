@@ -22,15 +22,19 @@ object LangId {
   /** The classify OOV-GAP floor splitting "looks like a model language"
     * from "unseen script / gibberish". The gap (`avg_lp` minus the
     * argmax language's own smoothed OOV rate) is SELF-CALIBRATING: text
-    * sharing no trigram with any seed scores EXACTLY 0 regardless of
-    * which language wins the argmax or how well-covered its seed is,
-    * while held-out text in a model language sits well above
-    * (spec-pinned per language: ≥ ~0.65 on the current model). Unlike
-    * an absolute avg-logprob floor, no re-tuning is needed when seeds
-    * grow or differently-covered languages join. Single source of
+    * sharing no SCORED gram with any seed scores EXACTLY 0 regardless
+    * of which language wins the argmax or how well-covered its seed is
+    * — and since only grams containing a letter score, an unseen script
+    * (Greek, Arabic, …) is exactly that case: its spaces and digits
+    * never count as evidence. Held-out text in a model language sits
+    * well above (spec-pinned per language: ≥ 2× this floor; the CJK
+    * languages, with per-char rather than per-trigram seed coverage,
+    * are the closest at ~0.52). Unlike an absolute avg-logprob floor,
+    * no re-tuning is needed when seeds grow or differently-covered
+    * languages join. Single source of
     * truth — the DuckDB oracle mirrors interpolate this constant.
     */
-  val DefaultMinOovGap: Double = 0.3
+  val DefaultMinOovGap: Double = 0.25
 
   /** Raw scores: `langid(text)` →
     * struct<lang, avg_lp, margin, oov_gap, n_tri>.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -304,6 +304,74 @@ object ModelDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Chunked transfer-encoding, oracled end to end: per-leg chunked
+    // captures (multi-chunk split whose sizes cross the text, a chunk
+    // extension + trailer-field leg, an unchunked control, a TRUNCATED
+    // capture whose last chunk declares more bytes than the record
+    // holds) run through the real path — Warc.httpResponses →
+    // dechunk_http_body (Transfer-Encoding header) → decode_http_body
+    // (Content-Type charset). The oracle states each leg's decoded
+    // string in closed form; any framing slip (size line left in the
+    // content, data CRLF eaten, trailer leaked) breaks the hash.
+    "q157_chunked_decode" -> ((s, dir) => {
+      graft.functions.HttpDecodeExpr.register(s)
+      val leg = pmod(col("doc_id"), lit(4))
+      val crlf = lit("\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      def ascii(t: String) =
+        lit(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val bLat = encode(concat(col("text"), lit(charsetLatTail)), "ISO-8859-1")
+      val bUtf = encode(concat(col("text"), lit(charsetUtfTail)), "UTF-8")
+      def hexLine(n: Column) = encode(concat(lower(hex(n)), lit("\r\n")), "UTF-8")
+      // 5 + 11 + remainder: the second boundary lands mid-text
+      def chunk3(b: Column) = concat(
+        ascii("5\r\n"), b.substr(lit(1), lit(5)), crlf,
+        ascii("b\r\n"), b.substr(lit(6), lit(11)), crlf,
+        hexLine(length(b) - 16),
+        b.substr(lit(17), (length(b) - 16).cast("int")), crlf,
+        ascii("0\r\n\r\n"))
+      // chunk extension on the size line + a trailer field after the
+      // 0-chunk: both are framing, neither may leak into content
+      def chunkExtTrailer(b: Column) = concat(
+        ascii("5;ext=\"v\"\r\n"), b.substr(lit(1), lit(5)), crlf,
+        hexLine(length(b) - 5),
+        b.substr(lit(6), (length(b) - 5).cast("int")), crlf,
+        ascii("0\r\nx-graft-trailer: t\r\n\r\n"))
+      // truncated capture: declares 0x14 = 20 bytes, record holds 10
+      def chunkTruncated(b: Column) = concat(
+        ascii("5\r\n"), b.substr(lit(1), lit(5)), crlf,
+        ascii("14\r\n"), b.substr(lit(6), lit(10)))
+      val body = when(leg === 0, chunk3(bLat))
+        .when(leg === 1, chunkExtTrailer(bUtf))
+        .when(leg === 3, chunkTruncated(bUtf))
+        .otherwise(bUtf)
+      val ct = when(leg === 0, lit("Content-Type: text/html; charset=ISO-8859-1\r\n"))
+        .when(leg === 1, lit("Content-Type: text/html; charset=UTF-8\r\n"))
+        .otherwise(lit(""))
+      val te = when(leg === 2, lit("Server: graft\r\n"))
+        .otherwise(lit("Transfer-Encoding: chunked\r\n"))
+      val head = concat(lit("HTTP/1.1 200 OK\r\n"), ct, te, lit("\r\n"))
+      val recs = Tables(s, dir, "documents")
+        .where(col("text").isNotNull && length(col("text")) >= 16)
+        .select(lit("mem://chunked.warc").as("path"),
+          col("doc_id").as("offset"),
+          concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("record_id"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("target_uri"),
+          concat(encode(head, "UTF-8"), body).as("payload"),
+          lit(true).as("valid"), lit("response").as("warc_type"))
+      val dechunked = graft.functions.HttpDecodeExpr.dechunkHttpBody(
+        col("http_body"),
+        coalesce(element_at(col("http_headers"), lit("transfer-encoding")),
+          lit("")))
+      val decoded = graft.functions.HttpDecodeExpr.decodeHttpBody(
+        dechunked,
+        coalesce(element_at(col("http_headers"), lit("content-type")), lit("")))
+      Warc.httpResponses(recs)
+        .select(col("offset").as("doc_id"),
+          md5(decoded).as("decoded_md5"),
+          length(decoded).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval: every 101st doc becomes a query (its first five
     // tokens), top-10 hits over the whole corpus — idf, length
     // normalization, rounding-before-rank and the doc_id tiebreak all
@@ -596,6 +664,21 @@ object ModelDataQueries {
         |     WHEN 5 THEN text || '$charsetBomTail'
         |     ELSE text || '$charsetUtfTail' END AS expected
         |  FROM documents WHERE text IS NOT NULL)
+        | SELECT doc_id, md5(expected) AS decoded_md5,
+        |   CAST(length(expected) AS BIGINT) AS n_chars
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // per-leg expected strings in closed form — a dechunk that leaks a
+    // size line, eats a data CRLF, or keeps a trailer produces different
+    // chars and breaks the md5; the truncated leg pins the salvage
+    // posture (first 5 + 10 available bytes = 15 chars)
+    "q157_chunked_decode" ->
+      s"""WITH d AS (SELECT doc_id,
+        |   CASE CAST(doc_id % 4 AS INT)
+        |     WHEN 0 THEN text || '$charsetLatTail'
+        |     WHEN 1 THEN text || '$charsetUtfTail'
+        |     WHEN 3 THEN substr(text, 1, 15)
+        |     ELSE text || '$charsetUtfTail' END AS expected
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 16)
         | SELECT doc_id, md5(expected) AS decoded_md5,
         |   CAST(length(expected) AS BIGINT) AS n_chars
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),

@@ -1139,7 +1139,10 @@ object TextQueries {
     "es" -> "era un día luminoso y frío de abril y los relojes daban las trece mientras la gente volvía a casa por las calles estrechas",
     "it" -> "era una luminosa e fredda giornata di aprile e gli orologi battevano le tredici mentre la gente tornava a casa per le strade strette",
     "pt" -> "era um dia claro e frio de abril e os relógios batiam as treze enquanto as pessoas voltavam para casa pelas ruas estreitas",
-    "ru" -> "это был яркий холодный день в апреле и часы били тринадцать когда люди спешили домой по узким улицам")
+    "ru" -> "это был яркий холодный день в апреле и часы били тринадцать когда люди спешили домой по узким улицам",
+    "zh" -> "那是四月里晴朗寒冷的一天钟敲了十三下人们沿着狭窄的街道匆匆回家",
+    "ja" -> "四月のよく晴れた寒い日で時計が十三時を打ち人々はせまい通りをいそいで家に帰っていた",
+    "ko" -> "사월의 맑고 추운 날이었고 시계가 열세 번을 치는 동안 사람들은 좁은 거리를 지나 서둘러 집으로 돌아갔다")
 
   // unknown-SCRIPT probe: Greek is deliberately NOT in the model, so
   // every trigram lands on the smoothed OOV mass and the avg floor
@@ -1150,13 +1153,17 @@ object TextQueries {
   // Oracle building blocks: the fixed model re-derived in DuckDB SQL from
   // the SAME seed literals (single source of truth —
   // graft.functions.LangIdModel.seeds), Laplace-smoothed over the global
-  // vocabulary exactly as LangIdModel.train does.
+  // MIXED-ORDER (1/2/3-codepoint) gram vocabulary exactly as
+  // LangIdModel.train does — DuckDB substr() is codepoint-based, matching
+  // the kernel's codepoint windows.
   private def langModelCtes: String = {
     val seedValues = graft.functions.LangIdModel.seeds
       .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
     s"""seeds(lang, sd) AS (VALUES $seedValues),
-       | stri AS (SELECT lang, substr(sd, CAST(i AS INT), 3) AS tri
-       |   FROM (SELECT lang, sd, unnest(generate_series(1, length(sd) - 2)) AS i FROM seeds)),
+       | stri AS (SELECT lang, substr(sd, CAST(i AS INT), CAST(o AS INT)) AS tri
+       |   FROM (SELECT lang, sd, unnest(generate_series(1, length(sd))) AS i FROM seeds)
+       |   CROSS JOIN (SELECT unnest([1, 2, 3]) AS o)
+       |   WHERE i + o - 1 <= length(sd)),
        | cnt AS (SELECT lang, tri, CAST(count(*) AS DOUBLE) AS c FROM stri GROUP BY 1, 2),
        | tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY 1),
        | voc AS (SELECT CAST(count(DISTINCT tri) AS DOUBLE) AS v FROM stri),
@@ -1167,9 +1174,17 @@ object TextQueries {
   // Scoring + argmax + margin + fallback mirror over a docs0(doc_id, txt)
   // CTE; yields top(doc_id, lang, avg, mg) plus the und CASE applied by
   // the caller. The und floor interpolates LangId.DefaultMinOovGap.
+  // Mirrors the kernel exactly: mixed-order grams, only grams containing
+  // a LETTER score (\p{L} ↔ Character.isLetter), docs with < 3
+  // codepoints never score (the kernel's early return).
   private def langScoreCtes: String =
-    """dtri AS (SELECT doc_id, substr(txt, CAST(i AS INT), 3) AS tri
-      |   FROM (SELECT doc_id, txt, unnest(generate_series(1, length(txt) - 2)) AS i FROM docs0)),
+    """dtri AS (SELECT doc_id, g AS tri FROM (
+      |   SELECT doc_id, substr(txt, CAST(i AS INT), CAST(o AS INT)) AS g
+      |   FROM (SELECT doc_id, txt, unnest(generate_series(1, length(txt))) AS i
+      |         FROM docs0 WHERE length(txt) >= 3)
+      |   CROSS JOIN (SELECT unnest([1, 2, 3]) AS o)
+      |   WHERE i + o - 1 <= length(txt))
+      |   WHERE regexp_matches(g, '\p{L}')),
       | dn AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM dtri GROUP BY 1),
       | sc AS (SELECT d.doc_id, o.lang, sum(CASE WHEN m.lp IS NULL THEN o.olp ELSE m.lp END) AS s
       |   FROM dtri d CROSS JOIN oov o

@@ -120,7 +120,7 @@ class ExportSpec extends SparkSuite {
   test("writeShards: shard=<i> layout on disk, manifest verifies the files, roundtrip exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
     val manifest = Export.writeShards(docs, "doc_id", "n_tokens", 4, dir)
-      .as[(Int, Long, Long, BigDecimal, Long)].collect().toSeq.sortBy(_._1)
+      .as[(Int, Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
     // layout: one partition directory per non-empty shard
     val shardDirs = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
@@ -132,9 +132,10 @@ class ExportSpec extends SparkSuite {
     val h = Export.idFingerprint(col("doc_id"))
     val perShard = back.groupBy("shard")
       .agg(count(lit(1)).as("n"), sum("n_tokens").as("t"),
-        sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").as("fps"),
+        sum(h.cast("decimal(38,0)")).cast("decimal(38,0)")
+          .cast("string").as("fps"),
         bit_xor(h).as("fpx"))
-      .as[(Int, Long, Long, BigDecimal, Long)].collect().toSeq.sortBy(_._1)
+      .as[(Int, Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
     assert(perShard === manifest)
   }
 }

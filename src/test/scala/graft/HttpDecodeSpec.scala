@@ -107,4 +107,80 @@ class HttpDecodeSpec extends SparkSuite {
       .select("text").as[String].collect()
     assert(out.toSeq === Seq("café crème - naïve"))
   }
+
+  test("UTF-32 BOMs are not misread as UTF-16LE / a declaration") {
+    val s = "café ✓"
+    assert(dec(s.getBytes("UTF-32LE").prependedAll(
+      Array(0xFF.toByte, 0xFE.toByte, 0.toByte, 0.toByte)), "") === s)
+    assert(dec(s.getBytes("UTF-32BE").prependedAll(
+      Array(0.toByte, 0.toByte, 0xFE.toByte, 0xFF.toByte)),
+      "text/html; charset=ISO-8859-1") === s)
+    // a genuine UTF-16LE BOM (not followed by 00 00) still decodes as such
+    assert(dec(Array(0xFF.toByte, 0xFE.toByte) ++ s.getBytes("UTF-16LE"),
+      "") === s)
+  }
+
+  test("meta-declared UTF-16 maps to UTF-8 (WHATWG prescan rule)") {
+    // an ASCII-readable in-body declaration cannot be UTF-16: honoring
+    // it would shred the real (UTF-8) bytes
+    val body = "<meta charset=utf-16le><p>café ✓</p>"
+      .getBytes(StandardCharsets.UTF_8)
+    assert(dec(body, "") === "<meta charset=utf-16le><p>café ✓</p>")
+    // …while a HEADER-declared UTF-16 on actual UTF-16 bytes is honored
+    val u16 = "no bom here café".getBytes(StandardCharsets.UTF_16LE)
+    assert(dec(u16, "text/html; charset=utf-16le") === "no bom here café")
+  }
+
+  private def chunk(body: Array[Byte], te: String): Array[Byte] =
+    HttpDecodeKernel.dechunk(body, UTF8String.fromString(te))
+
+  test("dechunk: framing removed exactly — sizes, extensions, trailers, CRLFs") {
+    def b(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+    // plain multi-chunk; hex size crosses one nibble (0x10)
+    assert(chunk(b("5\r\nhello\r\n10\r\n 0123456789abcde\r\n0\r\n\r\n"),
+      "chunked").toSeq === b("hello 0123456789abcde").toSeq)
+    // uppercase hex, chunk extension, trailer field
+    assert(chunk(b("A;ext=\"q\"\r\nhelloworld\r\n0\r\nx-t: v\r\n\r\n"),
+      "chunked").toSeq === b("helloworld").toSeq)
+    // chunked must be the FINAL coding; a lone gzip is not dechunked
+    val raw = b("5\r\nhello\r\n0\r\n\r\n")
+    assert(chunk(raw, "gzip").toSeq === raw.toSeq)
+    assert(chunk(raw, "gzip, chunked").toSeq === b("hello").toSeq)
+    assert(chunk(raw, "").toSeq === raw.toSeq)
+  }
+
+  test("dechunk quarantine: lying header, broken mid-stream framing, truncated capture") {
+    def b(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+    // header says chunked but the body never was: unchanged
+    val lie = b("<html>just a page</html>")
+    assert(chunk(lie, "chunked").toSeq === lie.toSeq)
+    // valid first chunk, garbage size line after: keep the good prefix
+    assert(chunk(b("5\r\nhello\r\nZZ!\r\nrest"), "chunked").toSeq
+      === b("hello").toSeq)
+    // missing CRLF after chunk data: stop with what was reassembled
+    assert(chunk(b("5\r\nhelloXX"), "chunked").toSeq === b("hello").toSeq)
+    // last chunk declares more bytes than the record holds: honest
+    // truncation — emit the bytes present
+    assert(chunk(b("5\r\nhello\r\n14\r\nonly-ten-b"), "chunked").toSeq
+      === b("helloonly-ten-b").toSeq)
+    // empty body, chunked header: unchanged (no framing to salvage)
+    assert(chunk(Array.emptyByteArray, "chunked").length === 0)
+  }
+
+  test("pipeline integration: a chunked Latin-1 page survives pageDocsFromRecords intact") {
+    val page = "<html><body><p>café crème - naïve</p></body></html>"
+    val pb = page.getBytes(StandardCharsets.ISO_8859_1)
+    val framed = s"${pb.length.toHexString}\r\n".getBytes(StandardCharsets.ISO_8859_1) ++
+      pb ++ "\r\n0\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n")
+    val payload = head.getBytes(StandardCharsets.ISO_8859_1) ++ framed
+    val recs = Seq(("mem://f", 0L, "<urn:x:2>", "http://a.com/p", payload,
+        true, "response"))
+      .toDF("path", "offset", "record_id", "target_uri", "payload",
+        "valid", "warc_type")
+    val out = graft.corpus.CrawlPipeline.pageDocsFromRecords(recs)
+      .select("text").as[String].collect()
+    assert(out.toSeq === Seq("café crème - naïve"))
+  }
 }

@@ -21,15 +21,18 @@ class LangIdSpec extends SparkSuite {
     "es" -> "ella abrió la carta y leyó las noticias sobre la escuela mientras tomaba su café de la mañana",
     "it" -> "lei aprì la lettera e lesse le notizie sulla scuola mentre beveva il suo caffè del mattino",
     "pt" -> "ela abriu a carta e leu as notícias sobre a escola enquanto tomava o seu café da manhã",
-    "ru" -> "она открыла письмо и прочитала новости о школе пока пила свой утренний кофе")
+    "ru" -> "она открыла письмо и прочитала новости о школе пока пила свой утренний кофе",
+    "zh" -> "她打开信读了关于学校的消息一边喝着早晨的咖啡",
+    "ja" -> "彼女は手紙をあけて朝のコーヒーを飲みながら学校についての知らせを読んだ",
+    "ko" -> "그녀는 편지를 열고 아침 커피를 마시면서 학교에 관한 소식을 읽었다")
 
   private val minGap = graft.operators.LangId.DefaultMinOovGap
-  // unknown-script probes: Greek is not a model language; Chinese is
-  // deliberately out of scope for the trigram model (char trigrams
-  // under-cover unsegmented CJK — see the LangIdExpr scaladoc)
+  // unknown-script probes: Greek and Arabic are not model languages —
+  // every LETTER-bearing gram is OOV, so the gap is exactly 0
   private val greek =
     "η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο ενώ τα παιδιά κοιτάζουν από το παράθυρο"
-  private val chinese = "她打开信读了关于学校的消息一边喝着早晨的咖啡"
+  private val arabic =
+    "كان يوما باردا مشرقا من ابريل والساعات تدق الثالثة عشرة بينما يسرع الناس الى بيوتهم عبر الشوارع الضيقة"
 
   private def score(s: String): (String, Double, Double, Double, Int) = {
     val r = LangIdKernel.eval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
@@ -46,27 +49,48 @@ class LangIdSpec extends SparkSuite {
         s"$lang oov_gap=$gap must clear the classify floor $minGap with room")
       assert(math.abs(gap - (avg - LangIdModel.model.oov(
         LangIdModel.model.langs.indexOf(got)))) < 1e-12)
-      assert(n === txt.length - 2)
+      assert(n === txt.codePointCount(0, txt.length) - 2)
     }
   }
 
   test("unknown scripts have an OOV gap of exactly zero") {
-    for (probe <- Seq(greek, chinese)) {
+    for (probe <- Seq(greek, arabic, greek + " #123 456")) {
       val (_, avg, _, gap, _) = score(probe)
-      // every language sees only OOV trigrams → avg == the argmax
-      // language's OOV rate and the gap is 0 (up to the float noise of
-      // sum(n copies of oov)/n) — the property the und rule keys on
-      // (self-calibrating: no absolute floor to tune)
+      // every language sees only OOV grams (spaces/digits carry no
+      // letter and never score) → avg == the argmax language's OOV rate
+      // and the gap is 0 (up to the float noise of sum(n copies of
+      // oov)/n) — the property the und rule keys on (self-calibrating:
+      // no absolute floor to tune)
       assert(math.abs(gap) < 1e-9, s"probe gap=$gap avg=$avg")
       assert(LangIdModel.model.oov.exists(o => math.abs(avg - o) < 1e-9))
     }
+  }
+
+  test("digit/punctuation-only text carries no evidence: und with zeroed scores") {
+    for (probe <- Seq("123 456 789 000", "#### ---- ....", "🙂🙂 🙂🙂🙂"))
+      assert(score(probe) === ("und", 0.0, 0.0, 0.0,
+        probe.codePointCount(0, probe.length) - 2), probe)
+  }
+
+  test("supplementary-plane codepoints window whole (no surrogate-split grams)") {
+    // 4 emoji = 8 UTF-16 units but 4 codepoints: n_tri must be 2, and
+    // mixing emoji into real text must not shift the language call
+    val (_, _, _, _, n) = score("🙂🙂🙂🙂")
+    assert(n === 2)
+    val en = heldOut.toMap.apply("en")
+    val (lang, _, _, gapPlain, _) = score(en)
+    val (langEmoji, _, _, gapEmoji, _) = score(en + " 🙂🙂")
+    assert(lang === "en" && langEmoji === "en")
+    // emoji grams are letter-free and unscored; the pure-emoji tail only
+    // grows nothing — gap moves marginally via the mixed boundary grams
+    assert(math.abs(gapEmoji - gapPlain) < 0.2, s"$gapPlain vs $gapEmoji")
   }
 
   test("classify: per-language calls, und fallbacks (short, unknown-script, null)") {
     val rows = heldOut.map { case (l, t) => (l, t) } ++ Seq(
       ("und_short", "ab"),
       ("und_script", greek),
-      ("und_cjk", chinese),
+      ("und_arabic", arabic),
       ("und_null", null.asInstanceOf[String]))
     val byWant = LangId.classify(rows.toDF("want", "text"), "text")
       .select("want", "lang", "lang_conf").collect()
@@ -75,7 +99,7 @@ class LangIdSpec extends SparkSuite {
     assert(byWant("und_short")._1 === "und")
     assert(byWant("und_short")._2 === 0.0)
     assert(byWant("und_script")._1 === "und")
-    assert(byWant("und_cjk")._1 === "und")
+    assert(byWant("und_arabic")._1 === "und")
     assert(byWant("und_null")._1 === "und")
     assert(byWant("und_null")._2 === 0.0)
   }
@@ -98,7 +122,7 @@ class LangIdSpec extends SparkSuite {
     for (i <- a.langs.indices) assert(a.logp(i) === b.logp(i))
     // OOV rates are sane model minima (pure-OOV text gaps to exactly 0
     // and can never pass the und rule, whatever these absolute values)
-    assert(a.oov.forall(o => o < -7.0 && o > -10.0), a.oov.toSeq.toString)
+    assert(a.oov.forall(o => o < -7.0 && o > -11.0), a.oov.toSeq.toString)
   }
 
   test("classify runs unchanged on a stream (stateless map-side expression)") {

@@ -268,9 +268,10 @@ class PlanQualitySpec extends SparkSuite {
       // count broadcast from setParityOn; the serving variant (the
       // pruned route alone) plans pure equi-joins
       "q153_bm25_maxscore",
-      // q155 is q137's bucketed+compacted variant: the same two-sided
-      // gate (1-row mismatch count + 1-row max score gap)
-      "q155_bm25_bucketed")
+      // q155/q156 are q137's bucketed+compacted variants (q156 = the
+      // max-score composition): the same two-sided gate (1-row mismatch
+      // count + 1-row max score gap)
+      "q155_bm25_bucketed", "q156_bm25_bucketed_maxscore")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(gateQueries)
       .filter { name =>
@@ -288,7 +289,8 @@ class PlanQualitySpec extends SparkSuite {
     // (InMemoryRelation) subtree is printed under several parents.
     gateQueries.toSeq.sorted.foreach { name =>
       val allowed = Map("q74_semdedup" -> 2, "q137_bm25_disk" -> 2,
-        "q155_bm25_bucketed" -> 2, "q138_pagerank" -> 3).getOrElse(name, 1)
+        "q155_bm25_bucketed" -> 2, "q156_bm25_bucketed_maxscore" -> 2,
+        "q138_pagerank" -> 3).getOrElse(name, 1)
       val n = """\((\d+)\) BroadcastNestedLoopJoin""".r
         .findAllMatchIn(formatted(name)).map(_.group(1)).toSet.size
       assert(n <= allowed, s"$name has $n nested-loop joins (expected <= $allowed)")

@@ -233,7 +233,7 @@ class SplitsVocabSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-ship").toString
     val manifest = graft.corpus.Export.writeShards(
         train, "doc_id", "n_tokens", nShards = 2, dir)
-      .as[(Int, Long, Long, BigDecimal, Long)].collect().toSeq
+      .as[(Int, Long, Long, String, Long)].collect().toSeq
     assert(manifest.map(_._2).sum === trainIds.size.toLong)
     val shipped = spark.read.parquet(dir)
     assert(shipped.select("doc_id").as[Long].collect().toSet === trainIds)
