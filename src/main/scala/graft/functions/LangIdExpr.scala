@@ -240,13 +240,30 @@ object LangIdModel {
       "해마다 그 가족은 바다로 가서 물가에서 여름을 보낸다."))
 
   /** Trained model: languages in ascending order (the tie-break order),
-    * per-language trigram→logp tables, per-language OOV log-probability.
+    * per-language gram→logp tables, per-language OOV log-probability.
+    * `packed` is the kernel's hot-path view: ONE map lookup per scored
+    * gram returns the full per-language logp vector (a known gram's
+    * vector carries each language's smoothed probability — the OOV rate
+    * where that language never saw it), so scoring costs one probe + k
+    * adds instead of k probes; grams absent from every language add a
+    * counted `oov` tail instead.
     */
   final class Trained(
       val langs: Array[String],
       val logp: Array[java.util.HashMap[String, java.lang.Double]],
       val oov: Array[Double])
-      extends Serializable
+      extends Serializable {
+    val packed: java.util.HashMap[String, Array[Double]] = {
+      val m = new java.util.HashMap[String, Array[Double]]()
+      for (l <- langs.indices) {
+        logp(l).forEach { (g, lp) =>
+          val vec = m.computeIfAbsent(g, _ => oov.clone())
+          vec(l) = lp.doubleValue()
+        }
+      }
+      m
+    }
+  }
 
   /** All order-1/2/3 codepoint grams of `s`, order-pooled (a 1-char gram
     * and a 3-char gram never collide — they differ in length).
@@ -327,6 +344,7 @@ object LangIdKernel {
       isL(ci) = Character.isLetter(cps(ci)); ci += 1
     }
     var nGrams = 0
+    var nOov = 0
     var order = 1
     while (order <= 3) {
       var i = 0
@@ -336,18 +354,21 @@ object LangIdKernel {
         var j = i
         while (j < i + order && !hasLetter) { hasLetter = isL(j); j += 1 }
         if (hasLetter) {
-          val g = new String(cps, i, order)
-          var l = 0
-          while (l < k) {
-            val lp = m.logp(l).get(g)
-            scores(l) += (if (lp == null) m.oov(l) else lp.doubleValue())
-            l += 1
+          val vec = m.packed.get(new String(cps, i, order))
+          if (vec == null) nOov += 1
+          else {
+            var l = 0
+            while (l < k) { scores(l) += vec(l); l += 1 }
           }
           nGrams += 1
         }
         i += 1
       }
       order += 1
+    }
+    if (nOov > 0) {
+      var l = 0
+      while (l < k) { scores(l) += nOov * m.oov(l); l += 1 }
     }
     // no letter gram at all (digits/punctuation-only text): no evidence
     if (nGrams == 0) return InternalRow(und, 0.0, 0.0, 0.0, nTri)

@@ -585,6 +585,10 @@ object Bm25 {
       val dl = if (stats.isDefined) ix.dl
         else ix.tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       lastStageBuckets = Map.empty
+      // ONE store listing/read shared by all four stages (compaction is
+      // an offline op, so the view cannot change mid-query); each stage
+      // applies its own partition-column bucket filter to it
+      lazy val raw = store.read(spark)
       val fetch: (String, DataFrame) => DataFrame =
         if (termBuckets == 0)
           (_, terms) => ix.tf.join(broadcast(terms), "term")
@@ -592,7 +596,6 @@ object Bm25 {
           val bs = terms.select(bucketOf(col("term")).as("b")).distinct()
             .collect().map(_.getLong(0))
           lastStageBuckets += stage -> bs.toSet
-          val raw = store.read(spark)
           val scan =
             if (raw.columns.isEmpty || bs.isEmpty) emptyTf(spark)
             else raw.where(col("bucket").isin(bs: _*))

@@ -1072,16 +1072,17 @@ object TextQueries {
     }),
 
     // The crawl-to-language chain, oracled end to end: per doc a FULL
-    // HTTP response whose body is a Latin-1-ENCODED HTML page carrying
-    // a held-out sentence in one of the model languages (the non-Latin
-    // ones shipped under a UTF-8 header, the rest Latin-1), pushed
-    // through the REAL production path — Warc.httpResponses (HTTP
-    // split) → decode_http_body (header charset) → html_text
-    // (extraction) → LangId.classify. Every byte-level stage must be
-    // exact for the final language call to match the oracle's
-    // closed-form mirror (decode damage shifts trigrams; extraction
-    // damage shifts text) — this is q128's missing last mile: raw
-    // crawl bytes to the `lang` column.
+    // HTTP response whose body is an encoded HTML page carrying a
+    // held-out sentence in one of the model languages (the non-Latin-1
+    // -encodable ones shipped under a UTF-8 header, the rest Latin-1;
+    // every second capture additionally CHUNKED), pushed through the
+    // REAL production path — Warc.httpResponses (HTTP split) →
+    // dechunk_http_body (transfer framing) → decode_http_body (header
+    // charset) → html_text (extraction) → LangId.classify. Every
+    // byte-level stage must be exact for the final language call to
+    // match the oracle's closed-form mirror (framing or decode damage
+    // shifts grams; extraction damage shifts text) — this is q128's
+    // missing last mile: raw crawl bytes to the `lang` column.
     "q154_crawl_langid" -> ((s, dir) => {
       val k = langSnippets.size
       val snippet = langSnippets.zipWithIndex.tail.foldLeft(
@@ -1104,14 +1105,26 @@ object TextQueries {
           .newEncoder().canEncode(t) => i.toLong
       }
       val isLatin = pmod(col("doc_id"), lit(k)).isInCollection(latinIdxs)
+      // every second capture additionally ships CHUNKED (one chunk +
+      // terminator) — the PRODUCTION dechunk wiring inside
+      // pageDocsFromRecords must strip the framing before the charset
+      // decode or the size line corrupts the page; the oracle is
+      // framing-blind (same closed-form text either way)
+      val chunked = pmod(col("doc_id"), lit(2)) === 0
       val head = concat(
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
         when(isLatin, lit("ISO-8859-1")).otherwise(lit("UTF-8")),
-        lit("\r\n\r\n"))
-      val payload = concat(
-        encode(head, "UTF-8"),
-        when(isLatin, encode(html, "ISO-8859-1"))
-          .otherwise(encode(html, "UTF-8")))
+        lit("\r\n"),
+        when(chunked, lit("Transfer-Encoding: chunked\r\n")).otherwise(lit("")),
+        lit("\r\n"))
+      val bodyB = when(isLatin, encode(html, "ISO-8859-1"))
+        .otherwise(encode(html, "UTF-8"))
+      val framed = when(chunked, concat(
+          encode(concat(lower(hex(length(bodyB))), lit("\r\n")), "UTF-8"),
+          bodyB,
+          lit("\r\n0\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        .otherwise(bodyB)
+      val payload = concat(encode(head, "UTF-8"), framed)
       val recs = Tables(s, dir, "documents")
         .select(lit("mem://crawl_langid.warc").as("path"),
           col("doc_id").as("offset"),
