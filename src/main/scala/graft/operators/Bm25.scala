@@ -143,23 +143,47 @@ object Bm25 {
                    queryTextCol: String, k: Int, params: Params = Params(),
                    corpusStats: Option[(Long, Double)] = None): DataFrame =
     topKMaxScoreCore((_, terms) => ix.tf.join(broadcast(terms), "term"),
+      terms => ix.tf.join(broadcast(terms), "term")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("max_tf", lit(null).cast("long"))
+        .withColumn("min_dl", lit(null).cast("long")),
       ix.dl, queries, queryIdCol, queryTextCol, k, params, corpusStats)
 
   /** [[topKMaxScore]]'s engine, parameterized over HOW postings for a
-    * (query-cardinality, broadcast-small) term frame are fetched.
+    * (query-cardinality, broadcast-small) term frame are fetched and
+    * over WHERE per-term statistics come from.
+    *
     * `postings(stage, terms)` must return the tf rows of exactly the
     * terms in `terms`, joined with that frame on `term` (so the result
-    * carries `terms`' columns). The inline [[Index]] route joins the
-    * whole tf frame; [[DiskIndex.topKMaxScore]] plugs in a
-    * bucket-pruned scan per stage — the max-score term split then
-    * MULTIPLIES with the term-bucketed file pruning: the θ seed reads
-    * only the rarest terms' buckets, essential postings only the
-    * essential terms' buckets, and the non-essential probe only its
-    * own. `stage` ∈ {"df", "seed", "ess", "non"} labels the four
-    * fetches for instrumentation; semantics must not depend on it.
+    * carries `terms`' columns); `stage` ∈ {"seed", "ess", "non"} (and
+    * "df" on the fallback stats path) labels fetches for
+    * instrumentation — semantics must not depend on it.
+    *
+    * `termStatsFor(distinctTerms)` must return exactly one row per
+    * term that has at least one posting: (term, df, max_tf, min_dl).
+    * df must be EXACT (it feeds idf, hence scores). max_tf/min_dl are
+    * OPTIONAL impact extremes over the term's postings (null → the
+    * tf-saturation limit is used): the BM25 weight's tf–dl factor is
+    * increasing in tf and decreasing in dl (for k1 ≥ 0, 0 ≤ b ≤ 1), so
+    * `part(t) = part(max_tf, min_dl)` caps every posting's factor and
+    * `UB(t) = idf(t)·part(t)` is a TIGHTER-but-still-valid term bound
+    * than the saturation limit `idf·(k1+1)` — tighter bounds push more
+    * terms non-essential, which on a bucketed store means fewer files
+    * scanned. [[DiskIndex]] materializes the extremes as a compaction
+    * artifact, turning this whole stage into a metadata lookup — no
+    * postings are read to compute the split at all.
+    *
+    * The inline [[Index]] route joins the whole tf frame and derives
+    * df by aggregation (null extremes); [[DiskIndex.topKMaxScore]]
+    * plugs in bucket-pruned scans and the artifact — the max-score
+    * term split then MULTIPLIES with the term-bucketed file pruning:
+    * the θ seed reads only the rarest terms' buckets, essential
+    * postings only the essential terms' buckets, and the non-essential
+    * probe only its own.
     */
   private[graft] def topKMaxScoreCore(
-      postings: (String, DataFrame) => DataFrame, dlFrame: DataFrame,
+      postings: (String, DataFrame) => DataFrame,
+      termStatsFor: DataFrame => DataFrame, dlFrame: DataFrame,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, params: Params,
       corpusStats: Option[(Long, Double)]): DataFrame = {
@@ -174,11 +198,21 @@ object Bm25 {
       .select(col(s"`$queryIdCol`").cast("long").as("query_id"),
         explode(array_distinct(
           TextFns.tokens(lower(col(s"`$queryTextCol`"))))).as("term"))
-    val df = postings("df", qTerms.select("term").distinct())
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = df.select(col("term"),
+    val stats = termStatsFor(qTerms.select("term").distinct())
+    // the monotonicity argument for the tight cap needs k1 ≥ 0 and
+    // b ∈ [0, 1]; exotic params keep the always-valid saturation limit
+    val canTighten = params.k1 >= 0.0 && params.b >= 0.0 && params.b <= 1.0
+    val partExpr =
+      if (!canTighten) lit(params.k1 + 1.0)
+      else when(col("max_tf").isNotNull && col("min_dl").isNotNull,
+        col("max_tf") * lit(params.k1 + 1.0) /
+          (col("max_tf") + lit(params.k1) * (lit(1.0 - params.b) +
+            lit(params.b) * col("min_dl") / lit(avgdl))))
+        .otherwise(lit(params.k1 + 1.0))
+    val idf = stats.select(col("term"),
       log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5))).as("idf"))
+        (col("df") + lit(0.5))).as("idf"),
+      partExpr.as("__part"))
     // per-query term table with UB and its suffix sum in UB-desc order.
     // Query-cardinality frames (ranked, split) materialize EAGERLY:
     // each is consumed by several broadcast builds below, and without
@@ -187,7 +221,7 @@ object Bm25 {
     val wOrd = Window.partitionBy("query_id")
       .orderBy(col("__ub").desc, col("term"))
     val ranked = qTerms.join(broadcast(idf), "term")
-      .withColumn("__ub", col("idf") * lit(params.k1 + 1.0))
+      .withColumn("__ub", col("idf") * col("__part"))
       .withColumn("__rnk", row_number().over(wOrd))
       .withColumn("__sfx", sum("__ub").over(
         wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
@@ -352,12 +386,16 @@ object Bm25 {
       *
       *  - `dl/upto=<w>`  — (doc_id, dl) doc lengths
       *  - `stats/upto=<w>` — one row (n_docs, sum_dl)
+      *  - `tstats/upto=<w>` — per term (df, max_tf, min_dl): the IMPACT
+      *    artifact (bucket-partitioned when the store is), which lets
+      *    [[topKMaxScore]] compute df/idf and a tight per-term impact
+      *    cap from metadata alone
       *
       * so serving never re-aggregates doc lengths from the FULL tf
       * frame again: a query batch reads the artifact and derives only
       * the post-compaction tail's contribution (batches appended since
       * `w`). Crash-safe by the sink's own ordering idiom: the
-      * `_aux/<w>` marker is created only after both artifacts are
+      * `_aux/<w>` marker is created only after all the artifacts are
       * written, and readers use artifacts only when the marker matches
       * the CURRENT watermark — a compact() that died mid-artifact
       * degrades to the derive-from-tf path, never to wrong results.
@@ -381,12 +419,27 @@ object Bm25 {
         spark.read.parquet(dlDir(w))
           .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
           .coalesce(1).write.mode("overwrite").parquet(statsDir(w))
+        // per-term IMPACT artifact: (term, df, max_tf, min_dl) — df for
+        // a metadata-only idf (the max-score split no longer scans any
+        // postings), the extremes for the tight per-term impact cap
+        // (params-independent: the cap is evaluated at query time with
+        // the CURRENT k1/b/avgdl). Bucket-partitioned like the postings
+        // so a query batch file-prunes the lookup too.
+        val tst0 = full.join(spark.read.parquet(dlDir(w)), "doc_id")
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"), max("tf").as("max_tf"),
+            min("dl").as("min_dl"))
+        val tst = if (termBuckets > 0)
+          tst0.withColumn("bucket", bucketOf(col("term"))) else tst0
+        val tw = tst.write.mode("overwrite")
+        (if (termBuckets > 0) tw.partitionBy("bucket") else tw)
+          .parquet(tstatsDir(w))
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_aux"))
         fs.create(new org.apache.hadoop.fs.Path(s"$root/_aux/$w"), true).close()
         // reclaim superseded artifact generations (the sink's sweep idiom)
-        for (dir <- Seq(s"$root/dl", s"$root/stats")) {
+        for (dir <- Seq(s"$root/dl", s"$root/stats", s"$root/tstats")) {
           val p = new org.apache.hadoop.fs.Path(dir)
           if (fs.exists(p)) fs.listStatus(p).foreach { st =>
             // foreign entries (non-`upto=N` names) are never touched
@@ -401,6 +454,7 @@ object Bm25 {
 
     private def dlDir(w: Long) = s"$root/dl/upto=$w"
     private def statsDir(w: Long) = s"$root/stats/upto=$w"
+    private def tstatsDir(w: Long) = s"$root/tstats/upto=$w"
 
     /** The compaction generation whose artifacts are complete and
       * CURRENT (marker exists for the store's present watermark).
@@ -585,8 +639,8 @@ object Bm25 {
       val dl = if (stats.isDefined) ix.dl
         else ix.tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       lastStageBuckets = Map.empty
-      // ONE store listing/read shared by all four stages (compaction is
-      // an offline op, so the view cannot change mid-query); each stage
+      // ONE store listing/read shared by all stages (compaction is an
+      // offline op, so the view cannot change mid-query); each stage
       // applies its own partition-column bucket filter to it
       lazy val raw = store.read(spark)
       val fetch: (String, DataFrame) => DataFrame =
@@ -602,8 +656,51 @@ object Bm25 {
               .select("doc_id", "term", "tf")
           scan.join(broadcast(terms), "term")
         }
-      Bm25.topKMaxScoreCore(fetch, dl, queries, queryIdCol, queryTextCol,
-        k, params, stats)
+      // Term stats from the IMPACT artifact when the current generation
+      // has one: df + (max_tf, min_dl) become a file-pruned metadata
+      // lookup merged with the tail's contribution (disjoint docs per
+      // the ingest contract, so the df sum and the extreme merges are
+      // exact) — the UB/essential split computes WITHOUT reading any
+      // postings. No artifact → aggregate over the bucket-pruned scan
+      // (the "df" stage), extremes null (saturation bound).
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tstatsGen = auxGeneration(spark).filter(w =>
+        fsys.exists(new org.apache.hadoop.fs.Path(tstatsDir(w))))
+      val termStatsFor: DataFrame => DataFrame = terms => tstatsGen match {
+        case Some(w) =>
+          val art0 = spark.read.parquet(tstatsDir(w))
+          val pruned =
+            if (termBuckets == 0) art0
+            else {
+              val bs = terms.select(bucketOf(col("term")).as("b")).distinct()
+                .collect().map(_.getLong(0))
+              lastStageBuckets += "tstats" -> bs.toSet
+              if (bs.isEmpty) art0.where(lit(false))
+              else art0.where(col("bucket").isin(bs: _*))
+            }
+          val art = pruned.join(broadcast(terms), "term")
+            .select(col("term"), col("df").as("__dfw"),
+              col("max_tf").as("__mtfw"), col("min_dl").as("__mdlw"))
+          val tail = tailTf(spark)
+          val tdl = tail.groupBy("doc_id").agg(sum("tf").as("dl"))
+          val tailStat = tail.join(broadcast(terms), "term")
+            .join(tdl, "doc_id")
+            .groupBy("term").agg(count(lit(1)).as("__dft"),
+              max("tf").as("__mtft"), min("dl").as("__mdlt"))
+          art.join(tailStat, Seq("term"), "full_outer")
+            .select(col("term"),
+              (coalesce(col("__dfw"), lit(0L)) +
+                coalesce(col("__dft"), lit(0L))).as("df"),
+              greatest(col("__mtfw"), col("__mtft")).as("max_tf"),
+              least(col("__mdlw"), col("__mdlt")).as("min_dl"))
+        case None =>
+          fetch("df", terms).groupBy("term").agg(count(lit(1)).as("df"))
+            .withColumn("max_tf", lit(null).cast("long"))
+            .withColumn("min_dl", lit(null).cast("long"))
+      }
+      Bm25.topKMaxScoreCore(fetch, termStatsFor, dl, queries, queryIdCol,
+        queryTextCol, k, params, stats)
     }
   }
 }

@@ -359,14 +359,19 @@ class Bm25Spec extends SparkSuite {
       assert(rows(ix.topKMaxScore(spark, qs, "qid", "q", k)) === want, s"k=$k")
       // stage instrumentation: with k=1 the common term is non-essential
       // (UB(common) << θ from rare9's single posting), so the essential
-      // scan's bucket filter shrank below the df (query-vocabulary) scan's
+      // scan's bucket filter shrank below the query vocabulary's. The
+      // compacted generation carries the tstats IMPACT artifact, so the
+      // term-stats stage is a metadata lookup ("tstats") — NO postings
+      // scan ("df") happens for the split at all
       val b = ix.lastStageBuckets
-      assert(b("ess").subsetOf(b("df")), b.toString)
-      assert(b("non").subsetOf(b("df")), b.toString)
+      assert(!b.contains("df"),
+        s"df postings scan ran despite a current tstats artifact: $b")
+      assert(b("ess").subsetOf(b("tstats")), b.toString)
+      assert(b("non").subsetOf(b("tstats")), b.toString)
       if (k == 1) {
         assert(b("ess") === Set(bucketOf(rare)), b.toString)
         assert(b("non") === Set(bucketOf(common)), b.toString)
-        assert(b("ess").size < b("df").size, b.toString)
+        assert(b("ess").size < b("tstats").size, b.toString)
         assert(b("seed") === Set(bucketOf(rare)), b.toString)
       }
     }
@@ -374,6 +379,61 @@ class Bm25Spec extends SparkSuite {
     val plan = ix.topKMaxScore(spark, qs, "qid", "q", 1)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+  }
+
+  test("tstats impact artifact: content matches recomputation; tight UB stays exact on randomized stores") {
+    // content: (df, max_tf, min_dl) per term == a fresh full recompute
+    val root = java.nio.file.Files.createTempDirectory("bm25_tst").toString
+    val ix = new Bm25.DiskIndex(root, termBuckets = 4)
+    assert(ix.append(docs.where(col("doc_id") <= 2L), "doc_id", "text", 0L))
+    assert(ix.append(docs.where(col("doc_id") > 2L), "doc_id", "text", 1L))
+    assert(ix.compact(spark))
+    val w = ix.store.compactionWatermark(spark).get
+    val art = spark.read.parquet(s"$root/tstats/upto=$w")
+      .select("term", "df", "max_tf", "min_dl")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val full = ix.read(spark)
+    val want = full.tf.join(full.dl, "doc_id").groupBy("term")
+      .agg(count(lit(1)).as("df"), max("tf").as("max_tf"),
+        min("dl").as("min_dl"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(art === want)
+    // randomized: bucketed store, compaction at a random batch boundary,
+    // random k/params — the artifact-backed tight-UB route must equal
+    // the inline unpruned index exactly (artifact + tail-merge paths)
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "rareone", "raretwo", "rarethree")
+    for (trial <- 0 until 3) {
+      val nDocs = 30 + rnd.nextInt(50)
+      val corpus = (1L to nDocs.toLong).map { i =>
+        val len = 3 + rnd.nextInt(10)
+        (i, Seq.fill(len)(vocab(math.min(vocab.size - 1,
+          (math.abs(rnd.nextGaussian()) * 3).toInt))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val qs = (1L to 5L).map { q =>
+        (q, Seq.fill(1 + rnd.nextInt(4))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("qid", "q")
+      val r2 = java.nio.file.Files.createTempDirectory(s"bm25_tsr$trial").toString
+      val dix = new Bm25.DiskIndex(r2, termBuckets = 1 + rnd.nextInt(6))
+      val cut = 1 + rnd.nextInt(nDocs - 1)
+      assert(dix.append(corpus.where(col("doc_id") <= cut), "doc_id", "text", 0L))
+      assert(dix.compact(spark))
+      if (cut < nDocs) // tail after the artifact generation
+        assert(dix.append(corpus.where(col("doc_id") > cut), "doc_id", "text", 1L))
+      val k = 1 + rnd.nextInt(6)
+      val p = Bm25.Params(k1 = 0.8 + rnd.nextDouble(), b = rnd.nextDouble())
+      val ixInline = Bm25.index(corpus, "doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "doc_id", "score", "rank")
+          .as[(Long, Long, Double, Int)].collect().toSet
+      val want2 = rows(Bm25.topK(ixInline, qs, "qid", "q", k, p))
+      assert(rows(dix.topKMaxScore(spark, qs, "qid", "q", k, p)) === want2,
+        s"trial=$trial k=$k cut=$cut")
+      assert(!dix.lastStageBuckets.contains("df"),
+        s"trial=$trial: df scan ran despite artifact")
+    }
   }
 
   test("evaluateRuns: hand-computed nDCG/MRR, k cut, no-judgment and no-hit queries") {

@@ -23,8 +23,12 @@ git -C "$ROOT" worktree add --detach "$WT" "$REF" >/dev/null
 
 run_bench() { # dir label
   local out
+  # env(1) so the optionally-expanded SPARK_GRAFT_QUERIES word is an
+  # assignment, not a command (expanded VAR=val words are never parsed
+  # as shell assignments)
   out="$( cd "$1" &&
-    SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REPS="$REPS" \
+    env SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REPS="$REPS" \
+    SPARK_GRAFT_BENCH_OUT=/dev/null \
     ${QUERIES:+SPARK_GRAFT_QUERIES="$QUERIES"} \
     sbt -batch "runMain graft.Bench" 2>&1 )" || true
   local line
