@@ -436,6 +436,29 @@ class Bm25Spec extends SparkSuite {
     }
   }
 
+  test("tstats missing for a current generation (pre-artifact index): exact fallback via the df scan") {
+    // an index compacted by an older build can carry a valid _aux
+    // marker with dl/stats but NO tstats dir — topKMaxScore must fall
+    // back to the aggregate-over-scan path, never misread or crash
+    val root = java.nio.file.Files.createTempDirectory("bm25_old").toString
+    val ix = new Bm25.DiskIndex(root, termBuckets = 4)
+    val q = Seq((1L, "cat sat")).toDF("qid", "q")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ix.append(docs.where(col("doc_id") <= 2L), "doc_id", "text", 0L))
+    assert(ix.append(docs.where(col("doc_id") > 2L), "doc_id", "text", 1L))
+    assert(ix.compact(spark))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tstats"), true)
+    val want = rows(Bm25.topK(docs, q, "doc_id", "text", "qid", "q", 5))
+    assert(rows(ix.topKMaxScore(spark, q, "qid", "q", 5)) === want)
+    // the fallback ran the postings-scan df stage (no tstats lookup)
+    assert(ix.lastStageBuckets.contains("df"), ix.lastStageBuckets.toString)
+    assert(!ix.lastStageBuckets.contains("tstats"), ix.lastStageBuckets.toString)
+  }
+
   test("evaluateRuns: hand-computed nDCG/MRR, k cut, no-judgment and no-hit queries") {
     // q1: hits at ranks 1 (rel 2), 3 (rel 1); one judged doc (rel 1)
     //     never retrieved. n_rel = 3.
