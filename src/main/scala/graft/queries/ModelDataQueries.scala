@@ -694,6 +694,14 @@ object ModelDataQueries {
         | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
         | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
         .replaceAll("\n", " "),
+    // the disk route is results-identical to the inline index (in-plan
+    // gated to exact hit-set parity + the 1e-9 score cap), so q129's
+    // closed-form mirror applies — upgraded from rows-only in r14
+    "q137_bm25_disk" ->
+      s"""WITH $bm25RunCtes
+        | SELECT query_id, doc_id, score, CAST("rank" AS BIGINT) AS "rank"
+        | FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin
+        .replaceAll("\n", " "),
     // the bucketed disk route is results-identical to the inline index
     // (in-plan gated), so q129's mirror applies here too
     "q155_bm25_bucketed" ->
