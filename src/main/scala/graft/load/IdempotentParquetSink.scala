@@ -25,9 +25,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * also what a maintenance compaction would consume (committed dirs in,
   * one compacted dir out, markers swapped).
   */
+/** @param compactLayout optional physical-layout transform applied to
+  *        the merged frame right before a compaction writes it (NEVER
+  *        to per-batch appends or reads — correctness must not depend
+  *        on it). The compaction is the one moment the whole dataset
+  *        streams through a single write anyway, so clustering is free
+  *        shuffle-wise: callers repartition/sortWithinPartitions here
+  *        so parquet row-group min/max stats and dictionary filters
+  *        can skip inside the compacted files ([[graft.operators.Bm25.DiskIndex]]
+  *        clusters postings by term, impact-descending within term).
+  */
 final class IdempotentParquetSink(
     val root: String,
-    val partitionColumns: Seq[String] = Nil) extends Serializable {
+    val partitionColumns: Seq[String] = Nil,
+    val compactLayout: DataFrame => DataFrame = identity) extends Serializable {
 
   /** Write with the sink's partition layout (every batch dir and every
     * compaction dir share it, so partition pruning works across the
@@ -180,15 +191,36 @@ final class IdempotentParquetSink(
   def compact(spark: SparkSession, force: Boolean = false): Boolean = {
     val f = fs(spark)
     val w = watermark(spark)
-    val live = listIds(spark, "_committed").filter(id => w.forall(id > _))
-    val nDirs = live.length + w.size
-    if (live.isEmpty || (nDirs <= 1 && !force)) return false
-    val upTo = live.max
-    val merged = read(spark)
+    def liveIds() = listIds(spark, "_committed")
+      .filter(id => w.forall(id > _)).toSet
+    var live = liveIds()
+    if (live.isEmpty || (live.size + w.size <= 1 && !force)) return false
+    // Fold-before-publish: an append that violates the offline contract
+    // can land a marker for id <= upTo AFTER the merge read but BEFORE
+    // the watermark create — once the watermark exists, read() filters
+    // id <= watermark, so that batch's rows would turn silently
+    // invisible while its marker makes the re-delivered append skip.
+    // Re-list after each merge and fold newcomers until the committed
+    // set is stable; the merged dir stays invisible until the marker
+    // lands, so re-merging is free of reader-visible states. A marker
+    // landing after the LAST re-list still loses that batch (the
+    // residual race is unclosable without a filesystem lock) — which is
+    // why concurrent append+compact stays out of contract; this loop
+    // just shrinks the out-of-contract window from the whole merge
+    // runtime to one list call.
+    var upTo = live.max
+    var merged = read(spark)
+    var next = liveIds()
+    while (next != live) {
+      live = next
+      upTo = live.max
+      merged = read(spark)
+      next = liveIds()
+    }
     // all live dirs can legitimately be empty (0-row batches): advance
     // the watermark without a data dir — readers skip the missing
     // compaction dir via the hasDataFiles filter.
-    if (merged.columns.nonEmpty) write(merged, compactDir(upTo))
+    if (merged.columns.nonEmpty) write(compactLayout(merged), compactDir(upTo))
     f.mkdirs(compactMarker(upTo).getParent)
     f.create(compactMarker(upTo), true).close()
     sweepSuperseded(spark, w, upTo)
@@ -201,8 +233,13 @@ final class IdempotentParquetSink(
     * strictly below the PREVIOUS watermark (long-superseded crash
     * partials — nothing can still be writing an id the stream has moved
     * past). An uncommitted dir in (prevW, upTo] is left alone: it may
-    * be an in-flight append whose marker lands after this sweep, and
-    * deleting its data would break every later read. Listed from the
+    * be an in-flight append whose marker has not landed yet — deleting
+    * its bytes would turn the eventual retry's skip into data loss.
+    * (If that marker lands only AFTER compact()'s fold-before-publish
+    * re-list, the preserved bytes are still unreadable — read() filters
+    * id <= watermark — so leaving the dir protects the RETRY path, not
+    * every later read; an append racing compact that far is out of the
+    * offline-op contract, see [[compact]].) Listed from the
     * filesystem so crash-orphaned dirs from earlier compactions are
     * reclaimed too; entries that don't parse as ids are foreign and
     * never touched. Markers are never deleted.

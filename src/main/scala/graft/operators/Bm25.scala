@@ -363,9 +363,28 @@ object Bm25 {
       * lengths and corpus stats come from the compaction artifacts /
       * full frame, which never needed term locality). Size it so one
       * bucket ≈ a few files; 0 keeps the flat layout.
+      *
+      * Compactions additionally CLUSTER the postings physically: term-
+      * ascending, tf-descending within term, inside each bucket (range-
+      * clustered by term for the flat layout). Term clustering is what
+      * makes the query-vocabulary pushdown (see [[scoringTf]]) skip at
+      * ROW-GROUP granularity — inside a surviving bucket file, parquet
+      * term min/max stats rule out every row group holding only other
+      * terms' postings. The tf-descending secondary order packs a
+      * term's highest-impact postings (the BM25 weight is increasing in
+      * tf) into its leading row groups — compression-friendly now, and
+      * the layout a future θ-threshold pushdown would need. Order is
+      * LAYOUT ONLY: readers never assume it (pre-compaction batch dirs
+      * are unclustered).
       */
     val store = new graft.load.IdempotentParquetSink(s"$root/tf",
-      if (termBuckets > 0) Seq("bucket") else Nil)
+      if (termBuckets > 0) Seq("bucket") else Nil,
+      compactLayout = if (termBuckets > 0)
+        df => df.repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("term"), col("tf").desc)
+      else
+        df => df.repartitionByRange(col("term"))
+          .sortWithinPartitions(col("term"), col("tf").desc))
 
     private def bucketOf(term: org.apache.spark.sql.Column) =
       pmod(xxhash64(term), lit(termBuckets.toLong))
@@ -381,8 +400,12 @@ object Bm25 {
 
     /** Merge the per-batch postings into one directory (offline
       * maintenance — a long-lived streaming index otherwise pays one
-      * listing per micro-batch ever appended), AND materialize the
-      * query-time artifacts over the compacted generation:
+      * listing per micro-batch ever appended), physically CLUSTERED
+      * term-ascending / tf-descending inside each bucket (the
+      * `compactLayout` hook — see the [[store]] doc: that order is what
+      * lets the query-vocabulary IN pushdown skip row groups), AND
+      * materialize the query-time artifacts over the compacted
+      * generation:
       *
       *  - `dl/upto=<w>`  — (doc_id, dl) doc lengths
       *  - `stats/upto=<w>` — one row (n_docs, sum_dl)
@@ -524,28 +547,62 @@ object Bm25 {
         (n, if (n == 0) 1.0 else (s0 + s1).toDouble / n)
       }
 
+    /** Pushdown cap: a term IN-list only goes into the scan when the
+      * stage vocabulary is at most this many terms — beyond it the
+      * parquet-side evaluation cost outgrows the skip win, and the
+      * query batch has left "broadcast-small" territory anyway.
+      */
+    private val MaxTermPushdown = 1024
+
+    /** One bounded driver read per stage: the stage vocabulary as
+      * (term, bucket) pairs — at most the query batch's distinct terms
+      * (broadcast-small by the class contract; `termFrame` must carry a
+      * `term` column).
+      */
+    private def termVocab(termFrame: DataFrame): Array[(String, Long)] =
+      termFrame.select(col("term"), bucketOf(col("term")).as("b")).distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    /** The two-level pruned scan for a stage vocabulary: the bucket set
+      * as a partition-column filter (FILE pruning) plus — when the
+      * vocabulary is small enough — the terms themselves as an IN
+      * predicate the parquet reader pushes down (ROW-GROUP pruning via
+      * term min/max stats, which the compaction layout makes selective:
+      * postings are term-clustered inside each bucket file). The IN
+      * filter is a superset of the downstream term equi-join, so
+      * results are identical with or without it.
+      */
+    private def prunedScan(raw: DataFrame, vocab: Array[(String, Long)],
+                           spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      if (raw.columns.isEmpty || vocab.isEmpty) emptyTf(spark)
+      else {
+        val buckets = vocab.map(_._2).distinct
+        val base = raw.where(col("bucket").isin(buckets: _*))
+        val scan = if (vocab.length <= MaxTermPushdown)
+          base.where(col("term").isin(vocab.map(_._1): _*)) else base
+        scan.select("doc_id", "term", "tf")
+      }
+    }
+
     /** The postings frame a QUERY batch needs: with term bucketing,
       * only the buckets the query vocabulary hashes into (the bucket
       * list is a bounded driver scalar — at most `termBuckets` longs,
       * and the query batch is broadcast-small by the class contract),
       * expressed as a partition-column filter the parquet scan prunes
-      * files with. Unbucketed → the whole store.
+      * files with, plus the term IN pushdown for row-group pruning
+      * inside surviving files (see [[prunedScan]]). Unbucketed → the
+      * whole store.
       */
     private[graft] def scoringTf(spark: org.apache.spark.sql.SparkSession,
                           queries: DataFrame, queryTextCol: String): DataFrame = {
       val raw = store.read(spark)
       if (raw.columns.isEmpty) emptyTf(spark)
       else if (termBuckets == 0) raw.select("doc_id", "term", "tf")
-      else {
-        val buckets = queries
+      else prunedScan(raw, termVocab(queries
           .where(col(s"`$queryTextCol`").isNotNull)
           .select(explode(array_distinct(
-            TextFns.tokens(lower(col(s"`$queryTextCol`"))))).as("term"))
-          .select(bucketOf(col("term")).as("b")).distinct()
-          .collect().map(_.getLong(0))
-        raw.where(col("bucket").isin(buckets: _*))
-          .select("doc_id", "term", "tf")
-      }
+            TextFns.tokens(lower(col(s"`$queryTextCol`"))))).as("term"))),
+        spark)
     }
 
     /** Query the stored index (tf cached for the call's consumers,
@@ -603,10 +660,14 @@ object Bm25 {
       * max-score stage's scan was pruned to in the LAST
       * [[topKMaxScore]] call (stage → buckets). Driver-side only; lets
       * a spec pin that the essential scan's file filter genuinely
-      * shrank below the query vocabulary's bucket set.
+      * shrank below the query vocabulary's bucket set. Each call
+      * assembles its own LOCAL map and publishes it whole on return, so
+      * concurrent query builds on a shared index can never interleave
+      * partial stage entries — the field always holds one complete
+      * call's snapshot (last publisher wins).
       */
-    @transient private[graft] var lastStageBuckets: Map[String, Set[Long]] =
-      Map.empty
+    @transient @volatile private[graft] var lastStageBuckets:
+        Map[String, Set[Long]] = Map.empty
 
     /** [[Bm25.topKMaxScore]] over the STORED index — the two pruning
       * levers composed, multiplying at scale:
@@ -638,23 +699,21 @@ object Bm25 {
       val ix = read(spark)
       val dl = if (stats.isDefined) ix.dl
         else ix.tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      lastStageBuckets = Map.empty
+      // per-call instrumentation, published whole on return (see the
+      // field doc: concurrent calls must never interleave entries)
+      val stageBuckets = scala.collection.mutable.Map[String, Set[Long]]()
       // ONE store listing/read shared by all stages (compaction is an
       // offline op, so the view cannot change mid-query); each stage
-      // applies its own partition-column bucket filter to it
+      // applies its own partition-column bucket filter + term IN
+      // pushdown to it ([[prunedScan]])
       lazy val raw = store.read(spark)
       val fetch: (String, DataFrame) => DataFrame =
         if (termBuckets == 0)
           (_, terms) => ix.tf.join(broadcast(terms), "term")
         else (stage, terms) => {
-          val bs = terms.select(bucketOf(col("term")).as("b")).distinct()
-            .collect().map(_.getLong(0))
-          lastStageBuckets += stage -> bs.toSet
-          val scan =
-            if (raw.columns.isEmpty || bs.isEmpty) emptyTf(spark)
-            else raw.where(col("bucket").isin(bs: _*))
-              .select("doc_id", "term", "tf")
-          scan.join(broadcast(terms), "term")
+          val vocab = termVocab(terms)
+          stageBuckets(stage) = vocab.map(_._2).toSet
+          prunedScan(raw, vocab, spark).join(broadcast(terms), "term")
         }
       // Term stats from the IMPACT artifact when the current generation
       // has one: df + (max_tf, min_dl) become a file-pruned metadata
@@ -673,11 +732,16 @@ object Bm25 {
           val pruned =
             if (termBuckets == 0) art0
             else {
-              val bs = terms.select(bucketOf(col("term")).as("b")).distinct()
-                .collect().map(_.getLong(0))
-              lastStageBuckets += "tstats" -> bs.toSet
-              if (bs.isEmpty) art0.where(lit(false))
-              else art0.where(col("bucket").isin(bs: _*))
+              val vocab = termVocab(terms)
+              stageBuckets("tstats") = vocab.map(_._2).toSet
+              if (vocab.isEmpty) art0.where(lit(false))
+              else {
+                val base = art0.where(
+                  col("bucket").isin(vocab.map(_._2).distinct: _*))
+                if (vocab.length <= MaxTermPushdown)
+                  base.where(col("term").isin(vocab.map(_._1): _*))
+                else base
+              }
             }
           val art = pruned.join(broadcast(terms), "term")
             .select(col("term"), col("df").as("__dfw"),
@@ -699,8 +763,13 @@ object Bm25 {
             .withColumn("max_tf", lit(null).cast("long"))
             .withColumn("min_dl", lit(null).cast("long"))
       }
-      Bm25.topKMaxScoreCore(fetch, termStatsFor, dl, queries, queryIdCol,
-        queryTextCol, k, params, stats)
+      val out = Bm25.topKMaxScoreCore(fetch, termStatsFor, dl, queries,
+        queryIdCol, queryTextCol, k, params, stats)
+      // every stage's fetch has executed by here (the core collects its
+      // θ seed and checkpoints the splits synchronously) — publish the
+      // complete per-call snapshot
+      lastStageBuckets = stageBuckets.toMap
+      out
     }
   }
 }

@@ -336,7 +336,14 @@ object ModelDataQueries {
         hexLine(length(b) - 5),
         b.substr(lit(6), (length(b) - 5).cast("int")), crlf,
         ascii("0\r\nx-graft-trailer: t\r\n\r\n"))
-      // truncated capture: declares 0x14 = 20 bytes, record holds 10
+      // truncated capture: declares 0x14 = 20 bytes, record holds 10.
+      // NOTE: this leg's slices are BYTE offsets over the encoded body
+      // (binary substr) while the oracle mirrors them with DuckDB's
+      // CHARACTER substr(text, 1, 15) — they agree only because the
+      // documents corpus text is ASCII (1 byte = 1 codepoint, pinned
+      // by the same ASCII contract the charset fixtures rely on). A
+      // non-ASCII corpus would split a multibyte char here and break
+      // the md5 mirror; leg 0/1's boundaries cut the ASCII head too.
       def chunkTruncated(b: Column) = concat(
         ascii("5\r\n"), b.substr(lit(1), lit(5)), crlf,
         ascii("14\r\n"), b.substr(lit(6), lit(10)))

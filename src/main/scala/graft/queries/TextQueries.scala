@@ -1035,7 +1035,7 @@ object TextQueries {
     // Language identification over injected multilingual text (the
     // q127/q147 in-plan construction idiom): per doc, a held-out
     // sentence in one of the model languages (doc_id % k), with a
-    // short-text row (% 97 → "und" by evidence) and a Greek row
+    // short-text row (% 97 → "und" by evidence) and a Thai row
     // (% 11 → "und" by the OOV-gap floor: an unseen script lands on
     // the smoothed OOV mass in every language, gap exactly 0). The oracle re-derives
     // the ENTIRE fixed trigram model from the same seed literals in SQL
@@ -1155,13 +1155,16 @@ object TextQueries {
     "ru" -> "это был яркий холодный день в апреле и часы били тринадцать когда люди спешили домой по узким улицам",
     "zh" -> "那是四月里晴朗寒冷的一天钟敲了十三下人们沿着狭窄的街道匆匆回家",
     "ja" -> "四月のよく晴れた寒い日で時計が十三時を打ち人々はせまい通りをいそいで家に帰っていた",
-    "ko" -> "사월의 맑고 추운 날이었고 시계가 열세 번을 치는 동안 사람들은 좁은 거리를 지나 서둘러 집으로 돌아갔다")
+    "ko" -> "사월의 맑고 추운 날이었고 시계가 열세 번을 치는 동안 사람들은 좁은 거리를 지나 서둘러 집으로 돌아갔다",
+    "ar" -> "كان يوما باردا مشرقا من ايام ابريل وكانت الساعات تدق الثالثة عشرة بينما كان الناس يسرعون الى بيوتهم عبر الشوارع الضيقة",
+    "el" -> "ήταν μια λαμπερή κρύα μέρα του απριλίου και τα ρολόγια χτυπούσαν δεκατρείς καθώς οι άνθρωποι γύριζαν βιαστικά σπίτι μέσα από τους στενούς δρόμους",
+    "hi" -> "अप्रैल का एक उजला ठंडा दिन था और घड़ियां तेरह बजा रही थीं जब लोग संकरी गलियों से होकर जल्दी जल्दी घर लौट रहे थे")
 
-  // unknown-SCRIPT probe: Greek is deliberately NOT in the model, so
-  // every trigram lands on the smoothed OOV mass and the avg floor
-  // calls it "und"
+  // unknown-SCRIPT probe: Thai is deliberately NOT in the model (Greek
+  // graduated into it in r15), so every trigram lands on the smoothed
+  // OOV mass and the gap floor calls it "und"
   private val unkSnippet =
-    "όλες οι ευτυχισμένες οικογένειες μοιάζουν μεταξύ τους κάθε δυστυχισμένη οικογένεια είναι δυστυχισμένη με τον δικό της τρόπο"
+    "ครอบครัวที่มีความสุขล้วนเหมือนกันหมด แต่ครอบครัวที่ไม่มีความสุขต่างมีความทุกข์ในแบบของตัวเอง"
 
   // Oracle building blocks: the fixed model re-derived in DuckDB SQL from
   // the SAME seed literals (single source of truth —
@@ -1188,7 +1191,11 @@ object TextQueries {
   // CTE; yields top(doc_id, lang, avg, mg) plus the und CASE applied by
   // the caller. The und floor interpolates LangId.DefaultMinOovGap.
   // Mirrors the kernel exactly: mixed-order grams, only grams containing
-  // a LETTER score (\p{L} ↔ Character.isLetter), docs with < 3
+  // a LETTER score (\p{L} ↔ Character.isLetter — the same five Unicode
+  // categories, but from RE2's vs the JVM's table; they can diverge on
+  // EDGE codepoints across versions, so fixtures and seeds stick to
+  // well-established letter blocks where both tables have agreed for
+  // decades — see the kernel comment in LangIdExpr), docs with < 3
   // codepoints never score (the kernel's early return).
   private def langScoreCtes: String =
     """dtri AS (SELECT doc_id, g AS tri FROM (

@@ -459,6 +459,109 @@ class Bm25Spec extends SparkSuite {
     assert(!ix.lastStageBuckets.contains("tstats"), ix.lastStageBuckets.toString)
   }
 
+  test("compaction clusters postings term-asc/tf-desc per file; term pushdown skips row groups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // tiny parquet row groups so ONE compacted file holds many of them —
+    // the unit the term min/max stats skip at
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    val oldCheck = Option(hc.get("parquet.block.size.row.check.min"))
+    hc.setInt("parquet.block.size", 4096)
+    hc.setInt("parquet.block.size.row.check.min", 50)
+    try {
+      def bucketOf(t: String): Long = Seq(t).toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(2L))).head().getLong(0)
+      // three terms COLLIDING in one bucket: the bucket partition filter
+      // cannot separate them — only the term IN pushdown over the
+      // clustered layout can, at row-group granularity
+      val terms3 = (0 until 64).map(i => s"term$i")
+        .filter(t => bucketOf(t) == 0L).take(3)
+      assert(terms3.size === 3)
+      val corpus = terms3.zipWithIndex.flatMap { case (t, ti) =>
+        (0 until 2000).map { i =>
+          (ti * 2000L + i, Seq.fill(i % 5 + 1)(t).mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("bm25_rg").toString
+      val ix = new Bm25.DiskIndex(root, termBuckets = 2)
+      assert(ix.append(corpus, "doc_id", "text", 0L))
+      assert(ix.compact(spark))
+      val w = ix.store.compactionWatermark(spark).get
+      // (1) physical clustering: within every compacted file, rows are
+      // term-ascending, tf-descending within term
+      val stored = spark.read.parquet(s"$root/tf/compact/upto=$w")
+        .select(col("_metadata.file_path").as("f"),
+          col("_metadata.row_index").as("i"), col("term"), col("tf"))
+        .as[(String, Long, String, Long)].collect()
+      assert(stored.length === 6000)
+      for ((_, rs) <- stored.groupBy(_._1)) {
+        val inFileOrder = rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+        val clustered = inFileOrder.sortBy { case (t, tf) => (t, -tf) }
+        assert(inFileOrder === clustered, "file not term-asc/tf-desc clustered")
+      }
+      // (2) row-group skip: scanning ONE term's postings must emit far
+      // fewer rows from the parquet reader than the bucket holds (the
+      // pushed IN predicate + per-row-group term min/max skip the other
+      // terms' groups; without the clustered layout every group spans
+      // all terms and nothing skips)
+      val q = Seq((1L, terms3.head)).toDF("qid", "q")
+      val scan = ix.scoringTf(spark, q, "q")
+      assert(scan.collect().length === 2000)
+      val emitted = scan.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value }.sum
+      assert(emitted < 4000,
+        s"scan emitted $emitted of 6000 bucket rows — row groups not skipped")
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        (plan.contains("In(term") || plan.contains("EqualTo(term")), plan)
+    } finally {
+      oldBlock.fold(hc.unset("parquet.block.size"))(
+        hc.set("parquet.block.size", _))
+      oldCheck.fold(hc.unset("parquet.block.size.row.check.min"))(
+        hc.set("parquet.block.size.row.check.min", _))
+    }
+  }
+
+  test("max-score stage scans carry the pruned bucket sets as literal partition filters (plan-proven)") {
+    // closes the instrumented-vs-plan-proven gap: lastStageBuckets says
+    // what the builder INTENDED; this pins that the executed plan's
+    // scans really carry those bucket sets as partition filters
+    def bucketOf(t: String): Long = Seq(t).toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(8L))).head().getLong(0)
+    val rare = "rare9"
+    val common = (0 until 64).map(i => s"common$i")
+      .find(c => bucketOf(c) != bucketOf(rare)).get
+    val corpus = ((1L to 100L).map(i => (i, s"$common filler$i text")) :+
+      (200L, s"$rare $common signal")).toDF("doc_id", "text")
+    val qs = Seq((1L, s"$rare $common")).toDF("qid", "q")
+    val root = java.nio.file.Files.createTempDirectory("bm25_ppf").toString
+    val ix = new Bm25.DiskIndex(root, termBuckets = 8)
+    assert(ix.append(corpus, "doc_id", "text", 0L))
+    assert(ix.compact(spark))
+    val out = ix.topKMaxScore(spark, qs, "qid", "q", 1)
+    out.collect()
+    val b = ix.lastStageBuckets
+    assert(b("ess") === Set(bucketOf(rare)) &&
+      b("non") === Set(bucketOf(common)), b.toString)
+    // the seed/tstats stages hide behind localCheckpoints; the FINAL
+    // plan contains the ess and non postings scans — each must show a
+    // PartitionFilters set equal to its stage's pruned buckets
+    def bucketsIn(line: String): Set[Long] =
+      "\\d+".r.findAllIn(line.replaceAll("#\\d+L?", "#"))
+        .map(_.toLong).toSet
+    val pf = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters: ["))
+      .map { l => // the [...] span of the partition filters only
+        val from = l.indexOf("PartitionFilters: [")
+        bucketsIn(l.substring(from, l.indexOf("]", from) max from))
+      }
+      .toSeq
+    assert(pf.exists(_ === b("ess")),
+      s"no scan pinned to the ess buckets ${b("ess")}: $pf")
+    assert(pf.exists(_ === b("non")),
+      s"no scan pinned to the non buckets ${b("non")}: $pf")
+  }
+
   test("evaluateRuns: hand-computed nDCG/MRR, k cut, no-judgment and no-hit queries") {
     // q1: hits at ranks 1 (rel 2), 3 (rel 1); one judged doc (rel 1)
     //     never retrieved. n_rel = 3.

@@ -24,15 +24,18 @@ class LangIdSpec extends SparkSuite {
     "ru" -> "она открыла письмо и прочитала новости о школе пока пила свой утренний кофе",
     "zh" -> "她打开信读了关于学校的消息一边喝着早晨的咖啡",
     "ja" -> "彼女は手紙をあけて朝のコーヒーを飲みながら学校についての知らせを読んだ",
-    "ko" -> "그녀는 편지를 열고 아침 커피를 마시면서 학교에 관한 소식을 읽었다")
+    "ko" -> "그녀는 편지를 열고 아침 커피를 마시면서 학교에 관한 소식을 읽었다",
+    "ar" -> "فتحت الرسالة وقرات الاخبار عن المدرسة بينما كانت تشرب قهوة الصباح",
+    "el" -> "άνοιξε το γράμμα και διάβασε τα νέα για το σχολείο ενώ έπινε τον πρωινό της καφέ",
+    "hi" -> "उसने पत्र खोला और अपनी सुबह की कॉफी पीते हुए स्कूल के बारे में समाचार पढ़ा")
 
   private val minGap = graft.operators.LangId.DefaultMinOovGap
-  // unknown-script probes: Greek and Arabic are not model languages —
+  // unknown-script probes: Thai and Hebrew are not model languages —
   // every LETTER-bearing gram is OOV, so the gap is exactly 0
-  private val greek =
-    "η γρήγορη καφέ αλεπού πηδά πάνω από τον τεμπέλη σκύλο ενώ τα παιδιά κοιτάζουν από το παράθυρο"
-  private val arabic =
-    "كان يوما باردا مشرقا من ابريل والساعات تدق الثالثة عشرة بينما يسرع الناس الى بيوتهم عبر الشوارع الضيقة"
+  private val thai =
+    "ครอบครัวที่มีความสุขล้วนเหมือนกันหมด แต่ครอบครัวที่ไม่มีความสุขต่างมีความทุกข์ในแบบของตัวเอง"
+  private val hebrew =
+    "היה יום אביב בהיר וקר והשעונים צלצלו שלוש עשרה כאשר האנשים מיהרו הביתה ברחובות הצרים"
 
   private def score(s: String): (String, Double, Double, Double, Int) = {
     val r = LangIdKernel.eval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
@@ -54,7 +57,7 @@ class LangIdSpec extends SparkSuite {
   }
 
   test("unknown scripts have an OOV gap of exactly zero") {
-    for (probe <- Seq(greek, arabic, greek + " #123 456")) {
+    for (probe <- Seq(thai, hebrew, thai + " #123 456")) {
       val (_, avg, _, gap, _) = score(probe)
       // every language sees only OOV grams (spaces/digits carry no
       // letter and never score) → avg == the argmax language's OOV rate
@@ -89,8 +92,8 @@ class LangIdSpec extends SparkSuite {
   test("classify: per-language calls, und fallbacks (short, unknown-script, null)") {
     val rows = heldOut.map { case (l, t) => (l, t) } ++ Seq(
       ("und_short", "ab"),
-      ("und_script", greek),
-      ("und_arabic", arabic),
+      ("und_script", thai),
+      ("und_hebrew", hebrew),
       ("und_null", null.asInstanceOf[String]))
     val byWant = LangId.classify(rows.toDF("want", "text"), "text")
       .select("want", "lang", "lang_conf").collect()
@@ -99,7 +102,7 @@ class LangIdSpec extends SparkSuite {
     assert(byWant("und_short")._1 === "und")
     assert(byWant("und_short")._2 === 0.0)
     assert(byWant("und_script")._1 === "und")
-    assert(byWant("und_arabic")._1 === "und")
+    assert(byWant("und_hebrew")._1 === "und")
     assert(byWant("und_null")._1 === "und")
     assert(byWant("und_null")._2 === 0.0)
   }
