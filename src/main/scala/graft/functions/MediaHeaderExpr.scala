@@ -1,0 +1,270 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Container-HEADER metadata for MP4 and MP3 payloads — pure byte
+  * parsing, no codec library: the ISO-BMFF box grammar and the MPEG
+  * audio frame grammar are plain big-endian structures, so duration,
+  * track/stream parameters and codec identity come out of a map-side
+  * kernel even though pixel/sample DECODE (which does need codecs this
+  * container lacks) stays behind [[graft.multimodal.Multimodal]]'s
+  * clearly-marked fake. This shrinks the fake-fallback surface to the
+  * decode step alone: a crawl pipeline can route/filter/deduplicate
+  * media by REAL duration/bitrate/codec columns at any scale.
+  *
+  * `mp4_meta(binary)` — walks top-level ISO-BMFF boxes (32-bit,
+  * 64-bit `size==1`, and to-end `size==0` forms), reads
+  * `moov/mvhd` (version 0 and 1) for timescale+duration, counts
+  * `trak` boxes, and descends `trak/mdia/minf/stbl/stsd` for each
+  * track's first sample-entry fourcc (the codec id). Malformed input
+  * (truncated box, overrunning size, missing moov/mvhd, zero
+  * timescale) → `ok=false` with zeroed fields, never an error.
+  *
+  * `mp3_meta(binary)` — skips an ID3v2 tag (syncsafe size), scans to
+  * the first valid frame sync, then hops frame to frame using the
+  * header's bitrate/samplerate/padding tables (MPEG1 layers I-III,
+  * MPEG2/2.5 layer III), accumulating an exact per-frame duration sum
+  * (VBR-safe). Stops cleanly at a trailing ID3v1 `TAG` block or a
+  * truncated final frame; `ok=false` when no valid frame exists.
+  *
+  * Both run inside whole-stage codegen as a single static call.
+  */
+object MediaHeaders {
+
+  val mp4Type: StructType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("codecs", StringType, nullable = false)))
+
+  val mp3Type: StructType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("version", StringType, nullable = false),
+    StructField("layer", IntegerType, nullable = false),
+    StructField("bitrate_kbps", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = false),
+    StructField("id3v2_bytes", IntegerType, nullable = false)))
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o) << 32) | u32(b, o + 4)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, StandardCharsets.ISO_8859_1)
+
+  /** Walk the boxes in [start, end); `f(type, payloadStart, payloadEnd)`
+    * per box. Returns false on any malformed framing (size below the
+    * header, size overrunning `end`, trailing partial header) — the
+    * strict posture: a truncated capture must read as malformed, not as
+    * a shorter file.
+    */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Boolean = {
+    var o = start
+    while (o + 8 <= end) {
+      val sz0 = u32(b, o)
+      var hdr = 8
+      val size: Long =
+        if (sz0 == 1L) {
+          if (o + 16 > end) return false
+          hdr = 16; u64(b, o + 8)
+        } else if (sz0 == 0L) (end - o).toLong
+        else sz0
+      if (size < hdr || size > (end - o).toLong) return false
+      f(fourcc(b, o + 4), o + hdr, o + size.toInt)
+      o += size.toInt
+    }
+    o == end
+  }
+
+  /** First box of `typ` directly inside [start, end), as
+    * (payloadStart, payloadEnd); -1s when absent or malformed.
+    */
+  private def findBox(b: Array[Byte], start: Int, end: Int,
+                      typ: String): (Int, Int) = {
+    var ps = -1; var pe = -1
+    val clean = walkBoxes(b, start, end) { (t, s, e) =>
+      if (t == typ && ps < 0) { ps = s; pe = e }
+    }
+    if (clean || ps >= 0) (ps, pe) else (-1, -1)
+  }
+
+  private val emptyMp4 =
+    InternalRow(false, 0.0, 0, 0L, 0, UTF8String.fromString(""))
+
+  def mp4Meta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 8) return emptyMp4.copy()
+    var moovS = -1; var moovE = -1
+    val clean = walkBoxes(b, 0, b.length) { (t, s, e) =>
+      if (t == "moov" && moovS < 0) { moovS = s; moovE = e }
+    }
+    if (!clean || moovS < 0) return emptyMp4.copy()
+    var timescale = 0L; var duration = 0L; var haveMvhd = false
+    var nTracks = 0
+    val codecs = new StringBuilder
+    val moovClean = walkBoxes(b, moovS, moovE) { (t, s, e) =>
+      if (t == "mvhd" && !haveMvhd && e - s >= 4) {
+        val v = b(s) & 0xff
+        if (v == 0 && e - s >= 20) {
+          timescale = u32(b, s + 12); duration = u32(b, s + 16)
+          haveMvhd = true
+        } else if (v == 1 && e - s >= 32) {
+          timescale = u32(b, s + 20); duration = u64(b, s + 24)
+          haveMvhd = true
+        }
+      } else if (t == "trak") {
+        nTracks += 1
+        // trak/mdia/minf/stbl/stsd → first sample entry's fourcc
+        val (mdS, mdE) = findBox(b, s, e, "mdia")
+        val (mnS, mnE) = if (mdS >= 0) findBox(b, mdS, mdE, "minf") else (-1, -1)
+        val (sbS, sbE) = if (mnS >= 0) findBox(b, mnS, mnE, "stbl") else (-1, -1)
+        val (sdS, sdE) = if (sbS >= 0) findBox(b, sbS, sbE, "stsd") else (-1, -1)
+        // stsd payload: 4 version/flags + 4 entry_count + first entry
+        // header [size u32][format fourcc]
+        if (sdS >= 0 && sdE - sdS >= 16 && u32(b, sdS + 4) > 0) {
+          if (codecs.nonEmpty) codecs.append(',')
+          codecs.append(fourcc(b, sdS + 12))
+        }
+      }
+    }
+    if (!moovClean || !haveMvhd || timescale <= 0L) return emptyMp4.copy()
+    InternalRow(true, duration.toDouble / timescale,
+      timescale.toInt, duration, nTracks,
+      UTF8String.fromString(codecs.toString))
+  }
+
+  // MPEG audio tables: bitrate (kbps) by [table][index 1..14], sample
+  // rate by [versionId][index 0..2]
+  private val brV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val brV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val brV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val brV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val rateV1 = Array(44100, 48000, 32000)
+  private val rateV2 = Array(22050, 24000, 16000)
+  private val rateV25 = Array(11025, 12000, 8000)
+
+  /** Parsed frame: (frameBytes, samples, rate, bitrateKbps, versionStr,
+    * layerNum); null when the 4 header bytes are not a valid frame
+    * header this kernel supports (free-form bitrate included — its
+    * frame length is undefined without parsing the next sync).
+    */
+  private def frameInfo(b: Array[Byte], o: Int):
+      (Int, Int, Int, Int, String, Int) = {
+    if (o + 4 > b.length) return null
+    if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xe0) != 0xe0) return null
+    val verId = (b(o + 1) >> 3) & 3   // 0=2.5, 1=reserved, 2=V2, 3=V1
+    val layerId = (b(o + 1) >> 1) & 3 // 1=III, 2=II, 3=I, 0=reserved
+    if (verId == 1 || layerId == 0) return null
+    val brIdx = (b(o + 2) >> 4) & 0xf
+    val rIdx = (b(o + 2) >> 2) & 3
+    val pad = (b(o + 2) >> 1) & 1
+    if (brIdx == 0 || brIdx == 15 || rIdx == 3) return null
+    val layer = 4 - layerId // 1, 2, 3
+    val v1 = verId == 3
+    if (!v1 && layer != 3) return null // V2/V2.5 layer I/II unsupported
+    val br = (if (v1) { if (layer == 1) brV1L1 else if (layer == 2) brV1L2 else brV1L3 }
+              else brV2L3)(brIdx)
+    val rate = (if (v1) rateV1 else if (verId == 2) rateV2 else rateV25)(rIdx)
+    val (len, samples) =
+      if (layer == 1) ((12 * br * 1000 / rate + pad) * 4, 384)
+      else if (layer == 2) (144 * br * 1000 / rate + pad, 1152)
+      else if (v1) (144 * br * 1000 / rate + pad, 1152)
+      else (72 * br * 1000 / rate + pad, 576)
+    val ver = if (v1) "MPEG1" else if (verId == 2) "MPEG2" else "MPEG2.5"
+    (len, samples, rate, br, ver, layer)
+  }
+
+  private def emptyMp3(id3: Int) = InternalRow(false,
+    UTF8String.fromString(""), 0, 0, 0, 0, 0.0, id3)
+
+  def mp3Meta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return emptyMp3(0)
+    var o = 0
+    var id3 = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      id3 = 10 + sz
+      o = math.min(id3, b.length)
+    }
+    // scan to the first valid sync (rippers tolerate leading junk)
+    var first: (Int, Int, Int, Int, String, Int) = null
+    while (first == null && o + 4 <= b.length) {
+      first = frameInfo(b, o)
+      if (first == null) o += 1
+    }
+    if (first == null) return emptyMp3(id3)
+    var n = 0
+    var dur = 0.0
+    var cur = first
+    while (cur != null && o + cur._1 <= b.length) {
+      n += 1
+      dur += cur._2.toDouble / cur._3
+      o += cur._1
+      // clean terminators: end of payload, or a trailing ID3v1 block
+      cur =
+        if (o + 4 > b.length) null
+        else if (o + 3 <= b.length && b(o) == 'T' && b(o + 1) == 'A' &&
+          b(o + 2) == 'G') null
+        else frameInfo(b, o) // junk after frames: stop counting
+    }
+    InternalRow(true, UTF8String.fromString(first._5), first._6, first._4,
+      first._3, n, dur, id3)
+  }
+}
+
+case class Mp4MetaExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("mp4_meta(payload BINARY) expected")
+  override def dataType: DataType = MediaHeaders.mp4Type
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaders.mp4Meta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaHeaders.mp4Meta($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "mp4_meta"
+}
+
+case class Mp3MetaExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("mp3_meta(payload BINARY) expected")
+  override def dataType: DataType = MediaHeaders.mp3Type
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaders.mp3Meta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaHeaders.mp3Meta($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "mp3_meta"
+}
+
+object MediaHeaderExpr {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mp4_meta", exprs => Mp4MetaExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mp3_meta", exprs => Mp3MetaExpr(exprs.head), "built-in")
+  }
+
+  def mp4Meta(payload: Column): Column = call_function("mp4_meta", payload)
+  def mp3Meta(payload: Column): Column = call_function("mp3_meta", payload)
+}

@@ -140,6 +140,53 @@ object LmScore {
     * vocabulary automatically and falls back to a shuffled join when the
     * vocabulary is too large to ship — the safe default at corpus scale.
     */
+  /** Per-STRATUM unigram tables (stratum, token, logp) — CCNet trains
+    * one LM per LANGUAGE, not one over the mixed corpus (a common
+    * French word must not look improbable because the corpus is mostly
+    * English). One plan, no per-language driver loop: a (stratum,
+    * token) hash aggregation plus a stratum-total join; each stratum's
+    * probabilities normalize over its OWN token mass. Strata with no
+    * tokens simply have no rows (scoring against them falls to the OOV
+    * floor — the "language absent from the corpus" case).
+    */
+  def trainUnigramBy(df: DataFrame, textCol: String,
+                     strataCol: String): DataFrame = {
+    val t = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$strataCol`").as("stratum"),
+        explode(toks(col(s"`$textCol`"))).as("token"))
+      .groupBy("stratum", "token").agg(count(lit(1)).as("__c"))
+    val tot = t.groupBy("stratum").agg(sum("__c").as("__t"))
+    t.join(tot, Seq("stratum"))
+      .select(col("stratum"), col("token"),
+        log10(col("__c").cast("double") / col("__t")).as("logp"))
+  }
+
+  /** [[scoreDocs]] against [[trainUnigramBy]]'s per-stratum tables:
+    * each document scores under ITS OWN stratum's model — the join key
+    * is (stratum, token), so an English document never probes the
+    * French table. Returns (id, stratum, mean_logp, n_tokens); docs in
+    * a stratum the table never saw (or with no tokens) take the OOV
+    * floor, never an error. Same shape as [[scoreDocs]]: one exploded
+    * join + one (id, stratum) aggregation.
+    */
+  def scoreDocsBy(df: DataFrame, textCol: String, idCol: String,
+                  strataCol: String, unigram: DataFrame,
+                  oovLogp: Double): DataFrame = {
+    val exploded = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"), col(s"`$strataCol`").as("stratum"),
+        explode(toks(col(s"`$textCol`"))).as("token"))
+    val scored = exploded.join(unigram, Seq("stratum", "token"), "left")
+      .groupBy("id", "stratum")
+      .agg(avg(coalesce(col("logp"), lit(oovLogp))).as("mean_logp"),
+        count(lit(1)).as("n_tokens"))
+    df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"), col(s"`$strataCol`").as("stratum"))
+      .join(scored, Seq("id", "stratum"), "left")
+      .select(col("id"), col("stratum"),
+        coalesce(col("mean_logp"), lit(oovLogp)).as("mean_logp"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   def scoreDocs(df: DataFrame, textCol: String, idCol: String,
                 unigram: DataFrame, oovLogp: Double): DataFrame = {
     val exploded = df.where(col(s"`$textCol`").isNotNull)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -251,10 +251,104 @@ object MultimodalQueries {
           e.where(col("vec_id") < 50), e.where(col("vec_id") >= 50),
           "embedding", "vec_id", "vec_id")
         .orderBy("chunk_id")
+    }),
+
+    // Container-HEADER metadata: per doc a REAL ISO-BMFF (MP4) payload
+    // and a REAL MPEG-audio (MP3) payload are assembled in-plan from
+    // doc_id-derived parameters (box sizes, mvhd timescale/duration,
+    // trak/stsd codec entries; ID3v2 syncsafe tag, MPEG1-Layer-III
+    // 128k/44100 frames, a trailing ID3v1 block every third doc, plus a
+    // malformed leg per modality), then parsed back by the byte-level
+    // kernels (graft.functions.MediaHeaders — no codec library; the
+    // multimodal fake now covers ONLY pixel/sample decode). The oracle
+    // states every expected field in CLOSED FORM from doc_id — equality
+    // proves the parser inverts the constructor exactly, including the
+    // frame-hop arithmetic (417-byte frames) and the quarantine
+    // posture on malformed payloads.
+    "q159_media_headers" -> ((s, dir) => {
+      graft.functions.MediaHeaderExpr.register(s)
+      def h8(c: Column) = lpad(hex(c), 8, "0")
+      def hx(t: String) =
+        t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          .map(b => f"$b%02x").mkString
+      // --- MP4: ftyp + moov[mvhd + 1-2 trak/mdia/minf/stbl/stsd] ---
+      val dur = lit(1000L) + pmod(col("doc_id"), lit(7)) * lit(500L)
+      val mvhd = concat(
+        lit("0000001c" + hx("mvhd") + "00000000" + "00000000" + "00000000" +
+          "000003e8"), h8(dur))
+      def trak(fcc: String) =
+        "00000038" + hx("trak") + "00000030" + hx("mdia") +
+          "00000028" + hx("minf") + "00000020" + hx("stbl") +
+          "00000018" + hx("stsd") + "00000000" + "00000001" +
+          "00000008" + hx(fcc)
+      val oneTrack = pmod(col("doc_id"), lit(2)) === 0
+      val moov = concat(
+        when(oneTrack, lit("0000005c")).otherwise(lit("00000094")),
+        lit(hx("moov")), mvhd,
+        when(oneTrack, lit(trak("avc1")))
+          .otherwise(lit(trak("avc1") + trak("mp4a"))))
+      val ftyp = lit("00000010" + hx("ftyp") + hx("isom") + "00000000")
+      val mp4 = when(pmod(col("doc_id"), lit(13)) === 3, unhex(lit("0000")))
+        .otherwise(unhex(concat(ftyp, moov)))
+      // --- MP3: [ID3v2(100)] + n × 417-byte MPEG1-L3 frames [+ ID3v1] ---
+      val frameHex = "fffb9000" + "00" * 413
+      val nFrames = (pmod(col("doc_id"), lit(4)) + 3).cast("int")
+      val id3v2 = when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("494433" + "0400" + "00" + "00000064" + "00" * 100))
+        .otherwise(lit(""))
+      val id3v1 = when(pmod(col("doc_id"), lit(3)) === 0,
+        lit(hx("TAG") + "00" * 125)).otherwise(lit(""))
+      val mp3 = when(pmod(col("doc_id"), lit(11)) === 7,
+          unhex(lit("123456")))
+        .otherwise(unhex(concat(id3v2,
+          call_function("repeat", lit(frameHex), nFrames), id3v1)))
+      val m4 = graft.functions.MediaHeaderExpr.mp4Meta(mp4)
+      val m3 = graft.functions.MediaHeaderExpr.mp3Meta(mp3)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), m4.as("m4"), m3.as("m3"))
+        .select(col("doc_id"),
+          col("m4.ok").as("mp4_ok"),
+          round(col("m4.duration_sec"), 6).as("mp4_duration_sec"),
+          col("m4.n_tracks").as("mp4_tracks"),
+          col("m4.codecs").as("mp4_codecs"),
+          col("m3.ok").as("mp3_ok"),
+          col("m3.version").as("mp3_version"),
+          col("m3.layer").as("mp3_layer"),
+          col("m3.bitrate_kbps").as("mp3_bitrate_kbps"),
+          col("m3.sample_rate").as("mp3_sample_rate"),
+          col("m3.n_frames").as("mp3_frames"),
+          round(col("m3.duration_sec"), 6).as("mp3_duration_sec"),
+          col("m3.id3v2_bytes").as("mp3_id3_bytes"))
+        .orderBy("doc_id")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // every field in closed form from doc_id: the Spark side BUILDS the
+    // container bytes from these same parameters and must parse them
+    // back exactly (frame count 3 + doc_id%4 of 417-byte frames at
+    // 1152 samples / 44100 Hz; mvhd duration (1000 + doc_id%7*500)
+    // over timescale 1000; malformed legs → the quarantine row)
+    "q159_media_headers" ->
+      """SELECT doc_id,
+        | (doc_id % 13 <> 3) AS mp4_ok,
+        | round(CASE WHEN doc_id % 13 = 3 THEN 0.0
+        |   ELSE (1000 + (doc_id % 7) * 500) / 1000.0 END, 6) AS mp4_duration_sec,
+        | CAST(CASE WHEN doc_id % 13 = 3 THEN 0
+        |   WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS mp4_tracks,
+        | CASE WHEN doc_id % 13 = 3 THEN ''
+        |   WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'avc1,mp4a' END AS mp4_codecs,
+        | (doc_id % 11 <> 7) AS mp3_ok,
+        | CASE WHEN doc_id % 11 = 7 THEN '' ELSE 'MPEG1' END AS mp3_version,
+        | CAST(CASE WHEN doc_id % 11 = 7 THEN 0 ELSE 3 END AS INT) AS mp3_layer,
+        | CAST(CASE WHEN doc_id % 11 = 7 THEN 0 ELSE 128 END AS INT) AS mp3_bitrate_kbps,
+        | CAST(CASE WHEN doc_id % 11 = 7 THEN 0 ELSE 44100 END AS INT) AS mp3_sample_rate,
+        | CAST(CASE WHEN doc_id % 11 = 7 THEN 0 ELSE 3 + doc_id % 4 END AS INT) AS mp3_frames,
+        | round(CASE WHEN doc_id % 11 = 7 THEN 0.0
+        |   ELSE (3 + doc_id % 4) * 1152.0 / 44100 END, 6) AS mp3_duration_sec,
+        | CAST(CASE WHEN doc_id % 11 = 7 THEN 0
+        |   WHEN doc_id % 2 = 0 THEN 110 ELSE 0 END AS INT) AS mp3_id3_bytes
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q101_image_neardup" ->
       """WITH sel AS (
         |  SELECT doc_id FROM documents

@@ -1138,6 +1138,58 @@ object TextQueries {
         .select(col("doc_id"), col("lang"),
           round(col("lang_conf"), 6).as("lang_conf"))
         .orderBy("doc_id")
+    }),
+
+    // CCNet's defining multilingual-curation composition, end to end:
+    // language id over injected multilingual text (the q150 idiom, with
+    // a per-doc repetition knob so LM scores VARY inside a language) →
+    // "und" rows excluded (no per-language stage can consume them) →
+    // per-LANGUAGE unigram LM scores (one plan, no driver loop;
+    // LmScore.trainUnigramBy / scoreDocsBy) → per-language percentile
+    // tiers head/middle/tail 25/50/25 on the ROUNDED score (ranking raw
+    // float means would let last-ulp summation-order noise flip tier
+    // boundaries across engines; 6-dp rounding is this repo's float
+    // determinism convention) → tail dropped (CCNet ships head+middle)
+    // → per-language TOKEN BUDGETS filled in deterministic hash order
+    // (byTokenBudget's bucket prefix sum — no stratum ever funnels
+    // through one partition). The oracle recomposes ALL FOUR stages in
+    // SQL: the full langid model, the per-language LM, the tier
+    // windows, and the budget cumsum.
+    "q158_ccnet_release" -> ((s, dir) => {
+      val k = langSnippets.size
+      val body = langSnippets.zipWithIndex.tail.foldLeft(
+          when(pmod(col("doc_id"), lit(k)) === 0, lit(langSnippets.head._2))) {
+        case (acc, ((_, t), i)) =>
+          acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+      }
+      // 1-3 copies of the per-doc suffix token: its in-language count
+      // varies per doc, so per-language LM means spread into real tiers
+      val txt = when(pmod(col("doc_id"), lit(97)) === 0, lit("ab"))
+        .otherwise(concat(
+          when(pmod(col("doc_id"), lit(11)) === 5, lit(unkSnippet))
+            .otherwise(body),
+          call_function("repeat",
+            concat(lit(" #"), col("doc_id").cast("string")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int"))))
+      val docs = graft.operators.LangId.classify(
+          Tables(s, dir, "documents").select(col("doc_id"), txt.as("text")),
+          "text")
+        .where(col("lang") =!= "und")
+      val uni = graft.operators.LmScore.trainUnigramBy(docs, "text", "lang")
+      val scored = graft.operators.LmScore
+        .scoreDocsBy(docs, "text", "doc_id", "lang", uni, oovLogp = -12.0)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"),
+          round(col("mean_logp"), 6).as("mean_logp"), col("n_tokens"))
+      val tiered = graft.operators.Sampling.percentileBuckets(scored,
+        "lang", "doc_id", "mean_logp",
+        Seq("head" -> 0.25, "middle" -> 0.5, "tail" -> 0.25))
+      graft.operators.Sampling.byTokenBudget(
+          tiered.where(col("tier") =!= "tail"),
+          "lang", "doc_id", "n_tokens",
+          Map("en" -> 400L, "zh" -> 250L), defaultBudget = 300L)
+        .select(col("doc_id"), col("lang"), col("tier"),
+          col("mean_logp"), col("n_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1257,6 +1309,66 @@ object TextQueries {
        |   FROM documents),
        | $langScoreCtes
        | $langVerdictSelect""").stripMargin.replaceAll("\n", " ")
+
+  /** q158: all four CCNet stages recomposed in SQL — the full langid
+    * model mirror (docs0 carries the repetition-knob injection), the
+    * per-language unigram LM (counts / per-language totals), the
+    * 25/50/25 tier windows over the ROUNDED mean (the cross-engine
+    * float determinism convention), and the hash-order token-budget
+    * cumsum (byTokenBudget's defining window).
+    */
+  private[queries] def ccnetReleaseOracle: String = {
+    val gap = graft.operators.LangId.DefaultMinOovGap
+    (s"""WITH $langModelCtes,
+       | docs0 AS (SELECT doc_id,
+       |     CASE WHEN doc_id % 97 = 0 THEN 'ab'
+       |          WHEN doc_id % 11 = 5 THEN '$unkSnippet' ||
+       |            repeat(' #' || CAST(doc_id AS VARCHAR), CAST(doc_id % 3 + 1 AS INT))
+       |          ELSE $langSnippetCaseSql ||
+       |            repeat(' #' || CAST(doc_id AS VARCHAR), CAST(doc_id % 3 + 1 AS INT))
+       |     END AS txt
+       |   FROM documents),
+       | $langScoreCtes,
+       | lab AS (SELECT d.doc_id, d.txt,
+       |     CASE WHEN t.doc_id IS NULL OR (t.avg - ob.olp) < $gap
+       |          THEN 'und' ELSE t.lang END AS lang
+       |   FROM docs0 d LEFT JOIN top t ON d.doc_id = t.doc_id
+       |   LEFT JOIN oov ob ON ob.lang = t.lang),
+       | docs1 AS (SELECT doc_id, lang, txt FROM lab WHERE lang <> 'und'),
+       | ltok AS (SELECT doc_id, lang,
+       |     unnest(regexp_split_to_array(trim(txt), '\\s+')) AS token
+       |   FROM docs1 WHERE trim(txt) <> ''),
+       | lcnt AS (SELECT lang, token, CAST(count(*) AS DOUBLE) AS c
+       |   FROM ltok GROUP BY 1, 2),
+       | ltot AS (SELECT lang, sum(c) AS lt FROM lcnt GROUP BY 1),
+       | luni AS (SELECT lang, token, log10(c / lt) AS lp
+       |   FROM lcnt JOIN ltot USING (lang)),
+       | lsc AS (SELECT l.doc_id, l.lang,
+       |     round(avg(coalesce(u.lp, -12.0)), 6) AS mean_logp,
+       |     count(*) AS n_tokens
+       |   FROM ltok l LEFT JOIN luni u
+       |     ON u.lang = l.lang AND u.token = l.token
+       |   GROUP BY 1, 2),
+       | rkt AS (SELECT doc_id, lang, mean_logp, n_tokens,
+       |     row_number() OVER (PARTITION BY lang
+       |       ORDER BY mean_logp DESC, doc_id) AS r,
+       |     count(*) OVER (PARTITION BY lang) AS n FROM lsc),
+       | tiered AS (SELECT doc_id, lang, mean_logp, n_tokens,
+       |     CASE WHEN r <= ceil(0.25 * n) THEN 'head'
+       |          WHEN r <= ceil(0.75 * n) THEN 'middle'
+       |          ELSE 'tail' END AS tier FROM rkt),
+       | fill AS (SELECT doc_id, lang, tier, mean_logp, n_tokens,
+       |     sum(n_tokens) OVER (PARTITION BY lang
+       |       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |   FROM tiered WHERE tier <> 'tail')
+       | SELECT doc_id, lang, tier, mean_logp,
+       |   CAST(n_tokens AS BIGINT) AS n_tokens
+       | FROM fill
+       | WHERE cum <= CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 250
+       |   ELSE 300 END
+       | ORDER BY doc_id""").stripMargin.replaceAll("\n", " ")
+  }
 
   private[queries] def langidCorpusOracle: String =
     (s"""WITH $langModelCtes,
@@ -1636,6 +1748,7 @@ object TextQueries {
     "q150_langid_injected" -> langidInjectedOracle,
     "q151_langid_corpus" -> langidCorpusOracle,
     "q154_crawl_langid" -> crawlLangidOracle,
+    "q158_ccnet_release" -> ccnetReleaseOracle,
     "q107_lang_mix" ->
       s"""WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 0 THEN text || ' der die das und ist nicht ein zu mit der die das und ist nicht ein zu mit der die'

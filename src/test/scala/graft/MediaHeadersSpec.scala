@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import graft.functions.MediaHeaders
+
+/** [[MediaHeaders]] kernels on hand-assembled containers: ISO-BMFF box
+  * forms (32-bit, 64-bit `size==1`, mvhd v0/v1), codec extraction via
+  * the trak descent, MP3 frame-hop arithmetic (CBR + VBR, padding),
+  * ID3v2 skip, leading-junk sync scan, ID3v1 stop, and every
+  * quarantine posture (truncation, overrun, missing boxes).
+  */
+class MediaHeadersSpec extends SparkSuite {
+
+  // --- assembly helpers -------------------------------------------------
+  private def u32(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def u64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(v).array()
+  private def fcc(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
+
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val p = payload.flatten.toArray
+    u32(p.length + 8L) ++ fcc(typ) ++ p
+  }
+  /** The 64-bit `size==1` box form. */
+  private def box64(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val p = payload.flatten.toArray
+    u32(1L) ++ fcc(typ) ++ u64(p.length + 16L) ++ p
+  }
+  private def mvhdV0(timescale: Long, duration: Long): Array[Byte] =
+    box("mvhd", u32(0), u32(0), u32(0), u32(timescale), u32(duration))
+  private def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+    box("mvhd", Array(1.toByte, 0, 0, 0), u64(0), u64(0), u32(timescale),
+      u64(duration))
+  private def trak(codec: String): Array[Byte] =
+    box("trak", box("mdia", box("minf", box("stbl",
+      box("stsd", u32(0), u32(1), u32(8), fcc(codec))))))
+  private val ftyp = box("ftyp", fcc("isom"), u32(0))
+
+  private def mp4(r: org.apache.spark.sql.catalyst.InternalRow) =
+    (r.getBoolean(0), r.getDouble(1), r.getInt(2), r.getLong(3),
+      r.getInt(4), r.getUTF8String(5).toString)
+  private def mp3(r: org.apache.spark.sql.catalyst.InternalRow) =
+    (r.getBoolean(0), r.getUTF8String(1).toString, r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getInt(5), r.getDouble(6), r.getInt(7))
+
+  /** One MPEG1 Layer III frame: 0x90 = 128 kbps @ 44100, pad bit via
+    * arg. frame length = 144·128000/44100 (+pad) = 417 (+pad).
+    */
+  private def l3Frame(pad: Boolean = false, brIdx: Int = 9): Array[Byte] = {
+    val b2 = ((brIdx << 4) | (if (pad) 2 else 0)).toByte
+    val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+    val len = 144 * br * 1000 / 44100 + (if (pad) 1 else 0)
+    Array(0xff.toByte, 0xfb.toByte, b2, 0.toByte) ++
+      Array.fill(len - 4)(0.toByte)
+  }
+  private def id3v2(tagBytes: Int): Array[Byte] = {
+    require(tagBytes < 128)
+    fcc("ID3") ++ Array[Byte](4, 0, 0) ++
+      Array[Byte](0, 0, 0, tagBytes.toByte) ++ Array.fill(tagBytes)(0.toByte)
+  }
+
+  // --- MP4 ---------------------------------------------------------------
+
+  test("mp4: mvhd v0 duration, two tracks, codec fourccs in track order") {
+    val b = ftyp ++ box("moov", mvhdV0(1000, 2500), trak("avc1"), trak("mp4a"))
+    assert(mp4(MediaHeaders.mp4Meta(b)) ===
+      ((true, 2.5, 1000, 2500L, 2, "avc1,mp4a")))
+  }
+
+  test("mp4: mvhd v1 (64-bit duration) and a 64-bit moov box size") {
+    val b = ftyp ++ box64("moov", mvhdV1(90000, 450000), trak("hvc1"))
+    assert(mp4(MediaHeaders.mp4Meta(b)) ===
+      ((true, 5.0, 90000, 450000L, 1, "hvc1")))
+  }
+
+  test("mp4 quarantine: truncation, size overrun, missing moov/mvhd, zero timescale") {
+    val good = ftyp ++ box("moov", mvhdV0(1000, 2500), trak("avc1"))
+    // corrupt the moov SIZE to overrun the payload end
+    val overrun = good.clone()
+    overrun(ftyp.length + 3) = 0x7f.toByte
+    for (bad <- Seq(
+        good.dropRight(5),                       // truncated final box
+        overrun,                                 // box size past the end
+        ftyp,                                    // no moov at all
+        ftyp ++ box("moov", trak("avc1")),       // moov without mvhd
+        ftyp ++ box("moov", mvhdV0(0, 2500), trak("avc1")), // timescale 0
+        Array[Byte](0, 0)))
+      assert(mp4(MediaHeaders.mp4Meta(bad))._1 === false, bad.length.toString)
+  }
+
+  // --- MP3 ---------------------------------------------------------------
+
+  test("mp3: CBR frame hop — count, duration, first-frame parameters") {
+    val b = l3Frame() ++ l3Frame() ++ l3Frame() ++ l3Frame()
+    val (ok, ver, layer, br, rate, n, dur, id3) = mp3(MediaHeaders.mp3Meta(b))
+    assert((ok, ver, layer, br, rate, n, id3) ===
+      ((true, "MPEG1", 3, 128, 44100, 4, 0)))
+    assert(math.abs(dur - 4 * 1152.0 / 44100) < 1e-12)
+  }
+
+  test("mp3: VBR frames (mixed bitrate + padding) accumulate exact per-frame durations") {
+    val b = l3Frame(brIdx = 9) ++ l3Frame(brIdx = 11, pad = true) ++
+      l3Frame(brIdx = 5)
+    val (ok, _, _, br, _, n, dur, _) = mp3(MediaHeaders.mp3Meta(b))
+    assert(ok && n === 3 && br === 128) // first-frame bitrate reported
+    assert(math.abs(dur - 3 * 1152.0 / 44100) < 1e-12)
+  }
+
+  test("mp3: ID3v2 skip, leading junk scan, ID3v1 stop, truncated final frame") {
+    val frames = l3Frame() ++ l3Frame()
+    // ID3v2 then frames
+    val (ok1, _, _, _, _, n1, _, tag1) =
+      mp3(MediaHeaders.mp3Meta(id3v2(57) ++ frames))
+    assert(ok1 && n1 === 2 && tag1 === 67)
+    // junk before the first sync still finds it (ripper posture)
+    val (ok2, _, _, _, _, n2, _, _) =
+      mp3(MediaHeaders.mp3Meta(Array[Byte](1, 2, 3, 4, 5) ++ frames))
+    assert(ok2 && n2 === 2)
+    // trailing ID3v1 'TAG' block terminates the hop cleanly
+    val v1 = fcc("TAG") ++ Array.fill(125)(0.toByte)
+    val (ok3, _, _, _, _, n3, _, _) =
+      mp3(MediaHeaders.mp3Meta(frames ++ v1))
+    assert(ok3 && n3 === 2)
+    // a truncated final frame is not counted
+    val (ok4, _, _, _, _, n4, _, _) =
+      mp3(MediaHeaders.mp3Meta(frames ++ l3Frame().dropRight(10)))
+    assert(ok4 && n4 === 2)
+  }
+
+  test("mp3 quarantine: no sync anywhere / reserved version bits") {
+    assert(mp3(MediaHeaders.mp3Meta(Array[Byte](0x12, 0x34, 0x56)))._1 === false)
+    // 0xE8 = sync tail + version RESERVED (01) + layer III: invalid
+    val reserved = Array(0xff.toByte, 0xea.toByte, 0x90.toByte, 0.toByte) ++
+      Array.fill(413)(0.toByte)
+    assert(mp3(MediaHeaders.mp3Meta(reserved))._1 === false)
+    // ID3v2-only payload (no frames): malformed but reports the tag size
+    val r = mp3(MediaHeaders.mp3Meta(id3v2(20)))
+    assert(r._1 === false && r._8 === 30)
+  }
+
+  test("expressions run inside whole-stage codegen over a binary column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.MediaHeaderExpr.register(spark)
+    val b = ftyp ++ box("moov", mvhdV0(1000, 3000), trak("avc1"))
+    val m = l3Frame() ++ l3Frame() ++ l3Frame()
+    val df = Seq((1L, b, m)).toDF("id", "v", "a")
+      .repartition(1) // break ConvertToLocalRelation: the kernel must run in codegen
+      .select(col("id"),
+        graft.functions.MediaHeaderExpr.mp4Meta(col("v")).as("m4"),
+        graft.functions.MediaHeaderExpr.mp3Meta(col("a")).as("m3"))
+      .select(col("m4.duration_sec"), col("m4.codecs"), col("m3.n_frames"))
+    val row = df.collect().head // execute → AQE finalizes; codegen span visible below
+    assert(df.queryExecution.executedPlan.toString.contains(") Project"),
+      df.queryExecution.executedPlan.toString)
+    assert(row.getDouble(0) === 3.0 && row.getString(1) === "avc1" &&
+      row.getInt(2) === 3)
+  }
+}

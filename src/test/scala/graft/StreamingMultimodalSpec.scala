@@ -42,6 +42,47 @@ class StreamingMultimodalSpec extends SparkSuite {
       again.sortBy(_.asset_id).map(_.sha_fingerprint).toSeq)
   }
 
+  test("multimodal: MP4/MP3 records carry REAL header metadata columns (decode stays the marked fake)") {
+    import org.apache.spark.sql.functions._
+    import java.nio.ByteBuffer
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    graft.functions.MediaHeaderExpr.register(spark)
+    def u32(v: Long) = ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def box(t: String, p: Array[Byte]*) = {
+      val pay = p.flatten.toArray
+      u32(pay.length + 8L) ++ t.getBytes(ISO_8859_1) ++ pay
+    }
+    val mp4 = box("ftyp", "isom".getBytes(ISO_8859_1), u32(0)) ++
+      box("moov",
+        box("mvhd", u32(0), u32(0), u32(0), u32(600), u32(1800)),
+        box("trak", box("mdia", box("minf", box("stbl",
+          box("stsd", u32(0), u32(1), u32(8), "avc1".getBytes(ISO_8859_1)))))))
+    val mp3 = Array.fill(2)(
+      Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0.toByte) ++
+        Array.fill(413)(0.toByte)).flatten
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", mp4, "mem://clip.mp4"),
+      Multimodal.MediaRecord(2L, "audio", mp3, "mem://song.mp3")).toDS()
+    // header metadata is REAL byte parsing (duration/codec/bitrate);
+    // the feature path still takes the marked fake for these formats
+    val meta = media.toDF()
+      .select(col("asset_id"), col("media_type"),
+        graft.functions.MediaHeaderExpr.mp4Meta(col("payload")).as("v"),
+        graft.functions.MediaHeaderExpr.mp3Meta(col("payload")).as("a"))
+      .select(col("asset_id"), col("media_type"),
+        col("v.ok").as("mp4_ok"), col("v.duration_sec"), col("v.codecs"),
+        col("a.ok").as("mp3_ok"), col("a.bitrate_kbps"), col("a.n_frames"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getBoolean(2) && meta(1L).getDouble(3) === 3.0 &&
+      meta(1L).getString(4) === "avc1")
+    assert(!meta(1L).getBoolean(5)) // an MP4 payload is not an MP3
+    assert(meta(2L).getBoolean(5) && meta(2L).getInt(6) === 128 &&
+      meta(2L).getInt(7) === 2)
+    assert(!meta(2L).getBoolean(2))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.forall(!_.decoded)) // pixel/sample decode: still the marked fake
+  }
+
   test("multimodal: real PNG decodes via ImageIO — true dims + pixel stats") {
     // 40x20 image: left half pure red, right half pure blue.
     val img = new java.awt.image.BufferedImage(40, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
