@@ -1175,21 +1175,34 @@ object TextQueries {
           Tables(s, dir, "documents").select(col("doc_id"), txt.as("text")),
           "text")
         .where(col("lang") =!= "und")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val uni = graft.operators.LmScore.trainUnigramBy(docs, "text", "lang")
+      // the classify + per-language-LM upstream is the expensive part
+      // (two exploded joins over every token); the tier/budget bucket
+      // machinery downstream consumes its input several times (stats,
+      // bucket meta, boundary ranks — each a separate pass), so persist
+      // the scored frame once instead of re-running the upstream ~8×
       val scored = graft.operators.LmScore
         .scoreDocsBy(docs, "text", "doc_id", "lang", uni, oovLogp = -12.0)
         .select(col("id").as("doc_id"), col("stratum").as("lang"),
           round(col("mean_logp"), 6).as("mean_logp"), col("n_tokens"))
-      val tiered = graft.operators.Sampling.percentileBuckets(scored,
-        "lang", "doc_id", "mean_logp",
-        Seq("head" -> 0.25, "middle" -> 0.5, "tail" -> 0.25))
-      graft.operators.Sampling.byTokenBudget(
-          tiered.where(col("tier") =!= "tail"),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the budget fill consumes ITS input several times too (bucket
+      // meta, boundary ranks), and each pass would otherwise re-run the
+      // whole tier machinery — persist the kept tiers as well
+      val kept = graft.operators.Sampling.percentileBuckets(scored,
+          "lang", "doc_id", "mean_logp",
+          Seq("head" -> 0.25, "middle" -> 0.5, "tail" -> 0.25))
+        .where(col("tier") =!= "tail")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = graft.operators.Sampling.byTokenBudget(kept,
           "lang", "doc_id", "n_tokens",
           Map("en" -> 400L, "zh" -> 250L), defaultBudget = 300L)
         .select(col("doc_id"), col("lang"), col("tier"),
           col("mean_logp"), col("n_tokens"))
         .orderBy("doc_id")
+      graft.core.Frames.releaseAfterNextAction(s, docs, scored, kept)
+      out
     })
   )
 

@@ -46,7 +46,10 @@ def main():
         l = local.get(name, "absent")
         d_green = d in ("pass", "rows-ok")
         l_green = l in ("pass", "rows-ok")
-        if not d_green:
+        # a query not in the driver artifact yet (added since that
+        # artifact was produced) is NOT a red row — it lands in the
+        # NOTE below and gets judged by the NEXT driver artifact
+        if not d_green and name in driver:
             red.append((name, d, l))
         if d_green != l_green or (name not in driver) != (name not in local):
             # local-only names are fine when they're NEW queries added
