@@ -1171,40 +1171,110 @@ object TextQueries {
           call_function("repeat",
             concat(lit(" #"), col("doc_id").cast("string")),
             (pmod(col("doc_id"), lit(3)) + 1).cast("int"))))
-      val docs = graft.operators.LangId.classify(
-          Tables(s, dir, "documents").select(col("doc_id"), txt.as("text")),
-          "text")
-        .where(col("lang") =!= "und")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val uni = graft.operators.LmScore.trainUnigramBy(docs, "text", "lang")
-      // the classify + per-language-LM upstream is the expensive part
-      // (two exploded joins over every token); the tier/budget bucket
-      // machinery downstream consumes its input several times (stats,
-      // bucket meta, boundary ranks — each a separate pass), so persist
-      // the scored frame once instead of re-running the upstream ~8×
-      val scored = graft.operators.LmScore
-        .scoreDocsBy(docs, "text", "doc_id", "lang", uni, oovLogp = -12.0)
-        .select(col("id").as("doc_id"), col("stratum").as("lang"),
-          round(col("mean_logp"), 6).as("mean_logp"), col("n_tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the budget fill consumes ITS input several times too (bucket
-      // meta, boundary ranks), and each pass would otherwise re-run the
-      // whole tier machinery — persist the kept tiers as well
-      val kept = graft.operators.Sampling.percentileBuckets(scored,
-          "lang", "doc_id", "mean_logp",
-          Seq("head" -> 0.25, "middle" -> 0.5, "tail" -> 0.25))
-        .where(col("tier") =!= "tail")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = graft.operators.Sampling.byTokenBudget(kept,
-          "lang", "doc_id", "n_tokens",
-          Map("en" -> 400L, "zh" -> 250L), defaultBudget = 300L)
-        .select(col("doc_id"), col("lang"), col("tier"),
-          col("mean_logp"), col("n_tokens"))
-        .orderBy("doc_id")
-      graft.core.Frames.releaseAfterNextAction(s, docs, scored, kept)
-      out
+      ccnetCompose(s,
+        Tables(s, dir, "documents").select(col("doc_id"), txt.as("text")))
+    }),
+
+    // The same CCNet composition over the REAL CRAWL PATH — raw HTTP
+    // bytes to a per-language budgeted release in one plan: each doc
+    // ships as a full HTTP response (Latin-1 / UTF-8 charset mix per
+    // the snippet's encodability, every second capture CHUNKED — the
+    // q154 construction) wrapping an HTML page whose text is the q158
+    // injection (snippet + repetition knob, Thai + short und rows
+    // riding along). Warc.httpResponses → dechunk_http_body →
+    // decode_http_body → html_text → LangId.classify → the shared
+    // tier/budget chain. The ORACLE IS q158's VERBATIM: the
+    // closed-form text is framing/charset/extraction-blind, so any
+    // byte-level slip in the crawl stages shifts grams or tokens and
+    // breaks the language call, the LM scores, the tier boundaries, or
+    // the budget fill — the whole multilingual story end to end.
+    "q160_crawl_ccnet" -> ((s, dir) => {
+      val k = langSnippets.size
+      val snippet = langSnippets.zipWithIndex.tail.foldLeft(
+          when(pmod(col("doc_id"), lit(k)) === 0, lit(langSnippets.head._2))) {
+        case (acc, ((_, t), i)) =>
+          acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+      }
+      val pageText = when(pmod(col("doc_id"), lit(97)) === 0, lit("ab"))
+        .otherwise(concat(
+          when(pmod(col("doc_id"), lit(11)) === 5, lit(unkSnippet))
+            .otherwise(snippet),
+          call_function("repeat",
+            concat(lit(" #"), col("doc_id").cast("string")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int"))))
+      val html = concat(
+        lit("<html><head>" +
+          "<script>var x = \"decoy charset=utf-16le\";</script></head>" +
+          "<body><p>"),
+        pageText, lit("</p></body></html>"))
+      val latinIdxs = langSnippets.zipWithIndex.collect {
+        case ((_, t), i) if java.nio.charset.StandardCharsets.ISO_8859_1
+          .newEncoder().canEncode(t) => i.toLong
+      }
+      // the Thai und rows override the snippet with non-Latin-1 text,
+      // so they must ship UTF-8 whatever their %13 residue says
+      val isLatin = pmod(col("doc_id"), lit(k)).isInCollection(latinIdxs) &&
+        pmod(col("doc_id"), lit(11)) =!= 5
+      val chunked = pmod(col("doc_id"), lit(2)) === 0
+      val head = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
+        when(isLatin, lit("ISO-8859-1")).otherwise(lit("UTF-8")),
+        lit("\r\n"),
+        when(chunked, lit("Transfer-Encoding: chunked\r\n")).otherwise(lit("")),
+        lit("\r\n"))
+      val bodyB = when(isLatin, encode(html, "ISO-8859-1"))
+        .otherwise(encode(html, "UTF-8"))
+      val framed = when(chunked, concat(
+          encode(concat(lower(hex(length(bodyB))), lit("\r\n")), "UTF-8"),
+          bodyB,
+          lit("\r\n0\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        .otherwise(bodyB)
+      val payload = concat(encode(head, "UTF-8"), framed)
+      val recs = Tables(s, dir, "documents")
+        .select(lit("mem://crawl_ccnet.warc").as("path"),
+          col("doc_id").as("offset"),
+          concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("record_id"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("target_uri"),
+          payload.as("payload"),
+          lit(true).as("valid"), lit("response").as("warc_type"))
+      val pages = graft.corpus.CrawlPipeline.pageDocsFromRecords(
+        recs, docId = col("offset"))
+      ccnetCompose(s, pages.select(col("doc_id"), col("text")))
     })
   )
+
+  /** The shared CCNet composition tail of q158/q160: classify →
+    * "und" excluded → per-LANGUAGE unigram LM → 25/50/25 tiers on the
+    * ROUNDED score → tail dropped → per-language token budgets. The
+    * three stage frames persist across the bucket machinery's
+    * multi-pass consumers (the q87 idiom — without it the two exploded
+    * LM joins re-ran ~8×; measured 21.9 → 5.8s at sf0.1).
+    */
+  private def ccnetCompose(s: SparkSession,
+                           injected: DataFrame): DataFrame = {
+    val docs = graft.operators.LangId.classify(injected, "text")
+      .where(col("lang") =!= "und")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = graft.operators.LmScore.trainUnigramBy(docs, "text", "lang")
+    val scored = graft.operators.LmScore
+      .scoreDocsBy(docs, "text", "doc_id", "lang", uni, oovLogp = -12.0)
+      .select(col("id").as("doc_id"), col("stratum").as("lang"),
+        round(col("mean_logp"), 6).as("mean_logp"), col("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = graft.operators.Sampling.percentileBuckets(scored,
+        "lang", "doc_id", "mean_logp",
+        Seq("head" -> 0.25, "middle" -> 0.5, "tail" -> 0.25))
+      .where(col("tier") =!= "tail")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = graft.operators.Sampling.byTokenBudget(kept,
+        "lang", "doc_id", "n_tokens",
+        Map("en" -> 400L, "zh" -> 250L), defaultBudget = 300L)
+      .select(col("doc_id"), col("lang"), col("tier"),
+        col("mean_logp"), col("n_tokens"))
+      .orderBy("doc_id")
+    graft.core.Frames.releaseAfterNextAction(s, docs, scored, kept)
+    out
+  }
 
   // q150 fixtures: held-out sentences (deliberately NOT in
   // LangIdModel.seeds — the check is generalization, not recall);
@@ -1762,6 +1832,10 @@ object TextQueries {
     "q151_langid_corpus" -> langidCorpusOracle,
     "q154_crawl_langid" -> crawlLangidOracle,
     "q158_ccnet_release" -> ccnetReleaseOracle,
+    // q160 shares q158's oracle VERBATIM: the closed-form docs0 text is
+    // framing/charset/extraction-blind, so the crawl stages must be
+    // byte-exact for the composition to reproduce it
+    "q160_crawl_ccnet" -> ccnetReleaseOracle,
     "q107_lang_mix" ->
       s"""WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 0 THEN text || ' der die das und ist nicht ein zu mit der die das und ist nicht ein zu mit der die'
