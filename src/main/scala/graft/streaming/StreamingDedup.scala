@@ -211,6 +211,18 @@ object StreamingDedup {
     * Checkpointing makes re-runs skip already-processed files — together
     * with the idempotent greedy semantics this is exactly-once corpus
     * building.
+    *
+    * `compactEvery > 0` schedules [[LshIndex.compact]] after every
+    * `compactEvery`-th batch id (the [[graft.operators.Bm25.DiskIndex
+    * .streamingWriter]] convention: id-keyed, so restarts never drift
+    * the schedule; 0 = append-only) — a long-lived registry otherwise
+    * accumulates one file set per touched band per micro-batch.
+    * Running INSIDE foreachBatch satisfies the maintenance contract's
+    * "batches paused" single-writer rule by construction: Structured
+    * Streaming serializes micro-batches, so the swap never races an
+    * append, and the batch-id ledger riding through the swap keeps a
+    * re-delivered batch id skipping afterwards. A compact re-run after
+    * a crash-redelivery is idempotent (recover + rewrite).
     */
   def nearDupAvailableNow(
       docs: DataFrame,
@@ -218,13 +230,19 @@ object StreamingDedup {
       textCol: String,
       idCol: String,
       checkpoint: String,
-      onSurvivors: (DataFrame, Long) => Unit
-  ): StreamingQuery =
+      onSurvivors: (DataFrame, Long) => Unit,
+      compactEvery: Int = 0,
+      filesPerBand: Int = 1
+  ): StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0: $compactEvery")
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onSurvivors(index.dedupeBatch(batch, textCol, idCol, Some(batchId)), batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          index.compact(batch.sparkSession, filesPerBand)
       }
       .start()
+  }
 }

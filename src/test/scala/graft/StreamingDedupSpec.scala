@@ -317,4 +317,53 @@ class StreamingDedupSpec extends SparkSuite {
     run()
     assert(survivors.sorted === List(100L, 102L, 201L))
   }
+
+  test("nearDupAvailableNow with scheduled compaction: fires mid-drain, dedup stays exact, ledger survives") {
+    val root = Files.createTempDirectory("stream_docs_c")
+    val cp   = Files.createTempDirectory("stream_cp_c").toString
+    val dir  = Files.createTempDirectory("lsh_index_c").toString + "/ix"
+    // three landing files, one per micro-batch → ids 0,1,2; compaction
+    // fires after id 2 inside the drain (between-batch window — the
+    // serialized single-writer rule by construction), folding all
+    // three batches' file sets into one per band
+    Seq((100L, mut(doc, "x")), (102L, "totally unique text " * 10))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(root.toString + "/p0")
+    Seq((110L, mut(doc, "q")))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(root.toString + "/p1")
+    Seq((120L, "another corpus entirely about compaction " * 8))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(root.toString + "/p2")
+    val ix = new StreamingDedup.LshIndex(dir)
+    var survivors = List.empty[Long]
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1").parquet(root.toString)
+      val q = StreamingDedup.nearDupAvailableNow(stream, ix, "text", "doc_id", cp,
+        (s, _) => survivors = survivors ++ s.select("doc_id").as[Long].collect(),
+        compactEvery = 3)
+      q.awaitTermination(120000)
+    }
+    run()
+    // 100 survives its batch, 110 is a near-dup of the indexed 100
+    // (the compaction must not lose registry rows), 120 is new
+    assert(survivors.sorted === List(100L, 102L, 120L))
+    // compaction actually ran: one file per band partition
+    val bandDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty)
+    assert(bandDirs.forall(
+      _.listFiles().count(f => f.getName.endsWith(".parquet")) == 1),
+      "band partitions not compacted to filesPerBand files")
+    // restart with no new files: nothing re-processes (ledger + file
+    // checkpoint both survived the swap)
+    run()
+    assert(survivors.sorted === List(100L, 102L, 120L))
+    // post-compaction arrival (id 3, no compact: (3+1) % 3 != 0):
+    // near-dup of the COMPACTED registry drops, new text survives
+    Seq((130L, mut(doc, "w")), (131L, "late wholly original words " * 9))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(root.toString + "/p3")
+    run()
+    assert(survivors.sorted === List(100L, 102L, 120L, 131L))
+  }
 }
