@@ -143,4 +143,40 @@ object StreamingVectorDedup {
     def compact(spark: SparkSession, filesPerBand: Int = 1): Unit =
       IndexMaintenance.compact(spark, dir, bands, filesPerBand, "bucket")
   }
+
+  /** Wire an embedding stream through a [[VectorBandIndex]] — the vector
+    * twin of [[StreamingDedup.nearDupAvailableNow]]: drain available
+    * input with `Trigger.AvailableNow`, dedup each micro-batch against
+    * the persistent registry and within itself, hand survivors to
+    * `onSurvivors`. File-source checkpointing plus the batch-id ledger
+    * make the drain exactly-once under crash re-delivery.
+    *
+    * `compactEvery > 0` schedules [[VectorBandIndex.compact]] after
+    * every `compactEvery`-th batch id (id-keyed, restart-stable; 0 =
+    * append-only). Running inside foreachBatch satisfies the
+    * maintenance contract's single-writer rule by construction —
+    * micro-batches are serialized, so the swap never races an append.
+    */
+  def nearDupAvailableNow(
+      docs: DataFrame,
+      index: VectorBandIndex,
+      vecCol: String,
+      idCol: String,
+      checkpoint: String,
+      onSurvivors: (DataFrame, Long) => Unit,
+      compactEvery: Int = 0,
+      filesPerBand: Int = 1
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0: $compactEvery")
+    docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onSurvivors(index.dedupeBatch(batch, vecCol, idCol, Some(batchId)),
+          batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          index.compact(batch.sparkSession, filesPerBand)
+      }
+      .start()
+  }
 }

@@ -183,4 +183,51 @@ class StreamingVectorDedupSpec extends SparkSuite {
       .filter(_.getName.startsWith("band=")).map(_.getName).toSet
     assert(parts.nonEmpty && parts.forall(_.matches("band=\\d+")))
   }
+
+  test("nearDupAvailableNow: exactly-once drain with scheduled compaction; registry stays exact") {
+    val root = java.nio.file.Files.createTempDirectory("vec_stream")
+    val cp = java.nio.file.Files.createTempDirectory("vec_cp").toString
+    val dir = freshDir()
+    val docs = corpus
+    // two landing files → batch ids 0,1; compaction fires after id 1
+    docs.where(col("vec_id") < 50).coalesce(1)
+      .write.parquet(root.toString + "/p0")
+    docs.where(col("vec_id") >= 50).coalesce(1)
+      .write.parquet(root.toString + "/p1")
+    val ix = new VectorBandIndex(dir, bandBits = 8, bands = 16, threshold = 0.9)
+    var survivors = List.empty[Long]
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1").parquet(root.toString)
+      val q = graft.streaming.StreamingVectorDedup.nearDupAvailableNow(
+        stream, ix, "embedding", "vec_id", cp,
+        (s, _) => survivors = survivors ++ s.select("vec_id").as[Long].collect(),
+        compactEvery = 2)
+      q.awaitTermination(120000)
+    }
+    run()
+    // all 30 bases survive; every planted copy drops against the index
+    assert(survivors.sorted === (0L until 30L).toList)
+    // compaction ran: each band partition folded to one file
+    val bandDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty)
+    assert(bandDirs.forall(
+      _.listFiles().count(f => f.getName.endsWith(".parquet")) == 1))
+    // restart: nothing re-processes
+    run()
+    assert(survivors.sorted === (0L until 30L).toList)
+    // post-compaction arrival: a copy of base 3 drops against the
+    // COMPACTED registry; a fresh vector survives
+    val late = Seq(
+      (200L, corpus.where(col("vec_id") === 3L)
+        .select("embedding").as[Array[Float]].head()),
+      (201L, Array.fill(16)(new scala.util.Random(999).nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    late.coalesce(1).write.parquet(root.toString + "/p2")
+    run()
+    assert(survivors.sorted === ((0L until 30L) :+ 201L).toList)
+  }
 }
