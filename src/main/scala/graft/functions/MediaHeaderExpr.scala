@@ -36,7 +36,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (VBR-safe). Stops cleanly at a trailing ID3v1 `TAG` block or a
   * truncated final frame; `ok=false` when no valid frame exists.
   *
-  * Both run inside whole-stage codegen as a single static call.
+  * `ogg_meta(binary)` ([[MediaHeadersOgg]]) — walks OGG pages
+  * (RFC 3533), reads the Vorbis identification header or OpusHead from
+  * the BOS page, and derives the duration from the last page's granule
+  * position (Opus granules run on the 48 kHz clock minus pre-skip).
+  *
+  * All run inside whole-stage codegen as a single static call.
   */
 object MediaHeaders {
 
@@ -229,6 +234,103 @@ object MediaHeaders {
   }
 }
 
+object MediaHeadersOgg {
+
+  val oggType: StructType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_pages", IntegerType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = false)))
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def u64le(b: Array[Byte], o: Int): Long =
+    u32le(b, o) | (u32le(b, o + 4) << 32)
+  private def matches(b: Array[Byte], o: Int, s: String): Boolean = {
+    if (o + s.length > b.length) return false
+    var i = 0
+    while (i < s.length) { if (b(o + i) != s.charAt(i).toByte) return false; i += 1 }
+    true
+  }
+
+  private def empty = InternalRow(false,
+    org.apache.spark.unsafe.types.UTF8String.fromString(""), 0, 0, 0, 0.0)
+
+  /** OGG container metadata — the page grammar (RFC 3533) plus the
+    * Vorbis identification header / OpusHead parse: codec, channels,
+    * rate, page count, and the DURATION from the last page's granule
+    * position (Vorbis granules are PCM samples at the stream rate;
+    * Opus granules are always 48 kHz, less the pre-skip). Truncated
+    * pages / trailing junk stop the walk (the ripper posture shared
+    * with [[MediaHeaders.mp3Meta]]); ok requires at least one complete
+    * page opening a recognized codec.
+    */
+  def oggMeta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 27) return empty
+    var o = 0
+    var nPages = 0
+    var lastGranule = -1L
+    var codec = ""; var channels = 0; var rate = 0; var preskip = 0
+    var stop = false
+    while (!stop && o + 27 <= b.length && matches(b, o, "OggS")) {
+      val granule = u64le(b, o + 6)
+      val nsegs = b(o + 26) & 0xff
+      if (o + 27 + nsegs > b.length) stop = true
+      else {
+        var plen = 0; var i = 0
+        while (i < nsegs) { plen += b(o + 27 + i) & 0xff; i += 1 }
+        val pstart = o + 27 + nsegs
+        if (pstart + plen > b.length) stop = true
+        else {
+          nPages += 1
+          if (granule != -1L) lastGranule = granule
+          if (nPages == 1) {
+            if (plen >= 16 && b(pstart) == 1 && matches(b, pstart + 1, "vorbis")) {
+              codec = "vorbis"
+              channels = b(pstart + 11) & 0xff
+              rate = u32le(b, pstart + 12).toInt
+            } else if (plen >= 19 && matches(b, pstart, "OpusHead")) {
+              codec = "opus"
+              channels = b(pstart + 9) & 0xff
+              preskip = u16le(b, pstart + 10)
+              rate = 48000 // Opus granule clock, whatever the input rate
+            }
+          }
+          o = pstart + plen
+        }
+      }
+    }
+    if (nPages == 0 || codec.isEmpty || rate <= 0) return empty
+    val dur =
+      if (lastGranule < 0) 0.0
+      else if (codec == "opus")
+        math.max(0L, lastGranule - preskip).toDouble / 48000.0
+      else lastGranule.toDouble / rate
+    InternalRow(true,
+      org.apache.spark.unsafe.types.UTF8String.fromString(codec),
+      channels, rate, nPages, dur)
+  }
+}
+
+case class OggMetaExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("ogg_meta(payload BINARY) expected")
+  override def dataType: DataType = MediaHeadersOgg.oggType
+  override def nullSafeEval(input: Any): Any =
+    MediaHeadersOgg.oggMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaHeadersOgg.oggMeta($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "ogg_meta"
+}
+
 case class Mp4MetaExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -263,8 +365,11 @@ object MediaHeaderExpr {
       "mp4_meta", exprs => Mp4MetaExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mp3_meta", exprs => Mp3MetaExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ogg_meta", exprs => OggMetaExpr(exprs.head), "built-in")
   }
 
   def mp4Meta(payload: Column): Column = call_function("mp4_meta", payload)
   def mp3Meta(payload: Column): Column = call_function("mp3_meta", payload)
+  def oggMeta(payload: Column): Column = call_function("ogg_meta", payload)
 }

@@ -320,6 +320,60 @@ object MultimodalQueries {
           round(col("m3.duration_sec"), 6).as("mp3_duration_sec"),
           col("m3.id3v2_bytes").as("mp3_id3_bytes"))
         .orderBy("doc_id")
+    }),
+
+    // OGG container metadata (the q159 pattern for the remaining audio
+    // container): per doc a REAL two-page OGG stream — a BOS page
+    // carrying the codec identification header (Vorbis id header on
+    // even docs, OpusHead on odd) and an EOS page whose LITTLE-ENDIAN
+    // granule position encodes a doc_id-derived duration (Vorbis
+    // granules = PCM samples at the stream rate; Opus granules = 48 kHz
+    // minus the pre-skip). The oracle states codec/channels/rate/pages/
+    // duration in closed form from doc_id; a malformed leg quarantines.
+    "q161_ogg_headers" -> ((s, dir) => {
+      graft.functions.MediaHeaderExpr.register(s)
+      def hx(t: String) =
+        t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          .map(b => f"$b%02x").mkString
+      // little-endian hex of the low n bytes of a long column
+      def le(c: Column, n: Int): Column = concat((0 until n).map(i =>
+        lpad(lower(hex(pmod(shiftright(c, 8 * i), lit(256)))), 2, "0")): _*)
+      def page(headerType: String, granuleHex: Column, segTable: String,
+               payloadHex: Column): Column = concat(
+        lit(hx("OggS") + "00" + headerType), granuleHex,
+        lit("00" * 12), // serial + sequence + crc (not validated)
+        lit(segTable), payloadHex)
+      // Vorbis identification header: 01 "vorbis" ver=0 ch=2 rate=44100
+      // + bitrates(12B) + blocksizes + framing = 30 bytes
+      val vorbisId = lit("01" + hx("vorbis") + "00000000" + "02" +
+        "44ac0000" + "00" * 12 + "b8" + "01")
+      // OpusHead: ver=1 ch=2 preskip=312 input_rate=48000 gain mapping
+      val opusHead = lit(hx("OpusHead") + "01" + "02" + "3801" +
+        "80bb0000" + "0000" + "00")
+      val vg = lit(44100L) + pmod(col("doc_id"), lit(5)) * lit(4410L)
+      val og = lit(96312L) + pmod(col("doc_id"), lit(3)) * lit(4800L)
+      val vorbisHex = concat(
+        page("02", lit("0" * 16), "011e", vorbisId),
+        page("04", le(vg, 8), "0104", lit("00000000")))
+      val opusHex = concat(
+        page("02", lit("0" * 16), "0113", opusHead),
+        page("04", le(og, 8), "0104", lit("00000000")))
+      val ogg = when(pmod(col("doc_id"), lit(13)) === 6,
+          unhex(lit(hx("Ogg"))))
+        .otherwise(unhex(
+          when(pmod(col("doc_id"), lit(2)) === 0, vorbisHex)
+            .otherwise(opusHex)))
+      val m = graft.functions.MediaHeaderExpr.oggMeta(ogg)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"),
+          col("m.ok").as("ogg_ok"),
+          col("m.codec").as("codec"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.n_pages").as("n_pages"),
+          round(col("m.duration_sec"), 6).as("duration_sec"))
+        .orderBy("doc_id")
     })
   )
 
@@ -348,6 +402,23 @@ object MultimodalQueries {
         |   ELSE (3 + doc_id % 4) * 1152.0 / 44100 END, 6) AS mp3_duration_sec,
         | CAST(CASE WHEN doc_id % 11 = 7 THEN 0
         |   WHEN doc_id % 2 = 0 THEN 110 ELSE 0 END AS INT) AS mp3_id3_bytes
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // closed form from doc_id (the q159 convention): Vorbis duration =
+    // granule/rate = 1.0 + (doc_id%5)·0.1; Opus = (granule−preskip)/48k
+    // = 2.0 + (doc_id%3)·0.1; both sides round 6 dp so binary-inexact
+    // 0.1 steps and the kernel's division agree
+    "q161_ogg_headers" ->
+      """SELECT doc_id,
+        | (doc_id % 13 <> 6) AS ogg_ok,
+        | CASE WHEN doc_id % 13 = 6 THEN ''
+        |   WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+        | CAST(CASE WHEN doc_id % 13 = 6 THEN 0 ELSE 2 END AS INT) AS channels,
+        | CAST(CASE WHEN doc_id % 13 = 6 THEN 0
+        |   WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 13 = 6 THEN 0 ELSE 2 END AS INT) AS n_pages,
+        | round(CAST(CASE WHEN doc_id % 13 = 6 THEN 0.0
+        |   WHEN doc_id % 2 = 0 THEN 1.0 + (doc_id % 5) * 0.1
+        |   ELSE 2.0 + (doc_id % 3) * 0.1 END AS DOUBLE), 6) AS duration_sec
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q101_image_neardup" ->
       """WITH sel AS (

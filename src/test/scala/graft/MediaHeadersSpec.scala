@@ -141,6 +141,66 @@ class MediaHeadersSpec extends SparkSuite {
     assert(r._1 === false && r._8 === 30)
   }
 
+  // --- OGG ---------------------------------------------------------------
+
+  private def leBytes(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+  private def oggPage(headerType: Int, granule: Long,
+                      payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 255)
+    fcc("OggS") ++ Array[Byte](0, headerType.toByte) ++ leBytes(granule, 8) ++
+      Array.fill(12)(0.toByte) ++ // serial + seq + crc (not validated)
+      Array[Byte](1, payload.length.toByte) ++ payload
+  }
+  private def vorbisId(channels: Int, rate: Int): Array[Byte] =
+    Array[Byte](1) ++ fcc("vorbis") ++ leBytes(0, 4) ++
+      Array(channels.toByte) ++ leBytes(rate.toLong, 4) ++
+      Array.fill(12)(0.toByte) ++ Array[Byte](0xb8.toByte, 1)
+  private def opusHead(channels: Int, preskip: Int): Array[Byte] =
+    fcc("OpusHead") ++ Array[Byte](1, channels.toByte) ++
+      leBytes(preskip.toLong, 2) ++ leBytes(48000L, 4) ++
+      Array.fill(3)(0.toByte)
+  private def ogg(r: org.apache.spark.sql.catalyst.InternalRow) =
+    (r.getBoolean(0), r.getUTF8String(1).toString, r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getDouble(5))
+  import graft.functions.MediaHeadersOgg
+
+  test("ogg: vorbis pages — codec/channels/rate, duration from the last granule") {
+    val b = oggPage(2, 0, vorbisId(2, 44100)) ++
+      oggPage(0, 22050, Array.fill(10)(0.toByte)) ++
+      oggPage(4, 88200, Array.fill(4)(0.toByte))
+    assert(ogg(MediaHeadersOgg.oggMeta(b)) ===
+      ((true, "vorbis", 2, 44100, 3, 2.0)))
+  }
+
+  test("ogg: opus pre-skip — duration on the 48 kHz granule clock; -1 granules skipped") {
+    val b = oggPage(2, 0, opusHead(1, 312)) ++
+      oggPage(0, -1L, Array.fill(6)(0.toByte)) ++ // continued page: no granule
+      oggPage(4, 48312, Array.fill(4)(0.toByte))
+    val (ok, codec, ch, rate, n, dur) = ogg(MediaHeadersOgg.oggMeta(b))
+    assert((ok, codec, ch, rate, n) === ((true, "opus", 1, 48000, 3)))
+    assert(math.abs(dur - 1.0) < 1e-12)
+  }
+
+  test("ogg: truncated final page and trailing junk both stop the walk cleanly") {
+    val good = oggPage(2, 0, vorbisId(2, 8000)) ++
+      oggPage(4, 16000, Array.fill(4)(0.toByte))
+    val truncated = good.dropRight(3) // cuts the EOS payload
+    val (ok1, _, _, _, n1, dur1) = ogg(MediaHeadersOgg.oggMeta(truncated))
+    assert(ok1 && n1 === 1 && dur1 === 0.0) // only the BOS page completed
+    val junkTail = good ++ Array[Byte](9, 9, 9)
+    assert(ogg(MediaHeadersOgg.oggMeta(junkTail)) ===
+      ((true, "vorbis", 2, 8000, 2, 2.0)))
+  }
+
+  test("ogg quarantine: no magic, unknown codec, zero rate") {
+    assert(ogg(MediaHeadersOgg.oggMeta("Ogg".getBytes(ISO_8859_1)))._1 === false)
+    val unknown = oggPage(2, 0, fcc("SomeCodecHeaderXYZ"))
+    assert(ogg(MediaHeadersOgg.oggMeta(unknown))._1 === false)
+    val zeroRate = oggPage(2, 0, vorbisId(2, 0))
+    assert(ogg(MediaHeadersOgg.oggMeta(zeroRate))._1 === false)
+  }
+
   test("expressions run inside whole-stage codegen over a binary column") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
