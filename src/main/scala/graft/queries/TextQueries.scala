@@ -1155,25 +1155,29 @@ object TextQueries {
     // through one partition). The oracle recomposes ALL FOUR stages in
     // SQL: the full langid model, the per-language LM, the tier
     // windows, and the budget cumsum.
-    "q158_ccnet_release" -> ((s, dir) => {
-      val k = langSnippets.size
-      val body = langSnippets.zipWithIndex.tail.foldLeft(
-          when(pmod(col("doc_id"), lit(k)) === 0, lit(langSnippets.head._2))) {
-        case (acc, ((_, t), i)) =>
-          acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
-      }
-      // 1-3 copies of the per-doc suffix token: its in-language count
-      // varies per doc, so per-language LM means spread into real tiers
-      val txt = when(pmod(col("doc_id"), lit(97)) === 0, lit("ab"))
-        .otherwise(concat(
-          when(pmod(col("doc_id"), lit(11)) === 5, lit(unkSnippet))
-            .otherwise(body),
-          call_function("repeat",
-            concat(lit(" #"), col("doc_id").cast("string")),
-            (pmod(col("doc_id"), lit(3)) + 1).cast("int"))))
-      ccnetCompose(s,
-        Tables(s, dir, "documents").select(col("doc_id"), txt.as("text")))
-    }),
+    "q158_ccnet_release" -> ((s, dir) =>
+      ccnetCompose(s, ccnetInjected(s, dir))),
+
+    // Epoch UPSAMPLING per language — the other half of real
+    // multilingual mixtures (CCNet/LLaMA-style: low-resource languages
+    // repeat for several epochs while high-resource ones downsample).
+    // Same injected corpus and langid → per-language-LM → tier chain as
+    // q158, but the budget stage is `Sampling.epochsToBudget`: en's
+    // budget forces a downsample, ko's a multi-epoch repeat capped at
+    // maxEpochs, the default lands the boundary INSIDE an epoch — all
+    // three regimes at the correctness scale (at sf0.1 everything
+    // downsamples; regime coverage lives where the hash-compare runs,
+    // the q90 note). Oracle: the shared four-stage recomposition plus
+    // the defining epoch inequality over a window cumsum.
+    "q162_ccnet_epochs" -> ((s, dir) =>
+      ccnetCompose(s, ccnetInjected(s, dir), kept =>
+        graft.operators.Sampling.epochsToBudget(kept,
+            "lang", "doc_id", "n_tokens",
+            Map("en" -> 250L, "ko" -> 2000L),
+            maxEpochs = 3, defaultBudget = 900L)
+          .select(col("doc_id"), col("lang"), col("tier"),
+            col("mean_logp"), col("n_tokens"), col("epoch"))
+          .orderBy("doc_id", "epoch"))),
 
     // The same CCNet composition over the REAL CRAWL PATH — raw HTTP
     // bytes to a per-language budgeted release in one plan: each doc
@@ -1250,8 +1254,37 @@ object TextQueries {
     * multi-pass consumers (the q87 idiom — without it the two exploded
     * LM joins re-ran ~8×; measured 21.9 → 5.8s at sf0.1).
     */
-  private def ccnetCompose(s: SparkSession,
-                           injected: DataFrame): DataFrame = {
+  /** The q158-family injected corpus: per doc a held-out sentence by
+    * doc_id % 13 (Thai unknown-script rows at % 11 == 5, a short row at
+    * % 97 == 0 — both end "und" and must be EXCLUDED downstream), plus
+    * 1-3 copies of the per-doc `#id` suffix token so per-language LM
+    * means spread into real tiers.
+    */
+  private def ccnetInjected(s: SparkSession, dir: String): DataFrame = {
+    val k = langSnippets.size
+    val body = langSnippets.zipWithIndex.tail.foldLeft(
+        when(pmod(col("doc_id"), lit(k)) === 0, lit(langSnippets.head._2))) {
+      case (acc, ((_, t), i)) =>
+        acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+    }
+    val txt = when(pmod(col("doc_id"), lit(97)) === 0, lit("ab"))
+      .otherwise(concat(
+        when(pmod(col("doc_id"), lit(11)) === 5, lit(unkSnippet))
+          .otherwise(body),
+        call_function("repeat",
+          concat(lit(" #"), col("doc_id").cast("string")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int"))))
+    Tables(s, dir, "documents").select(col("doc_id"), txt.as("text"))
+  }
+
+  private def ccnetCompose(s: SparkSession, injected: DataFrame,
+      budgetStage: DataFrame => DataFrame = kept =>
+        graft.operators.Sampling.byTokenBudget(kept,
+            "lang", "doc_id", "n_tokens",
+            Map("en" -> 400L, "zh" -> 250L), defaultBudget = 300L)
+          .select(col("doc_id"), col("lang"), col("tier"),
+            col("mean_logp"), col("n_tokens"))
+          .orderBy("doc_id")): DataFrame = {
     val docs = graft.operators.LangId.classify(injected, "text")
       .where(col("lang") =!= "und")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1266,12 +1299,7 @@ object TextQueries {
         Seq("head" -> 0.25, "middle" -> 0.5, "tail" -> 0.25))
       .where(col("tier") =!= "tail")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = graft.operators.Sampling.byTokenBudget(kept,
-        "lang", "doc_id", "n_tokens",
-        Map("en" -> 400L, "zh" -> 250L), defaultBudget = 300L)
-      .select(col("doc_id"), col("lang"), col("tier"),
-        col("mean_logp"), col("n_tokens"))
-      .orderBy("doc_id")
+    val out = budgetStage(kept)
     graft.core.Frames.releaseAfterNextAction(s, docs, scored, kept)
     out
   }
@@ -1400,9 +1428,13 @@ object TextQueries {
     * float determinism convention), and the hash-order token-budget
     * cumsum (byTokenBudget's defining window).
     */
-  private[queries] def ccnetReleaseOracle: String = {
+  /** The shared q158-family prefix: langid model + scoring mirror over
+    * the injected docs0, per-language LM, and the 25/50/25 tier windows
+    * — everything through the `tiered` CTE.
+    */
+  private def ccnetTieredCtes: String = {
     val gap = graft.operators.LangId.DefaultMinOovGap
-    (s"""WITH $langModelCtes,
+    (s"""$langModelCtes,
        | docs0 AS (SELECT doc_id,
        |     CASE WHEN doc_id % 97 = 0 THEN 'ab'
        |          WHEN doc_id % 11 = 5 THEN '$unkSnippet' ||
@@ -1439,7 +1471,11 @@ object TextQueries {
        | tiered AS (SELECT doc_id, lang, mean_logp, n_tokens,
        |     CASE WHEN r <= ceil(0.25 * n) THEN 'head'
        |          WHEN r <= ceil(0.75 * n) THEN 'middle'
-       |          ELSE 'tail' END AS tier FROM rkt),
+       |          ELSE 'tail' END AS tier FROM rkt)""").stripMargin
+  }
+
+  private[queries] def ccnetReleaseOracle: String =
+    (s"""WITH $ccnetTieredCtes,
        | fill AS (SELECT doc_id, lang, tier, mean_logp, n_tokens,
        |     sum(n_tokens) OVER (PARTITION BY lang
        |       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
@@ -1451,7 +1487,30 @@ object TextQueries {
        | WHERE cum <= CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 250
        |   ELSE 300 END
        | ORDER BY doc_id""").stripMargin.replaceAll("\n", " ")
-  }
+
+  /** q162: the shared prefix + the defining epoch inequality (the q90
+    * mirror) — row d of language s (budget B, kept token total T,
+    * hash-ordered inclusive prefix sum cum) appears at epoch k iff
+    * (k−1)·T + cum ≤ B, capped at maxEpochs = 3.
+    */
+  private[queries] def ccnetEpochsOracle: String =
+    (s"""WITH $ccnetTieredCtes,
+       | fillc AS (SELECT doc_id, lang, tier, mean_logp, n_tokens,
+       |     sum(n_tokens) OVER (PARTITION BY lang
+       |       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |     sum(n_tokens) OVER (PARTITION BY lang) AS tot,
+       |     CASE lang WHEN 'en' THEN 250 WHEN 'ko' THEN 2000
+       |       ELSE 900 END AS b
+       |   FROM tiered WHERE tier <> 'tail'),
+       | ee AS (SELECT doc_id, lang, tier, mean_logp, n_tokens,
+       |     CASE WHEN cum > b THEN 0 WHEN tot = 0 THEN 3
+       |          ELSE least(3, (b - cum) // tot + 1) END AS ne FROM fillc)
+       | SELECT doc_id, lang, tier, mean_logp,
+       |   CAST(n_tokens AS BIGINT) AS n_tokens,
+       |   CAST(unnest(generate_series(1, CAST(ne AS BIGINT))) AS INTEGER) AS epoch
+       | FROM ee WHERE ne >= 1 ORDER BY doc_id, lang, epoch""").stripMargin
+      .replaceAll("\n", " ")
 
   private[queries] def langidCorpusOracle: String =
     (s"""WITH $langModelCtes,
@@ -1836,6 +1895,7 @@ object TextQueries {
     // framing/charset/extraction-blind, so the crawl stages must be
     // byte-exact for the composition to reproduce it
     "q160_crawl_ccnet" -> ccnetReleaseOracle,
+    "q162_ccnet_epochs" -> ccnetEpochsOracle,
     "q107_lang_mix" ->
       s"""WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 0 THEN text || ' der die das und ist nicht ein zu mit der die das und ist nicht ein zu mit der die'
