@@ -212,7 +212,11 @@ object Bm25 {
     val idf = stats.select(col("term"),
       log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))).as("idf"),
-      partExpr.as("__part"))
+      partExpr.as("__part"),
+      // min_dl rides along for the θ-floor inversion below (null when
+      // the stats path has no impact extremes — the floor then uses the
+      // dl→0 limit, weaker but still valid)
+      col("min_dl").cast("double").as("__mdl"))
     // per-query term table with UB and its suffix sum in UB-desc order.
     // Query-cardinality frames (ranked, split) materialize EAGERLY:
     // each is consumed by several broadcast builds below, and without
@@ -239,20 +243,69 @@ object Bm25 {
         .orderBy(col("__w").desc, col("doc_id"))))
       .where(col("__r") === k)
       .select(col("query_id"), col("__w").as("__theta"))
+    // θ-TF-FLOOR candidate pruning (the row-group lever the tf-desc
+    // compaction clustering was built for): a doc can only reach the
+    // top k if SOME essential posting row of it satisfies
+    // `w(tf, dl) + suffix-UB-of-all-LATER-terms >= θ − 2e-6` — if every
+    // row fails it, the doc's full score is < θ − 2e-6 (its
+    // highest-ranked match's actual w plus every later term's UB bounds
+    // the sum) and ≥ k seed docs beat it even after 6-dp rounding, the
+    // same margin argument as the essential split. The row condition is
+    // increasing in tf and maximal at dl = min_dl (w decreases in dl for
+    // b ∈ [0, 1]), so inverting the weight at min_dl yields a PER-TERM
+    // INTEGER TF FLOOR: with T = θ − 2e-6 − sfx_after and
+    // D = k1·(1−b+b·min_dl/avgdl),  w(tf, min_dl) ≥ T  ⟺
+    // tf ≥ T·D / (idf·(k1+1) − T). NOTE the naive `w(tf, min_dl) ≥ θ`
+    // floor (no sfx_after) would be WRONG: a doc below it on every term
+    // can still sum past θ across terms. min_dl null (no impact
+    // artifact) degrades to the dl→0 limit D = k1·(1−b) — weaker floor,
+    // still safe. Exotic params (k1 < 0 or b ∉ [0,1]) void the
+    // monotonicity argument → floor 0 (no pruning), like the UB cap.
+    val sfxAfter = col("__sfx") - col("__ub")
+    val tTarget = col("__theta") - lit(2e-6) - sfxAfter
+    val dShift = lit(params.k1) * (lit(1.0 - params.b) +
+      lit(params.b) * coalesce(col("__mdl"), lit(0.0)) / lit(avgdl))
+    val fDenom = col("idf") * lit(params.k1 + 1.0) - tTarget
+    val floorExpr =
+      if (!canTighten) lit(0L)
+      else when(col("__theta").isNull || tTarget <= 0 || fDenom <= 0, lit(0L))
+        .otherwise(ceil(tTarget * dShift / fDenom).cast("long"))
     val split = ranked.join(broadcast(theta), Seq("query_id"), "left")
       .withColumn("__ess",
         col("__theta").isNull || col("__sfx") >= col("__theta") - lit(2e-6))
-      .select("query_id", "term", "idf", "__ess")
+      .withColumn("__floor", floorExpr)
+      .select("query_id", "term", "idf", "__ess", "__floor")
       .localCheckpoint(true)
     val ess = split.where(col("__ess")).select("query_id", "term", "idf")
     val non = split.where(!col("__ess")).select("query_id", "term", "idf")
+    // Adaptive: every posting has tf ≥ 1, so floors ≤ 1 prune nothing —
+    // keep the floor-free plan (no extra scan, no semi-join) unless some
+    // floor bites. A bounded driver read: split is query-cardinality and
+    // already checkpointed.
+    val mfRow = split.agg(max("__floor")).head()
+    val useFloor = !mfRow.isNullAt(0) && mfRow.getLong(0) > 1L
     val essRows = postings("ess", ess)
       .select("query_id", "doc_id", "idf", "tf")
-    val cand = essRows.select("query_id", "doc_id").distinct()
+    // Candidate docs: floor-filtered essential postings when the floor
+    // bites (the "cand" stage scan pushes `term = t AND tf >= floor_t`
+    // down to parquet, where the tf-desc clustering turns it into
+    // row-group skips); otherwise every essential-matched doc, as
+    // before. The scan-level floor is the MIN over queries sharing a
+    // term — the exact per-(query, term) floor applies post-join here.
+    val cand =
+      if (!useFloor) essRows.select("query_id", "doc_id").distinct()
+      else postings("cand",
+          split.where(col("__ess"))
+            .select("query_id", "term", "idf", "__floor"))
+        .where(col("tf") >= col("__floor"))
+        .select("query_id", "doc_id").distinct()
+    val essScored =
+      if (!useFloor) essRows
+      else essRows.join(cand, Seq("query_id", "doc_id"), "left_semi")
     val nonRows = postings("non", non)
       .select("query_id", "doc_id", "idf", "tf")
       .join(cand, Seq("query_id", "doc_id"), "left_semi")
-    val scored = essRows.unionByName(nonRows)
+    val scored = essScored.unionByName(nonRows)
       .join(dlFrame, "doc_id")
       .select(col("query_id"), col("doc_id"), wExpr.as("w"))
       .groupBy("query_id", "doc_id")
@@ -554,32 +607,74 @@ object Bm25 {
       */
     private val MaxTermPushdown = 1024
 
-    /** One bounded driver read per stage: the stage vocabulary as
-      * (term, bucket) pairs — at most the query batch's distinct terms
-      * (broadcast-small by the class contract; `termFrame` must carry a
-      * `term` column).
+    /** A stage vocabulary for scan pruning: the distinct bucket ids
+      * (always — bounded by `termBuckets`) and, ONLY when the stage has
+      * at most [[MaxTermPushdown]] distinct terms, the (term, bucket,
+      * min-tf-floor) triples for the IN / floor pushdown. Beyond the cap
+      * the term list is useless (the IN filter would be discarded), so
+      * the driver collects only the bucket ids — never an
+      * unbounded-by-cap term list.
       */
-    private def termVocab(termFrame: DataFrame): Array[(String, Long)] =
-      termFrame.select(col("term"), bucketOf(col("term")).as("b")).distinct()
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+    private case class Vocab(pairs: Option[Array[(String, Long, Long)]],
+                             buckets: Array[Long]) {
+      def isEmpty: Boolean = buckets.isEmpty
+    }
+
+    /** One bounded driver read per stage (two when the vocabulary
+      * overflows the pushdown cap): a `LIMIT cap+1` probe of the
+      * distinct (term, bucket, floor) rows — within the cap those rows
+      * ARE the vocabulary; past it, a second collect of just the
+      * distinct bucket ids (at most `termBuckets` longs). `termFrame`
+      * must carry a `term` column; a `__floor` column (per-query tf
+      * floors) aggregates to the per-term MIN — the only scan-safe
+      * floor when queries share a term.
+      */
+    private def termVocab(termFrame: DataFrame): Vocab = {
+      val base =
+        if (termFrame.columns.contains("__floor"))
+          termFrame.groupBy("term")
+            .agg(min(col("__floor")).as("f"))
+            .select(col("term"), bucketOf(col("term")).as("b"), col("f"))
+        else
+          termFrame.select(col("term"), bucketOf(col("term")).as("b"),
+            lit(0L).as("f")).distinct()
+      val probe = base.limit(MaxTermPushdown + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      if (probe.length <= MaxTermPushdown)
+        Vocab(Some(probe), probe.map(_._2).distinct)
+      else
+        Vocab(None, base.select("b").distinct().collect().map(_.getLong(0)))
+    }
 
     /** The two-level pruned scan for a stage vocabulary: the bucket set
       * as a partition-column filter (FILE pruning) plus — when the
       * vocabulary is small enough — the terms themselves as an IN
       * predicate the parquet reader pushes down (ROW-GROUP pruning via
       * term min/max stats, which the compaction layout makes selective:
-      * postings are term-clustered inside each bucket file). The IN
-      * filter is a superset of the downstream term equi-join, so
-      * results are identical with or without it.
+      * postings are term-clustered inside each bucket file). When the
+      * vocabulary carries tf floors > 1 (the max-score candidate
+      * stage), the pushed predicate becomes the OR-of-ANDs
+      * `(term = t AND tf >= floor_t) OR ...` — the tf-DESC secondary
+      * clustering then skips each term's low-impact tail row groups
+      * too. Every pushed predicate is a superset of the downstream
+      * term equi-join + per-query floor filter, so results are
+      * identical with or without it.
       */
-    private def prunedScan(raw: DataFrame, vocab: Array[(String, Long)],
+    private def prunedScan(raw: DataFrame, vocab: Vocab,
                            spark: org.apache.spark.sql.SparkSession): DataFrame = {
       if (raw.columns.isEmpty || vocab.isEmpty) emptyTf(spark)
       else {
-        val buckets = vocab.map(_._2).distinct
-        val base = raw.where(col("bucket").isin(buckets: _*))
-        val scan = if (vocab.length <= MaxTermPushdown)
-          base.where(col("term").isin(vocab.map(_._1): _*)) else base
+        val base = raw.where(col("bucket").isin(vocab.buckets: _*))
+        val scan = vocab.pairs match {
+          case Some(pairs) if pairs.exists(_._3 > 1L) =>
+            base.where(pairs.map { case (t, _, f) =>
+              if (f > 1L) col("term") === t && col("tf") >= lit(f)
+              else col("term") === t
+            }.reduce(_ || _))
+          case Some(pairs) =>
+            base.where(col("term").isin(pairs.map(_._1): _*))
+          case None => base
+        }
         scan.select("doc_id", "term", "tf")
       }
     }
@@ -712,7 +807,7 @@ object Bm25 {
           (_, terms) => ix.tf.join(broadcast(terms), "term")
         else (stage, terms) => {
           val vocab = termVocab(terms)
-          stageBuckets(stage) = vocab.map(_._2).toSet
+          stageBuckets(stage) = vocab.buckets.toSet
           prunedScan(raw, vocab, spark).join(broadcast(terms), "term")
         }
       // Term stats from the IMPACT artifact when the current generation
@@ -733,14 +828,15 @@ object Bm25 {
             if (termBuckets == 0) art0
             else {
               val vocab = termVocab(terms)
-              stageBuckets("tstats") = vocab.map(_._2).toSet
+              stageBuckets("tstats") = vocab.buckets.toSet
               if (vocab.isEmpty) art0.where(lit(false))
               else {
-                val base = art0.where(
-                  col("bucket").isin(vocab.map(_._2).distinct: _*))
-                if (vocab.length <= MaxTermPushdown)
-                  base.where(col("term").isin(vocab.map(_._1): _*))
-                else base
+                val base = art0.where(col("bucket").isin(vocab.buckets: _*))
+                vocab.pairs match {
+                  case Some(pairs) =>
+                    base.where(col("term").isin(pairs.map(_._1): _*))
+                  case None => base
+                }
               }
             }
           val art = pruned.join(broadcast(terms), "term")

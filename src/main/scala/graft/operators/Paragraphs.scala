@@ -168,4 +168,53 @@ object Paragraphs {
       .where(col("doc_a") =!= col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_para_pairs"), max(col("jaccard")).as("max_jaccard"))
+
+  /** CCNet's paragraph-hash deduplication, per shard: within each
+    * `shardCol` group (the LANGUAGE shard in the CCNet composition —
+    * CCNet hashes paragraphs per language shard so boilerplate shared
+    * across pages is stored once), every distinct paragraph fingerprint
+    * (q31's [[graft.functions.TextFns.fingerprint]] convention) keeps only
+    * its FIRST occurrence — minimum (`idCol`, paragraph position) — and
+    * all later copies are dropped. Documents are re-assembled from their
+    * surviving paragraphs in positional order; a document whose every
+    * paragraph was someone else's copy disappears entirely. Reference
+    * keep-first idiom: A1 (`candidate/transform.py:16-68`).
+    *
+    * All non-text columns ride through unchanged; the output schema and
+    * column order equal the input's.
+    *
+    * Scale shape — deliberately NO window over (shard, fingerprint): a
+    * boilerplate paragraph duplicated across the whole corpus would
+    * funnel its entire copy set into one window partition. Instead the
+    * winner per (shard, fingerprint) is a `min_by` hash-aggregate —
+    * map-side partial minima reduce the copy set before the shuffle, so
+    * the hottest paragraph costs one row per input partition. Two
+    * shuffles total: the winner aggregate and the per-document
+    * re-assembly.
+    */
+  def dedupFirstByShard(df: DataFrame, textCol: String, idCol: String,
+                        shardCol: String): DataFrame = {
+    val carried = df.columns.filterNot(_ == textCol)
+    val paras = df.where(col(s"`$textCol`").isNotNull)
+      .select(carried.map(c => col(s"`$c`")) :+
+        posexplode(split(col(s"`$textCol`"), "\\n\\s*\\n"))
+          .as(Seq("para_idx", "para")): _*)
+      .where(length(trim(col("para"))) > 0)
+    // The splitter already dropped blank paragraphs, and normalize falls
+    // back to the raw (non-blank) text when the cleaned form is empty, so
+    // the fingerprint needs no q31 empty-key arm here.
+    val allCols = paras.columns.map(c => col(s"`$c`"))
+    val winners = paras
+      .withColumn("__fp", graft.functions.TextFns.fingerprint(col("para")))
+      .groupBy(col(s"`$shardCol`").as("__shard"), col("__fp"))
+      .agg(min_by(struct(allCols: _*),
+        struct(col(s"`$idCol`"), col("para_idx"))).as("__w"))
+      .select(col("__w.*"))
+    winners
+      .groupBy(carried.map(c => col(s"`$c`")): _*)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          x => x.getField("para")), "\n\n").as(textCol))
+      .select(df.columns.map(c => col(s"`$c`")): _*)
+  }
 }

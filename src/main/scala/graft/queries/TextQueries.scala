@@ -1179,6 +1179,21 @@ object TextQueries {
             col("mean_logp"), col("n_tokens"), col("epoch"))
           .orderBy("doc_id", "epoch"))),
 
+    // The MISSING CCNet stage, in CCNet's published order: per-language
+    // PARAGRAPH-HASH dedup between language id and LM training
+    // (Paragraphs.dedupFirstByShard — min_by winner aggregate, no
+    // copy-set window). The injected corpus plants a shared per-language
+    // boilerplate paragraph on most docs; without this stage its tokens
+    // flood every language's unigram LM and distort the 25/50/25 tier
+    // boundaries (CcnetDedupSpec pins the distortion and its removal).
+    // Oracle: the q158 four-stage recomposition with the dedup layer
+    // spliced between `docs1` and `ltok` — surviving paragraphs are the
+    // min-doc rows per (lang, fingerprint).
+    "q163_ccnet_dedup" -> ((s, dir) =>
+      ccnetCompose(s, ccnetDedupInjected(s, dir),
+        dedupStage = docs => graft.operators.Paragraphs
+          .dedupFirstByShard(docs, "text", "doc_id", "lang"))),
+
     // The same CCNet composition over the REAL CRAWL PATH — raw HTTP
     // bytes to a per-language budgeted release in one plan: each doc
     // ships as a full HTTP response (Latin-1 / UTF-8 charset mix per
@@ -1277,6 +1292,54 @@ object TextQueries {
     Tables(s, dir, "documents").select(col("doc_id"), txt.as("text"))
   }
 
+  /** Per-language boilerplate paragraph for the q163 fixture: a PREFIX of
+    * the language's own held-out snippet (same language, same script, so
+    * the classify verdict over snippet+boilerplate never flips), shared
+    * VERBATIM by every boilerplate-carrying doc of the language. Derived
+    * in Scala from the single snippet literal; the oracle CASE is emitted
+    * from the same derived strings.
+    */
+  // lazy: langSnippets is declared later in this object (vals initialize
+  // in declaration order)
+  private lazy val langBoilers: Seq[(String, String)] =
+    langSnippets.map { case (l, t) =>
+      l -> t.split(" ").take(5).mkString(" ")
+    }
+
+  /** q163's injected corpus: q158's text plus, on most model-language
+    * rows (doc_id % 5 != 0 carries it; und rows never do), a SECOND
+    * blank-line-separated paragraph — the language's shared boilerplate.
+    * Without dedup the boilerplate tokens flood every per-language LM
+    * and distort tier boundaries; the paragraph-hash stage keeps exactly
+    * one copy per language.
+    */
+  private def ccnetDedupInjected(s: SparkSession, dir: String): DataFrame = {
+    val k = langSnippets.size
+    val body = langSnippets.zipWithIndex.tail.foldLeft(
+        when(pmod(col("doc_id"), lit(k)) === 0, lit(langSnippets.head._2))) {
+      case (acc, ((_, t), i)) =>
+        acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+    }
+    val boiler = langBoilers.zipWithIndex.tail.foldLeft(
+        when(pmod(col("doc_id"), lit(k)) === 0, lit(langBoilers.head._2))) {
+      case (acc, ((_, t), i)) =>
+        acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+    }
+    val base = concat(body,
+      call_function("repeat",
+        concat(lit(" #"), col("doc_id").cast("string")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+    val txt = when(pmod(col("doc_id"), lit(97)) === 0, lit("ab"))
+      .when(pmod(col("doc_id"), lit(11)) === 5,
+        concat(lit(unkSnippet),
+          call_function("repeat",
+            concat(lit(" #"), col("doc_id").cast("string")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int"))))
+      .when(pmod(col("doc_id"), lit(5)) === 0, base)
+      .otherwise(concat(base, lit("\n\n"), boiler))
+    Tables(s, dir, "documents").select(col("doc_id"), txt.as("text"))
+  }
+
   private def ccnetCompose(s: SparkSession, injected: DataFrame,
       budgetStage: DataFrame => DataFrame = kept =>
         graft.operators.Sampling.byTokenBudget(kept,
@@ -1284,9 +1347,10 @@ object TextQueries {
             Map("en" -> 400L, "zh" -> 250L), defaultBudget = 300L)
           .select(col("doc_id"), col("lang"), col("tier"),
             col("mean_logp"), col("n_tokens"))
-          .orderBy("doc_id")): DataFrame = {
-    val docs = graft.operators.LangId.classify(injected, "text")
-      .where(col("lang") =!= "und")
+          .orderBy("doc_id"),
+      dedupStage: DataFrame => DataFrame = identity): DataFrame = {
+    val docs = dedupStage(graft.operators.LangId.classify(injected, "text")
+        .where(col("lang") =!= "und"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = graft.operators.LmScore.trainUnigramBy(docs, "text", "lang")
     val scored = graft.operators.LmScore
@@ -1383,6 +1447,12 @@ object TextQueries {
     .map { case ((_, t), i) => s"WHEN $i THEN '$t'" }
     .mkString("(CASE CAST(doc_id % " + langSnippets.size + " AS INT) ", " ", " END)")
 
+  // q163's shared-boilerplate CASE, emitted from the SAME Scala-derived
+  // literals the Spark fixture uses (langBoilers — snippet prefixes)
+  private def langBoilerCaseSql: String = langBoilers.zipWithIndex
+    .map { case ((_, t), i) => s"WHEN $i THEN '$t'" }
+    .mkString("(CASE CAST(doc_id % " + langBoilers.size + " AS INT) ", " ", " END)")
+
   // the classify mirror's final projection over docs0 + top (shared by
   // q150/q154): und when no trigram, or when the OOV gap (avg minus the
   // argmax language's own smoothed OOV rate) sits under the default
@@ -1432,17 +1502,27 @@ object TextQueries {
     * the injected docs0, per-language LM, and the 25/50/25 tier windows
     * — everything through the `tiered` CTE.
     */
-  private def ccnetTieredCtes: String = {
-    val gap = graft.operators.LangId.DefaultMinOovGap
-    (s"""$langModelCtes,
-       | docs0 AS (SELECT doc_id,
+  private def ccnetTieredCtes: String = ccnetTieredCtesOver(
+    s"""SELECT doc_id,
        |     CASE WHEN doc_id % 97 = 0 THEN 'ab'
        |          WHEN doc_id % 11 = 5 THEN '$unkSnippet' ||
        |            repeat(' #' || CAST(doc_id AS VARCHAR), CAST(doc_id % 3 + 1 AS INT))
        |          ELSE $langSnippetCaseSql ||
        |            repeat(' #' || CAST(doc_id AS VARCHAR), CAST(doc_id % 3 + 1 AS INT))
        |     END AS txt
-       |   FROM documents),
+       |   FROM documents""".stripMargin,
+    """ltok AS (SELECT doc_id, lang,
+       |     unnest(regexp_split_to_array(trim(txt), '\s+')) AS token
+       |   FROM docs1 WHERE trim(txt) <> '')""".stripMargin)
+
+  /** The q158-family prefix parametrized by the injected corpus and the
+    * docs1→ltok layer (q163 splices its paragraph-dedup CTEs there; the
+    * LM/tier tail is shared verbatim).
+    */
+  private def ccnetTieredCtesOver(docs0Body: String, ltokCtes: String): String = {
+    val gap = graft.operators.LangId.DefaultMinOovGap
+    (s"""$langModelCtes,
+       | docs0 AS ($docs0Body),
        | $langScoreCtes,
        | lab AS (SELECT d.doc_id, d.txt,
        |     CASE WHEN t.doc_id IS NULL OR (t.avg - ob.olp) < $gap
@@ -1450,9 +1530,7 @@ object TextQueries {
        |   FROM docs0 d LEFT JOIN top t ON d.doc_id = t.doc_id
        |   LEFT JOIN oov ob ON ob.lang = t.lang),
        | docs1 AS (SELECT doc_id, lang, txt FROM lab WHERE lang <> 'und'),
-       | ltok AS (SELECT doc_id, lang,
-       |     unnest(regexp_split_to_array(trim(txt), '\\s+')) AS token
-       |   FROM docs1 WHERE trim(txt) <> ''),
+       | $ltokCtes,
        | lcnt AS (SELECT lang, token, CAST(count(*) AS DOUBLE) AS c
        |   FROM ltok GROUP BY 1, 2),
        | ltot AS (SELECT lang, sum(c) AS lt FROM lcnt GROUP BY 1),
@@ -1475,7 +1553,46 @@ object TextQueries {
   }
 
   private[queries] def ccnetReleaseOracle: String =
-    (s"""WITH $ccnetTieredCtes,
+    ccnetBudgetOracleOver(ccnetTieredCtes)
+
+  /** q163: the q158 recomposition with CCNet's paragraph-hash dedup
+    * spliced between langid and LM training — paragraphs split on blank
+    * lines, fingerprinted with the q31 normalization mirror, and each
+    * (lang, fingerprint)'s min-doc_id occurrence kept (the fixture has no
+    * intra-document duplicate paragraphs, so the min-doc filter IS the
+    * operator's min-(doc, position) winner). Tokens flow from surviving
+    * paragraphs straight into the shared LM/tier/budget tail.
+    */
+  private[queries] def ccnetDedupOracle: String =
+    ccnetBudgetOracleOver(ccnetTieredCtesOver(
+      s"""SELECT doc_id,
+         |     CASE WHEN doc_id % 97 = 0 THEN 'ab'
+         |          WHEN doc_id % 11 = 5 THEN '$unkSnippet' ||
+         |            repeat(' #' || CAST(doc_id AS VARCHAR), CAST(doc_id % 3 + 1 AS INT))
+         |          WHEN doc_id % 5 = 0 THEN $langSnippetCaseSql ||
+         |            repeat(' #' || CAST(doc_id AS VARCHAR), CAST(doc_id % 3 + 1 AS INT))
+         |          ELSE $langSnippetCaseSql ||
+         |            repeat(' #' || CAST(doc_id AS VARCHAR), CAST(doc_id % 3 + 1 AS INT)) ||
+         |            chr(10) || chr(10) || $langBoilerCaseSql
+         |     END AS txt
+         |   FROM documents""".stripMargin,
+      s"""paras AS (SELECT doc_id, lang, para FROM (
+         |     SELECT doc_id, lang,
+         |       unnest(regexp_split_to_array(txt, '\\n\\s*\\n')) AS para
+         |     FROM docs1)
+         |   WHERE trim(para) <> ''),
+         | pfp AS (SELECT doc_id, lang, para,
+         |     md5(${normSqlFor("para")}) AS fp FROM paras),
+         | pkeep AS (SELECT doc_id, lang, para FROM (
+         |     SELECT doc_id, lang, para,
+         |       min(doc_id) OVER (PARTITION BY lang, fp) AS w FROM pfp)
+         |   WHERE doc_id = w),
+         | ltok AS (SELECT doc_id, lang,
+         |     unnest(regexp_split_to_array(trim(para), '\\s+')) AS token
+         |   FROM pkeep)""".stripMargin))
+
+  private def ccnetBudgetOracleOver(ctes: String): String =
+    (s"""WITH $ctes,
        | fill AS (SELECT doc_id, lang, tier, mean_logp, n_tokens,
        |     sum(n_tokens) OVER (PARTITION BY lang
        |       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
@@ -1896,6 +2013,7 @@ object TextQueries {
     // byte-exact for the composition to reproduce it
     "q160_crawl_ccnet" -> ccnetReleaseOracle,
     "q162_ccnet_epochs" -> ccnetEpochsOracle,
+    "q163_ccnet_dedup" -> ccnetDedupOracle,
     "q107_lang_mix" ->
       s"""WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 0 THEN text || ' der die das und ist nicht ein zu mit der die das und ist nicht ein zu mit der die'

@@ -62,6 +62,13 @@ def main():
         print(f"DIVERGENCE  {name}: driver={d} local={l} "
               "(replica disagrees with the gate of record)")
     new = [n for n in names if n not in driver]
+    # A local-only query with a NON-GREEN local verdict is the row the
+    # NEXT driver artifact will judge red — fail it now, not next round.
+    new_red = [(n, local.get(n, "absent")) for n in new
+               if local.get(n) not in ("pass", "rows-ok")]
+    for name, l in new_red:
+        print(f"LOCAL-RED   {name}: not in driver artifact yet and the "
+              f"local replica reads {l} — fix before round close")
     if new:
         print(f"NOTE        {len(new)} quer{'y' if len(new)==1 else 'ies'} "
               f"not in the driver artifact yet (added since): "
@@ -70,10 +77,12 @@ def main():
     n_green = sum(1 for n in driver
                   if driver_verdict(driver[n]) in ("pass", "rows-ok"))
     print(f"\ndriver artifact: {n_green}/{n_d} green | "
-          f"divergences: {len(diverged)} | driver-red: {len(red)}")
-    if red or diverged:
-        print("ROUND STATUS MUST REPORT THE DRIVER'S NUMBERS, "
-              "NOT THE REPLICA'S.")
+          f"divergences: {len(diverged)} | driver-red: {len(red)} | "
+          f"local-red new queries: {len(new_red)}")
+    if red or diverged or new_red:
+        if red or diverged:
+            print("ROUND STATUS MUST REPORT THE DRIVER'S NUMBERS, "
+                  "NOT THE REPLICA'S.")
         sys.exit(1)
     print("reconciled: driver artifact and local replica agree, all green")
     sys.exit(0)
