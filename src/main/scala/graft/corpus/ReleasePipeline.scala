@@ -99,7 +99,8 @@ object ReleasePipeline {
     * split + pair search — see the q82 gate).
     */
   final case class Result(corpus: DataFrame, packed: DataFrame, stats: Stats,
-      minhashSig: DataFrame, paraPairs: Option[DataFrame] = None) {
+      minhashSig: DataFrame, paraPairs: Option[DataFrame] = None,
+      budgeted: Option[DataFrame] = None) {
     /** This release as [[appendBatch]]'s frozen prior. */
     def toPrior: PriorRelease = PriorRelease(corpus, minhashSig)
   }
@@ -114,10 +115,23 @@ object ReleasePipeline {
     * checkpoint idiom applied to the whole workflow). At 100 TB a
     * multi-hour release build dying at stage 6 restarts in minutes.
     */
+  /** @param budgetStage optional PLUGGABLE budget/mixture stage (round
+    *   16): receives the final surviving corpus as (doc_id, text,
+    *   n_tokens) and returns the release-mixture frame — e.g.
+    *   [[Sampling.byTokenBudget]] for a pure downsample or
+    *   [[Sampling.epochsToBudget]] for CCNet/LLaMA-style per-stratum
+    *   epoch upsampling (the q158/q162 compositions, now first-class on
+    *   the production API). The stage output lands in
+    *   [[Result.budgeted]]; `corpus`/`packed`/`stats` and the
+    *   registry invariants are untouched (an epoch stage DUPLICATES
+    *   rows, which must never leak into the dedup registry or the
+    *   packing key space).
+    */
   def run(docs: DataFrame, benchmark: DataFrame,
           cfg: Config = Config(),
           noveltyRef: Option[DataFrame] = None,
-          checkpointDir: Option[String] = None): Result = {
+          checkpointDir: Option[String] = None,
+          budgetStage: Option[DataFrame => DataFrame] = None): Result = {
     val id = col(s"`${cfg.idCol}`")
     val input = docs.where(col(s"`${cfg.textCol}`").isNotNull)
 
@@ -282,7 +296,13 @@ object ReleasePipeline {
       afterDespan = despanned.count(),
       afterDecontaminate = clean.count(),
       afterLmFloor = kept.count())
-    Result(kept, packed, stats, sig, paraPairs)
+    // Pluggable budget/mixture stage over the survivors — reuses stage
+    // 7's token sizing (one kernel call per doc, no re-tokenize).
+    val budgeted = budgetStage.map { f =>
+      f(kept.withColumn("n_tokens",
+        graft.functions.TextFns.tokenCount(col("text")).cast("long")))
+    }
+    Result(kept, packed, stats, sig, paraPairs, budgeted)
   }
 
   /** Shared stage 6 / a7 body: unigram-LM mean-logprob quantile floor

@@ -53,10 +53,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *                 join the model;
   *  - `n_tri`    — trigram count (evidence size; short strings are noisy).
   *
-  * Model scope: Latin + Cyrillic + CJK (zh/ja/ko) + Arabic + Greek +
-  * Devanagari (hi) — thirteen languages covering the top-volume crawl
-  * scripts. Unseen scripts (Thai, Hebrew, …) fall back to "und" via
-  * the gap rule.
+  * Model scope: Latin + Cyrillic + CJK (zh/ja/ko) + Arabic-script
+  * (ar/fa — same script, function-word grams discriminate) + Greek +
+  * Devanagari (hi) + Thai + Hebrew — sixteen languages covering the
+  * top-volume crawl scripts. Unseen scripts (Georgian, Armenian, …)
+  * fall back to "und" via the gap rule.
   *
   * Threshold policy (what counts as "unknown") deliberately lives in the
   * OPERATOR ([[graft.operators.LangId.classify]]), not here — the raw
@@ -274,6 +275,56 @@ object LangIdModel {
       "έβρεχε όλη τη νύχτα αλλά ο ήλιος βγήκε ξανά αργά το πρωί. " +
       "το γράμμα έφτασε τη δευτέρα και η απάντηση γράφτηκε την ίδια εβδομάδα. " +
       "κάθε χρόνο η οικογένεια ταξιδεύει στη θάλασσα και περνά το καλοκαίρι κοντά στο νερό."),
+    // th/he/fa (round 16): Thai unsegmented with sentence spaces, plain
+    // modern Hebrew without niqqud, Persian with spaced verb compounds
+    // (no ZWNJ — keeps the literals plain-space tokenizable); fa shares
+    // the Arabic SCRIPT, so its discrimination from ar rides on
+    // function-word bigrams/trigrams like the Latin family's
+    "th" -> ("สุนัขจิ้งจอกสีน้ำตาลที่ว่องไวกระโดดข้ามสุนัขขี้เกียจขณะที่เด็กเฝ้ามองอยู่ที่หน้าต่าง. " +
+      "นี่คือเรื่องสั้นเกี่ยวกับอากาศและผู้คนที่อาศัยอยู่ในเมืองเก่าริมแม่น้ำ. " +
+      "เราควรจดจำไว้เสมอว่าความรู้และเสรีภาพเดินไปด้วยกันในทุกประเทศที่เสรี. " +
+      "นักเรียนอ่านหนังสือของตนในห้องสมุดและพูดคุยเรื่องประวัติศาสตร์และวิทยาศาสตร์ทุกบ่าย. " +
+      "มีช่วงเวลาหนึ่งที่โลกดูกว้างใหญ่กว่านี้มากและการเดินทางแต่ละครั้งใช้เวลาหลายสัปดาห์. " +
+      "ผู้คนพูดว่านกที่ตื่นเช้าจับหนอนได้แต่หนูตัวที่สองได้กินเนยแข็ง. " +
+      "เพื่อนที่ดีช่วยเหลือกันในยามยากและแบ่งปันช่วงเวลาที่ดีด้วยกัน. " +
+      "รัฐบาลประกาศแผนใหม่สำหรับโรงเรียนและโรงพยาบาลทั่วทั้งประเทศ. " +
+      "ในตอนเช้าเธอดื่มกาแฟหนึ่งถ้วยและกินขนมปังกับเนยและน้ำผึ้ง. " +
+      "รถไฟออกจากสถานีตอนเจ็ดโมงและถึงเมืองในอีกสองชั่วโมงต่อมา. " +
+      "พี่ชายของฉันเล่นเปียโนและน้องสาวของฉันร้องเพลงเก่าในตอนเย็น. " +
+      "ตลาดขายผลไม้และผักสดจากไร่นาใกล้ภูเขา. " +
+      "ฝนตกตลอดทั้งคืนแต่ดวงอาทิตย์ก็ออกมาอีกครั้งในตอนสาย. " +
+      "จดหมายมาถึงในวันจันทร์และคำตอบถูกเขียนในสัปดาห์เดียวกัน. " +
+      "ทุกปีครอบครัวเดินทางไปทะเลและใช้เวลาฤดูร้อนอยู่ใกล้น้ำ."),
+    "he" -> ("השועל החום המהיר קופץ מעל הכלב העצלן בעוד הילדים מביטים מן החלון. " +
+      "זהו סיפור קצר על מזג האוויר ועל האנשים שגרים בעיר העתיקה ליד הנהר. " +
+      "עלינו לזכור תמיד שידע וחירות הולכים יחד בכל ארץ חופשית. " +
+      "התלמידים קוראים את ספריהם בספרייה ומדברים כל אחר צהריים על היסטוריה ומדע. " +
+      "היה זמן שבו העולם נראה גדול הרבה יותר וכל מסע נמשך שבועות רבים. " +
+      "אומרים שהציפור המקדימה תופסת את התולעת אבל העכבר השני מקבל את הגבינה. " +
+      "חברים טובים עוזרים זה לזה בזמנים קשים וחולקים יחד את הזמנים הטובים. " +
+      "הממשלה הכריזה על תוכנית חדשה לבתי ספר ולבתי חולים בכל הארץ. " +
+      "בבוקר היא שותה כוס קפה ואוכלת לחם עם חמאה ודבש. " +
+      "הרכבת יוצאת מן התחנה בשעה שבע ומגיעה לעיר שעתיים לאחר מכן. " +
+      "אחי מנגן בפסנתר ואחותי שרה שירים ישנים בערב. " +
+      "השוק מוכר פירות וירקות טריים מן החוות שליד ההרים. " +
+      "ירד גשם כל הלילה אבל השמש יצאה שוב בשעת בוקר מאוחרת. " +
+      "המכתב הגיע ביום שני והתשובה נכתבה באותו שבוע. " +
+      "בכל שנה המשפחה נוסעת אל הים ומבלה את הקיץ ליד המים."),
+    "fa" -> ("روباه قهوه ای تندرو از روی سگ تنبل می پرد در حالی که بچه ها از پنجره تماشا می کنند. " +
+      "این داستان کوتاهی است درباره هوا و مردمی که در شهر قدیمی کنار رودخانه زندگی می کنند. " +
+      "ما باید همیشه به یاد داشته باشیم که دانش و آزادی در هر کشور آزاد با هم همراهند. " +
+      "دانش آموزان کتاب های خود را در کتابخانه می خوانند و هر بعدازظهر درباره تاریخ و علم گفتگو می کنند. " +
+      "زمانی بود که جهان بسیار بزرگتر به نظر می رسید و هر سفر هفته های زیادی طول می کشید. " +
+      "مردم می گویند پرنده سحرخیز کرم را می گیرد اما موش دوم پنیر را به دست می آورد. " +
+      "دوستان خوب در روزهای سخت به یکدیگر کمک می کنند و روزهای خوب را با هم قسمت می کنند. " +
+      "دولت برنامه تازه ای برای مدرسه ها و بیمارستان های سراسر کشور اعلام کرد. " +
+      "صبح او یک فنجان قهوه می نوشد و نان را با کره و عسل می خورد. " +
+      "قطار ساعت هفت از ایستگاه حرکت می کند و دو ساعت بعد به شهر می رسد. " +
+      "برادرم پیانو می نوازد و خواهرم شب ها ترانه های قدیمی می خواند. " +
+      "بازار میوه و سبزی تازه را از مزرعه های نزدیک کوه ها می فروشد. " +
+      "تمام شب باران بارید اما آفتاب در اواخر صبح دوباره بیرون آمد. " +
+      "نامه روز دوشنبه رسید و پاسخ در همان هفته نوشته شد. " +
+      "هر سال خانواده به دریا سفر می کند و تابستان را نزدیک آب می گذراند."),
     "hi" -> ("तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर से कूदती है जबकि बच्चे खिड़की से देखते हैं। " +
       "यह मौसम के बारे में और नदी के किनारे पुराने शहर में रहने वाले लोगों के बारे में एक छोटी कहानी है। " +
       "हमें हमेशा याद रखना चाहिए कि ज्ञान और स्वतंत्रता हर स्वतंत्र देश में साथ साथ चलते हैं। " +
@@ -394,7 +445,8 @@ object LangIdKernel {
     // — but the two Unicode tables can diverge on EDGE codepoints
     // across JVM/DuckDB versions. Oracle fixtures therefore stick to
     // well-established letter blocks (Latin, Cyrillic, Greek, Arabic,
-    // Devanagari, CJK, Hangul, Kana, Thai, Hebrew), where both tables
+    // Devanagari, CJK, Hangul, Kana, Thai, Hebrew, Georgian, Armenian —
+    // the probe scripts included), where both tables
     // have agreed for decades; combining marks (Mn/Mc — Devanagari
     // matras, Thai vowel signs) are non-letters on BOTH sides and only
     // score riding inside a gram that also carries a letter.

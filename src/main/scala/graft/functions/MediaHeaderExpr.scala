@@ -123,6 +123,9 @@ object MediaHeaders {
     var timescale = 0L; var duration = 0L; var haveMvhd = false
     var nTracks = 0
     val codecs = new StringBuilder
+    // per-track media timescale (trak/tkhd track_ID → trak/mdia/mdhd
+    // timescale) — the clock fragment decode times run on
+    val trackScale = scala.collection.mutable.Map[Long, Long]()
     val moovClean = walkBoxes(b, moovS, moovE) { (t, s, e) =>
       if (t == "mvhd" && !haveMvhd && e - s >= 4) {
         val v = b(s) & 0xff
@@ -135,6 +138,14 @@ object MediaHeaders {
         }
       } else if (t == "trak") {
         nTracks += 1
+        // trak/tkhd → track_ID (v0: +12, v1: +20)
+        var trackId = -1L
+        val (tkS, tkE) = findBox(b, s, e, "tkhd")
+        if (tkS >= 0 && tkE - tkS >= 4) {
+          val v = b(tkS) & 0xff
+          if (v == 0 && tkE - tkS >= 16) trackId = u32(b, tkS + 12)
+          else if (v == 1 && tkE - tkS >= 24) trackId = u32(b, tkS + 20)
+        }
         // trak/mdia/minf/stbl/stsd → first sample entry's fourcc
         val (mdS, mdE) = findBox(b, s, e, "mdia")
         val (mnS, mnE) = if (mdS >= 0) findBox(b, mdS, mdE, "minf") else (-1, -1)
@@ -146,10 +157,93 @@ object MediaHeaders {
           if (codecs.nonEmpty) codecs.append(',')
           codecs.append(fourcc(b, sdS + 12))
         }
+        // trak/mdia/mdhd → media timescale (v0: +12, v1: +20)
+        val (mhS, mhE) = if (mdS >= 0) findBox(b, mdS, mdE, "mdhd") else (-1, -1)
+        if (trackId >= 0 && mhS >= 0 && mhE - mhS >= 4) {
+          val v = b(mhS) & 0xff
+          if (v == 0 && mhE - mhS >= 16) trackScale(trackId) = u32(b, mhS + 12)
+          else if (v == 1 && mhE - mhS >= 24) trackScale(trackId) = u32(b, mhS + 20)
+        }
       }
     }
-    if (!moovClean || !haveMvhd || timescale <= 0L) return emptyMp4.copy()
-    InternalRow(true, duration.toDouble / timescale,
+    // an unsigned timescale above Int.MaxValue would wrap negative in
+    // the INT output column — treat it as malformed like timescale <= 0
+    // (no real mvhd ticks-per-second clock sits above 2^31)
+    if (!moovClean || !haveMvhd || timescale <= 0L ||
+      timescale > Int.MaxValue) return emptyMp4.copy()
+    // FRAGMENTED MP4: an mvhd duration of 0 with moof fragments present
+    // means the movie box carries no duration — estimate it from the
+    // fragment run metadata: per traf, tfdt base decode time + the trun
+    // sample-duration sum (per-sample durations when flag 0x100 is set,
+    // else tfhd's default 0x8, else mvex/trex's track default), maxed
+    // per track and converted on the TRACK's mdhd clock. Malformed
+    // fragment boxes degrade to the portion parsed — duration is an
+    // ESTIMATE here, never a correctness gate; `duration`/`timescale`
+    // still report the mvhd values (0 / movie clock).
+    var fragSec = 0.0
+    if (duration == 0L) {
+      // mvex/trex defaults: track_ID (+4) → default_sample_duration (+12)
+      val trexDur = scala.collection.mutable.Map[Long, Long]()
+      val (mxS, mxE) = findBox(b, moovS, moovE, "mvex")
+      // trex payload: ver/flags, track_ID(+4), default_sample_
+      // description_index(+8), default_sample_duration(+12), ...
+      if (mxS >= 0) walkBoxes(b, mxS, mxE) { (t, s, e) =>
+        if (t == "trex" && e - s >= 16)
+          trexDur(u32(b, s + 4)) = u32(b, s + 12)
+      }
+      val trackEnd = scala.collection.mutable.Map[Long, Long]()
+      walkBoxes(b, 0, b.length) { (t, mfS, mfE) =>
+        if (t == "moof") walkBoxes(b, mfS, mfE) { (t2, tfS, tfE) =>
+          if (t2 == "traf") {
+            var trackId = -1L; var defDur = 0L
+            var base = 0L; var runDur = 0L
+            walkBoxes(b, tfS, tfE) { (t3, s, e) =>
+              if (t3 == "tfhd" && e - s >= 8) {
+                val flags = u32(b, s) & 0xffffffL
+                trackId = u32(b, s + 4)
+                // optional fields, in spec order, before the default
+                var o2 = s + 8
+                if ((flags & 0x1L) != 0) o2 += 8  // base_data_offset
+                if ((flags & 0x2L) != 0) o2 += 4  // sample_description_index
+                if ((flags & 0x8L) != 0 && o2 + 4 <= e) defDur = u32(b, o2)
+                else defDur = trexDur.getOrElse(trackId, 0L)
+              } else if (t3 == "tfdt" && e - s >= 8) {
+                val v = b(s) & 0xff
+                base = if (v == 1 && e - s >= 12) u64(b, s + 4) else u32(b, s + 4)
+              } else if (t3 == "trun" && e - s >= 8) {
+                val flags = u32(b, s) & 0xffffffL
+                val n = u32(b, s + 4)
+                var o2 = s + 8
+                if ((flags & 0x1L) != 0) o2 += 4   // data_offset
+                if ((flags & 0x4L) != 0) o2 += 4   // first_sample_flags
+                if ((flags & 0x100L) != 0) {       // per-sample durations
+                  var perSample = 4
+                  if ((flags & 0x200L) != 0) perSample += 4
+                  if ((flags & 0x400L) != 0) perSample += 4
+                  if ((flags & 0x800L) != 0) perSample += 4
+                  var i = 0L
+                  while (i < n && o2 + 4 <= e) {
+                    runDur += u32(b, o2); o2 += perSample; i += 1
+                  }
+                } else runDur += defDur * n
+              }
+            }
+            if (trackId >= 0) {
+              val end = base + runDur
+              if (end > trackEnd.getOrElse(trackId, 0L))
+                trackEnd(trackId) = end
+            }
+          }
+        }
+      }
+      for ((tid, end) <- trackEnd) {
+        val scale = trackScale.getOrElse(tid, timescale)
+        if (scale > 0 && end.toDouble / scale > fragSec)
+          fragSec = end.toDouble / scale
+      }
+    }
+    InternalRow(true,
+      if (duration == 0L) fragSec else duration.toDouble / timescale,
       timescale.toInt, duration, nTracks,
       UTF8String.fromString(codecs.toString))
   }
@@ -242,7 +336,8 @@ object MediaHeadersOgg {
     StructField("channels", IntegerType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("n_pages", IntegerType, nullable = false),
-    StructField("duration_sec", DoubleType, nullable = false)))
+    StructField("duration_sec", DoubleType, nullable = false),
+    StructField("chained", BooleanType, nullable = false)))
 
   private def u16le(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -259,16 +354,28 @@ object MediaHeadersOgg {
   }
 
   private def empty = InternalRow(false,
-    org.apache.spark.unsafe.types.UTF8String.fromString(""), 0, 0, 0, 0.0)
+    org.apache.spark.unsafe.types.UTF8String.fromString(""), 0, 0, 0, 0.0,
+    false)
 
   /** OGG container metadata — the page grammar (RFC 3533) plus the
     * Vorbis identification header / OpusHead parse: codec, channels,
-    * rate, page count, and the DURATION from the last page's granule
-    * position (Vorbis granules are PCM samples at the stream rate;
-    * Opus granules are always 48 kHz, less the pre-skip). Truncated
-    * pages / trailing junk stop the walk (the ripper posture shared
-    * with [[MediaHeaders.mp3Meta]]); ok requires at least one complete
-    * page opening a recognized codec.
+    * rate, page count, and the DURATION from the last granule position
+    * OF THE REPORTED STREAM (Vorbis granules are PCM samples at the
+    * stream rate; Opus granules are always 48 kHz, less the pre-skip).
+    *
+    * Multi-stream scope: identification headers are keyed on the BOS
+    * header-type flag (0x02) — NOT on page position — and the reported
+    * stream is the FIRST BOS page carrying a recognized codec, locked
+    * by its serial number. A multiplexed file whose leading BOS belongs
+    * to a skeleton/secondary stream therefore still reports the codec
+    * stream, and other logical streams' granules never leak into the
+    * duration. A CHAINED file (a new BOS after the reported stream's
+    * EOS page, RFC 3533 §4) reports the FIRST stream's codec/duration
+    * and raises the `chained` flag; `n_pages` counts every page of the
+    * whole physical stream. Truncated pages / trailing junk stop the
+    * walk (the ripper posture shared with [[MediaHeaders.mp3Meta]]);
+    * ok requires at least one complete BOS page opening a recognized
+    * codec.
     */
   def oggMeta(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 27) return empty
@@ -276,9 +383,13 @@ object MediaHeadersOgg {
     var nPages = 0
     var lastGranule = -1L
     var codec = ""; var channels = 0; var rate = 0; var preskip = 0
+    var lockedSerial = 0L; var locked = false
+    var lockedEos = false; var chained = false
     var stop = false
     while (!stop && o + 27 <= b.length && matches(b, o, "OggS")) {
+      val htype = b(o + 5) & 0xff
       val granule = u64le(b, o + 6)
+      val serial = u32le(b, o + 14)
       val nsegs = b(o + 26) & 0xff
       if (o + 27 + nsegs > b.length) stop = true
       else {
@@ -288,18 +399,26 @@ object MediaHeadersOgg {
         if (pstart + plen > b.length) stop = true
         else {
           nPages += 1
-          if (granule != -1L) lastGranule = granule
-          if (nPages == 1) {
-            if (plen >= 16 && b(pstart) == 1 && matches(b, pstart + 1, "vorbis")) {
-              codec = "vorbis"
-              channels = b(pstart + 11) & 0xff
-              rate = u32le(b, pstart + 12).toInt
-            } else if (plen >= 19 && matches(b, pstart, "OpusHead")) {
-              codec = "opus"
-              channels = b(pstart + 9) & 0xff
-              preskip = u16le(b, pstart + 10)
-              rate = 48000 // Opus granule clock, whatever the input rate
+          if ((htype & 0x02) != 0) { // BOS: an id header may open here
+            if (locked && lockedEos) chained = true
+            if (!locked) {
+              if (plen >= 16 && b(pstart) == 1 && matches(b, pstart + 1, "vorbis")) {
+                codec = "vorbis"
+                channels = b(pstart + 11) & 0xff
+                rate = u32le(b, pstart + 12).toInt
+                lockedSerial = serial; locked = true
+              } else if (plen >= 19 && matches(b, pstart, "OpusHead")) {
+                codec = "opus"
+                channels = b(pstart + 9) & 0xff
+                preskip = u16le(b, pstart + 10)
+                rate = 48000 // Opus granule clock, whatever the input rate
+                lockedSerial = serial; locked = true
+              } // unrecognized BOS (skeleton etc.): keep scanning
             }
+          }
+          if (locked && serial == lockedSerial) {
+            if (granule != -1L && !lockedEos) lastGranule = granule
+            if ((htype & 0x04) != 0) lockedEos = true
           }
           o = pstart + plen
         }
@@ -313,7 +432,7 @@ object MediaHeadersOgg {
       else lastGranule.toDouble / rate
     InternalRow(true,
       org.apache.spark.unsafe.types.UTF8String.fromString(codec),
-      channels, rate, nPages, dur)
+      channels, rate, nPages, dur, chained)
   }
 }
 

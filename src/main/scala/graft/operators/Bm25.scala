@@ -278,20 +278,33 @@ object Bm25 {
       .localCheckpoint(true)
     val ess = split.where(col("__ess")).select("query_id", "term", "idf")
     val non = split.where(!col("__ess")).select("query_id", "term", "idf")
-    // Adaptive: every posting has tf ≥ 1, so floors ≤ 1 prune nothing —
-    // keep the floor-free plan (no extra scan, no semi-join) unless some
-    // floor bites. A bounded driver read: split is query-cardinality and
-    // already checkpointed.
-    val mfRow = split.agg(max("__floor")).head()
-    val useFloor = !mfRow.isNullAt(0) && mfRow.getLong(0) > 1L
+    // Adaptive: every posting has tf ≥ 1, so floors ≤ 1 prune nothing,
+    // and the candidate set only feeds the NON-ESSENTIAL probe — with
+    // no non-essential term there is nothing to prune either way. Keep
+    // the floor-free plan (no extra scan) unless both a biting floor
+    // and a non-essential term exist. One bounded driver read: split is
+    // query-cardinality and already checkpointed.
+    val mfRow = split.agg(max("__floor"),
+      sum(when(!col("__ess"), 1L).otherwise(0L))).head()
+    val useFloor = !mfRow.isNullAt(0) && mfRow.getLong(0) > 1L &&
+      !mfRow.isNullAt(1) && mfRow.getLong(1) > 0L
     val essRows = postings("ess", ess)
       .select("query_id", "doc_id", "idf", "tf")
-    // Candidate docs: floor-filtered essential postings when the floor
-    // bites (the "cand" stage scan pushes `term = t AND tf >= floor_t`
-    // down to parquet, where the tf-desc clustering turns it into
-    // row-group skips); otherwise every essential-matched doc, as
-    // before. The scan-level floor is the MIN over queries sharing a
-    // term — the exact per-(query, term) floor applies post-join here.
+    // The candidate set the NON-ESSENTIAL probe joins against. With a
+    // biting floor it comes from the floor-filtered "cand" scan (the
+    // scan pushes `term = t AND tf >= floor_t` down to parquet, where
+    // the tf-desc clustering turns it into row-group skips; the
+    // scan-level floor is the MIN over queries sharing a term, the
+    // exact per-(query, term) floor applies post-join) — REPLACING the
+    // full essRows distinct, so the floored path shuffles fewer rows
+    // here, not more. Essential rows still score every matched doc:
+    // a doc OUTSIDE the floored candidate set has true score
+    // < θ − 2e-6 (the floor derivation), so its computed score —
+    // possibly missing non-essential mass — is also < θ − 2e-6 and the
+    // ≥ k seed docs (all INSIDE the set, with full exact scores) rank
+    // strictly above it after rounding: it can never surface in the
+    // top k, understated score or not. Every emitted row's score is
+    // exact.
     val cand =
       if (!useFloor) essRows.select("query_id", "doc_id").distinct()
       else postings("cand",
@@ -299,13 +312,10 @@ object Bm25 {
             .select("query_id", "term", "idf", "__floor"))
         .where(col("tf") >= col("__floor"))
         .select("query_id", "doc_id").distinct()
-    val essScored =
-      if (!useFloor) essRows
-      else essRows.join(cand, Seq("query_id", "doc_id"), "left_semi")
     val nonRows = postings("non", non)
       .select("query_id", "doc_id", "idf", "tf")
       .join(cand, Seq("query_id", "doc_id"), "left_semi")
-    val scored = essScored.unionByName(nonRows)
+    val scored = essRows.unionByName(nonRows)
       .join(dlFrame, "doc_id")
       .select(col("query_id"), col("doc_id"), wExpr.as("w"))
       .groupBy("query_id", "doc_id")

@@ -288,7 +288,46 @@ object MultimodalQueries {
         when(oneTrack, lit(trak("avc1")))
           .otherwise(lit(trak("avc1") + trak("mp4a"))))
       val ftyp = lit("00000010" + hx("ftyp") + hx("isom") + "00000000")
+      // --- fragmented MP4 leg (doc_id % 17 == 4): mvhd duration 0 +
+      // moov[trak(tkhd id=1, mdhd timescale 600, stsd avc1) + mvex/
+      // trex(default_sample_duration 60)] + two moofs: moof1's trun
+      // (2 samples, no per-sample durations, no tfhd default) falls
+      // through to the TREX default; moof2 (tfdt base 120) carries a
+      // tfhd default d = 60 + doc_id%5*30 for 3 samples. The kernel
+      // must estimate duration = (120 + 3d) / mdhd's 600 clock ---
+      val mvhdFrag =
+        lit("0000001c" + hx("mvhd") + "00000000" + "00000000" + "00000000" +
+          "000003e8" + "00000000")
+      val trakFrag =
+        lit("00000068" + hx("trak") +
+          "00000018" + hx("tkhd") + "00000000" + "00000000" + "00000000" +
+            "00000001" + // track_ID = 1
+          "00000048" + hx("mdia") +
+            "00000018" + hx("mdhd") + "00000000" + "00000000" + "00000000" +
+              "00000258" + // media timescale = 600
+            "00000028" + hx("minf") + "00000020" + hx("stbl") +
+              "00000018" + hx("stsd") + "00000000" + "00000001" +
+              "00000008" + hx("avc1"))
+      val mvex =
+        lit("00000028" + hx("mvex") + "00000020" + hx("trex") + "00000000" +
+          "00000001" + "00000001" + "0000003c" + // default duration 60
+          "00000000" + "00000000")
+      val fragDefDur = lit(60L) + pmod(col("doc_id"), lit(5)) * lit(30L)
+      val moof1 =
+        lit("00000040" + hx("moof") + "00000038" + hx("traf") +
+          "00000010" + hx("tfhd") + "00000000" + "00000001" +
+          "00000010" + hx("tfdt") + "00000000" + "00000000" +
+          "00000010" + hx("trun") + "00000000" + "00000002")
+      val moof2 = concat(
+        lit("00000048" + hx("moof") + "00000040" + hx("traf") +
+          "00000014" + hx("tfhd") + "00000008" + "00000001"), h8(fragDefDur),
+        lit("00000010" + hx("tfdt") + "00000000" + "00000078" + // base 120
+          "00000014" + hx("trun") + "00000001" + "00000003" + "00000000"))
+      val moovFrag = concat(lit("000000b4" + hx("moov")), mvhdFrag,
+        trakFrag, mvex)
+      val mp4Frag = concat(ftyp, moovFrag, moof1, moof2)
       val mp4 = when(pmod(col("doc_id"), lit(13)) === 3, unhex(lit("0000")))
+        .when(pmod(col("doc_id"), lit(17)) === 4, unhex(mp4Frag))
         .otherwise(unhex(concat(ftyp, moov)))
       // --- MP3: [ID3v2(100)] + n × 417-byte MPEG1-L3 frames [+ ID3v1] ---
       val frameHex = "fffb9000" + "00" * 413
@@ -339,10 +378,11 @@ object MultimodalQueries {
       def le(c: Column, n: Int): Column = concat((0 until n).map(i =>
         lpad(lower(hex(pmod(shiftright(c, 8 * i), lit(256)))), 2, "0")): _*)
       def page(headerType: String, granuleHex: Column, segTable: String,
-               payloadHex: Column): Column = concat(
-        lit(hx("OggS") + "00" + headerType), granuleHex,
-        lit("00" * 12), // serial + sequence + crc (not validated)
-        lit(segTable), payloadHex)
+               payloadHex: Column, serial: String = "00000000"): Column =
+        concat(
+          lit(hx("OggS") + "00" + headerType), granuleHex,
+          lit(serial + "00" * 8), // serial + sequence + crc (crc unvalidated)
+          lit(segTable), payloadHex)
       // Vorbis identification header: 01 "vorbis" ver=0 ch=2 rate=44100
       // + bitrates(12B) + blocksizes + framing = 30 bytes
       val vorbisId = lit("01" + hx("vorbis") + "00000000" + "02" +
@@ -358,8 +398,43 @@ object MultimodalQueries {
       val opusHex = concat(
         page("02", lit("0" * 16), "0113", opusHead),
         page("04", le(og, 8), "0104", lit("00000000")))
+      // CHAINED leg (doc_id % 17 == 4): the normal stream followed by a
+      // SECOND logical stream (the other codec, serial 3) whose huge
+      // granule must NOT leak into the duration — the kernel reports
+      // the FIRST stream + chained=true, n_pages counts all 4
+      val secondHex = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0,
+            page("02", lit("0" * 16), "0113", opusHead, serial = "03000000"))
+          .otherwise(
+            page("02", lit("0" * 16), "011e", vorbisId, serial = "03000000")),
+        page("04", le(lit(999999999L), 8), "0104", lit("00000000"),
+          serial = "03000000"))
+      val chainedHex = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, vorbisHex).otherwise(opusHex),
+        secondHex)
+      // MULTIPLEXED leg (doc_id % 19 == 6): a skeleton stream's BOS page
+      // (unrecognized "fishead" payload, serial 1) precedes the codec
+      // stream's BOS, and the skeleton's EOS granule (huge) arrives
+      // last — the kernel must lock the codec stream by SERIAL, not
+      // page position, and ignore foreign granules; chained=false
+      val muxHex = concat(
+        page("02", lit("0" * 16), "0107", lit(hx("fishead")),
+          serial = "01000000"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(
+              page("02", lit("0" * 16), "011e", vorbisId, serial = "02000000"),
+              page("04", le(vg, 8), "0104", lit("00000000"),
+                serial = "02000000")))
+          .otherwise(concat(
+            page("02", lit("0" * 16), "0113", opusHead, serial = "02000000"),
+            page("04", le(og, 8), "0104", lit("00000000"),
+              serial = "02000000"))),
+        page("04", le(lit(888888888L), 8), "0104", lit("00000000"),
+          serial = "01000000"))
       val ogg = when(pmod(col("doc_id"), lit(13)) === 6,
           unhex(lit(hx("Ogg"))))
+        .when(pmod(col("doc_id"), lit(17)) === 4, unhex(chainedHex))
+        .when(pmod(col("doc_id"), lit(19)) === 6, unhex(muxHex))
         .otherwise(unhex(
           when(pmod(col("doc_id"), lit(2)) === 0, vorbisHex)
             .otherwise(opusHex)))
@@ -372,7 +447,8 @@ object MultimodalQueries {
           col("m.channels").as("channels"),
           col("m.sample_rate").as("sample_rate"),
           col("m.n_pages").as("n_pages"),
-          round(col("m.duration_sec"), 6).as("duration_sec"))
+          round(col("m.duration_sec"), 6).as("duration_sec"),
+          col("m.chained").as("chained"))
         .orderBy("doc_id")
     })
   )
@@ -387,10 +463,14 @@ object MultimodalQueries {
       """SELECT doc_id,
         | (doc_id % 13 <> 3) AS mp4_ok,
         | round(CASE WHEN doc_id % 13 = 3 THEN 0.0
+        |   WHEN doc_id % 17 = 4
+        |     THEN (120 + 3 * (60 + (doc_id % 5) * 30)) / 600.0
         |   ELSE (1000 + (doc_id % 7) * 500) / 1000.0 END, 6) AS mp4_duration_sec,
         | CAST(CASE WHEN doc_id % 13 = 3 THEN 0
+        |   WHEN doc_id % 17 = 4 THEN 1
         |   WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS mp4_tracks,
         | CASE WHEN doc_id % 13 = 3 THEN ''
+        |   WHEN doc_id % 17 = 4 THEN 'avc1'
         |   WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'avc1,mp4a' END AS mp4_codecs,
         | (doc_id % 11 <> 7) AS mp3_ok,
         | CASE WHEN doc_id % 11 = 7 THEN '' ELSE 'MPEG1' END AS mp3_version,
@@ -407,6 +487,9 @@ object MultimodalQueries {
     // granule/rate = 1.0 + (doc_id%5)·0.1; Opus = (granule−preskip)/48k
     // = 2.0 + (doc_id%3)·0.1; both sides round 6 dp so binary-inexact
     // 0.1 steps and the kernel's division agree
+    // the chained (%17=4) and multiplexed (%19=6) legs keep the FIRST /
+    // LOCKED stream's codec+duration (the foreign streams' huge granules
+    // must never leak) and differ only in n_pages and the chained flag
     "q161_ogg_headers" ->
       """SELECT doc_id,
         | (doc_id % 13 <> 6) AS ogg_ok,
@@ -415,10 +498,13 @@ object MultimodalQueries {
         | CAST(CASE WHEN doc_id % 13 = 6 THEN 0 ELSE 2 END AS INT) AS channels,
         | CAST(CASE WHEN doc_id % 13 = 6 THEN 0
         |   WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
-        | CAST(CASE WHEN doc_id % 13 = 6 THEN 0 ELSE 2 END AS INT) AS n_pages,
+        | CAST(CASE WHEN doc_id % 13 = 6 THEN 0
+        |   WHEN doc_id % 17 = 4 OR doc_id % 19 = 6 THEN 4
+        |   ELSE 2 END AS INT) AS n_pages,
         | round(CAST(CASE WHEN doc_id % 13 = 6 THEN 0.0
         |   WHEN doc_id % 2 = 0 THEN 1.0 + (doc_id % 5) * 0.1
-        |   ELSE 2.0 + (doc_id % 3) * 0.1 END AS DOUBLE), 6) AS duration_sec
+        |   ELSE 2.0 + (doc_id % 3) * 0.1 END AS DOUBLE), 6) AS duration_sec,
+        | (doc_id % 13 <> 6 AND doc_id % 17 = 4) AS chained
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q101_image_neardup" ->
       """WITH sel AS (

@@ -1035,7 +1035,7 @@ object TextQueries {
     // Language identification over injected multilingual text (the
     // q127/q147 in-plan construction idiom): per doc, a held-out
     // sentence in one of the model languages (doc_id % k), with a
-    // short-text row (% 97 → "und" by evidence) and a Thai row
+    // short-text row (% 97 → "und" by evidence) and a Georgian row
     // (% 11 → "und" by the OOV-gap floor: an unseen script lands on
     // the smoothed OOV mass in every language, gap exactly 0). The oracle re-derives
     // the ENTIRE fixed trigram model from the same seed literals in SQL
@@ -1199,7 +1199,7 @@ object TextQueries {
     // ships as a full HTTP response (Latin-1 / UTF-8 charset mix per
     // the snippet's encodability, every second capture CHUNKED — the
     // q154 construction) wrapping an HTML page whose text is the q158
-    // injection (snippet + repetition knob, Thai + short und rows
+    // injection (snippet + repetition knob, Georgian + short und rows
     // riding along). Warc.httpResponses → dechunk_http_body →
     // decode_http_body → html_text → LangId.classify → the shared
     // tier/budget chain. The ORACLE IS q158's VERBATIM: the
@@ -1230,8 +1230,8 @@ object TextQueries {
         case ((_, t), i) if java.nio.charset.StandardCharsets.ISO_8859_1
           .newEncoder().canEncode(t) => i.toLong
       }
-      // the Thai und rows override the snippet with non-Latin-1 text,
-      // so they must ship UTF-8 whatever their %13 residue says
+      // the Georgian und rows override the snippet with non-Latin-1 text,
+      // so they must ship UTF-8 whatever their %k residue says
       val isLatin = pmod(col("doc_id"), lit(k)).isInCollection(latinIdxs) &&
         pmod(col("doc_id"), lit(11)) =!= 5
       val chunked = pmod(col("doc_id"), lit(2)) === 0
@@ -1270,7 +1270,7 @@ object TextQueries {
     * LM joins re-ran ~8×; measured 21.9 → 5.8s at sf0.1).
     */
   /** The q158-family injected corpus: per doc a held-out sentence by
-    * doc_id % 13 (Thai unknown-script rows at % 11 == 5, a short row at
+    * doc_id % k (Georgian unknown-script rows at % 11 == 5, a short row at
     * % 97 == 0 — both end "und" and must be EXCLUDED downstream), plus
     * 1-3 copies of the per-doc `#id` suffix token so per-language LM
     * means spread into real tiers.
@@ -1385,13 +1385,17 @@ object TextQueries {
     "ko" -> "사월의 맑고 추운 날이었고 시계가 열세 번을 치는 동안 사람들은 좁은 거리를 지나 서둘러 집으로 돌아갔다",
     "ar" -> "كان يوما باردا مشرقا من ايام ابريل وكانت الساعات تدق الثالثة عشرة بينما كان الناس يسرعون الى بيوتهم عبر الشوارع الضيقة",
     "el" -> "ήταν μια λαμπερή κρύα μέρα του απριλίου και τα ρολόγια χτυπούσαν δεκατρείς καθώς οι άνθρωποι γύριζαν βιαστικά σπίτι μέσα από τους στενούς δρόμους",
-    "hi" -> "अप्रैल का एक उजला ठंडा दिन था और घड़ियां तेरह बजा रही थीं जब लोग संकरी गलियों से होकर जल्दी जल्दी घर लौट रहे थे")
+    "hi" -> "अप्रैल का एक उजला ठंडा दिन था और घड़ियां तेरह बजा रही थीं जब लोग संकरी गलियों से होकर जल्दी जल्दी घर लौट रहे थे",
+    "th" -> "มันเป็นวันที่อากาศหนาวและสดใสในเดือนเมษายน นาฬิกาตีสิบสามครั้ง ขณะที่ผู้คนรีบกลับบ้านผ่านถนนแคบ",
+    "he" -> "היה יום בהיר וקר בחודש אפריל והשעונים צלצלו שלוש עשרה בעוד אנשים ממהרים הביתה דרך הרחובות הצרים",
+    "fa" -> "روزی روشن و سرد در ماه آوریل بود و ساعت ها سیزده بار زنگ زدند در حالی که مردم از خیابان های تنگ به خانه می شتافتند")
 
-  // unknown-SCRIPT probe: Thai is deliberately NOT in the model (Greek
-  // graduated into it in r15), so every trigram lands on the smoothed
-  // OOV mass and the gap floor calls it "und"
+  // unknown-SCRIPT probe: Georgian is deliberately NOT in the model
+  // (Thai and Hebrew graduated into it in r16, Greek in r15), so every
+  // trigram lands on the smoothed OOV mass and the gap floor calls it
+  // "und"
   private val unkSnippet =
-    "ครอบครัวที่มีความสุขล้วนเหมือนกันหมด แต่ครอบครัวที่ไม่มีความสุขต่างมีความทุกข์ในแบบของตัวเอง"
+    "ყველა ბედნიერი ოჯახი ერთმანეთს ჰგავს ყოველი უბედური ოჯახი კი თავისებურად არის უბედური"
 
   // Oracle building blocks: the fixed model re-derived in DuckDB SQL from
   // the SAME seed literals (single source of truth —

@@ -36,6 +36,47 @@ object StreamingIndexIngest {
           checkpoint: String, compactEvery: Int = 64,
           maxFilesPerTrigger: Int = 0): StreamingQuery = {
     require(compactEvery >= 0, s"compactEvery must be >= 0: $compactEvery")
+    landingStream(spark, landingGlob, schema, maxFilesPerTrigger)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(index.streamingWriter(idCol, textCol, compactEvery))
+      .start()
+  }
+
+  /** The VECTOR twin of [[run]] — the same landing-dir ingestion story
+    * for the persistent embedding band index
+    * ([[StreamingVectorDedup.VectorBandIndex]]): file-source
+    * checkpointing (a restart never re-drains a file; the index's
+    * `_batches/<id>` ledger additionally makes a re-DELIVERED batch a
+    * no-op), per-batch dedup against the registry and within the batch,
+    * survivors' band rows appended, and — maintenance ON by default —
+    * [[StreamingVectorDedup.VectorBandIndex.compact]] after every
+    * `compactEvery`-th batch id (id-keyed, restart-stable; single-writer
+    * by construction inside foreachBatch). Deduped SURVIVORS flow to
+    * `onSurvivors` (default: the index is the product, survivors are
+    * dropped).
+    *
+    * The landing schema must carry `idCol` (castable to long, globally
+    * unique) and `vecCol` (array of float/double).
+    */
+  def runVector(spark: SparkSession, landingGlob: String, schema: StructType,
+                index: StreamingVectorDedup.VectorBandIndex, idCol: String,
+                vecCol: String, checkpoint: String, compactEvery: Int = 64,
+                maxFilesPerTrigger: Int = 0,
+                onSurvivors: (org.apache.spark.sql.DataFrame, Long) => Unit =
+                  (_, _) => (),
+                filesPerBand: Int = 1): StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0: $compactEvery")
+    StreamingVectorDedup.nearDupAvailableNow(
+      landingStream(spark, landingGlob, schema, maxFilesPerTrigger),
+      index, vecCol, idCol, checkpoint, onSurvivors,
+      compactEvery = compactEvery, filesPerBand = filesPerBand)
+  }
+
+  private def landingStream(spark: SparkSession, landingGlob: String,
+                            schema: StructType,
+                            maxFilesPerTrigger: Int): org.apache.spark.sql.DataFrame = {
     val reader = spark.readStream.schema(schema)
       .option("recursiveFileLookup", "true")
     val sized =
@@ -43,10 +84,5 @@ object StreamingIndexIngest {
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader
     sized.parquet(landingGlob)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch(index.streamingWriter(idCol, textCol, compactEvery))
-      .start()
   }
 }

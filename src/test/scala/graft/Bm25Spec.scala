@@ -637,4 +637,78 @@ class Bm25Spec extends SparkSuite {
       assert(math.abs(g._4 - w._4) < 2e-6, s"ndcg q${g._1}: ${g._4} vs ${w._4}")
     }
   }
+
+  test("theta tf-floor pushdown: the candidate scan emits fewer rows than the term-IN-only scan; results stay exact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // tiny parquet row groups so the tf-desc clustering yields many
+    // groups per term — the unit the pushed tf floor skips at
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    val oldCheck = Option(hc.get("parquet.block.size.row.check.min"))
+    hc.setInt("parquet.block.size", 4096)
+    hc.setInt("parquet.block.size.row.check.min", 50)
+    try {
+      // a TALL postings list: 1000 of 3000 docs carry "hot" with tf
+      // cycling 1..99 (~10 docs per tf value); every doc also carries
+      // the corpus-wide "pad" (the NON-ESSENTIAL query term the floored
+      // candidate set prunes the probe of), and unique filler pads
+      // every doc to dl = 100 so min_dl = 100 and the floor inversion
+      // is tight. df(hot) = 1000 of N = 3000 keeps idf large enough
+      // that θ = w(tf=99) forces floor ≈ 99 — the candidate scan should
+      // emit only the leading (high-tf) row groups of hot's postings.
+      val corpus = (0 until 3000).map { i =>
+        val tf = if (i < 1000) i % 99 + 1 else 0
+        val filler = s"filler$i " * (99 - tf)
+        (i.toLong, ("hot " * tf) + filler + "pad")
+      }.toDF("doc_id", "text")
+      val qs = Seq((1L, "hot pad")).toDF("qid", "q")
+      val root = java.nio.file.Files.createTempDirectory("bm25_floor").toString
+      val ix = new Bm25.DiskIndex(root, termBuckets = 2)
+      assert(ix.append(corpus, "doc_id", "text", 0L))
+      assert(ix.compact(spark)) // clusters tf-desc + tstats artifact
+      val out = ix.topKMaxScore(spark, qs, "qid", "q", 3)
+      val got = out.collect() // finalize the adaptive plan on OUT itself
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+      // exactness first: identical to the floor-free inline reference
+      val want = Bm25.topK(corpus, qs, "doc_id", "text", "qid", "q", 3)
+        .select("query_id", "doc_id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got === want)
+      assert(ix.lastStageBuckets.contains("cand"),
+        s"floor stage never ran: ${ix.lastStageBuckets}")
+      // the executed plan carries BOTH postings scans: the candidate
+      // scan (term = hot AND tf >= floor pushed) and the scoring scan
+      // (term IN only) — the floor must have skipped the low-tf tail.
+      // Walk through the AQE wrappers to the materialized stages.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(out.queryExecution.executedPlan)
+        .filter(_.metadata.getOrElse("PushedFilters", "").contains("term"))
+        .map(s => (s.metadata("PushedFilters"),
+          s.metrics("numOutputRows").value))
+      val (candScans, plainScans) =
+        scans.partition(_._1.contains("GreaterThanOrEqual(tf"))
+      assert(candScans.nonEmpty, s"no floored scan in plan: $scans")
+      // the hot-term scoring scan (term-IN-only, no floor): the smaller
+      // of the ess (hot ≈ 1000 postings) and non (pad = 3000) scans
+      assert(plainScans.nonEmpty, s"no term-IN-only scan in plan: $scans")
+      val candRows = candScans.map(_._2).sum
+      val essRows = plainScans.map(_._2).min
+      assert(candRows * 2 < essRows,
+        s"floored scan emitted $candRows vs term-IN-only $essRows — " +
+          "tf floor did not skip the low-impact tail row groups")
+    } finally {
+      oldBlock.fold(hc.unset("parquet.block.size"))(
+        hc.set("parquet.block.size", _))
+      oldCheck.fold(hc.unset("parquet.block.size.row.check.min"))(
+        hc.set("parquet.block.size.row.check.min", _))
+    }
+  }
 }

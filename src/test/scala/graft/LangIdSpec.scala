@@ -27,15 +27,19 @@ class LangIdSpec extends SparkSuite {
     "ko" -> "그녀는 편지를 열고 아침 커피를 마시면서 학교에 관한 소식을 읽었다",
     "ar" -> "فتحت الرسالة وقرات الاخبار عن المدرسة بينما كانت تشرب قهوة الصباح",
     "el" -> "άνοιξε το γράμμα και διάβασε τα νέα για το σχολείο ενώ έπινε τον πρωινό της καφέ",
-    "hi" -> "उसने पत्र खोला और अपनी सुबह की कॉफी पीते हुए स्कूल के बारे में समाचार पढ़ा")
+    "hi" -> "उसने पत्र खोला और अपनी सुबह की कॉफी पीते हुए स्कूल के बारे में समाचार पढ़ा",
+    "th" -> "เธอเปิดจดหมายและอ่านข่าวเกี่ยวกับโรงเรียนขณะดื่มกาแฟยามเช้าของเธอ",
+    "he" -> "היא פתחה את המכתב וקראה את החדשות על בית הספר בזמן ששתתה את קפה הבוקר שלה",
+    "fa" -> "او نامه را باز کرد و در حالی که قهوه صبح خود را می نوشید خبرهای مدرسه را خواند")
 
   private val minGap = graft.operators.LangId.DefaultMinOovGap
-  // unknown-script probes: Thai and Hebrew are not model languages —
-  // every LETTER-bearing gram is OOV, so the gap is exactly 0
-  private val thai =
-    "ครอบครัวที่มีความสุขล้วนเหมือนกันหมด แต่ครอบครัวที่ไม่มีความสุขต่างมีความทุกข์ในแบบของตัวเอง"
-  private val hebrew =
-    "היה יום אביב בהיר וקר והשעונים צלצלו שלוש עשרה כאשר האנשים מיהרו הביתה ברחובות הצרים"
+  // unknown-script probes: Georgian and Armenian are not model languages
+  // (Thai and Hebrew graduated in r16) — every LETTER-bearing gram is
+  // OOV, so the gap is exactly 0
+  private val georgian =
+    "ყველა ბედნიერი ოჯახი ერთმანეთს ჰგავს ყოველი უბედური ოჯახი კი თავისებურად არის უბედური"
+  private val armenian =
+    "բոլոր երջանիկ ընտանիքները նման են իրար ամեն դժբախտ ընտանիք դժբախտ է յուրովի"
 
   private def score(s: String): (String, Double, Double, Double, Int) = {
     val r = LangIdKernel.eval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
@@ -57,7 +61,7 @@ class LangIdSpec extends SparkSuite {
   }
 
   test("unknown scripts have an OOV gap of exactly zero") {
-    for (probe <- Seq(thai, hebrew, thai + " #123 456")) {
+    for (probe <- Seq(georgian, armenian, georgian + " #123 456")) {
       val (_, avg, _, gap, _) = score(probe)
       // every language sees only OOV grams (spaces/digits carry no
       // letter and never score) → avg == the argmax language's OOV rate
@@ -92,8 +96,8 @@ class LangIdSpec extends SparkSuite {
   test("classify: per-language calls, und fallbacks (short, unknown-script, null)") {
     val rows = heldOut.map { case (l, t) => (l, t) } ++ Seq(
       ("und_short", "ab"),
-      ("und_script", thai),
-      ("und_hebrew", hebrew),
+      ("und_script", georgian),
+      ("und_armenian", armenian),
       ("und_null", null.asInstanceOf[String]))
     val byWant = LangId.classify(rows.toDF("want", "text"), "text")
       .select("want", "lang", "lang_conf").collect()
@@ -102,7 +106,7 @@ class LangIdSpec extends SparkSuite {
     assert(byWant("und_short")._1 === "und")
     assert(byWant("und_short")._2 === 0.0)
     assert(byWant("und_script")._1 === "und")
-    assert(byWant("und_hebrew")._1 === "und")
+    assert(byWant("und_armenian")._1 === "und")
     assert(byWant("und_null")._1 === "und")
     assert(byWant("und_null")._2 === 0.0)
   }

@@ -146,10 +146,11 @@ class MediaHeadersSpec extends SparkSuite {
   private def leBytes(v: Long, n: Int): Array[Byte] =
     Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
   private def oggPage(headerType: Int, granule: Long,
-                      payload: Array[Byte]): Array[Byte] = {
+                      payload: Array[Byte], serial: Long = 0L): Array[Byte] = {
     require(payload.length < 255)
     fcc("OggS") ++ Array[Byte](0, headerType.toByte) ++ leBytes(granule, 8) ++
-      Array.fill(12)(0.toByte) ++ // serial + seq + crc (not validated)
+      leBytes(serial, 4) ++
+      Array.fill(8)(0.toByte) ++ // seq + crc (not validated)
       Array[Byte](1, payload.length.toByte) ++ payload
   }
   private def vorbisId(channels: Int, rate: Int): Array[Byte] =
@@ -191,6 +192,78 @@ class MediaHeadersSpec extends SparkSuite {
     val junkTail = good ++ Array[Byte](9, 9, 9)
     assert(ogg(MediaHeadersOgg.oggMeta(junkTail)) ===
       ((true, "vorbis", 2, 8000, 2, 2.0)))
+  }
+
+  // --- fragmented MP4 ----------------------------------------------------
+
+  private def tkhd(trackId: Long): Array[Byte] =
+    box("tkhd", u32(0), u32(0), u32(0), u32(trackId))
+  private def mdhd(ts: Long): Array[Byte] =
+    box("mdhd", u32(0), u32(0), u32(0), u32(ts))
+  private def trakF(codec: String, trackId: Long, ts: Long): Array[Byte] =
+    box("trak", tkhd(trackId), box("mdia", mdhd(ts), box("minf", box("stbl",
+      box("stsd", u32(0), u32(1), u32(8), fcc(codec))))))
+  private def mvex(trackId: Long, defDur: Long): Array[Byte] =
+    box("mvex", box("trex", u32(0), u32(trackId), u32(1), u32(defDur),
+      u32(0), u32(0)))
+  private def tfhd(trackId: Long, defDur: Option[Long] = None): Array[Byte] =
+    defDur match {
+      case Some(d) => box("tfhd", u32(8), u32(trackId), u32(d))
+      case None => box("tfhd", u32(0), u32(trackId))
+    }
+  private def tfdt(base: Long): Array[Byte] = box("tfdt", u32(0), u32(base))
+
+  test("fragmented mp4: mvhd duration 0 estimates from moof/traf — per-sample trun, tfhd default, trex fallback, all on the mdhd clock") {
+    val moov = box("moov", mvhdV0(1000, 0), trakF("avc1", 1, 600), mvex(1, 50))
+    // moof1: per-sample durations (flag 0x100): 100 + 150 → end 250
+    val moof1 = box("moof", box("traf", tfhd(1), tfdt(0),
+      box("trun", u32(0x100), u32(2), u32(100), u32(150))))
+    // moof2: tfhd default 75 × 4 samples (trun has only a data_offset)
+    val moof2 = box("moof", box("traf", tfhd(1, Some(75L)), tfdt(250),
+      box("trun", u32(1), u32(4), u32(0))))
+    // moof3: neither trun nor tfhd carry durations → trex default 50 × 2
+    val moof3 = box("moof", box("traf", tfhd(1), tfdt(550),
+      box("trun", u32(0), u32(2))))
+    val got = mp4(MediaHeaders.mp4Meta(ftyp ++ moov ++ moof1 ++ moof2 ++ moof3))
+    assert(got === ((true, 650.0 / 600, 1000, 0L, 1, "avc1")))
+  }
+
+  test("fragmented mp4: malformed fragment boxes degrade to the parsed portion, never throw") {
+    val moov = box("moov", mvhdV0(1000, 0), trakF("avc1", 1, 600), mvex(1, 50))
+    // trun claims 1000 samples but carries none → contributes 0
+    val short = box("moof", box("traf", tfhd(1), tfdt(300),
+      box("trun", u32(0x100), u32(1000))))
+    // tfhd too short for a track id → whole traf skipped
+    val headless = box("moof", box("traf", box("tfhd", u32(0)), tfdt(900)))
+    val got = mp4(MediaHeaders.mp4Meta(ftyp ++ moov ++ short ++ headless))
+    assert(got === ((true, 300.0 / 600, 1000, 0L, 1, "avc1")))
+  }
+
+  test("mp4: an unsigned mvhd timescale above Int.MaxValue reads as malformed, not a negative column") {
+    val b = ftyp ++ box("moov", mvhdV0(0x90000000L, 500), trak("avc1"))
+    assert(mp4(MediaHeaders.mp4Meta(b))._1 === false)
+  }
+
+  // --- multi-stream OGG ----------------------------------------------------
+
+  test("ogg: chained streams — first stream's codec+duration, chained flag, foreign granules never leak") {
+    val b = oggPage(2, 0, vorbisId(2, 44100), serial = 7) ++
+      oggPage(4, 88200, Array.fill(4)(0.toByte), serial = 7) ++
+      oggPage(2, 0, opusHead(1, 312), serial = 9) ++
+      oggPage(4, 999999999L, Array.fill(4)(0.toByte), serial = 9)
+    val r = MediaHeadersOgg.oggMeta(b)
+    assert(ogg(r) === ((true, "vorbis", 2, 44100, 4, 2.0)))
+    assert(r.getBoolean(6) === true, "chained flag")
+  }
+
+  test("ogg: multiplexed skeleton-first — id header keyed on the BOS flag + serial lock, not page position") {
+    val b = oggPage(2, 0, fcc("fishead"), serial = 1) ++ // unrecognized BOS
+      oggPage(2, 0, vorbisId(2, 44100), serial = 2) ++
+      oggPage(4, 44100, Array.fill(4)(0.toByte), serial = 2) ++
+      oggPage(4, 888888888L, Array.fill(4)(0.toByte), serial = 1) // skel EOS
+    val r = MediaHeadersOgg.oggMeta(b)
+    assert(ogg(r) === ((true, "vorbis", 2, 44100, 4, 1.0)))
+    assert(r.getBoolean(6) === false, "a multiplexed file is not chained")
   }
 
   test("ogg quarantine: no magic, unknown codec, zero rate") {

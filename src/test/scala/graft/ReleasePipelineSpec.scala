@@ -362,4 +362,34 @@ class ReleasePipelineSpec extends SparkSuite {
     assert(nov.stats.input === 3 && nov.stats.afterNovelty === 2)
     assert(nov.corpus.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
   }
+
+  test("pluggable budget stage: epochsToBudget composes into run(); corpus/packed untouched") {
+    import graft.corpus.ReleasePipeline
+    val docs = Seq(
+      (1L, "a silver ship sails under a bright moon as a calm wind drifts across a bay"),
+      (2L, "an old clock ticks inside an empty hall where an echo rings against an iron door"),
+      (3L, "my green boat floats down the wide river past the tall reeds near the stone bridge"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((90L, "benchmark only sentence completely unrelated tokens here"))
+      .toDF("doc_id", "text")
+    val base = ReleasePipeline.Config(lmFloorQuantile = 0.0)
+    // the epoch mixture as the release's budget stage: one stratum,
+    // budget = 2x the total kept tokens → every doc repeats for 2 epochs
+    val res = ReleasePipeline.run(docs, benchmark, base,
+      budgetStage = Some(df =>
+        Sampling.epochsToBudget(df.withColumn("lang", lit("en")),
+          "lang", "doc_id", "n_tokens",
+          Map.empty, maxEpochs = 3, defaultBudget = 16L * 3 * 2)
+          .select("doc_id", "epoch")))
+    assert(res.budgeted.isDefined)
+    val got = res.budgeted.get.as[(Long, Int)].collect().toSet
+    assert(got === Set((1L, 1), (1L, 2), (2L, 1), (2L, 2), (3L, 1), (3L, 2)),
+      got.toString)
+    // the budget stage never leaks into the release invariants
+    assert(res.corpus.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    assert(res.packed.select("doc_id").distinct().count() === 3)
+    // knob off → no budgeted frame (the r15 surface, unchanged)
+    assert(ReleasePipeline.run(docs, benchmark, base).budgeted.isEmpty)
+  }
 }

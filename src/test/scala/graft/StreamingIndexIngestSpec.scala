@@ -74,4 +74,63 @@ class StreamingIndexIngestSpec extends SparkSuite {
     assert(w2 === 3L, s"id-keyed schedule drifted: watermark $w2")
     assert(rows(ix.topKMaxScore(spark, q, "qid", "q", 5)) === wantGrown)
   }
+
+  test("vector twin: landing-dir drain dedups against the band index, compacts mid-drain, restarts as a no-op") {
+    import graft.streaming.{StreamingIndexIngest, StreamingVectorDedup}
+    val landing = java.nio.file.Files.createTempDirectory("svi_l").toString
+    val cp = java.nio.file.Files.createTempDirectory("svi_c").toString
+    val root = java.nio.file.Files.createTempDirectory("svi_i").toString + "/ix"
+    val ix = new StreamingVectorDedup.VectorBandIndex(root,
+      bandBits = 8, bands = 16, threshold = 0.9)
+    // well-separated seeded Gaussians; 3/5 duplicate 1/4 exactly
+    def vec(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(42 + seed)
+      Array.fill(16)(rnd.nextGaussian().toFloat)
+    }
+    val vSchema = StructType(new StructType()
+      .add("vec_id", org.apache.spark.sql.types.LongType)
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)))
+    val survivors = scala.collection.mutable.Set[Long]()
+    def drain(): Unit = {
+      val s = StreamingIndexIngest.runVector(spark, landing, vSchema, ix,
+        "vec_id", "embedding", cp, compactEvery = 2, maxFilesPerTrigger = 1,
+        onSurvivors = (df, _) => survivors.synchronized {
+          survivors ++= df.select("vec_id").as[Long].collect()
+        })
+      s.awaitTermination(120000)
+    }
+    // three landing files → batch ids 0, 1, 2; compaction fires after
+    // id 1 (mid-drain); id 3 dups id 1 across batches, id 5 dups id 4
+    // within its batch
+    Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$landing/p0")
+    Seq((3L, vec(1)), (4L, vec(4))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$landing/p1")
+    Seq((5L, vec(4))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$landing/p2")
+    drain()
+    assert(survivors.toSet === Set(1L, 2L, 4L))
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/_batches/1")),
+      "batch ledger missing")
+    // the mid-drain compact left the index readable and scrubbed: the
+    // indexed ids are exactly the survivors
+    val indexed = spark.read.parquet(root).select("id").distinct()
+      .as[Long].collect().toSet
+    assert(indexed === Set(1L, 2L, 4L), indexed.toString)
+    // restart with no new files: nothing re-drains, nothing re-indexes
+    survivors.clear()
+    drain()
+    assert(survivors.isEmpty, survivors.toString)
+    // a later landing file dedups against the PERSISTED registry
+    Seq((6L, vec(2)), (7L, vec(7))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$landing/p3")
+    drain()
+    assert(survivors.toSet === Set(7L), survivors.toString)
+    val indexed2 = spark.read.parquet(root).select("id").distinct()
+      .as[Long].collect().toSet
+    assert(indexed2 === Set(1L, 2L, 4L, 7L), indexed2.toString)
+  }
 }
