@@ -183,6 +183,13 @@ object Paragraphs {
     * All non-text columns ride through unchanged; the output schema and
     * column order equal the input's.
     *
+    * `splitRegex`/`joinSep` default to the raw-layout convention
+    * (blank-line paragraphs, [[splitBlankLines]]). Text that came
+    * through [[graft.functions.HtmlTextExpr]] carries ONE newline per
+    * block boundary (its whitespace contract collapses newline runs) —
+    * pass `splitRegex = "\\n", joinSep = "\n"` so extracted blocks
+    * dedup as paragraphs (the q164 crawl-path convention).
+    *
     * Scale shape — deliberately NO window over (shard, fingerprint): a
     * boilerplate paragraph duplicated across the whole corpus would
     * funnel its entire copy set into one window partition. Instead the
@@ -193,11 +200,13 @@ object Paragraphs {
     * re-assembly.
     */
   def dedupFirstByShard(df: DataFrame, textCol: String, idCol: String,
-                        shardCol: String): DataFrame = {
+                        shardCol: String,
+                        splitRegex: String = "\\n\\s*\\n",
+                        joinSep: String = "\n\n"): DataFrame = {
     val carried = df.columns.filterNot(_ == textCol)
     val paras = df.where(col(s"`$textCol`").isNotNull)
       .select(carried.map(c => col(s"`$c`")) :+
-        posexplode(split(col(s"`$textCol`"), "\\n\\s*\\n"))
+        posexplode(split(col(s"`$textCol`"), splitRegex))
           .as(Seq("para_idx", "para")): _*)
       .where(length(trim(col("para"))) > 0)
     // The splitter already dropped blank paragraphs, and normalize falls
@@ -214,7 +223,7 @@ object Paragraphs {
       .groupBy(carried.map(c => col(s"`$c`")): _*)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
-          x => x.getField("para")), "\n\n").as(textCol))
+          x => x.getField("para")), joinSep).as(textCol))
       .select(df.columns.map(c => col(s"`$c`")): _*)
   }
 }

@@ -1259,6 +1259,83 @@ object TextQueries {
       val pages = graft.corpus.CrawlPipeline.pageDocsFromRecords(
         recs, docId = col("offset"))
       ccnetCompose(s, pages.select(col("doc_id"), col("text")))
+    }),
+
+    // The FIVE-stage crawl capstone: q160's raw-bytes chain with q163's
+    // paragraph-dedup stage spliced in — raw HTTP responses (charset
+    // mix + chunked framing) wrapping TWO-block HTML pages (<p>base</p>
+    // <p>shared-boilerplate</p> on most model-language rows). html_text
+    // collapses the block boundary to ONE newline (its whitespace
+    // contract), so the dedup stage runs with the extracted-text
+    // convention (splitRegex "\n") — the multi-block extraction
+    // discipline is load-bearing: a missing or doubled newline merges
+    // or splits paragraphs, flips the dedup winner set, and breaks the
+    // tier/budget hash. Oracle: the q163 recomposition with the
+    // single-newline separator.
+    "q164_crawl_ccnet_dedup" -> ((s, dir) => {
+      val k = langSnippets.size
+      val snippet = langSnippets.zipWithIndex.tail.foldLeft(
+          when(pmod(col("doc_id"), lit(k)) === 0, lit(langSnippets.head._2))) {
+        case (acc, ((_, t), i)) =>
+          acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+      }
+      val boiler = langBoilers.zipWithIndex.tail.foldLeft(
+          when(pmod(col("doc_id"), lit(k)) === 0, lit(langBoilers.head._2))) {
+        case (acc, ((_, t), i)) =>
+          acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+      }
+      val reps = call_function("repeat",
+        concat(lit(" #"), col("doc_id").cast("string")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val base = when(pmod(col("doc_id"), lit(97)) === 0, lit("ab"))
+        .when(pmod(col("doc_id"), lit(11)) === 5, concat(lit(unkSnippet), reps))
+        .otherwise(concat(snippet, reps))
+      val hasBoiler = pmod(col("doc_id"), lit(97)) =!= 0 &&
+        pmod(col("doc_id"), lit(11)) =!= 5 &&
+        pmod(col("doc_id"), lit(5)) =!= 0
+      val html = concat(
+        lit("<html><head>" +
+          "<script>var x = \"decoy charset=utf-16le\";</script></head>" +
+          "<body><p>"),
+        base,
+        when(hasBoiler, concat(lit("</p><p>"), boiler)).otherwise(lit("")),
+        lit("</p></body></html>"))
+      // the boilerplate is a PREFIX of the snippet, so its chars are a
+      // subset — the snippet's Latin-1 encodability decides the page's
+      val latinIdxs = langSnippets.zipWithIndex.collect {
+        case ((_, t), i) if java.nio.charset.StandardCharsets.ISO_8859_1
+          .newEncoder().canEncode(t) => i.toLong
+      }
+      val isLatin = pmod(col("doc_id"), lit(k)).isInCollection(latinIdxs) &&
+        pmod(col("doc_id"), lit(11)) =!= 5
+      val chunked = pmod(col("doc_id"), lit(2)) === 0
+      val head = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
+        when(isLatin, lit("ISO-8859-1")).otherwise(lit("UTF-8")),
+        lit("\r\n"),
+        when(chunked, lit("Transfer-Encoding: chunked\r\n")).otherwise(lit("")),
+        lit("\r\n"))
+      val bodyB = when(isLatin, encode(html, "ISO-8859-1"))
+        .otherwise(encode(html, "UTF-8"))
+      val framed = when(chunked, concat(
+          encode(concat(lower(hex(length(bodyB))), lit("\r\n")), "UTF-8"),
+          bodyB,
+          lit("\r\n0\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        .otherwise(bodyB)
+      val payload = concat(encode(head, "UTF-8"), framed)
+      val recs = Tables(s, dir, "documents")
+        .select(lit("mem://crawl_ccnet_dedup.warc").as("path"),
+          col("doc_id").as("offset"),
+          concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("record_id"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("target_uri"),
+          payload.as("payload"),
+          lit(true).as("valid"), lit("response").as("warc_type"))
+      val pages = graft.corpus.CrawlPipeline.pageDocsFromRecords(
+        recs, docId = col("offset"))
+      ccnetCompose(s, pages.select(col("doc_id"), col("text")),
+        dedupStage = docs => graft.operators.Paragraphs
+          .dedupFirstByShard(docs, "text", "doc_id", "lang",
+            splitRegex = "\\n", joinSep = "\n"))
     })
   )
 
@@ -1568,6 +1645,18 @@ object TextQueries {
     * paragraphs straight into the shared LM/tier/budget tail.
     */
   private[queries] def ccnetDedupOracle: String =
+    ccnetDedupOracleOver(sepSql = "chr(10) || chr(10)",
+      splitRegexSql = "\\n\\s*\\n")
+
+  /** q164: the q163 recomposition with the EXTRACTED-text paragraph
+    * convention — html_text collapses block boundaries to one newline,
+    * so the separator is chr(10) and the split regex a single \n.
+    */
+  private[queries] def ccnetCrawlDedupOracle: String =
+    ccnetDedupOracleOver(sepSql = "chr(10)", splitRegexSql = "\\n")
+
+  private def ccnetDedupOracleOver(sepSql: String,
+                                   splitRegexSql: String): String =
     ccnetBudgetOracleOver(ccnetTieredCtesOver(
       s"""SELECT doc_id,
          |     CASE WHEN doc_id % 97 = 0 THEN 'ab'
@@ -1577,12 +1666,12 @@ object TextQueries {
          |            repeat(' #' || CAST(doc_id AS VARCHAR), CAST(doc_id % 3 + 1 AS INT))
          |          ELSE $langSnippetCaseSql ||
          |            repeat(' #' || CAST(doc_id AS VARCHAR), CAST(doc_id % 3 + 1 AS INT)) ||
-         |            chr(10) || chr(10) || $langBoilerCaseSql
+         |            $sepSql || $langBoilerCaseSql
          |     END AS txt
          |   FROM documents""".stripMargin,
       s"""paras AS (SELECT doc_id, lang, para FROM (
          |     SELECT doc_id, lang,
-         |       unnest(regexp_split_to_array(txt, '\\n\\s*\\n')) AS para
+         |       unnest(regexp_split_to_array(txt, '$splitRegexSql')) AS para
          |     FROM docs1)
          |   WHERE trim(para) <> ''),
          | pfp AS (SELECT doc_id, lang, para,
@@ -2018,6 +2107,7 @@ object TextQueries {
     "q160_crawl_ccnet" -> ccnetReleaseOracle,
     "q162_ccnet_epochs" -> ccnetEpochsOracle,
     "q163_ccnet_dedup" -> ccnetDedupOracle,
+    "q164_crawl_ccnet_dedup" -> ccnetCrawlDedupOracle,
     "q107_lang_mix" ->
       s"""WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 0 THEN text || ' der die das und ist nicht ein zu mit der die das und ist nicht ein zu mit der die'
