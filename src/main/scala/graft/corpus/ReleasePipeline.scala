@@ -60,6 +60,17 @@ object ReleasePipeline {
       paragraphDedup: Boolean = false,
       paragraphWindow: Int = 16,
       paragraphThreshold: Double = 0.5,
+      // stage 3c — CCNet/RefinedWeb EXACT paragraph-hash dedup
+      // (keep-first per normalized fingerprint, corpus-global): later
+      // copies of a repeated blank-line paragraph are cut OUT of their
+      // documents (q163's stage, the language-agnostic flavor —
+      // `Paragraphs.dedupFirst`); docs whose every paragraph was a copy
+      // drop. Distinct from 3b (NEAR-dup pairs drop whole docs) and
+      // from 1b (line-df strips lines repeated >= minDf times
+      // EVERYWHERE, first copy included). Off by default;
+      // batch-relative under appendBatch like the other
+      // corpus-relative stages.
+      paragraphHashDedup: Boolean = false,
       // stage 1b — RefinedWeb/CCNet boilerplate-LINE removal, BEFORE the
       // quality battery and doc dedup (site furniture inflates both
       // quality penalties and inter-doc similarity; stripping it first
@@ -82,7 +93,8 @@ object ReleasePipeline {
       afterParaDedup: Long,
       afterDespan: Long,
       afterDecontaminate: Long,
-      afterLmFloor: Long)
+      afterLmFloor: Long,
+      afterParaHash: Long = -1L) // -1 only on legacy constructions
 
   /** `corpus`: the surviving (id, text) stream (text fully scrubbed);
     * `packed`: its packing assignment at `packCapacity`; `minhashSig`:
@@ -253,10 +265,17 @@ object ReleasePipeline {
         deduped.join(pDrops, deduped("doc_id") === pDrops("id"), "left_anti")
       })
 
+    // 3c. Exact paragraph-hash dedup (keep-first): later copies of a
+    // repeated paragraph are cut out of their docs; all-copy docs drop.
+    val paraHashed =
+      if (!cfg.paragraphHashDedup) paraDeduped
+      else staged("3c_parahash",
+        Paragraphs.dedupFirst(paraDeduped, "text", "doc_id"))
+
     // 4. Exact-substring scrub: REMOVE corpus-duplicated spans and drop
     // docs scrubbed to nothing (the paper's degenerate case).
     val despanned = staged("4_despan", TextStats.removeDupSpans(
-        paraDeduped, "text", "doc_id", k = cfg.spanK)
+        paraHashed, "text", "doc_id", k = cfg.spanK)
       .where(col("n_kept") > 0)
       .select(col("id").as("doc_id"), col("scrubbed").as("text")))
 
@@ -293,6 +312,10 @@ object ReleasePipeline {
       afterDedup = dedupedN,
       afterParaDedup = if (!cfg.paragraphDedup) dedupedN
                        else paraDeduped.count(),
+      afterParaHash = if (!cfg.paragraphHashDedup)
+                        (if (!cfg.paragraphDedup) dedupedN
+                         else paraDeduped.count())
+                      else paraHashed.count(),
       afterDespan = despanned.count(),
       afterDecontaminate = clean.count(),
       afterLmFloor = kept.count())

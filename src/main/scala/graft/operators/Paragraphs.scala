@@ -199,6 +199,22 @@ object Paragraphs {
     * shuffles total: the winner aggregate and the per-document
     * re-assembly.
     */
+  /** [[dedupFirstByShard]] with a single corpus-global shard — the
+    * RefinedWeb/C4 flavor (exact repeated paragraphs cut corpus-wide,
+    * keep-first), for pipelines without a language column. Same
+    * aggregate shape: the constant shard changes nothing about the
+    * map-side reduction.
+    */
+  def dedupFirst(df: DataFrame, textCol: String, idCol: String,
+                 splitRegex: String = "\\n\\s*\\n",
+                 joinSep: String = "\n\n"): DataFrame = {
+    require(!df.columns.contains("__ph_shard"),
+      "dedupFirst reserves the __ph_shard column name")
+    dedupFirstByShard(df.withColumn("__ph_shard", lit(1)),
+      textCol, idCol, "__ph_shard", splitRegex, joinSep)
+      .drop("__ph_shard")
+  }
+
   def dedupFirstByShard(df: DataFrame, textCol: String, idCol: String,
                         shardCol: String,
                         splitRegex: String = "\\n\\s*\\n",

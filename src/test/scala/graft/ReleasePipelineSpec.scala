@@ -363,6 +363,41 @@ class ReleasePipelineSpec extends SparkSuite {
     assert(nov.corpus.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
   }
 
+  test("stage 3c: exact paragraph-hash dedup cuts later copies, keeps first, drops all-copy docs") {
+    import graft.corpus.ReleasePipeline
+    val P = "the quick brown fox jumps over the lazy dog while the rain falls on the hill"
+    val Q = "a silver ship sails under a bright moon as a calm wind drifts across a bay"
+    val R = "an old clock ticks inside an empty hall where an echo rings against an iron door"
+    // doc 1 carries P+Q, doc 2 repeats P (cut, R survives), doc 3 is
+    // ONLY a copy of P -> drops entirely
+    val docs = Seq((1L, s"$P\n\n$Q"), (2L, s"$P\n\n$R"), (3L, P))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((90L, "benchmark only sentence completely unrelated tokens here"))
+      .toDF("doc_id", "text")
+    val base = ReleasePipeline.Config(lmFloorQuantile = 0.0)
+    val res = ReleasePipeline.run(docs, benchmark,
+      base.copy(paragraphHashDedup = true))
+    assert(res.stats.afterParaDedup === 3 && res.stats.afterParaHash === 2,
+      res.stats.toString)
+    val byId = res.corpus.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(byId.keySet === Set(1L, 2L))
+    // keep-FIRST: doc 1 retains P (with it now unique, stage 4's
+    // remove-all-copies despan keeps it too); doc 2 lost its copy
+    assert(byId(1L).contains("quick brown fox") && byId(1L).contains(Q))
+    assert(byId(2L).contains(R) && !byId(2L).contains("quick brown fox"),
+      byId(2L))
+    // off by default: stage 4's REMOVE-ALL-COPIES semantics take over —
+    // P vanishes from every doc (doc 3, P-only, drops) — the exact
+    // contrast the keep-first stage exists for
+    val off = ReleasePipeline.run(docs, benchmark, base)
+    assert(off.stats.afterParaHash === off.stats.afterParaDedup)
+    val offIds = off.corpus.select("doc_id").as[Long].collect().toSet
+    assert(offIds === Set(1L, 2L), offIds.toString)
+    assert(!off.corpus.where(col("doc_id") === 1L).head()
+      .getAs[String]("text").contains("quick brown fox"))
+  }
+
   test("pluggable budget stage: epochsToBudget composes into run(); corpus/packed untouched") {
     import graft.corpus.ReleasePipeline
     val docs = Seq(
