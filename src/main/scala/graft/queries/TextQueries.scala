@@ -1336,8 +1336,63 @@ object TextQueries {
         dedupStage = docs => graft.operators.Paragraphs
           .dedupFirstByShard(docs, "text", "doc_id", "lang",
             splitRegex = "\\n", joinSep = "\n"))
+    }),
+
+    // INCREMENTAL paragraph-hash dedup against the persistent registry
+    // (StreamingParagraphDedup — the q163 stage's streaming twin, the
+    // q57 idiom at paragraph granularity): real table text plus a
+    // per-source boilerplate paragraph, drained as two id-ordered
+    // batches through a fresh registry. DOUBLY checked: the oracle
+    // recomposes keep-first paragraph dedup + positional reassembly in
+    // SQL (parallel-unnest ordinality + ordered string_agg), and an
+    // in-plan gate pins the incremental survivors EQUAL to the one-shot
+    // operator's, row for row (registry threading, winner coordinates,
+    // and the batch boundary must all be exact).
+    "q165_incremental_paradedup" -> ((s, dir) => {
+      import graft.streaming.StreamingParagraphDedup.ParagraphRegistry
+      val src = pmod(col("doc_id"), lit(3))
+      val boiler = when(src === 0, lit(q165Boilers(0)))
+        .when(src === 1, lit(q165Boilers(1)))
+        .otherwise(lit(q165Boilers(2)))
+      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), src.as("src"),
+          when(pmod(col("doc_id"), lit(7)) === 0, col("text"))
+            .otherwise(concat(col("text"), lit("\n\n"), boiler)).as("text"))
+      val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+      val root = java.nio.file.Files.createTempDirectory("graft_q165")
+      val ix = new ParagraphRegistry(root.toString + "/ix", buckets = 8)
+      // dedupeBatch is EAGER (probe, winner aggregate, append, and the
+      // localCheckpoint'd result all run at call time), so the two
+      // batches chain sequentially and the registry dir is DEAD once
+      // both return — deleted below, before the lazy gate/emit runs
+      val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= cut),
+        "text", "doc_id", "src", Some(0L))
+      val s2 = ix.dedupeBatch(docs.where(col("doc_id") > cut),
+        "text", "doc_id", "src", Some(1L))
+      val pk = (d: org.apache.spark.sql.DataFrame) => d.select(
+        concat(col("doc_id"), lit(":"), col("src"), lit(":"),
+          md5(col("text"))).as("__pk"))
+      val inc = s1.unionByName(s2)
+      val oneShot = graft.operators.Paragraphs
+        .dedupFirstByShard(docs, "text", "doc_id", "src")
+      val out = inc.select(col("doc_id"), col("src"),
+        md5(col("text")).as("fp"))
+      val gated = Gates.setParityOn(out, pk(inc), pk(oneShot), "__pk")
+        .orderBy("doc_id")
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+      gated
     })
   )
+
+  // q165's per-source boilerplate paragraphs (shared VERBATIM by every
+  // doc of the source — the dedup clusters); mirrored literally in SQL
+  private val q165Boilers = Seq(
+    "subscribe to the daily newsletter and never miss an update from this site",
+    "all rights reserved contact the editorial team for reprint permissions",
+    "share this story with your friends and follow the channel for more")
 
   /** The shared CCNet composition tail of q158/q160: classify →
     * "und" excluded → per-LANGUAGE unigram LM → 25/50/25 tiers on the
@@ -2108,6 +2163,37 @@ object TextQueries {
     "q162_ccnet_epochs" -> ccnetEpochsOracle,
     "q163_ccnet_dedup" -> ccnetDedupOracle,
     "q164_crawl_ccnet_dedup" -> ccnetCrawlDedupOracle,
+    // q165: keep-first paragraph dedup + positional reassembly over REAL
+    // table text + the planted per-source boilerplate — paragraph
+    // ordinality via DuckDB's zipping parallel unnest, reassembly via
+    // ordered string_agg; the md5 of the reassembled text pins byte
+    // equality (separator, order, and winner choice all load-bearing)
+    "q165_incremental_paradedup" -> (
+      s"""WITH docs0 AS (SELECT doc_id, doc_id % 3 AS src,
+        |    CASE WHEN doc_id % 7 = 0 THEN text
+        |         ELSE text || chr(10) || chr(10) ||
+        |           (CASE CAST(doc_id % 3 AS INT)
+        |              WHEN 0 THEN '${q165Boilers(0)}'
+        |              WHEN 1 THEN '${q165Boilers(1)}'
+        |              ELSE '${q165Boilers(2)}' END)
+        |    END AS txt
+        |  FROM documents WHERE text IS NOT NULL),
+        | arrs AS (SELECT doc_id, src,
+        |     regexp_split_to_array(txt, '\\n\\s*\\n') AS arr FROM docs0),
+        | paras AS (SELECT doc_id, src, unnest(arr) AS para,
+        |     unnest(generate_series(1, len(arr))) AS idx FROM arrs),
+        | fps AS (SELECT doc_id, src, para, idx,
+        |     md5(${normSqlFor("para")}) AS fp
+        |   FROM paras WHERE trim(para) <> ''),
+        | keep AS (SELECT doc_id, src, para, idx FROM (
+        |     SELECT doc_id, src, para, idx, row_number() OVER (
+        |       PARTITION BY src, fp ORDER BY doc_id, idx) AS rn FROM fps)
+        |   WHERE rn = 1),
+        | outq AS (SELECT doc_id, src,
+        |     string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text
+        |   FROM keep GROUP BY 1, 2)
+        | SELECT doc_id, src, md5(text) AS fp FROM outq
+        | ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
     "q107_lang_mix" ->
       s"""WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 0 THEN text || ' der die das und ist nicht ein zu mit der die das und ist nicht ein zu mit der die'
