@@ -1348,44 +1348,50 @@ object TextQueries {
     // in-plan gate pins the incremental survivors EQUAL to the one-shot
     // operator's, row for row (registry threading, winner coordinates,
     // and the batch boundary must all be exact).
-    "q165_incremental_paradedup" -> ((s, dir) => {
-      import graft.streaming.StreamingParagraphDedup.ParagraphRegistry
-      val src = pmod(col("doc_id"), lit(3))
-      val boiler = when(src === 0, lit(q165Boilers(0)))
-        .when(src === 1, lit(q165Boilers(1)))
-        .otherwise(lit(q165Boilers(2)))
-      val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"), src.as("src"),
-          when(pmod(col("doc_id"), lit(7)) === 0, col("text"))
-            .otherwise(concat(col("text"), lit("\n\n"), boiler)).as("text"))
-      val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
-      val root = java.nio.file.Files.createTempDirectory("graft_q165")
-      val ix = new ParagraphRegistry(root.toString + "/ix", buckets = 8)
-      // dedupeBatch is EAGER (probe, winner aggregate, append, and the
-      // localCheckpoint'd result all run at call time), so the two
-      // batches chain sequentially and the registry dir is DEAD once
-      // both return — deleted below, before the lazy gate/emit runs
-      val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= cut),
-        "text", "doc_id", "src", Some(0L))
-      val s2 = ix.dedupeBatch(docs.where(col("doc_id") > cut),
-        "text", "doc_id", "src", Some(1L))
-      val pk = (d: org.apache.spark.sql.DataFrame) => d.select(
-        concat(col("doc_id"), lit(":"), col("src"), lit(":"),
-          md5(col("text"))).as("__pk"))
-      val inc = s1.unionByName(s2)
-      val oneShot = graft.operators.Paragraphs
-        .dedupFirstByShard(docs, "text", "doc_id", "src")
-      val out = inc.select(col("doc_id"), col("src"),
-        md5(col("text")).as("fp"))
-      val gated = Gates.setParityOn(out, pk(inc), pk(oneShot), "__pk")
-        .orderBy("doc_id")
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walk.close()
-      gated
-    })
+    "q165_incremental_paradedup" -> mkQ165(gated = true)
   )
+
+  private def mkQ165(gated: Boolean): Q = (s, dir) => {
+    import graft.streaming.StreamingParagraphDedup.ParagraphRegistry
+    val src = pmod(col("doc_id"), lit(3))
+    val boiler = when(src === 0, lit(q165Boilers(0)))
+      .when(src === 1, lit(q165Boilers(1)))
+      .otherwise(lit(q165Boilers(2)))
+    val docs = Tables(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), src.as("src"),
+        when(pmod(col("doc_id"), lit(7)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit("\n\n"), boiler)).as("text"))
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val root = java.nio.file.Files.createTempDirectory("graft_q165")
+    val ix = new ParagraphRegistry(root.toString + "/ix", buckets = 8)
+    // dedupeBatch is EAGER (probe, winner aggregate, append, and the
+    // localCheckpoint'd result all run at call time), so the two
+    // batches chain sequentially and the registry dir is DEAD once
+    // both return — deleted below, before the lazy gate/emit runs
+    val s1 = ix.dedupeBatch(docs.where(col("doc_id") <= cut),
+      "text", "doc_id", "src", Some(0L))
+    val s2 = ix.dedupeBatch(docs.where(col("doc_id") > cut),
+      "text", "doc_id", "src", Some(1L))
+    val inc = s1.unionByName(s2)
+    val out = inc.select(col("doc_id"), col("src"),
+      md5(col("text")).as("fp"))
+    val emit =
+      if (!gated) out.orderBy("doc_id")
+      else {
+        val pk = (d: org.apache.spark.sql.DataFrame) => d.select(
+          concat(col("doc_id"), lit(":"), col("src"), lit(":"),
+            md5(col("text"))).as("__pk"))
+        val oneShot = graft.operators.Paragraphs
+          .dedupFirstByShard(docs, "text", "doc_id", "src")
+        Gates.setParityOn(out, pk(inc), pk(oneShot), "__pk")
+          .orderBy("doc_id")
+      }
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+    emit
+  }
 
   // q165's per-source boilerplate paragraphs (shared VERBATIM by every
   // doc of the source — the dedup clusters); mirrored literally in SQL
@@ -1802,7 +1808,8 @@ object TextQueries {
     "q57_incremental_dedup" -> mkQ57(gated = false),
     "q82_release_pipeline" -> mkQ82(gated = false),
     "q114_release_all_stages" -> mkQ82(gated = false, boilerplate = true),
-    "q87_incremental_release" -> mkQ87(gated = false)
+    "q87_incremental_release" -> mkQ87(gated = false),
+    "q165_incremental_paradedup" -> mkQ165(gated = false)
   )
 
   // Incremental release growth: a frozen prior release (ids % 7 == 0,

@@ -271,7 +271,11 @@ class PlanQualitySpec extends SparkSuite {
       // q155/q156 are q137's bucketed+compacted variants (q156 = the
       // max-score composition): the same two-sided gate (1-row mismatch
       // count + 1-row max score gap)
-      "q155_bm25_bucketed", "q156_bm25_bucketed_maxscore")
+      "q155_bm25_bucketed", "q156_bm25_bucketed_maxscore",
+      // q165's incremental-vs-one-shot gate is the q128/q153 idiom: ONE
+      // 1-row mismatch-count broadcast from setParityOn; the serving
+      // variant plans pure equi-joins
+      "q165_incremental_paradedup")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(gateQueries)
       .filter { name =>
