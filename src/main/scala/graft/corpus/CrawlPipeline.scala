@@ -85,21 +85,29 @@ object CrawlPipeline {
   def pageDocsFromRecords(records: DataFrame,
                docId: Column = xxhash64(col("record_id"))): DataFrame = {
     graft.functions.HttpDecodeExpr.register(records.sparkSession)
-    // Transfer-decode BEFORE charset-decode: a `Transfer-Encoding:
-    // chunked` capture interleaves hex size lines into the body —
-    // charset-decoding them as content shreds the page. Then the
-    // charset-aware decode (BOM > Content-Type charset > <meta> sniff >
-    // UTF-8): real crawls are a charset zoo, and a blind UTF-8 cast
-    // turns every Latin-1/cp1252/Shift-JIS page into replacement chars
-    // before extraction ever sees it. Missing headers → "" (the kernels
-    // treat it as no declaration). Both map-side, same stage as the
-    // extraction itself.
+    // Wire-unwrap order is the reverse of wire-apply order: dechunk
+    // (Transfer-Encoding frames the outermost layer — charset-decoding
+    // hex size lines as content shreds the page), then Content-Encoding
+    // decompression (real captures carry `Content-Encoding: gzip`
+    // constantly; without this stage they reach the charset decode as
+    // compressed bytes and extract as mojibake), then the charset-aware
+    // decode (BOM > Content-Type charset > <meta> sniff > UTF-8): real
+    // crawls are a charset zoo, and a blind UTF-8 cast turns every
+    // Latin-1/cp1252/Shift-JIS page into replacement chars before
+    // extraction ever sees it. Missing headers → "" (the kernels treat
+    // it as no declaration). All map-side, same stage as the extraction
+    // itself. An undecodable compressed body nulls through to a null
+    // text row (the decompress quarantine contract).
     val dechunked = graft.functions.HttpDecodeExpr.dechunkHttpBody(
       col("http_body"),
       coalesce(element_at(col("http_headers"), lit("transfer-encoding")),
         lit("")))
-    val decoded = graft.functions.HttpDecodeExpr.decodeHttpBody(
+    val decompressed = graft.functions.HttpDecodeExpr.decompressHttpBody(
       dechunked,
+      coalesce(element_at(col("http_headers"), lit("content-encoding")),
+        lit("")))
+    val decoded = graft.functions.HttpDecodeExpr.decodeHttpBody(
+      decompressed,
       coalesce(element_at(col("http_headers"), lit("content-type")), lit("")))
     Warc.httpResponses(records)
       .select(docId.as("doc_id"),

@@ -301,6 +301,8 @@ object ReleasePipeline {
     val inputN = input.count()
     val dedupedN = deduped.count()
     val afterNoveltyN = if (noveltyRef.isEmpty) inputN else scrubbed.count()
+    val afterParaDedupN = if (!cfg.paragraphDedup) dedupedN
+                          else paraDeduped.count()
     val stats = Stats(
       input = inputN,
       // PII scrub is 1:1, so the scrubbed checkpoint carries stage 0's
@@ -310,11 +312,8 @@ object ReleasePipeline {
                          else lineClean.count(),
       afterQuality = qualified.count(),
       afterDedup = dedupedN,
-      afterParaDedup = if (!cfg.paragraphDedup) dedupedN
-                       else paraDeduped.count(),
-      afterParaHash = if (!cfg.paragraphHashDedup)
-                        (if (!cfg.paragraphDedup) dedupedN
-                         else paraDeduped.count())
+      afterParaDedup = afterParaDedupN,
+      afterParaHash = if (!cfg.paragraphHashDedup) afterParaDedupN
                       else paraHashed.count(),
       afterDespan = despanned.count(),
       afterDecontaminate = clean.count(),

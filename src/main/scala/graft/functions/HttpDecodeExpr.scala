@@ -200,6 +200,157 @@ object HttpDecodeKernel {
     }
     out.toByteArray // ran off the end without a 0-chunk: keep the prefix
   }
+
+  /** Decompressed-output ceiling per HTTP body. One page, not one file —
+    * far tighter than [[graft.sources.Warc.MaxDecompressedBytes]]: 32
+    * concurrent tasks each buffering a body mean the per-body cap is a
+    * direct heap multiplier, and no real page needs more. A decompression
+    * bomb pays at most this much heap, then truncates like any other
+    * broken capture.
+    */
+  val MaxDecompressedBodyBytes: Int = 64 * 1024 * 1024
+
+  /** Remove `Content-Encoding` codings (RFC 9110 §8.4) from a fetched
+    * body: gzip / x-gzip and deflate (both zlib-wrapped and the
+    * raw-deflate form servers mislabel as "deflate") are decoded;
+    * `identity` is a no-op; any OTHER coding (br, zstd, …) stops the
+    * walk and passes the current bytes through — downstream stages see
+    * exactly what we could honestly produce. Codings listed in
+    * application order decode right-to-left. Runs AFTER
+    * [[dechunk]] (Transfer-Encoding wraps Content-Encoding on the wire)
+    * and BEFORE [[decode]] — without this stage a `Content-Encoding:
+    * gzip` capture reaches the charset decode as compressed bytes and
+    * extracts as mojibake.
+    *
+    * Quarantine posture, the [[dechunk]] three-way contract:
+    *
+    *  - labeled gzip but no gzip magic (servers lie): UNCHANGED;
+    *  - stream breaks after some output (truncated capture, CRC slice
+    *    cut off): the successfully decompressed PREFIX — that is real
+    *    page content and WARC truncates mid-body constantly;
+    *  - nothing decodable at all (magic then immediate corruption):
+    *    NULL — unlike dechunk there is no readable raw fallback, the
+    *    bytes are known-compressed garbage.
+    *
+    * Salvage is WHY this does not reuse the WARC member kernel
+    * ([[graft.sources.Warc]] `gzMember`): record framing needs exact
+    * member extents so a broken member must quarantine whole, while a
+    * body decode wants every byte the stream yielded before it broke.
+    */
+  def decompress(body: Array[Byte], contentEncoding: UTF8String): Array[Byte] = {
+    val ce = if (contentEncoding == null) "" else contentEncoding.toString
+    val codings = ce.toLowerCase(java.util.Locale.ROOT)
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    var cur = body
+    var i = codings.length - 1
+    while (i >= 0 && cur != null) {
+      codings(i) match {
+        case "identity" => ()
+        case "gzip" | "x-gzip" => cur = gunzipBody(cur)
+        case "deflate" => cur = inflateBody(cur)
+        case _ => return cur // undecodable coding: stop, pass through
+      }
+      i -= 1
+    }
+    cur
+  }
+
+  /** The writer half of [[decompress]]: APPLY the codings of a
+    * `Content-Encoding` value, left to right (wire apply order), for
+    * in-plan fixture assembly and re-serialization — gzip / x-gzip
+    * (deterministic: Java's gzip header carries MTIME 0), deflate
+    * (zlib-wrapped, the spec form), `identity` a no-op. Unlike the
+    * reader this REJECTS an unknown coding loudly: the reader meets
+    * untrusted bytes, the writer meets a caller's own coding list, and
+    * silently emitting unencoded bytes under a `br` label would forge a
+    * lying header.
+    */
+  def compress(body: Array[Byte], contentEncoding: UTF8String): Array[Byte] = {
+    val ce = if (contentEncoding == null) "" else contentEncoding.toString
+    var cur = body
+    ce.toLowerCase(java.util.Locale.ROOT)
+      .split(",").map(_.trim).filter(_.nonEmpty).foreach {
+        case "identity" => ()
+        case "gzip" | "x-gzip" =>
+          val out = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          gz.write(cur); gz.finish(); gz.close()
+          cur = out.toByteArray
+        case "deflate" =>
+          val out = new java.io.ByteArrayOutputStream()
+          val df = new java.util.zip.DeflaterOutputStream(out)
+          df.write(cur); df.finish(); df.close()
+          cur = out.toByteArray
+        case other => throw new IllegalArgumentException(
+          s"compress_http_body: unsupported content coding '$other'")
+      }
+    cur
+  }
+
+  /** Capped, salvaging gunzip of a whole body (GZIPInputStream handles
+    * concatenated members; trailing non-member garbage reads as EOF).
+    */
+  private def gunzipBody(body: Array[Byte]): Array[Byte] = {
+    if (body.length < 2 || body(0) != 0x1f.toByte || body(1) != 0x8b.toByte)
+      return body // the header lied; these bytes were never gzip
+    val out = new java.io.ByteArrayOutputStream(math.min(body.length * 3, 1 << 16))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(body))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size().toLong + n > MaxDecompressedBodyBytes)
+          return out.toByteArray // bomb guard: truncate at the cap
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => // ZipException / EOF mid-stream
+        if (out.size() > 0) out.toByteArray else null
+    }
+  }
+
+  /** Capped, salvaging inflate. `deflate` formally means zlib (RFC
+    * 1950), but raw deflate (RFC 1951) is a famous server bug — sniff
+    * the zlib header (low CMF nibble 8, 16-bit header % 31 == 0), try
+    * the indicated variant, and fall back to the other before giving up.
+    */
+  private def inflateBody(body: Array[Byte]): Array[Byte] = {
+    if (body.isEmpty) return body
+    val looksZlib = body.length >= 2 && (body(0) & 0x0f) == 8 &&
+      ((((body(0) & 0xff) << 8) | (body(1) & 0xff)) % 31 == 0)
+    val first = inflateWith(body, raw = !looksZlib)
+    if (first != null) first else inflateWith(body, raw = looksZlib)
+  }
+
+  private def inflateWith(body: Array[Byte], raw: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(raw)
+    val out = new java.io.ByteArrayOutputStream(math.min(body.length * 3, 1 << 16))
+    try {
+      inf.setInput(body)
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) {
+          if (out.size().toLong + n > MaxDecompressedBodyBytes)
+            return out.toByteArray // bomb guard: truncate at the cap
+          out.write(buf, 0, n)
+        } else if (!inf.finished()) // truncated: salvage the prefix
+          return if (out.size() > 0) out.toByteArray else null
+      }
+      out.toByteArray
+    } catch {
+      // mid-stream corruption salvages like truncation; a WRONG-VARIANT
+      // attempt still falls through to the fallback because it errors at
+      // the first block header, before any output exists (a zlib header
+      // read as raw deflate hits reserved BTYPE=3 immediately, and the
+      // zlib path checks its 16-bit header before inflating)
+      case _: java.util.zip.DataFormatException =>
+        if (out.size() > 0) out.toByteArray else null
+    } finally inf.end()
+  }
 }
 
 /** `dechunk_http_body(body BINARY, transfer_encoding STRING) → BINARY`:
@@ -225,6 +376,60 @@ case class DechunkHttpBodyExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "dechunk_http_body"
+}
+
+/** `decompress_http_body(body BINARY, content_encoding STRING) → BINARY`:
+  * [[HttpDecodeKernel.decompress]] as a codegen'd expression — the
+  * Content-Encoding stage between [[DechunkHttpBodyExpr]] and
+  * [[DecodeHttpBodyExpr]]. NULLABLE by contract: known-compressed but
+  * undecodable bytes yield null (see the kernel's quarantine posture).
+  */
+case class DecompressHttpBodyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "decompress_http_body(body BINARY, content_encoding STRING) expected")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(body: Any, ce: Any): Any =
+    HttpDecodeKernel.decompress(
+      body.asInstanceOf[Array[Byte]], ce.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) => s"""
+      ${ev.value} = graft.functions.HttpDecodeKernel.decompress($b, $c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "decompress_http_body"
+}
+
+/** `compress_http_body(body BINARY, content_encoding STRING) → BINARY`:
+  * [[HttpDecodeKernel.compress]] — the writer twin of
+  * [[DecompressHttpBodyExpr]], for in-plan fixture assembly and
+  * re-serializing a decoded crawl.
+  */
+case class CompressHttpBodyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "compress_http_body(body BINARY, content_encoding STRING) expected")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(body: Any, ce: Any): Any =
+    HttpDecodeKernel.compress(
+      body.asInstanceOf[Array[Byte]], ce.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, c) => s"graft.functions.HttpDecodeKernel.compress($b, $c)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "compress_http_body"
 }
 
 case class DecodeHttpBodyExpr(left: Expression, right: Expression)
@@ -255,6 +460,12 @@ object HttpDecodeExpr {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dechunk_http_body",
       exprs => DechunkHttpBodyExpr(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "decompress_http_body",
+      exprs => DecompressHttpBodyExpr(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "compress_http_body",
+      exprs => CompressHttpBodyExpr(exprs.head, exprs(1)), "built-in")
   }
 
   def decodeHttpBody(body: Column, contentType: Column): Column =
@@ -262,4 +473,10 @@ object HttpDecodeExpr {
 
   def dechunkHttpBody(body: Column, transferEncoding: Column): Column =
     call_function("dechunk_http_body", body, transferEncoding)
+
+  def decompressHttpBody(body: Column, contentEncoding: Column): Column =
+    call_function("decompress_http_body", body, contentEncoding)
+
+  def compressHttpBody(body: Column, contentEncoding: Column): Column =
+    call_function("compress_http_body", body, contentEncoding)
 }

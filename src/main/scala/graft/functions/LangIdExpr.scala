@@ -53,9 +53,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *                 join the model;
   *  - `n_tri`    — trigram count (evidence size; short strings are noisy).
   *
-  * Model scope: Latin + Cyrillic + CJK (zh/ja/ko) + Arabic-script
-  * (ar/fa — same script, function-word grams discriminate) + Greek +
-  * Devanagari (hi) + Thai + Hebrew — sixteen languages covering the
+  * Model scope: Latin (en/de/fr/es/it/pt + tr, whose dotless-ı/ş/ğ
+  * grams discriminate it inside the shared script) + Cyrillic + CJK
+  * (zh/ja/ko) + Arabic-script (ar/fa — same script, function-word
+  * grams discriminate) + Greek + Devanagari (hi) + Thai + Hebrew +
+  * Bengali + Tamil + Telugu — twenty languages covering the
   * top-volume crawl scripts. Unseen scripts (Georgian, Armenian, …)
   * fall back to "und" via the gap rule.
   *
@@ -339,7 +341,67 @@ object LangIdModel {
       "बाजार पहाड़ों के पास के खेतों से ताजे फल और सब्जियां बेचता है। " +
       "रात भर बारिश होती रही लेकिन देर सुबह सूरज फिर निकल आया। " +
       "पत्र सोमवार को पहुंचा और उत्तर उसी सप्ताह लिखा गया। " +
-      "हर साल परिवार समुद्र की ओर जाता है और पानी के पास गर्मियां बिताता है।"))
+      "हर साल परिवार समुद्र की ओर जाता है और पानी के पास गर्मियां बिताता है।"),
+    "tr" -> ("hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve çocuklar pencereden izler. " +
+      "bu eski nehir kasabasında yaşayan insanlar ve hava durumu hakkında kısa bir hikayedir. " +
+      "bilgi ve özgürlüğün her özgür ülkede birlikte var olduğunu her zaman hatırlamalıyız. " +
+      "öğrenciler kütüphanede kitaplarını okur ve her öğleden sonra tarih ve bilim hakkında konuşurlar. " +
+      "dünyanın çok daha büyük göründüğü ve her yolculuğun haftalar sürdüğü bir zaman vardı. " +
+      "erken kalkan kuş solucanı yakalar ama peyniri ikinci fare alır derler. " +
+      "iyi dostlar zor zamanlarda birbirine yardım eder ve güzel günleri birlikte paylaşır. " +
+      "hükümet ülke genelinde okullar ve hastaneler için yeni bir plan açıkladı. " +
+      "sabahları bir fincan kahve içer ve tereyağı ile bal sürülmüş ekmek yer. " +
+      "tren istasyondan yedide kalkar ve iki saat sonra şehre varır. " +
+      "kardeşim piyano çalar ve kız kardeşim akşamları eski şarkılar söyler. " +
+      "pazar dağların yakınındaki çiftliklerden taze meyve ve sebze satar. " +
+      "bütün gece yağmur yağdı ama güneş sabahın geç saatlerinde yeniden çıktı. " +
+      "mektup pazartesi günü geldi ve cevap aynı hafta içinde yazıldı. " +
+      "aile her yıl denize gider ve yazı suyun kenarında geçirir."),
+    "bn" -> ("দ্রুত বাদামি শিয়াল অলস কুকুরের উপর দিয়ে লাফ দেয় আর শিশুরা জানালা থেকে দেখে। " +
+      "এটি নদীর ধারের পুরনো শহরে বসবাসকারী মানুষ আর আবহাওয়া নিয়ে একটি ছোট গল্প। " +
+      "আমাদের সবসময় মনে রাখা উচিত যে জ্ঞান আর স্বাধীনতা প্রতিটি মুক্ত দেশে একসাথে থাকে। " +
+      "ছাত্ররা গ্রন্থাগারে তাদের বই পড়ে আর প্রতি বিকেলে ইতিহাস আর বিজ্ঞান নিয়ে কথা বলে। " +
+      "এমন এক সময় ছিল যখন পৃথিবীকে অনেক বড় মনে হত আর প্রতিটি যাত্রায় অনেক সপ্তাহ লাগত। " +
+      "লোকে বলে আগে ওঠা পাখি পোকা ধরে কিন্তু দ্বিতীয় ইঁদুর পনির পায়। " +
+      "ভালো বন্ধুরা কঠিন সময়ে একে অপরকে সাহায্য করে আর ভালো সময় ভাগ করে নেয়। " +
+      "সরকার সারা দেশের স্কুল আর হাসপাতালের জন্য একটি নতুন পরিকল্পনা ঘোষণা করেছে। " +
+      "সকালে সে এক কাপ কফি খায় আর মাখন ও মধু দিয়ে রুটি খায়। " +
+      "ট্রেন সাতটায় স্টেশন ছাড়ে আর দুই ঘণ্টা পরে শহরে পৌঁছায়। " +
+      "আমার ভাই পিয়ানো বাজায় আর আমার বোন সন্ধ্যায় পুরনো গান গায়। " +
+      "বাজারে পাহাড়ের কাছের খামার থেকে আসা টাটকা ফল আর সবজি বিক্রি হয়। " +
+      "সারা রাত বৃষ্টি হল কিন্তু শেষ সকালে সূর্য আবার উঠল। " +
+      "চিঠিটি সোমবার এল আর উত্তর সেই সপ্তাহেই লেখা হল। " +
+      "প্রতি বছর পরিবারটি সমুদ্রে যায় আর গ্রীষ্ম জলের ধারে কাটায়।"),
+    "ta" -> ("வேகமான பழுப்பு நரி சோம்பேறி நாயின் மேல் தாவுகிறது குழந்தைகள் ஜன்னலில் இருந்து பார்க்கிறார்கள். " +
+      "இது ஆற்றங்கரையில் உள்ள பழைய ஊரில் வாழும் மக்களையும் வானிலையையும் பற்றிய சிறு கதை. " +
+      "அறிவும் சுதந்திரமும் ஒவ்வொரு சுதந்திர நாட்டிலும் ஒன்றாக இருக்கின்றன என்பதை நாம் எப்போதும் நினைவில் கொள்ள வேண்டும். " +
+      "மாணவர்கள் நூலகத்தில் தங்கள் புத்தகங்களைப் படிக்கிறார்கள் ஒவ்வொரு மதியமும் வரலாறு மற்றும் அறிவியல் பற்றி பேசுகிறார்கள். " +
+      "உலகம் மிகப் பெரியதாகத் தோன்றிய ஒவ்வொரு பயணமும் பல வாரங்கள் எடுத்த காலம் ஒன்று இருந்தது. " +
+      "முன்னே எழும் பறவை புழுவைப் பிடிக்கும் ஆனால் இரண்டாவது எலி பாலாடையைப் பெறும் என்று சொல்வார்கள். " +
+      "நல்ல நண்பர்கள் கடினமான காலங்களில் ஒருவருக்கொருவர் உதவுகிறார்கள் நல்ல காலங்களைப் பகிர்ந்து கொள்கிறார்கள். " +
+      "அரசு நாடு முழுவதும் பள்ளிகள் மற்றும் மருத்துவமனைகளுக்கான புதிய திட்டத்தை அறிவித்தது. " +
+      "காலையில் அவள் ஒரு கோப்பை காபி குடிக்கிறாள் வெண்ணெயும் தேனும் தடவிய ரொட்டி சாப்பிடுகிறாள். " +
+      "ரயில் ஏழு மணிக்கு நிலையத்தை விட்டு புறப்பட்டு இரண்டு மணி நேரம் கழித்து நகரத்தை அடைகிறது. " +
+      "என் அண்ணன் பியானோ வாசிக்கிறான் என் தங்கை மாலையில் பழைய பாடல்களைப் பாடுகிறாள். " +
+      "சந்தையில் மலைகளுக்கு அருகிலுள்ள பண்ணைகளில் இருந்து வரும் புதிய பழங்களும் காய்கறிகளும் விற்கப்படுகின்றன. " +
+      "இரவு முழுவதும் மழை பெய்தது ஆனால் காலை முடிவில் சூரியன் மீண்டும் வந்தது. " +
+      "கடிதம் திங்கள் அன்று வந்தது பதில் அதே வாரத்தில் எழுதப்பட்டது. " +
+      "ஒவ்வொரு ஆண்டும் குடும்பம் கடலுக்குச் சென்று கோடையை நீரின் அருகே கழிக்கிறது."),
+    "te" -> ("వేగవంతమైన గోధుమ నక్క సోమరి కుక్క మీద నుంచి దూకుతుంది పిల్లలు కిటికీ నుంచి చూస్తారు. " +
+      "ఇది నది ఒడ్డున ఉన్న పాత ఊరిలో నివసించే ప్రజల గురించి వాతావరణం గురించి చిన్న కథ. " +
+      "జ్ఞానం స్వేచ్ఛ ప్రతి స్వేచ్ఛా దేశంలో కలిసి ఉంటాయని మనం ఎప్పుడూ గుర్తుంచుకోవాలి. " +
+      "విద్యార్థులు గ్రంథాలయంలో తమ పుస్తకాలు చదువుతారు ప్రతి మధ్యాహ్నం చరిత్ర విజ్ఞానం గురించి మాట్లాడుతారు. " +
+      "ప్రపంచం చాలా పెద్దదిగా కనిపించిన ప్రతి ప్రయాణం చాలా వారాలు పట్టిన కాలం ఒకటి ఉండేది. " +
+      "ముందుగా లేచిన పక్షి పురుగును పడుతుంది కాని రెండవ ఎలుకకు జున్ను దొరుకుతుంది అంటారు. " +
+      "మంచి స్నేహితులు కష్ట కాలంలో ఒకరికొకరు సహాయం చేస్తారు మంచి రోజులను పంచుకుంటారు. " +
+      "ప్రభుత్వం దేశవ్యాప్తంగా పాఠశాలలు ఆసుపత్రుల కోసం కొత్త ప్రణాళికను ప్రకటించింది. " +
+      "ఉదయం ఆమె ఒక కప్పు కాఫీ తాగుతుంది వెన్న తేనెతో రొట్టె తింటుంది. " +
+      "రైలు ఏడు గంటలకు స్టేషన్ విడిచి రెండు గంటల తరువాత నగరానికి చేరుతుంది. " +
+      "మా అన్న పియానో వాయిస్తాడు మా చెల్లి సాయంత్రం పాత పాటలు పాడుతుంది. " +
+      "సంతలో కొండల దగ్గరి పొలాల నుంచి వచ్చిన తాజా పండ్లు కూరగాయలు అమ్ముతారు. " +
+      "రాత్రంతా వాన కురిసింది కాని ఆలస్య ఉదయాన సూర్యుడు మళ్ళీ వచ్చాడు. " +
+      "ఉత్తరం సోమవారం వచ్చింది జవాబు అదే వారంలో రాయబడింది. " +
+      "ప్రతి సంవత్సరం కుటుంబం సముద్రానికి వెళ్ళి వేసవిని నీటి దగ్గర గడుపుతుంది."))
 
   /** Trained model: languages in ascending order (the tie-break order),
     * per-language gram→logp tables, per-language OOV log-probability.

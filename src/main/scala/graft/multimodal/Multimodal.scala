@@ -43,28 +43,44 @@ object Multimodal {
     * aspect ratio, log-area. Pixels are sampled on a bounded grid (≤64×64
     * strided reads) so feature cost is O(1) per image regardless of size.
     *
-    * Non-image payloads (audio/video — no codec libs in this container)
-    * take the clearly-marked deterministic FAKE path, which keeps the
-    * distributed plumbing testable for those modalities; `decoded=false`
-    * marks such rows.
+    * When pixel decode is impossible but the CONTAINER HEADER parses
+    * ([[graft.functions.ImageMeta]] — notably WebP, which ImageIO cannot
+    * read), the row reports the REAL header dimensions with
+    * `decoded=false` and only the feature vector falls back. Payloads
+    * with no readable image header (audio/video — no codec libs in this
+    * container) take the clearly-marked deterministic FAKE path, which
+    * keeps the distributed plumbing testable for those modalities; the
+    * fake surface is pixel/sample DECODE alone.
     */
   object MediaCodec {
     final case class Decoded(width: Int, height: Int, decoded: Boolean,
                              feature: Array[Float])
 
+    private def fakeFeature(payload: Array[Byte]): Array[Float] = {
+      val h = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+      Array.tabulate(8)(i => math.floorMod(h >> (i * 7), 1000) / 1000.0f)
+    }
+
     private def fake(payload: Array[Byte]): Decoded = {
       val h = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
       val w = 64 + math.floorMod(h, 1024).toInt
       val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-      val feat = Array.tabulate(8)(i => math.floorMod(h >> (i * 7), 1000) / 1000.0f)
-      Decoded(w, ht, decoded = false, feat)
+      Decoded(w, ht, decoded = false, fakeFeature(payload))
     }
 
     def decode(payload: Array[Byte]): Decoded = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case _: java.io.IOException => null }
-      if (img == null) fake(payload)
+      if (img == null) {
+        // pixel decode failed — the header kernel may still know the
+        // REAL dimensions (WebP lands here); only the feature is fake
+        val meta = graft.functions.ImageMeta.imageMeta(payload)
+        if (meta.getBoolean(0))
+          Decoded(meta.getInt(2), meta.getInt(3), decoded = false,
+            fakeFeature(payload))
+        else fake(payload)
+      }
       else {
         val w = img.getWidth; val h = img.getHeight
         val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)

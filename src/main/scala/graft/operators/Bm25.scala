@@ -282,9 +282,12 @@ object Bm25 {
     // and the candidate set only feeds the NON-ESSENTIAL probe — with
     // no non-essential term there is nothing to prune either way. Keep
     // the floor-free plan (no extra scan) unless both a biting floor
-    // and a non-essential term exist. One bounded driver read: split is
-    // query-cardinality and already checkpointed.
-    val mfRow = split.agg(max("__floor"),
+    // and a non-essential term exist. The biting-floor test looks at
+    // ESSENTIAL rows only — the cand scan is built from them, so a
+    // floor that bites only on a non-essential term would trigger the
+    // extra scan while pruning nothing. One bounded driver read: split
+    // is query-cardinality and already checkpointed.
+    val mfRow = split.agg(max(when(col("__ess"), col("__floor"))),
       sum(when(!col("__ess"), 1L).otherwise(0L))).head()
     val useFloor = !mfRow.isNullAt(0) && mfRow.getLong(0) > 1L &&
       !mfRow.isNullAt(1) && mfRow.getLong(1) > 0L

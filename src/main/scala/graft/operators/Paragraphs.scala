@@ -181,7 +181,12 @@ object Paragraphs {
     * keep-first idiom: A1 (`candidate/transform.py:16-68`).
     *
     * All non-text columns ride through unchanged; the output schema and
-    * column order equal the input's.
+    * column order equal the input's. A document with a NULL text value
+    * or no non-blank paragraph after the split is DROPPED (it has no
+    * surviving paragraph to re-assemble from) — the same fate as an
+    * all-copies document, and the same contract as the streaming twin
+    * ([[graft.streaming.StreamingParagraphDedup]]), so one-shot and
+    * incremental runs agree on degenerate inputs.
     *
     * `splitRegex`/`joinSep` default to the raw-layout convention
     * (blank-line paragraphs, [[splitBlankLines]]). Text that came

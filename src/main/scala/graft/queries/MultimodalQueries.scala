@@ -450,6 +450,107 @@ object MultimodalQueries {
           round(col("m.duration_sec"), 6).as("duration_sec"),
           col("m.chained").as("chained"))
         .orderBy("doc_id")
+    }),
+
+    // Image-container metadata (the q159 pattern for the IMAGE side,
+    // WebP first — the format javax.imageio cannot read): per doc a
+    // REAL container is assembled in-plan from doc_id-derived
+    // dimensions, rotating all three WebP flavors (VP8 lossy start-code
+    // + 14-bit LE dims; VP8L signature + PACKED 14-bit fields built
+    // with in-plan bit arithmetic; VP8X extended canvas + animation
+    // flag + ANMF frame chunks), PNG (with an APNG acTL leg), JPEG
+    // (SOFn big-endian dims behind an APP0 decoy), and GIF (block walk
+    // counting image descriptors through extension sub-blocks), plus a
+    // BMP leg and a truncated-WebP malformed leg. Parsed back by
+    // graft.functions.ImageMeta — no ImageIO attempt anywhere; the
+    // oracle states every field in CLOSED FORM from doc_id, so parser
+    // and constructor must invert each other exactly.
+    "q167_image_headers" -> ((s, dir) => {
+      graft.functions.ImageMetaExpr.register(s)
+      def hx(t: String) =
+        t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          .map(b => f"$b%02x").mkString
+      // little-endian hex of the low n bytes of a long column
+      def le(c: Column, n: Int): Column = concat((0 until n).map(i =>
+        lpad(lower(hex(pmod(shiftright(c, 8 * i), lit(256)))), 2, "0")): _*)
+      def be16(c: Column): Column = lpad(lower(hex(c)), 4, "0")
+      def be32(c: Column): Column = lpad(lower(hex(c)), 8, "0")
+      val w = lit(16L) + pmod(col("doc_id"), lit(9))
+      val h = lit(8L) + pmod(col("doc_id"), lit(5))
+      // --- WebP / VP8 lossy: RIFF(22) WEBP "VP8 "(10) tag+9D012A+dims
+      val vp8 = concat(
+        lit(hx("RIFF")), le(lit(22L), 4), lit(hx("WEBP") + hx("VP8 ")),
+        le(lit(10L), 4), lit("000000" + "9d012a"), le(w, 2), le(h, 2))
+      // --- WebP / VP8L lossless: 0x2F + 14-bit w-1/h-1 packed LE
+      val wm = w - 1; val hm = h - 1
+      val b1 = pmod(wm, lit(256))
+      val b2 = shiftright(wm, 8).bitwiseAND(lit(0x3fL))
+        .bitwiseOR(shiftleft(hm.bitwiseAND(lit(0x3L)), 6))
+      val b3 = pmod(shiftright(hm, 2), lit(256))
+      val b4 = shiftright(hm, 10).bitwiseAND(lit(0x0fL))
+      val vp8l = concat(
+        lit(hx("RIFF")), le(lit(18L), 4), lit(hx("WEBP") + hx("VP8L")),
+        le(lit(5L), 4), lit("2f"),
+        le(b1, 1), le(b2, 1), le(b3, 1), le(b4, 1), lit("00")) // pad to even
+      // --- WebP / VP8X animated: canvas w-1/h-1 u24le + n ANMF chunks
+      val nAnim = lit(2L) + pmod(col("doc_id"), lit(3))
+      val anmf = call_function("repeat",
+        concat(lit(hx("ANMF")), le(lit(16L), 4), lit("00" * 16)),
+        nAnim.cast("int"))
+      val vp8x = concat(
+        lit(hx("RIFF")), le(lit(22L) + nAnim * lit(24L), 4),
+        lit(hx("WEBP") + hx("VP8X")), le(lit(10L), 4),
+        lit("02" + "000000"), le(wm, 3), le(hm, 3), anmf)
+      // --- PNG: IHDR(13) [+ acTL on even docs] + empty IDAT
+      val nApng = lit(2L) + pmod(col("doc_id"), lit(5))
+      val png = concat(
+        lit("89504e470d0a1a0a" + "0000000d" + hx("IHDR")),
+        be32(w), be32(h), lit("0806000000" + "00000000"),
+        // %6=3 rows are all odd, so the APNG split keys on %4 (1 vs 3)
+        when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("00000008" + hx("acTL")), be32(nApng),
+            lit("00000000" + "00000000"))).otherwise(lit("")),
+        lit("00000000" + hx("IDAT") + "00000000"))
+      // --- JPEG: APP0 decoy then SOF0 (height BEFORE width, big-endian)
+      val jpeg = concat(
+        lit("ffd8" + "ffe0" + "0010" + "00" * 14 + "ffc0" + "0011" + "08"),
+        be16(h), be16(w), lit("03" + "00" * 9))
+      // --- GIF: screen descriptor + n image descriptors + trailer
+      val nGif = lit(1L) + pmod(col("doc_id"), lit(3))
+      val gifFrame = call_function("repeat",
+        lit("2c" + "00" * 8 + "00" + "02" + "01aa" + "00"),
+        nGif.cast("int"))
+      val gif = concat(
+        lit(hx("GIF89a")), le(w, 2), le(h, 2), lit("000000"),
+        gifFrame, lit("3b"))
+      // --- BMP: BITMAPINFOHEADER little-endian dims
+      val bmp = concat(
+        lit(hx("BM")), le(lit(54L), 4), lit("00000000"), le(lit(54L), 4),
+        le(lit(40L), 4), le(w, 4), le(h, 4), lit("00" * 28))
+      // --- truncated WebP: declared chunk size overruns the capture
+      val badWebp = concat(
+        lit(hx("RIFF")), le(lit(100L), 4), lit(hx("WEBP") + hx("VP8 ")),
+        le(lit(50L), 4), lit("00000000"))
+      val payload = when(pmod(col("doc_id"), lit(13)) === 3, unhex(badWebp))
+        .when(pmod(col("doc_id"), lit(17)) === 4, unhex(bmp))
+        .otherwise(unhex(
+          when(pmod(col("doc_id"), lit(6)) === 0, vp8)
+            .when(pmod(col("doc_id"), lit(6)) === 1, vp8l)
+            .when(pmod(col("doc_id"), lit(6)) === 2, vp8x)
+            .when(pmod(col("doc_id"), lit(6)) === 3, png)
+            .when(pmod(col("doc_id"), lit(6)) === 4, jpeg)
+            .otherwise(gif)))
+      val m = graft.functions.ImageMetaExpr.imageMeta(payload)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"),
+          col("m.ok").as("img_ok"),
+          col("m.format").as("format"),
+          col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.animated").as("animated"),
+          col("m.n_frames").as("n_frames"))
+        .orderBy("doc_id")
     })
   )
 
@@ -505,6 +606,36 @@ object MultimodalQueries {
         |   WHEN doc_id % 2 = 0 THEN 1.0 + (doc_id % 5) * 0.1
         |   ELSE 2.0 + (doc_id % 3) * 0.1 END AS DOUBLE), 6) AS duration_sec,
         | (doc_id % 13 <> 6 AND doc_id % 17 = 4) AS chained
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // closed form from doc_id (the q159 convention): dims w=16+id%9,
+    // h=8+id%5 whatever the container; the format/animation/frame
+    // fields depend only on the id%6 rotation and the override legs
+    // (%13=3 truncated WebP → quarantine row; %17=4 BMP). The WebP VP8L
+    // leg proves the packed 14-bit bit arithmetic inverts; the APNG leg
+    // proves acTL-before-IDAT wins over the still-PNG default; the GIF
+    // frame count proves the sub-block walk lands exactly.
+    "q167_image_headers" ->
+      """SELECT doc_id,
+        | (doc_id % 13 <> 3) AS img_ok,
+        | CASE WHEN doc_id % 13 = 3 THEN ''
+        |   WHEN doc_id % 17 = 4 THEN 'bmp'
+        |   WHEN doc_id % 6 IN (0, 1, 2) THEN 'webp'
+        |   WHEN doc_id % 6 = 3 THEN 'png'
+        |   WHEN doc_id % 6 = 4 THEN 'jpeg'
+        |   ELSE 'gif' END AS format,
+        | CAST(CASE WHEN doc_id % 13 = 3 THEN 0
+        |   ELSE 16 + doc_id % 9 END AS INT) AS width,
+        | CAST(CASE WHEN doc_id % 13 = 3 THEN 0
+        |   ELSE 8 + doc_id % 5 END AS INT) AS height,
+        | (doc_id % 13 <> 3 AND doc_id % 17 <> 4 AND
+        |   (doc_id % 6 = 2 OR (doc_id % 6 = 3 AND doc_id % 4 = 1) OR
+        |    (doc_id % 6 = 5 AND doc_id % 3 > 0))) AS animated,
+        | CAST(CASE WHEN doc_id % 13 = 3 THEN 0
+        |   WHEN doc_id % 17 = 4 THEN 1
+        |   WHEN doc_id % 6 = 2 THEN 2 + doc_id % 3
+        |   WHEN doc_id % 6 = 3 AND doc_id % 4 = 1 THEN 2 + doc_id % 5
+        |   WHEN doc_id % 6 = 5 THEN 1 + doc_id % 3
+        |   ELSE 1 END AS INT) AS n_frames
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q101_image_neardup" ->
       """WITH sel AS (

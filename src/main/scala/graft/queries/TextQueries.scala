@@ -1338,6 +1338,94 @@ object TextQueries {
             splitRegex = "\\n", joinSep = "\n"))
     }),
 
+    // q164's five-stage chain with the SIXTH wire layer in-plan:
+    // Content-Encoding. Bodies rotate identity / gzip / deflate /
+    // x-gzip by doc_id%4 (compress_http_body, the writer twin) UNDER
+    // the existing every-second-doc chunked Transfer-Encoding — so
+    // stacked TE-over-CE captures occur and must unwrap in reverse
+    // wire order (dechunk, then decompress, then charset-decode). The
+    // oracle is q164's VERBATIM: the closed-form recomposition is
+    // compression-blind, so any decompression slip — wrong layer
+    // order, a salvage bug, a lying-header mishandle — shifts bytes,
+    // flips a language call or a dedup winner, and breaks the hash.
+    "q166_crawl_gzip_ccnet" -> ((s, dir) => {
+      val k = langSnippets.size
+      val snippet = langSnippets.zipWithIndex.tail.foldLeft(
+          when(pmod(col("doc_id"), lit(k)) === 0, lit(langSnippets.head._2))) {
+        case (acc, ((_, t), i)) =>
+          acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+      }
+      val boiler = langBoilers.zipWithIndex.tail.foldLeft(
+          when(pmod(col("doc_id"), lit(k)) === 0, lit(langBoilers.head._2))) {
+        case (acc, ((_, t), i)) =>
+          acc.when(pmod(col("doc_id"), lit(k)) === i, lit(t))
+      }
+      val reps = call_function("repeat",
+        concat(lit(" #"), col("doc_id").cast("string")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val base = when(pmod(col("doc_id"), lit(97)) === 0, lit("ab"))
+        .when(pmod(col("doc_id"), lit(11)) === 5, concat(lit(unkSnippet), reps))
+        .otherwise(concat(snippet, reps))
+      val hasBoiler = pmod(col("doc_id"), lit(97)) =!= 0 &&
+        pmod(col("doc_id"), lit(11)) =!= 5 &&
+        pmod(col("doc_id"), lit(5)) =!= 0
+      val html = concat(
+        lit("<html><head>" +
+          "<script>var x = \"decoy charset=utf-16le\";</script></head>" +
+          "<body><p>"),
+        base,
+        when(hasBoiler, concat(lit("</p><p>"), boiler)).otherwise(lit("")),
+        lit("</p></body></html>"))
+      val latinIdxs = langSnippets.zipWithIndex.collect {
+        case ((_, t), i) if java.nio.charset.StandardCharsets.ISO_8859_1
+          .newEncoder().canEncode(t) => i.toLong
+      }
+      val isLatin = pmod(col("doc_id"), lit(k)).isInCollection(latinIdxs) &&
+        pmod(col("doc_id"), lit(11)) =!= 5
+      val chunked = pmod(col("doc_id"), lit(2)) === 0
+      // Content-Encoding rotation: both gzip labels and the zlib
+      // deflate form, stacked under chunking on even ids (d%4 ∈
+      // {1,2,3} × d%2=0 covers every TE×CE combination)
+      val ceMod = pmod(col("doc_id"), lit(4))
+      val ceName = when(ceMod === 1, lit("gzip"))
+        .when(ceMod === 2, lit("deflate"))
+        .when(ceMod === 3, lit("x-gzip"))
+        .otherwise(lit(""))
+      val head = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
+        when(isLatin, lit("ISO-8859-1")).otherwise(lit("UTF-8")),
+        lit("\r\n"),
+        when(ceMod =!= 0,
+          concat(lit("Content-Encoding: "), ceName, lit("\r\n")))
+          .otherwise(lit("")),
+        when(chunked, lit("Transfer-Encoding: chunked\r\n")).otherwise(lit("")),
+        lit("\r\n"))
+      val bodyB = when(isLatin, encode(html, "ISO-8859-1"))
+        .otherwise(encode(html, "UTF-8"))
+      // wire apply order: CE compresses the representation, TE frames it
+      val encoded = graft.functions.HttpDecodeExpr
+        .compressHttpBody(bodyB, ceName)
+      val framed = when(chunked, concat(
+          encode(concat(lower(hex(length(encoded))), lit("\r\n")), "UTF-8"),
+          encoded,
+          lit("\r\n0\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        .otherwise(encoded)
+      val payload = concat(encode(head, "UTF-8"), framed)
+      val recs = Tables(s, dir, "documents")
+        .select(lit("mem://crawl_gzip_ccnet.warc").as("path"),
+          col("doc_id").as("offset"),
+          concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("record_id"),
+          concat(lit("http://example.com/doc/"), col("doc_id")).as("target_uri"),
+          payload.as("payload"),
+          lit(true).as("valid"), lit("response").as("warc_type"))
+      val pages = graft.corpus.CrawlPipeline.pageDocsFromRecords(
+        recs, docId = col("offset"))
+      ccnetCompose(s, pages.select(col("doc_id"), col("text")),
+        dedupStage = docs => graft.operators.Paragraphs
+          .dedupFirstByShard(docs, "text", "doc_id", "lang",
+            splitRegex = "\\n", joinSep = "\n"))
+    }),
+
     // INCREMENTAL paragraph-hash dedup against the persistent registry
     // (StreamingParagraphDedup — the q163 stage's streaming twin, the
     // q57 idiom at paragraph granularity): real table text plus a
@@ -1526,7 +1614,11 @@ object TextQueries {
     "hi" -> "अप्रैल का एक उजला ठंडा दिन था और घड़ियां तेरह बजा रही थीं जब लोग संकरी गलियों से होकर जल्दी जल्दी घर लौट रहे थे",
     "th" -> "มันเป็นวันที่อากาศหนาวและสดใสในเดือนเมษายน นาฬิกาตีสิบสามครั้ง ขณะที่ผู้คนรีบกลับบ้านผ่านถนนแคบ",
     "he" -> "היה יום בהיר וקר בחודש אפריל והשעונים צלצלו שלוש עשרה בעוד אנשים ממהרים הביתה דרך הרחובות הצרים",
-    "fa" -> "روزی روشن و سرد در ماه آوریل بود و ساعت ها سیزده بار زنگ زدند در حالی که مردم از خیابان های تنگ به خانه می شتافتند")
+    "fa" -> "روزی روشن و سرد در ماه آوریل بود و ساعت ها سیزده بار زنگ زدند در حالی که مردم از خیابان های تنگ به خانه می شتافتند",
+    "tr" -> "nisan ayında parlak soğuk bir gündü ve saatler on üçü vururken insanlar dar sokaklardan evlerine koşuyordu",
+    "bn" -> "এপ্রিলের এক উজ্জ্বল ঠান্ডা দিন ছিল আর ঘড়িগুলো তেরোটা বাজাচ্ছিল যখন মানুষ সরু রাস্তা দিয়ে তাড়াতাড়ি বাড়ি ফিরছিল",
+    "ta" -> "அது ஏப்ரல் மாதத்தின் ஒளி மிகுந்த குளிர்ந்த நாள் கடிகாரங்கள் பதின்மூன்று அடித்தன மக்கள் குறுகிய தெருக்கள் வழியாக வேகமாக வீடு திரும்பினர்",
+    "te" -> "అది ఏప్రిల్ నెలలో ప్రకాశవంతమైన చల్లని రోజు గడియారాలు పదమూడు కొట్టాయి ప్రజలు ఇరుకైన వీధుల గుండా వేగంగా ఇంటికి తిరిగారు")
 
   // unknown-SCRIPT probe: Georgian is deliberately NOT in the model
   // (Thai and Hebrew graduated into it in r16, Greek in r15), so every
@@ -2170,6 +2262,10 @@ object TextQueries {
     "q162_ccnet_epochs" -> ccnetEpochsOracle,
     "q163_ccnet_dedup" -> ccnetDedupOracle,
     "q164_crawl_ccnet_dedup" -> ccnetCrawlDedupOracle,
+    // q166 shares q164's oracle VERBATIM: the closed-form recomposition
+    // is compression-blind, so the Content-Encoding stage must restore
+    // every body byte-exactly for the chain to reproduce it
+    "q166_crawl_gzip_ccnet" -> ccnetCrawlDedupOracle,
     // q165: keep-first paragraph dedup + positional reassembly over REAL
     // table text + the planted per-source boilerplate — paragraph
     // ordinality via DuckDB's zipping parallel unnest, reassembly via

@@ -53,6 +53,22 @@ object StreamingParagraphDedup {
   ) extends Serializable {
     require(buckets > 0, "buckets must be positive")
 
+    /** `idCol` contract: non-null and castable to long (the registry
+      * stores the winner id as a long). Enforced IN-PLAN via
+      * [[winnerId]] — a null or non-castable id raises instead of
+      * silently nulling the probe's winner comparison, which would
+      * disable registry dedup and the re-delivery identity without an
+      * error (every registered duplicate would be kept: `wid === null`
+      * is null, the anti-join condition never matches).
+      */
+    private def winnerId(idCol: String) = {
+      val cast = col(s"`$idCol`").cast("long")
+      when(cast.isNotNull, cast).otherwise(raise_error(concat(
+        lit(s"ParagraphRegistry: id column '$idCol' must be non-null " +
+          "and castable to long, got "),
+        coalesce(col(s"`$idCol`").cast("string"), lit("NULL")))))
+    }
+
     private def indexExists(spark: SparkSession): Boolean =
       IndexMaintenance.indexExists(spark, dir)
 
@@ -61,7 +77,9 @@ object StreamingParagraphDedup {
       * columns, text re-assembled from surviving paragraphs in
       * positional order). With `batchId` set, a batch whose
       * `_batches/<id>` marker exists skips the append and re-derives
-      * identical output (the registered winners are its own).
+      * identical output (the registered winners are its own). `idCol`
+      * must be non-null and long-castable (see [[winnerId]]) — violations
+      * raise in-plan rather than silently disabling the dedup.
       */
     def dedupeBatch(batch: DataFrame, textCol: String, idCol: String,
                     shardCol: String, batchId: Option[Long] = None,
@@ -75,6 +93,7 @@ object StreamingParagraphDedup {
         .where(length(trim(col("para"))) > 0)
         .withColumn("__key", concat(col(s"`$shardCol`"), lit(":"),
           TextFns.fingerprint(col("para"))))
+        .withColumn("__wid", winnerId(idCol))
         .withColumn("__band", pmod(xxhash64(col("__key")), lit(buckets.toLong)))
         // batch-sized; MEMORY_ONLY — recompute (one split pass) beats spill
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
@@ -92,7 +111,7 @@ object StreamingParagraphDedup {
             .select(col("id").as("__rkey"), col("wid"), col("widx"))
           paras.join(reg,
               col("__key") === col("__rkey") &&
-                !(col("wid") === col(s"`$idCol`").cast("long") &&
+                !(col("wid") === col("__wid") &&
                   col("widx") === col("para_idx").cast("long")),
               "left_anti")
         }
@@ -114,7 +133,7 @@ object StreamingParagraphDedup {
         if (!markerPath.exists(fsys.exists)) {
           val rows = winners.select(col("__key").as("id"),
             col("__band").as("band"),
-            col(s"`$idCol`").cast("long").as("wid"),
+            col("__wid").as("wid"),
             col("para_idx").cast("long").as("widx"))
           // empty appends would leave a data-less dir the next probe
           // cannot read (the family-wide convention)

@@ -167,6 +167,123 @@ class HttpDecodeSpec extends SparkSuite {
     assert(chunk(Array.emptyByteArray, "chunked").length === 0)
   }
 
+  private def dcmp(body: Array[Byte], ce: String): Array[Byte] =
+    HttpDecodeKernel.decompress(body, UTF8String.fromString(ce))
+
+  private def cmp(body: Array[Byte], ce: String): Array[Byte] =
+    HttpDecodeKernel.compress(body, UTF8String.fromString(ce))
+
+  test("decompress: gzip / x-gzip / deflate / identity round-trip; stacked codings unwrap right-to-left") {
+    val b = "body content — crème brûlée".getBytes(StandardCharsets.UTF_8)
+    assert(dcmp(cmp(b, "gzip"), "gzip").toSeq === b.toSeq)
+    assert(dcmp(cmp(b, "gzip"), "x-gzip").toSeq === b.toSeq) // label alias
+    assert(dcmp(cmp(b, "deflate"), "deflate").toSeq === b.toSeq)
+    assert(dcmp(b, "identity").toSeq === b.toSeq)
+    assert(dcmp(b, "").toSeq === b.toSeq)
+    // listed in APPLY order; removal runs right-to-left
+    assert(dcmp(cmp(b, "gzip, deflate"), "gzip, deflate").toSeq === b.toSeq)
+    // RAW deflate mislabeled "deflate" (the famous server bug): fallback
+    val raw = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](4096)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    assert(dcmp(raw, "deflate").toSeq === b.toSeq)
+  }
+
+  test("decompress quarantine: lying label unchanged, instant corruption null, truncation salvages the prefix") {
+    val plain = "<html>never was gzip</html>".getBytes(StandardCharsets.UTF_8)
+    // labeled gzip, no gzip magic: the server lied — unchanged
+    assert(dcmp(plain, "gzip").toSeq === plain.toSeq)
+    // gzip magic then immediate garbage: nothing decodable — null
+    val corrupt = Array(0x1f.toByte, 0x8b.toByte, 0x09.toByte) ++
+      Array.fill[Byte](16)(0x55)
+    assert(dcmp(corrupt, "gzip") === null)
+    // truncated capture: the decompressed PREFIX comes back (real page
+    // content; WARC truncates mid-body constantly)
+    val big = ("lorem ipsum dolor sit amet " * 4000).getBytes(StandardCharsets.UTF_8)
+    val gz = cmp(big, "gzip")
+    val cut = dcmp(gz.take(gz.length / 2), "gzip")
+    assert(cut != null && cut.length > 0 && cut.length < big.length)
+    assert(big.take(cut.length).toSeq === cut.toSeq)
+    // truncated deflate salvages too
+    val zcut = dcmp(cmp(big, "deflate").take(200), "deflate")
+    assert(zcut != null && zcut.length > 0 && big.take(zcut.length).toSeq === zcut.toSeq)
+    // an undecodable coding stops the walk: bytes pass through as-is
+    assert(dcmp(plain, "br").toSeq === plain.toSeq)
+    assert(dcmp(cmp(plain, "gzip"), "br, gzip") != null) // gzip removed…
+    assert(dcmp(cmp(plain, "gzip"), "br, gzip").toSeq === plain.toSeq)
+    assert(dcmp(cmp(plain, "gzip"), "gzip, br").toSeq === cmp(plain, "gzip").toSeq)
+    // empty body: unchanged under every coding label
+    assert(dcmp(Array.emptyByteArray, "gzip").length === 0)
+    assert(dcmp(Array.emptyByteArray, "deflate").length === 0)
+  }
+
+  test("decompress bomb guard: output truncates at the per-body cap") {
+    val zeros = new Array[Byte](80 * 1024 * 1024) // ~80 KiB gzipped
+    val out = dcmp(cmp(zeros, "gzip"), "gzip")
+    // the guard stops BEFORE the overflowing buffer write, so the
+    // truncation point is within one read-buffer of the cap
+    assert(out.length <= HttpDecodeKernel.MaxDecompressedBodyBytes)
+    assert(out.length > HttpDecodeKernel.MaxDecompressedBodyBytes - 64 * 1024)
+  }
+
+  test("compress rejects an unknown coding loudly (a lying header must not be forged)") {
+    val b = "x".getBytes(StandardCharsets.UTF_8)
+    val e = intercept[IllegalArgumentException] { cmp(b, "br") }
+    assert(e.getMessage.contains("br"))
+  }
+
+  test("decompress expression: codegen plan, nullable result surfaces as SQL NULL") {
+    val corrupt = Array(0x1f.toByte, 0x8b.toByte, 0x09.toByte) ++
+      Array.fill[Byte](16)(0x55)
+    val df = Seq(
+      (1L, cmp("page one".getBytes(StandardCharsets.UTF_8), "gzip"), "gzip"),
+      (2L, "plain".getBytes(StandardCharsets.UTF_8), ""),
+      (3L, corrupt, "gzip"),
+      (4L, null.asInstanceOf[Array[Byte]], "gzip"))
+      .toDF("id", "body", "ce")
+      .select(col("id"),
+        HttpDecodeExpr.decodeHttpBody(
+          HttpDecodeExpr.decompressHttpBody(col("body"), col("ce")),
+          lit("")).as("t"))
+    val got = df.as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(got === Array((1L, Some("page one")), (2L, Some("plain")),
+      (3L, None), (4L, None)))
+    val plan = spark.range(2)
+      .select(HttpDecodeExpr.decompressHttpBody(
+        graft.functions.HttpDecodeExpr.compressHttpBody(
+          encode(col("id").cast("string"), "UTF-8"), lit("gzip")),
+        lit("gzip")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("pipeline integration: gzip-under-chunked Latin-1 page survives; an undecodable body nulls through") {
+    val page = "<html><body><p>café crème - naïve</p></body></html>"
+    val pb = cmp(page.getBytes(StandardCharsets.ISO_8859_1), "gzip")
+    val framed = s"${pb.length.toHexString}\r\n".getBytes(StandardCharsets.ISO_8859_1) ++
+      pb ++ "\r\n0\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n" +
+      "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n")
+    val good = head.getBytes(StandardCharsets.ISO_8859_1) ++ framed
+    val badBody = Array(0x1f.toByte, 0x8b.toByte, 0x09.toByte) ++
+      Array.fill[Byte](16)(0x55)
+    val bad = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1) ++ badBody
+    val recs = Seq(
+      ("mem://f", 0L, "<urn:x:3>", "http://a.com/p", good, true, "response"),
+      ("mem://f", 1L, "<urn:x:4>", "http://a.com/q", bad, true, "response"))
+      .toDF("path", "offset", "record_id", "target_uri", "payload",
+        "valid", "warc_type")
+    val out = graft.corpus.CrawlPipeline.pageDocsFromRecords(recs)
+      .select("url", "text").as[(String, Option[String])].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(("http://a.com/p", Some("café crème - naïve")),
+      ("http://a.com/q", None)))
+  }
+
   test("pipeline integration: a chunked Latin-1 page survives pageDocsFromRecords intact") {
     val page = "<html><body><p>café crème - naïve</p></body></html>"
     val pb = page.getBytes(StandardCharsets.ISO_8859_1)

@@ -30,7 +30,11 @@ class LangIdSpec extends SparkSuite {
     "hi" -> "उसने पत्र खोला और अपनी सुबह की कॉफी पीते हुए स्कूल के बारे में समाचार पढ़ा",
     "th" -> "เธอเปิดจดหมายและอ่านข่าวเกี่ยวกับโรงเรียนขณะดื่มกาแฟยามเช้าของเธอ",
     "he" -> "היא פתחה את המכתב וקראה את החדשות על בית הספר בזמן ששתתה את קפה הבוקר שלה",
-    "fa" -> "او نامه را باز کرد و در حالی که قهوه صبح خود را می نوشید خبرهای مدرسه را خواند")
+    "fa" -> "او نامه را باز کرد و در حالی که قهوه صبح خود را می نوشید خبرهای مدرسه را خواند",
+    "tr" -> "mektubu açtı ve sabah kahvesini içerken okul hakkındaki haberleri okudu",
+    "bn" -> "সে চিঠিটা খুলল আর সকালের কফি খেতে খেতে স্কুলের খবর পড়ল",
+    "ta" -> "அவள் கடிதத்தைத் திறந்து காலை காபி குடித்தபடி பள்ளியைப் பற்றிய செய்திகளைப் படித்தாள்",
+    "te" -> "ఆమె ఉత్తరం తెరిచి ఉదయం కాఫీ తాగుతూ బడి గురించి వార్తలు చదివింది")
 
   private val minGap = graft.operators.LangId.DefaultMinOovGap
   // unknown-script probes: Georgian and Armenian are not model languages
