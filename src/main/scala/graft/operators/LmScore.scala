@@ -187,6 +187,128 @@ object LmScore {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
+  /** Per-stratum LINEAR unigram probabilities (stratum, token, p_uni) —
+    * the λ₃ backoff channel of [[scoreDocsTrigramBy]]; the stratified
+    * twin of [[unigramProbs]], same two map-side-combinable aggregations.
+    */
+  def unigramProbsBy(df: DataFrame, textCol: String,
+                     strataCol: String): DataFrame = {
+    val t = df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$strataCol`").as("stratum"),
+        explode(toks(col(s"`$textCol`"))).as("token"))
+      .groupBy("stratum", "token").agg(count(lit(1)).as("__c"))
+    val tot = t.groupBy("stratum").agg(sum("__c").as("__t"))
+    t.join(tot, Seq("stratum"))
+      .select(col("stratum"), col("token"),
+        (col("__c").cast("double") / col("__t")).as("p_uni"))
+  }
+
+  /** Per-stratum conditional bigram probabilities
+    * (stratum, w1, w2, p_cond2) with p = c(w1,w2) / Σ_w c(w1,w) within
+    * the stratum — the λ₂ channel. Observed-bigrams-only output
+    * (Zipf-thin), two keyed aggregations + one join, exactly the
+    * [[bigramProbs]] shape with the stratum riding every key.
+    */
+  def bigramCondProbsBy(df: DataFrame, textCol: String,
+                        strataCol: String): DataFrame = {
+    val c2 = ngramsBy(df, textCol, strataCol, 2)
+      .groupBy("stratum", "w1", "w2").agg(count(lit(1)).as("__c"))
+    val cs = c2.groupBy("stratum", "w1").agg(sum("__c").as("__s"))
+    c2.join(cs, Seq("stratum", "w1"))
+      .select(col("stratum"), col("w1"), col("w2"),
+        (col("__c").cast("double") / col("__s")).as("p_cond2"))
+  }
+
+  /** Per-stratum conditional trigram probabilities
+    * (stratum, w1, w2, w3, p_cond3) with p = c(w1,w2,w3) / Σ_w
+    * c(w1,w2,w) — the λ₁ channel.
+    */
+  def trigramCondProbsBy(df: DataFrame, textCol: String,
+                         strataCol: String): DataFrame = {
+    val c3 = ngramsBy(df, textCol, strataCol, 3)
+      .groupBy("stratum", "w1", "w2", "w3").agg(count(lit(1)).as("__c"))
+    val cs = c3.groupBy("stratum", "w1", "w2").agg(sum("__c").as("__s"))
+    c3.join(cs, Seq("stratum", "w1", "w2"))
+      .select(col("stratum"), col("w1"), col("w2"), col("w3"),
+        (col("__c").cast("double") / col("__s")).as("p_cond3"))
+  }
+
+  /** (stratum, w1..wn) adjacent token n-grams of every document — one
+    * map-side transform/sequence projection + posexplode, no shuffle
+    * (the [[bigramPairs]] idiom generalized; `extra` columns ride along).
+    */
+  private def ngramsBy(df: DataFrame, textCol: String, strataCol: String,
+                       n: Int, extra: Seq[String] = Nil): DataFrame = {
+    val fields = (1 to n)
+      .map(i => s"'w$i', __toks[i${if (i == n) "" else s"-${n - i}"}]")
+      .mkString(", ")
+    df.where(col(s"`$textCol`").isNotNull)
+      .select((col(s"`$strataCol`").as("stratum") +:
+        extra.map(c => col(s"`$c`"))) :+
+        toks(col(s"`$textCol`")).as("__toks"): _*)
+      .where(size(col("__toks")) >= n)
+      .select(col("*"), explode(expr(
+        s"transform(sequence(${n - 1}, size(__toks)-1), " +
+          s"i -> named_struct($fields))")).as("__ng"))
+      .select(col("*") +: (1 to n).map(i => col(s"__ng.w$i").as(s"w$i")): _*)
+      .drop("__toks", "__ng")
+  }
+
+  /** Per-document mean TRIGRAM log-probability under two-level
+    * interpolation backoff, per stratum — the CCNet-fidelity upgrade of
+    * [[scoreDocsBy]] (real CCNet runs a 5-gram KenLM; an interpolated
+    * trigram closes most of the distance at one more keyed aggregate):
+    * each adjacent triple scores
+    * `log10(λ₁·p(w3|w1w2) + λ₂·p(w3|w2) + (1−λ₁−λ₂)·p(w3))`, so an
+    * unseen trigram degrades to the bigram channel and an unseen bigram
+    * to the unigram channel instead of a hard floor. `pFloor` is the
+    * linear unseen-unigram mass (keeps the log argument positive);
+    * docs with fewer than three tokens score `logFloor` with their
+    * true token count (the budget stages downstream consume n_tokens,
+    * so it must be the TOKEN count — n_trigrams + 2 for scoring docs —
+    * not the trigram count).
+    *
+    * Shuffle shape: map-side triple stream, three un-hinted model
+    * joins (AQE broadcasts small per-language models, shuffles
+    * unbounded ones), one (id, stratum) aggregation — the
+    * [[scoreDocsBigram]] scale story with one more join.
+    */
+  def scoreDocsTrigramBy(df: DataFrame, textCol: String, idCol: String,
+                         strataCol: String, trigram: DataFrame,
+                         bigram: DataFrame, unigramLin: DataFrame,
+                         lambda1: Double, lambda2: Double,
+                         pFloor: Double, logFloor: Double): DataFrame = {
+    require(lambda1 >= 0 && lambda2 >= 0 && lambda1 + lambda2 < 1,
+      "need lambda1, lambda2 >= 0 with lambda1 + lambda2 < 1 (a real " +
+        "unigram backoff channel — else an unseen bigram scores log10(0))")
+    require(pFloor > 0, "pFloor must be positive (log argument)")
+    val lambda3 = 1.0d - lambda1 - lambda2
+    val triples = ngramsBy(
+      df.where(col(s"`$textCol`").isNotNull)
+        .select(col(s"`$idCol`").as("id"), col(s"`$strataCol`"),
+          col(s"`$textCol`")),
+      textCol, strataCol, 3, extra = Seq("id"))
+    val scored = triples
+      .join(trigram, Seq("stratum", "w1", "w2", "w3"), "left")
+      .join(bigram.select(col("stratum"), col("w1").as("w2"),
+        col("w2").as("w3"), col("p_cond2")), Seq("stratum", "w2", "w3"), "left")
+      .join(unigramLin.select(col("stratum"), col("token").as("w3"),
+        col("p_uni")), Seq("stratum", "w3"), "left")
+      .select(col("id"), col("stratum"),
+        log10(coalesce(col("p_cond3"), lit(0.0d)) * lambda1 +
+          coalesce(col("p_cond2"), lit(0.0d)) * lambda2 +
+          coalesce(col("p_uni"), lit(pFloor)) * lambda3).as("__lp"))
+      .groupBy("id", "stratum")
+      .agg(avg("__lp").as("mean_logp"), count(lit(1)).as("__n3"))
+    df.where(col(s"`$textCol`").isNotNull)
+      .select(col(s"`$idCol`").as("id"), col(s"`$strataCol`").as("stratum"),
+        size(toks(col(s"`$textCol`"))).cast("long").as("__nt"))
+      .join(scored, Seq("id", "stratum"), "left")
+      .select(col("id"), col("stratum"),
+        coalesce(col("mean_logp"), lit(logFloor)).as("mean_logp"),
+        col("__nt").as("n_tokens"))
+  }
+
   def scoreDocs(df: DataFrame, textCol: String, idCol: String,
                 unigram: DataFrame, oovLogp: Double): DataFrame = {
     val exploded = df.where(col(s"`$textCol`").isNotNull)

@@ -1170,14 +1170,14 @@ object TextQueries {
     // the q90 note). Oracle: the shared four-stage recomposition plus
     // the defining epoch inequality over a window cumsum.
     "q162_ccnet_epochs" -> ((s, dir) =>
-      ccnetCompose(s, ccnetInjected(s, dir), kept =>
+      ccnetCompose(s, ccnetInjected(s, dir), budgetStage = Some(kept =>
         graft.operators.Sampling.epochsToBudget(kept,
             "lang", "doc_id", "n_tokens",
             Map("en" -> 250L, "ko" -> 2000L),
             maxEpochs = 3, defaultBudget = 900L)
           .select(col("doc_id"), col("lang"), col("tier"),
             col("mean_logp"), col("n_tokens"), col("epoch"))
-          .orderBy("doc_id", "epoch"))),
+          .orderBy("doc_id", "epoch")))),
 
     // The MISSING CCNet stage, in CCNet's published order: per-language
     // PARAGRAPH-HASH dedup between language id and LM training
@@ -1191,8 +1191,7 @@ object TextQueries {
     // min-doc rows per (lang, fingerprint).
     "q163_ccnet_dedup" -> ((s, dir) =>
       ccnetCompose(s, ccnetDedupInjected(s, dir),
-        dedupStage = docs => graft.operators.Paragraphs
-          .dedupFirstByShard(docs, "text", "doc_id", "lang"))),
+        dedup = graft.corpus.CcnetPipeline.OneShot())),
 
     // The same CCNet composition over the REAL CRAWL PATH — raw HTTP
     // bytes to a per-language budgeted release in one plan: each doc
@@ -1333,9 +1332,8 @@ object TextQueries {
       val pages = graft.corpus.CrawlPipeline.pageDocsFromRecords(
         recs, docId = col("offset"))
       ccnetCompose(s, pages.select(col("doc_id"), col("text")),
-        dedupStage = docs => graft.operators.Paragraphs
-          .dedupFirstByShard(docs, "text", "doc_id", "lang",
-            splitRegex = "\\n", joinSep = "\n"))
+        dedup = graft.corpus.CcnetPipeline.OneShot(
+          splitRegex = "\\n", joinSep = "\n"))
     }),
 
     // q164's five-stage chain with the SIXTH wire layer in-plan:
@@ -1421,9 +1419,8 @@ object TextQueries {
       val pages = graft.corpus.CrawlPipeline.pageDocsFromRecords(
         recs, docId = col("offset"))
       ccnetCompose(s, pages.select(col("doc_id"), col("text")),
-        dedupStage = docs => graft.operators.Paragraphs
-          .dedupFirstByShard(docs, "text", "doc_id", "lang",
-            splitRegex = "\\n", joinSep = "\n"))
+        dedup = graft.corpus.CcnetPipeline.OneShot(
+          splitRegex = "\\n", joinSep = "\n"))
     }),
 
     // INCREMENTAL paragraph-hash dedup against the persistent registry
@@ -1436,7 +1433,16 @@ object TextQueries {
     // in-plan gate pins the incremental survivors EQUAL to the one-shot
     // operator's, row for row (registry threading, winner coordinates,
     // and the batch boundary must all be exact).
-    "q165_incremental_paradedup" -> mkQ165(gated = true)
+    "q165_incremental_paradedup" -> mkQ165(gated = true),
+
+    // q158's chain scored by the INTERPOLATED TRIGRAM LM
+    // (CcnetPipeline lmOrder = 3 — λ₁·p(w3|w1w2) + λ₂·p(w3|w2) +
+    // λ₃·p(w3), the step toward CCNet's real 5-gram perplexity):
+    // same corpus, same langid, same tiers and budgets, so the oracle
+    // diff isolates the order-3 scorer — the conditional tables, the
+    // backoff arithmetic, the n_tokens-not-n_trigrams budget contract.
+    "q168_ccnet_trigram" -> ((s, dir) =>
+      ccnetCompose(s, ccnetInjected(s, dir), lmOrder = 3))
   )
 
   private def mkQ165(gated: Boolean): Q = (s, dir) => {
@@ -1566,32 +1572,25 @@ object TextQueries {
     Tables(s, dir, "documents").select(col("doc_id"), txt.as("text"))
   }
 
+  /** The q158-family composition, replumbed through the production API
+    * ([[graft.corpus.CcnetPipeline]] — r17): the queries supply only
+    * their fixture corpora and stage choices; langid/dedup/LM/tiers/
+    * budgets and the stage-persist idiom live in the pipeline. A custom
+    * `budgetStage` shapes its own output (q162 adds an epoch column);
+    * the default projects the five canonical columns.
+    */
   private def ccnetCompose(s: SparkSession, injected: DataFrame,
-      budgetStage: DataFrame => DataFrame = kept =>
-        graft.operators.Sampling.byTokenBudget(kept,
-            "lang", "doc_id", "n_tokens",
-            Map("en" -> 400L, "zh" -> 250L), defaultBudget = 300L)
-          .select(col("doc_id"), col("lang"), col("tier"),
-            col("mean_logp"), col("n_tokens"))
-          .orderBy("doc_id"),
-      dedupStage: DataFrame => DataFrame = identity): DataFrame = {
-    val docs = dedupStage(graft.operators.LangId.classify(injected, "text")
-        .where(col("lang") =!= "und"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val uni = graft.operators.LmScore.trainUnigramBy(docs, "text", "lang")
-    val scored = graft.operators.LmScore
-      .scoreDocsBy(docs, "text", "doc_id", "lang", uni, oovLogp = -12.0)
-      .select(col("id").as("doc_id"), col("stratum").as("lang"),
-        round(col("mean_logp"), 6).as("mean_logp"), col("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = graft.operators.Sampling.percentileBuckets(scored,
-        "lang", "doc_id", "mean_logp",
-        Seq("head" -> 0.25, "middle" -> 0.5, "tail" -> 0.25))
-      .where(col("tier") =!= "tail")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = budgetStage(kept)
-    graft.core.Frames.releaseAfterNextAction(s, docs, scored, kept)
-    out
+      budgetStage: Option[DataFrame => DataFrame] = None,
+      dedup: graft.corpus.CcnetPipeline.DedupStage =
+        graft.corpus.CcnetPipeline.NoDedup,
+      lmOrder: Int = 1): DataFrame = {
+    val cfg = graft.corpus.CcnetPipeline.Config(
+      budgets = Map("en" -> 400L, "zh" -> 250L), defaultBudget = 300L,
+      lmOrder = lmOrder, dedup = dedup, budgetStage = budgetStage)
+    val out = graft.corpus.CcnetPipeline.run(s, injected, cfg).budgeted
+    if (budgetStage.isDefined) out
+    else out.select(col("doc_id"), col("lang"), col("tier"),
+      col("mean_logp"), col("n_tokens")).orderBy("doc_id")
   }
 
   // q150 fixtures: held-out sentences (deliberately NOT in
@@ -1736,7 +1735,7 @@ object TextQueries {
     * the injected docs0, per-language LM, and the 25/50/25 tier windows
     * — everything through the `tiered` CTE.
     */
-  private def ccnetTieredCtes: String = ccnetTieredCtesOver(
+  private def ccnetInjectedDocs0Sql: String =
     s"""SELECT doc_id,
        |     CASE WHEN doc_id % 97 = 0 THEN 'ab'
        |          WHEN doc_id % 11 = 5 THEN '$unkSnippet' ||
@@ -1744,16 +1743,89 @@ object TextQueries {
        |          ELSE $langSnippetCaseSql ||
        |            repeat(' #' || CAST(doc_id AS VARCHAR), CAST(doc_id % 3 + 1 AS INT))
        |     END AS txt
-       |   FROM documents""".stripMargin,
+       |   FROM documents""".stripMargin
+
+  private def ccnetPlainLtokSql: String =
     """ltok AS (SELECT doc_id, lang,
        |     unnest(regexp_split_to_array(trim(txt), '\s+')) AS token
-       |   FROM docs1 WHERE trim(txt) <> '')""".stripMargin)
+       |   FROM docs1 WHERE trim(txt) <> '')""".stripMargin
+
+  private def ccnetTieredCtes: String =
+    ccnetTieredCtesOver(ccnetInjectedDocs0Sql, ccnetPlainLtokSql)
 
   /** The q158-family prefix parametrized by the injected corpus and the
     * docs1→ltok layer (q163 splices its paragraph-dedup CTEs there; the
     * LM/tier tail is shared verbatim).
     */
-  private def ccnetTieredCtesOver(docs0Body: String, ltokCtes: String): String = {
+  // the default (unigram, order-1) per-language LM block: ltok → lsc —
+  // the KenLM stand-in the q158 family scores with
+  private def ccnetUnigramLmCtes: String =
+    """lcnt AS (SELECT lang, token, CAST(count(*) AS DOUBLE) AS c
+      |   FROM ltok GROUP BY 1, 2),
+      | ltot AS (SELECT lang, sum(c) AS lt FROM lcnt GROUP BY 1),
+      | luni AS (SELECT lang, token, log10(c / lt) AS lp
+      |   FROM lcnt JOIN ltot USING (lang)),
+      | lsc AS (SELECT l.doc_id, l.lang,
+      |     round(avg(coalesce(u.lp, -12.0)), 6) AS mean_logp,
+      |     count(*) AS n_tokens
+      |   FROM ltok l LEFT JOIN luni u
+      |     ON u.lang = l.lang AND u.token = l.token
+      |   GROUP BY 1, 2)""".stripMargin
+
+  /** The interpolated-TRIGRAM LM block (q168 — CcnetPipeline's
+    * `lmOrder = 3`): per-language conditional trigram/bigram tables +
+    * the linear unigram channel, each triple scoring
+    * log10(λ₁·p(w3|w1w2) + λ₂·p(w3|w2) + λ₃·p(w3)); positions come
+    * from the q165 parallel-unnest ordinality idiom, and λ₃ is written
+    * `(1.0 - 0.6 - 0.3)` so DuckDB computes the SAME double the Scala
+    * side's `1 - λ₁ - λ₂` produces (0.1 as a literal is a DIFFERENT
+    * double; the gap survives round(6) near ties).
+    */
+  private def ccnetTrigramLmCtes: String =
+    """ltokp AS (SELECT doc_id, lang,
+      |     unnest(regexp_split_to_array(trim(txt), '\s+')) AS token,
+      |     unnest(generate_series(1,
+      |       len(regexp_split_to_array(trim(txt), '\s+')))) AS pos
+      |   FROM docs1 WHERE trim(txt) <> ''),
+      | big AS (SELECT a.doc_id, a.lang, a.token AS w1, b.token AS w2
+      |   FROM ltokp a JOIN ltokp b
+      |     ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+      | tri AS (SELECT a.doc_id, a.lang,
+      |     a.token AS w1, b.token AS w2, c.token AS w3
+      |   FROM ltokp a JOIN ltokp b
+      |     ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |   JOIN ltokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      | lcnt AS (SELECT lang, token, CAST(count(*) AS DOUBLE) AS c
+      |   FROM ltok GROUP BY 1, 2),
+      | ltot AS (SELECT lang, sum(c) AS lt FROM lcnt GROUP BY 1),
+      | lup AS (SELECT lang, token, c / lt AS p FROM lcnt JOIN ltot USING (lang)),
+      | c2 AS (SELECT lang, w1, w2, CAST(count(*) AS DOUBLE) AS c
+      |   FROM big GROUP BY 1, 2, 3),
+      | s2 AS (SELECT lang, w1, sum(c) AS s FROM c2 GROUP BY 1, 2),
+      | p2 AS (SELECT lang, w1, w2, c / s AS p FROM c2 JOIN s2 USING (lang, w1)),
+      | c3 AS (SELECT lang, w1, w2, w3, CAST(count(*) AS DOUBLE) AS c
+      |   FROM tri GROUP BY 1, 2, 3, 4),
+      | s3 AS (SELECT lang, w1, w2, sum(c) AS s FROM c3 GROUP BY 1, 2, 3),
+      | p3 AS (SELECT lang, w1, w2, w3, c / s AS p
+      |   FROM c3 JOIN s3 USING (lang, w1, w2)),
+      | tsc AS (SELECT t.doc_id, t.lang,
+      |     avg(log10(coalesce(q3.p, 0.0) * 0.6 + coalesce(q2.p, 0.0) * 0.3 +
+      |       coalesce(q1.p, 1e-9) * (1.0 - 0.6 - 0.3))) AS m
+      |   FROM tri t
+      |   LEFT JOIN p3 q3 ON q3.lang = t.lang AND q3.w1 = t.w1
+      |     AND q3.w2 = t.w2 AND q3.w3 = t.w3
+      |   LEFT JOIN p2 q2 ON q2.lang = t.lang AND q2.w1 = t.w2 AND q2.w2 = t.w3
+      |   LEFT JOIN lup q1 ON q1.lang = t.lang AND q1.token = t.w3
+      |   GROUP BY 1, 2),
+      | ntok AS (SELECT doc_id, lang, count(*) AS n FROM ltok GROUP BY 1, 2),
+      | lsc AS (SELECT n.doc_id, n.lang,
+      |     round(coalesce(t.m, -12.0), 6) AS mean_logp,
+      |     n.n AS n_tokens
+      |   FROM ntok n LEFT JOIN tsc t
+      |     ON t.doc_id = n.doc_id AND t.lang = n.lang)""".stripMargin
+
+  private def ccnetTieredCtesOver(docs0Body: String, ltokCtes: String,
+                                  lmCtes: String = ccnetUnigramLmCtes): String = {
     val gap = graft.operators.LangId.DefaultMinOovGap
     (s"""$langModelCtes,
        | docs0 AS ($docs0Body),
@@ -1765,17 +1837,7 @@ object TextQueries {
        |   LEFT JOIN oov ob ON ob.lang = t.lang),
        | docs1 AS (SELECT doc_id, lang, txt FROM lab WHERE lang <> 'und'),
        | $ltokCtes,
-       | lcnt AS (SELECT lang, token, CAST(count(*) AS DOUBLE) AS c
-       |   FROM ltok GROUP BY 1, 2),
-       | ltot AS (SELECT lang, sum(c) AS lt FROM lcnt GROUP BY 1),
-       | luni AS (SELECT lang, token, log10(c / lt) AS lp
-       |   FROM lcnt JOIN ltot USING (lang)),
-       | lsc AS (SELECT l.doc_id, l.lang,
-       |     round(avg(coalesce(u.lp, -12.0)), 6) AS mean_logp,
-       |     count(*) AS n_tokens
-       |   FROM ltok l LEFT JOIN luni u
-       |     ON u.lang = l.lang AND u.token = l.token
-       |   GROUP BY 1, 2),
+       | $lmCtes,
        | rkt AS (SELECT doc_id, lang, mean_logp, n_tokens,
        |     row_number() OVER (PARTITION BY lang
        |       ORDER BY mean_logp DESC, doc_id) AS r,
@@ -1788,6 +1850,15 @@ object TextQueries {
 
   private[queries] def ccnetReleaseOracle: String =
     ccnetBudgetOracleOver(ccnetTieredCtes)
+
+  /** q168: the q158 recomposition with the LM block swapped for the
+    * interpolated trigram ([[ccnetTrigramLmCtes]]); everything else —
+    * corpus, langid mirror, tiers, budgets — is q158's verbatim, so the
+    * diff isolates the order-3 scorer exactly.
+    */
+  private[queries] def ccnetTrigramOracle: String =
+    ccnetBudgetOracleOver(ccnetTieredCtesOver(
+      ccnetInjectedDocs0Sql, ccnetPlainLtokSql, ccnetTrigramLmCtes))
 
   /** q163: the q158 recomposition with CCNet's paragraph-hash dedup
     * spliced between langid and LM training — paragraphs split on blank
@@ -2261,6 +2332,7 @@ object TextQueries {
     "q160_crawl_ccnet" -> ccnetReleaseOracle,
     "q162_ccnet_epochs" -> ccnetEpochsOracle,
     "q163_ccnet_dedup" -> ccnetDedupOracle,
+    "q168_ccnet_trigram" -> ccnetTrigramOracle,
     "q164_crawl_ccnet_dedup" -> ccnetCrawlDedupOracle,
     // q166 shares q164's oracle VERBATIM: the closed-form recomposition
     // is compression-blind, so the Content-Encoding stage must restore
