@@ -337,7 +337,9 @@ object MediaHeadersOgg {
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("n_pages", IntegerType, nullable = false),
     StructField("duration_sec", DoubleType, nullable = false),
-    StructField("chained", BooleanType, nullable = false)))
+    StructField("chained", BooleanType, nullable = false),
+    StructField("stream_durations", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
 
   private def u16le(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -355,7 +357,8 @@ object MediaHeadersOgg {
 
   private def empty = InternalRow(false,
     org.apache.spark.unsafe.types.UTF8String.fromString(""), 0, 0, 0, 0.0,
-    false)
+    false,
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Double]))
 
   /** OGG container metadata — the page grammar (RFC 3533) plus the
     * Vorbis identification header / OpusHead parse: codec, channels,
@@ -372,20 +375,33 @@ object MediaHeadersOgg {
     * duration. A CHAINED file (a new BOS after the reported stream's
     * EOS page, RFC 3533 §4) reports the FIRST stream's codec/duration
     * and raises the `chained` flag; `n_pages` counts every page of the
-    * whole physical stream. Truncated pages / trailing junk stop the
-    * walk (the ripper posture shared with [[MediaHeaders.mp3Meta]]);
-    * ok requires at least one complete BOS page opening a recognized
-    * codec.
+    * whole physical stream. `stream_durations` (r17) reports ONE entry
+    * per recognized logical stream in BOS order, each on its own codec
+    * clock — element 0 equals `duration_sec`, and a chained file's
+    * secondary streams are readable without a second parse. Truncated
+    * pages / trailing junk stop the walk (the ripper posture shared
+    * with [[MediaHeaders.mp3Meta]]); ok requires at least one complete
+    * BOS page opening a recognized codec.
     */
   def oggMeta(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 27) return empty
     var o = 0
     var nPages = 0
-    var lastGranule = -1L
-    var codec = ""; var channels = 0; var rate = 0; var preskip = 0
-    var lockedSerial = 0L; var locked = false
-    var lockedEos = false; var chained = false
+    var chained = false
     var stop = false
+    // EVERY recognized logical stream registers, in BOS order — the
+    // scalar fields report stream 0 (the locked-stream contract), and
+    // `stream_durations` carries one entry per recognized stream on its
+    // OWN codec clock (chained files get their secondary durations
+    // without a second parse; unrecognized streams — skeleton — never
+    // register, so foreign granules still cannot leak anywhere).
+    val sSerial = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sCodec = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sChannels = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sRate = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sPreskip = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sGranule = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sEos = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     while (!stop && o + 27 <= b.length && matches(b, o, "OggS")) {
       val htype = b(o + 5) & 0xff
       val granule = u64le(b, o + 6)
@@ -400,39 +416,41 @@ object MediaHeadersOgg {
         else {
           nPages += 1
           if ((htype & 0x02) != 0) { // BOS: an id header may open here
-            if (locked && lockedEos) chained = true
-            if (!locked) {
-              if (plen >= 16 && b(pstart) == 1 && matches(b, pstart + 1, "vorbis")) {
-                codec = "vorbis"
-                channels = b(pstart + 11) & 0xff
-                rate = u32le(b, pstart + 12).toInt
-                lockedSerial = serial; locked = true
-              } else if (plen >= 19 && matches(b, pstart, "OpusHead")) {
-                codec = "opus"
-                channels = b(pstart + 9) & 0xff
-                preskip = u16le(b, pstart + 10)
-                rate = 48000 // Opus granule clock, whatever the input rate
-                lockedSerial = serial; locked = true
-              } // unrecognized BOS (skeleton etc.): keep scanning
-            }
+            if (sEos.nonEmpty && sEos(0)) chained = true
+            if (plen >= 16 && b(pstart) == 1 && matches(b, pstart + 1, "vorbis")) {
+              sSerial += serial; sCodec += "vorbis"
+              sChannels += (b(pstart + 11) & 0xff)
+              sRate += u32le(b, pstart + 12).toInt
+              sPreskip += 0; sGranule += -1L; sEos += false
+            } else if (plen >= 19 && matches(b, pstart, "OpusHead")) {
+              sSerial += serial; sCodec += "opus"
+              sChannels += (b(pstart + 9) & 0xff)
+              sRate += 48000 // Opus granule clock, whatever the input rate
+              sPreskip += u16le(b, pstart + 10)
+              sGranule += -1L; sEos += false
+            } // unrecognized BOS (skeleton etc.): keep scanning
           }
-          if (locked && serial == lockedSerial) {
-            if (granule != -1L && !lockedEos) lastGranule = granule
-            if ((htype & 0x04) != 0) lockedEos = true
+          val si = sSerial.indexOf(serial)
+          if (si >= 0) {
+            if (granule != -1L && !sEos(si)) sGranule(si) = granule
+            if ((htype & 0x04) != 0) sEos(si) = true
           }
           o = pstart + plen
         }
       }
     }
-    if (nPages == 0 || codec.isEmpty || rate <= 0) return empty
-    val dur =
-      if (lastGranule < 0) 0.0
-      else if (codec == "opus")
-        math.max(0L, lastGranule - preskip).toDouble / 48000.0
-      else lastGranule.toDouble / rate
+    if (nPages == 0 || sCodec.isEmpty || sRate(0) <= 0) return empty
+    def durOf(i: Int): Double =
+      if (sGranule(i) < 0) 0.0
+      else if (sCodec(i) == "opus")
+        math.max(0L, sGranule(i) - sPreskip(i)).toDouble / 48000.0
+      else if (sRate(i) > 0) sGranule(i).toDouble / sRate(i)
+      else 0.0
     InternalRow(true,
-      org.apache.spark.unsafe.types.UTF8String.fromString(codec),
-      channels, rate, nPages, dur, chained)
+      org.apache.spark.unsafe.types.UTF8String.fromString(sCodec(0)),
+      sChannels(0), sRate(0), nPages, durOf(0), chained,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.tabulate(sCodec.length)(durOf)))
   }
 }
 

@@ -323,9 +323,25 @@ object MultimodalQueries {
           "00000014" + hx("tfhd") + "00000008" + "00000001"), h8(fragDefDur),
         lit("00000010" + hx("tfdt") + "00000000" + "00000078" + // base 120
           "00000014" + hx("trun") + "00000001" + "00000003" + "00000000"))
+      // moof3 (r17): the FULL trun flag battery — 0xF05 = data-offset +
+      // first-sample-flags + per-sample duration/size/flags/cto, so the
+      // optional-field offsets and the 16-byte per-sample stride are
+      // oracle-load-bearing; tfdt continues exactly where moof2 ended
+      // (base 120 + 3·default), two samples d1 = 100 + doc%3·20, d2 = 50
+      val fragBase3 = lit(120L) + fragDefDur * lit(3L)
+      val fragD1 = lit(100L) + pmod(col("doc_id"), lit(3)) * lit(20L)
+      val moof3 = concat(
+        lit("00000068" + hx("moof") + "00000060" + hx("traf") +
+          "00000010" + hx("tfhd") + "00000000" + "00000001" +
+          "00000010" + hx("tfdt") + "00000000"), h8(fragBase3),
+        lit("00000038" + hx("trun") + "00000f05" + "00000002" +
+          "00000000" + // data_offset
+          "00000000"), // first_sample_flags
+        h8(fragD1), lit("00000100" + "00000000" + "00000000"),
+        lit("00000032" + "00000100" + "00000000" + "00000000")) // d2 = 50
       val moovFrag = concat(lit("000000b4" + hx("moov")), mvhdFrag,
         trakFrag, mvex)
-      val mp4Frag = concat(ftyp, moovFrag, moof1, moof2)
+      val mp4Frag = concat(ftyp, moovFrag, moof1, moof2, moof3)
       val mp4 = when(pmod(col("doc_id"), lit(13)) === 3, unhex(lit("0000")))
         .when(pmod(col("doc_id"), lit(17)) === 4, unhex(mp4Frag))
         .otherwise(unhex(concat(ftyp, moov)))
@@ -448,7 +464,13 @@ object MultimodalQueries {
           col("m.sample_rate").as("sample_rate"),
           col("m.n_pages").as("n_pages"),
           round(col("m.duration_sec"), 6).as("duration_sec"),
-          col("m.chained").as("chained"))
+          col("m.chained").as("chained"),
+          // per-stream durations (r17): the chained leg's SECOND
+          // logical stream reads out on its own codec clock; null
+          // everywhere a second recognized stream does not exist
+          size(col("m.stream_durations")).as("n_streams"),
+          // try_: a 1-stream array must read NULL, not an ANSI index error
+          round(try_element_at(col("m.stream_durations"), lit(2)), 6).as("dur2"))
         .orderBy("doc_id")
     }),
 
@@ -565,7 +587,8 @@ object MultimodalQueries {
         | (doc_id % 13 <> 3) AS mp4_ok,
         | round(CASE WHEN doc_id % 13 = 3 THEN 0.0
         |   WHEN doc_id % 17 = 4
-        |     THEN (120 + 3 * (60 + (doc_id % 5) * 30)) / 600.0
+        |     THEN (120 + 3 * (60 + (doc_id % 5) * 30)
+        |           + 100 + (doc_id % 3) * 20 + 50) / 600.0
         |   ELSE (1000 + (doc_id % 7) * 500) / 1000.0 END, 6) AS mp4_duration_sec,
         | CAST(CASE WHEN doc_id % 13 = 3 THEN 0
         |   WHEN doc_id % 17 = 4 THEN 1
@@ -605,7 +628,14 @@ object MultimodalQueries {
         | round(CAST(CASE WHEN doc_id % 13 = 6 THEN 0.0
         |   WHEN doc_id % 2 = 0 THEN 1.0 + (doc_id % 5) * 0.1
         |   ELSE 2.0 + (doc_id % 3) * 0.1 END AS DOUBLE), 6) AS duration_sec,
-        | (doc_id % 13 <> 6 AND doc_id % 17 = 4) AS chained
+        | (doc_id % 13 <> 6 AND doc_id % 17 = 4) AS chained,
+        | CAST(CASE WHEN doc_id % 13 = 6 THEN 0
+        |   WHEN doc_id % 17 = 4 THEN 2 ELSE 1 END AS INT) AS n_streams,
+        | round(CASE WHEN doc_id % 13 <> 6 AND doc_id % 17 = 4 THEN
+        |     CASE WHEN doc_id % 2 = 0
+        |       THEN (999999999 - 312) / 48000.0
+        |       ELSE 999999999 / 44100.0 END
+        |   ELSE NULL END, 6) AS dur2
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // closed form from doc_id (the q159 convention): dims w=16+id%9,
     // h=8+id%5 whatever the container; the format/animation/frame

@@ -266,6 +266,58 @@ class MediaHeadersSpec extends SparkSuite {
     assert(r.getBoolean(6) === false, "a multiplexed file is not chained")
   }
 
+  test("ogg: stream_durations — one entry per recognized stream on its own codec clock") {
+    // chained vorbis→opus: [first stream, second stream]
+    val chainedB = oggPage(2, 0, vorbisId(2, 44100), serial = 7) ++
+      oggPage(4, 88200, Array.fill(4)(0.toByte), serial = 7) ++
+      oggPage(2, 0, opusHead(1, 312), serial = 9) ++
+      oggPage(4, 48312 + 312, Array.fill(4)(0.toByte), serial = 9)
+    val rc = MediaHeadersOgg.oggMeta(chainedB)
+    val dursC = rc.getArray(7).toDoubleArray()
+    assert(dursC.toSeq === Seq(2.0, (48312.0 + 312 - 312) / 48000))
+    assert(dursC(0) === rc.getDouble(5), "element 0 equals duration_sec")
+    // multiplexed skeleton: the unrecognized stream never registers
+    val muxB = oggPage(2, 0, fcc("fishead"), serial = 1) ++
+      oggPage(2, 0, vorbisId(2, 44100), serial = 2) ++
+      oggPage(4, 44100, Array.fill(4)(0.toByte), serial = 2) ++
+      oggPage(4, 888888888L, Array.fill(4)(0.toByte), serial = 1)
+    assert(MediaHeadersOgg.oggMeta(muxB).getArray(7).toDoubleArray().toSeq
+      === Seq(1.0))
+    // genuinely multiplexed dual-codec (interleaved, no chaining): both
+    // register in BOS order, primary stays the FIRST, chained stays false
+    val dualB = oggPage(2, 0, opusHead(1, 0), serial = 3) ++
+      oggPage(2, 0, vorbisId(2, 8000), serial = 4) ++
+      oggPage(4, 96000, Array.fill(4)(0.toByte), serial = 3) ++
+      oggPage(4, 16000, Array.fill(4)(0.toByte), serial = 4)
+    val rd = MediaHeadersOgg.oggMeta(dualB)
+    assert(ogg(rd) === ((true, "opus", 1, 48000, 4, 2.0)))
+    assert(rd.getBoolean(6) === false)
+    assert(rd.getArray(7).toDoubleArray().toSeq === Seq(2.0, 2.0))
+  }
+
+  test("fragmented mp4: the FULL trun flag battery (0xF05) — optional fields and the per-sample stride land exactly") {
+    val moov = box("moov", mvhdV0(1000, 0), trakF("avc1", 1, 600), mvex(1, 50))
+    // data_offset + first_sample_flags + per-sample duration/size/flags/cto
+    val moof = box("moof", box("traf", tfhd(1), tfdt(0),
+      box("trun", u32(0xF05), u32(2), u32(0), u32(0),
+        u32(100), u32(4096), u32(0), u32(0),
+        u32(150), u32(2048), u32(0), u32(0))))
+    val got = mp4(MediaHeaders.mp4Meta(ftyp ++ moov ++ moof))
+    assert(got === ((true, 250.0 / 600, 1000, 0L, 1, "avc1")))
+    // duration+cto only (0x900): stride is 8, sizes/flags absent
+    val moof2 = box("moof", box("traf", tfhd(1), tfdt(0),
+      box("trun", u32(0x900), u32(2),
+        u32(70), u32(0), u32(30), u32(0))))
+    val got2 = mp4(MediaHeaders.mp4Meta(ftyp ++ moov ++ moof2))
+    assert(got2 === ((true, 100.0 / 600, 1000, 0L, 1, "avc1")))
+    // truncated per-sample rows degrade to the parsed portion, no throw
+    val moofT = box("moof", box("traf", tfhd(1), tfdt(0),
+      box("trun", u32(0xF05), u32(5), u32(0), u32(0),
+        u32(100), u32(4096), u32(0), u32(0))))
+    val gotT = mp4(MediaHeaders.mp4Meta(ftyp ++ moov ++ moofT))
+    assert(gotT === ((true, 100.0 / 600, 1000, 0L, 1, "avc1")))
+  }
+
   test("ogg quarantine: no magic, unknown codec, zero rate") {
     assert(ogg(MediaHeadersOgg.oggMeta("Ogg".getBytes(ISO_8859_1)))._1 === false)
     val unknown = oggPage(2, 0, fcc("SomeCodecHeaderXYZ"))
