@@ -261,6 +261,18 @@ object Bm25 {
     // artifact) degrades to the dl→0 limit D = k1·(1−b) — weaker floor,
     // still safe. Exotic params (k1 < 0 or b ∉ [0,1]) void the
     // monotonicity argument → floor 0 (no pruning), like the UB cap.
+    //
+    // A "dead-term" extension — dropping an essential term from the
+    // cand FETCH outright when floor_t > max_tf_t, so its buckets never
+    // scan — was investigated (r17) and is PROVABLY VACUOUS: with the
+    // impact artifact present, UB_t IS w(max_tf, min_dl) — the very
+    // function the floor inverts at the very dl it inverts at — so
+    // essential ⟺ UB_t ≥ T ⟺ w(max_tf, min_dl) ≥ T ⟺ max_tf ≥ floor_t.
+    // An essential term can never be dead. Without the artifact the UB
+    // saturates to idf·(k1+1) and dead essentials CAN exist, but
+    // max_tf is exactly what that path does not know. Either way there
+    // is no bucket to skip; the tf-floor row-group pruning above is the
+    // whole win.
     val sfxAfter = col("__sfx") - col("__ub")
     val tTarget = col("__theta") - lit(2e-6) - sfxAfter
     val dShift = lit(params.k1) * (lit(1.0 - params.b) +
