@@ -41,6 +41,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    crawl filter needs to split stickers from photos.
   *  - **BMP**: `BM` + BITMAPINFOHEADER (or the ancient CORE header) LE
   *    dims; top-down bitmaps (negative height) report |height|.
+  *  - **AVIF / HEIC** (ISO-BMFF): brand from `ftyp`, dimensions from
+  *    the max-area `meta/iprp/ipco/ispe` property (thumbnails and
+  *    alpha items carry their own); sequence brands flag `animated`.
+  *  - **ICO** (favicons — ubiquitous in crawls): largest directory
+  *    entry's dims (0 size byte = 256), entry count as `n_frames`.
   *
   * Malformed posture (the [[MediaHeaders]] contract): unrecognized
   * magic, truncated or overrunning framing, a zero dimension — all
@@ -102,7 +107,118 @@ object ImageMeta {
       return gif(b)
     if (b(0) == 'B' && b(1) == 'M')
       return bmp(b)
+    if (b.length >= 12 && fourcc(b, 4) == "ftyp")
+      return isoBmff(b)
+    if (b.length >= 6 && b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0)
+      return ico(b)
     empty
+  }
+
+  /** ISO-BMFF image brands — AVIF/HEIC (r17): the [[MediaHeaders]] box
+    * grammar applied to still images. Brand from ftyp (major, falling
+    * back to the compatible list for `mif1`-major files); dimensions
+    * from `meta/iprp/ipco`'s `ispe` property boxes — the MAX-area one,
+    * since thumbnails and alpha items carry their own ispe. `meta` is a
+    * FULLBOX (4 version/flags bytes before its children — the classic
+    * off-by-four of this walk). An `avis`/`hevs` sequence brand sets
+    * `animated` with n_frames 0: the frame count lives in the track
+    * sample table, out of header-walk scope — documented, not guessed.
+    */
+  private def isoBmff(b: Array[Byte]): InternalRow = {
+    var o = 0
+    val len = b.length
+    // walk top-level boxes: 32-bit sizes only (image files in practice;
+    // size==0 means to-end per the spec)
+    def boxSize(at: Int): Long = {
+      val s = u32be(b, at)
+      if (s == 0L) (len - at).toLong else s
+    }
+    if (boxSize(0) < 16) return empty
+    val ftypEnd = math.min(boxSize(0), (len - 0).toLong).toInt
+    val major = fourcc(b, 8)
+    var brand = major match {
+      case "avif" | "avis" => "avif"
+      case "heic" | "heix" | "hevc" | "hevx" | "hevs" => "heic"
+      case _ => ""
+    }
+    if (brand.isEmpty) {
+      // mif1/msf1 majors: scan the compatible-brand list
+      var p = 16
+      while (brand.isEmpty && p + 4 <= ftypEnd) {
+        fourcc(b, p) match {
+          case "avif" | "avis" => brand = "avif"
+          case "heic" | "heix" | "hevc" | "hevx" => brand = "heic"
+          case _ => ()
+        }
+        p += 4
+      }
+    }
+    if (brand.isEmpty) return empty
+    val animated = major == "avis" || major == "hevs"
+    // find meta (fullbox), then iprp, then ipco, then the max-area ispe
+    var w = 0; var h = 0
+    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var p = start
+      while (p + 8 <= end) {
+        val sz = boxSize(p)
+        if (sz < 8 || sz > end - p) return false
+        f(fourcc(b, p + 4), p + 8, p + sz.toInt)
+        p += sz.toInt
+      }
+      p == end
+    }
+    var ok = true
+    val topClean = walk(0, len) { (t, s, e) =>
+      if (t == "meta" && e - s >= 4) {
+        // fullbox: children start after the 4 version/flags bytes
+        val metaClean = walk(s + 4, e) { (t2, s2, e2) =>
+          if (t2 == "iprp") {
+            val iprpClean = walk(s2, e2) { (t3, s3, e3) =>
+              if (t3 == "ipco") {
+                val ipcoClean = walk(s3, e3) { (t4, s4, e4) =>
+                  if (t4 == "ispe" && e4 - s4 >= 12) {
+                    val iw = u32be(b, s4 + 4).toInt
+                    val ih = u32be(b, s4 + 8).toInt
+                    if (iw.toLong * ih > w.toLong * h) { w = iw; h = ih }
+                  }
+                }
+                if (!ipcoClean) ok = false
+              }
+            }
+            if (!iprpClean) ok = false
+          }
+        }
+        if (!metaClean) ok = false
+      }
+    }
+    if (!topClean || !ok) return empty
+    row(brand, w, h, animated,
+      frames = if (animated) 0 else 1)
+  }
+
+  /** ICO (favicon — ubiquitous in any web crawl): LE directory of
+    * sub-images; dimensions report the LARGEST entry (a 0 size byte
+    * means 256, the format's famous quirk), `n_frames` the directory
+    * entry count (resolution variants, not animation). Strict: the
+    * directory and every entry's declared data extent must fit the
+    * capture.
+    */
+  private def ico(b: Array[Byte]): InternalRow = {
+    val count = u16le(b, 4)
+    if (count <= 0 || 6 + 16 * count > b.length) return empty
+    var w = 0; var h = 0
+    var i = 0
+    while (i < count) {
+      val e = 6 + 16 * i
+      val ew = if ((b(e) & 0xff) == 0) 256 else b(e) & 0xff
+      val eh = if ((b(e + 1) & 0xff) == 0) 256 else b(e + 1) & 0xff
+      val size = u32le(b, e + 8)
+      val off = u32le(b, e + 12)
+      if (off < 6 + 16L * count || off + size > b.length) return empty
+      if (ew.toLong * eh > w.toLong * h) { w = ew; h = eh }
+      i += 1
+    }
+    row("ico", w, h, animated = false, frames = count)
   }
 
   /** RIFF/WebP: the first chunk decides the flavor; size fields must

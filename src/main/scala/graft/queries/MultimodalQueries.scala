@@ -482,8 +482,11 @@ object MultimodalQueries {
     // with in-plan bit arithmetic; VP8X extended canvas + animation
     // flag + ANMF frame chunks), PNG (with an APNG acTL leg), JPEG
     // (SOFn big-endian dims behind an APP0 decoy), and GIF (block walk
-    // counting image descriptors through extension sub-blocks), plus a
-    // BMP leg and a truncated-WebP malformed leg. Parsed back by
+    // counting image descriptors through extension sub-blocks), plus
+    // BMP, AVIF/ISO-BMFF (meta-fullbox / iprp / ipco walk taking the
+    // MAX-AREA ispe over a planted thumbnail; avis brand = animated
+    // sequence), ICO (largest-entry dims, entry count) and a
+    // truncated-WebP malformed leg. Parsed back by
     // graft.functions.ImageMeta — no ImageIO attempt anywhere; the
     // oracle states every field in CLOSED FORM from doc_id, so parser
     // and constructor must invert each other exactly.
@@ -549,12 +552,38 @@ object MultimodalQueries {
       val bmp = concat(
         lit(hx("BM")), le(lit(54L), 4), lit("00000000"), le(lit(54L), 4),
         le(lit(40L), 4), le(w, 4), le(h, 4), lit("00" * 28))
+      // --- AVIF (ISO-BMFF): ftyp (avis brand on even docs = animated
+      // sequence) + meta fullbox / iprp / ipco with TWO ispe properties
+      // — the 8×4 thumbnail's must lose to the primary's by max-area
+      val ispe = concat(lit("00000014" + hx("ispe") + "00000000"),
+        be32(w), be32(h))
+      val ispeThumb = lit("00000014" + hx("ispe") + "00000000" +
+        "00000008" + "00000004")
+      val avif = concat(
+        lit("00000010" + hx("ftyp")),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(hx("avis")))
+          .otherwise(lit(hx("avif"))),
+        lit("00000000"),
+        lit("00000044" + hx("meta") + "00000000" +
+          "00000038" + hx("iprp") + "00000030" + hx("ipco")),
+        ispe, ispeThumb)
+      // --- ICO: two directory entries; the largest (w, h) wins, the
+      // 4×4 variant rides along; entry data extents must fit
+      val ico = concat(
+        lit("00000100" + "0200"),
+        le(w, 1), le(h, 1), lit("0000" + "0000" + "0000"),
+        le(lit(4L), 4), le(lit(38L), 4),
+        lit("0404" + "0000" + "0000" + "0000"),
+        le(lit(4L), 4), le(lit(42L), 4),
+        lit("00" * 8))
       // --- truncated WebP: declared chunk size overruns the capture
       val badWebp = concat(
         lit(hx("RIFF")), le(lit(100L), 4), lit(hx("WEBP") + hx("VP8 ")),
         le(lit(50L), 4), lit("00000000"))
       val payload = when(pmod(col("doc_id"), lit(13)) === 3, unhex(badWebp))
         .when(pmod(col("doc_id"), lit(17)) === 4, unhex(bmp))
+        .when(pmod(col("doc_id"), lit(19)) === 7, unhex(avif))
+        .when(pmod(col("doc_id"), lit(23)) === 8, unhex(ico))
         .otherwise(unhex(
           when(pmod(col("doc_id"), lit(6)) === 0, vp8)
             .when(pmod(col("doc_id"), lit(6)) === 1, vp8l)
@@ -649,6 +678,8 @@ object MultimodalQueries {
         | (doc_id % 13 <> 3) AS img_ok,
         | CASE WHEN doc_id % 13 = 3 THEN ''
         |   WHEN doc_id % 17 = 4 THEN 'bmp'
+        |   WHEN doc_id % 19 = 7 THEN 'avif'
+        |   WHEN doc_id % 23 = 8 THEN 'ico'
         |   WHEN doc_id % 6 IN (0, 1, 2) THEN 'webp'
         |   WHEN doc_id % 6 = 3 THEN 'png'
         |   WHEN doc_id % 6 = 4 THEN 'jpeg'
@@ -658,10 +689,15 @@ object MultimodalQueries {
         | CAST(CASE WHEN doc_id % 13 = 3 THEN 0
         |   ELSE 8 + doc_id % 5 END AS INT) AS height,
         | (doc_id % 13 <> 3 AND doc_id % 17 <> 4 AND
-        |   (doc_id % 6 = 2 OR (doc_id % 6 = 3 AND doc_id % 4 = 1) OR
-        |    (doc_id % 6 = 5 AND doc_id % 3 > 0))) AS animated,
+        |   ((doc_id % 19 = 7 AND doc_id % 2 = 0) OR
+        |    (doc_id % 19 <> 7 AND doc_id % 23 <> 8 AND
+        |     (doc_id % 6 = 2 OR (doc_id % 6 = 3 AND doc_id % 4 = 1) OR
+        |      (doc_id % 6 = 5 AND doc_id % 3 > 0))))) AS animated,
         | CAST(CASE WHEN doc_id % 13 = 3 THEN 0
         |   WHEN doc_id % 17 = 4 THEN 1
+        |   WHEN doc_id % 19 = 7 THEN
+        |     CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END
+        |   WHEN doc_id % 23 = 8 THEN 2
         |   WHEN doc_id % 6 = 2 THEN 2 + doc_id % 3
         |   WHEN doc_id % 6 = 3 AND doc_id % 4 = 1 THEN 2 + doc_id % 5
         |   WHEN doc_id % 6 = 5 THEN 1 + doc_id % 3

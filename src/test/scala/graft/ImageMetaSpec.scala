@@ -116,6 +116,58 @@ class ImageMetaSpec extends SparkSuite {
     assert(meta(gif) === ((true, "gif", 40, 30, true, 3)))
   }
 
+  private def be(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+
+  private def bmffBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val p = payload.flatten.toArray
+    be(8 + p.length, 4) ++ cc(typ) ++ p
+  }
+
+  test("AVIF/HEIC: brand from ftyp, dims from the MAX-AREA ispe, sequence brands animate") {
+    def ispe(w: Long, h: Long) =
+      bmffBox("ispe", be(0, 4), be(w, 4), be(h, 4))
+    def f(major: String, compat: Seq[String], ispes: Array[Byte]*) =
+      bmffBox("ftyp", cc(major), be(0, 4), compat.flatMap(cc(_)).toArray) ++
+        bmffBox("meta", be(0, 4),
+          bmffBox("iprp", bmffBox("ipco", ispes.flatten.toArray)))
+    // still AVIF: primary 1200×800 beats the 160×90 thumbnail
+    assert(meta(f("avif", Nil, ispe(160, 90), ispe(1200, 800))) ===
+      ((true, "avif", 1200, 800, false, 1)))
+    // animated sequence: frame count lives in the track table → 0
+    assert(meta(f("avis", Nil, ispe(640, 360))) ===
+      ((true, "avif", 640, 360, true, 0)))
+    // HEIC major; and an mif1 major resolving through the compat list
+    assert(meta(f("heic", Nil, ispe(4032, 3024))) ===
+      ((true, "heic", 4032, 3024, false, 1)))
+    assert(meta(f("mif1", Seq("miaf", "avif"), ispe(32, 16))) ===
+      ((true, "avif", 32, 16, false, 1)))
+    // unknown brand set: not an image container we know
+    assert(meta(f("mp41", Nil, ispe(10, 10)))._1 === false)
+    // no ispe anywhere: malformed (dims are the point)
+    assert(meta(f("avif", Nil))._1 === false)
+    // a child box overrunning meta: malformed, not a smaller answer
+    val broken = bmffBox("ftyp", cc("avif"), be(0, 4)) ++
+      bmffBox("meta", be(0, 4), be(64, 4) ++ cc("iprp"))
+    assert(meta(broken)._1 === false)
+  }
+
+  test("ICO: largest directory entry wins, 0 size byte means 256, extents validated") {
+    def entry(w: Int, h: Int, size: Long, off: Long) =
+      Array[Byte](w.toByte, h.toByte, 0, 0, 0, 0, 0, 0) ++
+        le(size, 4) ++ le(off, 4)
+    val ico = Array[Byte](0, 0, 1, 0, 2, 0) ++
+      entry(16, 16, 4, 38) ++ entry(0, 0, 4, 42) ++ new Array[Byte](8)
+    // the 0-byte entry is 256×256 — the largest
+    assert(meta(ico) === ((true, "ico", 256, 256, false, 2)))
+    // an entry whose data extent overruns the capture: malformed
+    val bad = Array[Byte](0, 0, 1, 0, 1, 0) ++ entry(16, 16, 400, 22)
+    assert(meta(bad)._1 === false)
+    // cursor type (2) is not an icon
+    assert(meta(Array[Byte](0, 0, 2, 0, 1, 0) ++ entry(4, 4, 4, 22)
+      ++ new Array[Byte](4))._1 === false)
+  }
+
   test("malformed battery: truncation and overruns read as malformed, never as smaller images") {
     // truncated PNG: cut before IDAT
     val png = encoded("png", 10, 10)
