@@ -454,6 +454,130 @@ object MediaHeadersOgg {
   }
 }
 
+/** `audio_meta(payload)` — FLAC and WAV header metadata (r17),
+  * completing the audio-container family beside mp3/ogg/mp4: codec,
+  * channels, sample rate, bits per sample and duration from pure byte
+  * walks, no codec library.
+  *
+  *  - **FLAC**: `fLaC` magic, then metadata blocks (1-byte
+  *    last-flag|type + 24-bit BE length); STREAMINFO (type 0, length
+  *    34) carries the packed 20-bit sample rate, 3-bit channels-1,
+  *    5-bit bps-1 and 36-bit total-samples fields — duration =
+  *    total/rate (total 0 = unknown → 0.0, still ok).
+  *  - **WAV**: `RIFF…WAVE` chunk walk to `fmt ` (PCM fields) and
+  *    `data`; duration = declared data size / byte rate. The data
+  *    payload itself need not be present — a WARC-truncated capture
+  *    still reports the header's claim (the mp3 ripper posture), but
+  *    a malformed `fmt ` (zero rate/channels, size < 16) quarantines.
+  *
+  * Malformed → `ok=false` zeroed row, never an error.
+  */
+object MediaHeadersAudio {
+
+  val audioType: StructType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = false)))
+
+  private def empty = InternalRow(false,
+    UTF8String.fromString(""), 0, 0, 0, 0.0)
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def u24be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) & 0xff)
+
+  def audioMeta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return empty
+    if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      return flac(b)
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      return wav(b)
+    empty
+  }
+
+  private def flac(b: Array[Byte]): InternalRow = {
+    var o = 4
+    var last = false
+    while (!last && o + 4 <= b.length) {
+      val hdr = b(o) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = u24be(b, o + 1)
+      val s = o + 4
+      if (len > b.length - s) return empty // truncated block
+      if (typ == 0) { // STREAMINFO
+        if (len < 34) return empty
+        val rate = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) |
+          ((b(s + 12) & 0xff) >> 4)
+        val channels = ((b(s + 12) >> 1) & 0x07) + 1
+        val bps = (((b(s + 12) & 0x01) << 4) | ((b(s + 13) & 0xff) >> 4)) + 1
+        val total = ((b(s + 13) & 0x0fL) << 32) |
+          ((b(s + 14) & 0xffL) << 24) | ((b(s + 15) & 0xffL) << 16) |
+          ((b(s + 16) & 0xffL) << 8) | (b(s + 17) & 0xffL)
+        if (rate <= 0) return empty
+        return InternalRow(true, UTF8String.fromString("flac"),
+          channels, rate, bps, total.toDouble / rate)
+      }
+      o = s + len
+    }
+    empty // no STREAMINFO before the last block / truncation
+  }
+
+  private def wav(b: Array[Byte]): InternalRow = {
+    var o = 12
+    var channels = 0; var rate = 0L; var byteRate = 0L; var bps = 0
+    var fmtCode = -1
+    var dataSize = -1L
+    while (o + 8 <= b.length && (fmtCode < 0 || dataSize < 0)) {
+      val id = new String(b, o, 4, StandardCharsets.ISO_8859_1)
+      val len = u32le(b, o + 4)
+      val s = o + 8
+      if (id == "fmt ") {
+        if (len < 16 || s + 16 > b.length) return empty
+        fmtCode = u16le(b, s)
+        channels = u16le(b, s + 2)
+        rate = u32le(b, s + 4)
+        byteRate = u32le(b, s + 8)
+        bps = u16le(b, s + 14)
+      } else if (id == "data") {
+        dataSize = len // header claim; payload may be truncated away
+      }
+      // chunks are word-aligned; the data chunk may legally overrun a
+      // truncated capture — advance past the DECLARED extent and let
+      // the loop's bounds check end the walk
+      o = s + ((len + 1L) & ~1L).toInt.max(0)
+      if (o <= s && len > 0) return empty // overflow guard
+    }
+    if (fmtCode < 0 || dataSize < 0 || channels <= 0 || rate <= 0 ||
+      byteRate <= 0) return empty
+    InternalRow(true,
+      UTF8String.fromString(if (fmtCode == 1) "pcm" else s"wav-$fmtCode"),
+      channels, rate.toInt, bps, dataSize.toDouble / byteRate)
+  }
+}
+
+case class AudioMetaExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("audio_meta(payload BINARY) expected")
+  override def dataType: DataType = MediaHeadersAudio.audioType
+  override def nullSafeEval(input: Any): Any =
+    MediaHeadersAudio.audioMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaHeadersAudio.audioMeta($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "audio_meta"
+}
+
 case class OggMetaExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -504,9 +628,12 @@ object MediaHeaderExpr {
       "mp3_meta", exprs => Mp3MetaExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ogg_meta", exprs => OggMetaExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_meta", exprs => AudioMetaExpr(exprs.head), "built-in")
   }
 
   def mp4Meta(payload: Column): Column = call_function("mp4_meta", payload)
   def mp3Meta(payload: Column): Column = call_function("mp3_meta", payload)
   def oggMeta(payload: Column): Column = call_function("ogg_meta", payload)
+  def audioMeta(payload: Column): Column = call_function("audio_meta", payload)
 }

@@ -602,6 +602,61 @@ object MultimodalQueries {
           col("m.animated").as("animated"),
           col("m.n_frames").as("n_frames"))
         .orderBy("doc_id")
+    }),
+
+    // FLAC + WAV header metadata (r17 — completing the audio container
+    // family beside mp3/ogg/mp4): even docs carry a REAL FLAC whose
+    // STREAMINFO packs the 20-bit rate / 3-bit channels-1 / 5-bit
+    // bps-1 / 36-bit total-samples fields with in-plan bit arithmetic;
+    // odd docs a RIFF/WAVE whose data chunk is DECLARED but absent —
+    // the WARC-truncated-capture contract: duration is the header's
+    // claim (data size / byte rate), parsed without the payload.
+    // Closed-form oracle; a truncated-block malformed leg quarantines.
+    "q169_audio_headers" -> ((s, dir) => {
+      graft.functions.MediaHeaderExpr.register(s)
+      def hx(t: String) =
+        t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          .map(b => f"$b%02x").mkString
+      def le(c: Column, n: Int): Column = concat((0 until n).map(i =>
+        lpad(lower(hex(pmod(shiftright(c, 8 * i), lit(256)))), 2, "0")): _*)
+      def be(c: Column, n: Int): Column =
+        lpad(lower(hex(c)), 2 * n, "0")
+      val ch = lit(1L) + pmod(col("doc_id"), lit(3))
+      // --- FLAC: rate 32/40/48k, 16-bit, total = rate × (1 + id%4) ---
+      val fRate = lit(32000L) + pmod(col("doc_id"), lit(3)) * lit(8000L)
+      val fTotal = fRate * (lit(1L) + pmod(col("doc_id"), lit(4)))
+      val b10 = be(shiftright(fRate, 12), 1)
+      val b11 = be(pmod(shiftright(fRate, 4), lit(256)), 1)
+      val b12 = be(shiftleft(fRate.bitwiseAND(lit(0xfL)), 4)
+        .bitwiseOR(shiftleft(ch - 1, 1)), 1)
+      val flac = concat(
+        lit(hx("fLaC") + "80" + "000022" + // last block, STREAMINFO, 34
+          "1000" + "1000" + "000000" + "000000"),
+        b10, b11, b12, lit("f0"), be(fTotal, 4), lit("00" * 16))
+      // --- WAV: fmt + a data chunk declared but not present ---
+      val wRate = lit(8000L) + pmod(col("doc_id"), lit(5)) * lit(8000L)
+      val byteRate = wRate * ch * lit(2L)
+      val dataSize = byteRate * (lit(1L) + pmod(col("doc_id"), lit(3)))
+      val wavHex = concat(
+        lit(hx("RIFF")), le(lit(36L), 4), lit(hx("WAVE") + hx("fmt ")),
+        le(lit(16L), 4), le(lit(1L), 2), le(ch, 2), le(wRate, 4),
+        le(byteRate, 4), le(ch * 2, 2), le(lit(16L), 2),
+        lit(hx("data")), le(dataSize, 4))
+      val payload = when(pmod(col("doc_id"), lit(13)) === 5,
+          unhex(lit(hx("fLaC") + "00" + "000022" + "00000000")))
+        .otherwise(unhex(
+          when(pmod(col("doc_id"), lit(2)) === 0, flac).otherwise(wavHex)))
+      val m = graft.functions.MediaHeaderExpr.audioMeta(payload)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"),
+          col("m.ok").as("audio_ok"),
+          col("m.codec").as("codec"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          round(col("m.duration_sec"), 6).as("duration_sec"))
+        .orderBy("doc_id")
     })
   )
 
@@ -702,6 +757,28 @@ object MultimodalQueries {
         |   WHEN doc_id % 6 = 3 AND doc_id % 4 = 1 THEN 2 + doc_id % 5
         |   WHEN doc_id % 6 = 5 THEN 1 + doc_id % 3
         |   ELSE 1 END AS INT) AS n_frames
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // closed form from doc_id: FLAC on even docs (rate 32/40/48k by
+    // id%3, duration 1+id%4 whole seconds — total samples = rate×secs
+    // makes the division exact), WAV on odd (rate 8–40k by id%5,
+    // duration 1+id%3 from the DECLARED data size over the byte rate —
+    // the payload is absent, pinning the header-claim contract);
+    // channels 1+id%3 on both, 16-bit everywhere, %13=5 quarantines
+    "q169_audio_headers" ->
+      """SELECT doc_id,
+        | (doc_id % 13 <> 5) AS audio_ok,
+        | CASE WHEN doc_id % 13 = 5 THEN ''
+        |   WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'pcm' END AS codec,
+        | CAST(CASE WHEN doc_id % 13 = 5 THEN 0
+        |   ELSE 1 + doc_id % 3 END AS INT) AS channels,
+        | CAST(CASE WHEN doc_id % 13 = 5 THEN 0
+        |   WHEN doc_id % 2 = 0 THEN 32000 + (doc_id % 3) * 8000
+        |   ELSE 8000 + (doc_id % 5) * 8000 END AS INT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 13 = 5 THEN 0
+        |   ELSE 16 END AS INT) AS bits_per_sample,
+        | round(CAST(CASE WHEN doc_id % 13 = 5 THEN 0.0
+        |   WHEN doc_id % 2 = 0 THEN 1 + doc_id % 4
+        |   ELSE 1 + doc_id % 3 END AS DOUBLE), 6) AS duration_sec
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q101_image_neardup" ->
       """WITH sel AS (

@@ -318,6 +318,91 @@ class MediaHeadersSpec extends SparkSuite {
     assert(gotT === ((true, 100.0 / 600, 1000, 0L, 1, "avc1")))
   }
 
+  private def aud(r: org.apache.spark.sql.catalyst.InternalRow) =
+    (r.getBoolean(0), r.getUTF8String(1).toString, r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getDouble(5))
+  import graft.functions.MediaHeadersAudio
+
+  private def streaminfo(rate: Int, ch: Int, bps: Int, total: Long,
+                         last: Boolean = true): Array[Byte] = {
+    val body = leBytes(0x1000, 2).reverse ++ leBytes(0x1000, 2).reverse ++
+      new Array[Byte](6) ++
+      Array[Byte](
+        (rate >> 12).toByte, ((rate >> 4) & 0xff).toByte,
+        (((rate & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte,
+        ((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte) ++
+      Array.tabulate(4)(i => ((total >> (8 * (3 - i))) & 0xff).toByte) ++
+      new Array[Byte](16)
+    Array[Byte]((if (last) 0x80 else 0x00).toByte, 0, 0, body.length.toByte) ++ body
+  }
+
+  test("audio_meta FLAC: packed STREAMINFO fields unpack exactly, incl. >32-bit totals and a leading padding block") {
+    val b = fcc("fLaC") ++ streaminfo(44100, 2, 16, 88200)
+    assert(aud(MediaHeadersAudio.audioMeta(b)) ===
+      ((true, "flac", 2, 44100, 16, 2.0)))
+    // 36-bit total: 5 × 2^32 samples at 96 kHz
+    val big = (5L << 32)
+    val b2 = fcc("fLaC") ++ streaminfo(96000, 8, 24, big)
+    val (ok, c, ch, r, bps, d) = aud(MediaHeadersAudio.audioMeta(b2))
+    assert((ok, c, ch, r, bps) === ((true, "flac", 8, 96000, 24)))
+    assert(math.abs(d - big.toDouble / 96000) < 1e-9)
+    // STREAMINFO behind a padding block (type 1) still found
+    val pad = Array[Byte](0x01, 0, 0, 4) ++ new Array[Byte](4)
+    val b3 = fcc("fLaC") ++ pad ++ streaminfo(32000, 1, 16, 32000)
+    assert(aud(MediaHeadersAudio.audioMeta(b3)) ===
+      ((true, "flac", 1, 32000, 16, 1.0)))
+    // total 0 = unknown duration, still ok
+    assert(aud(MediaHeadersAudio.audioMeta(
+      fcc("fLaC") ++ streaminfo(48000, 2, 16, 0))) ===
+      ((true, "flac", 2, 48000, 16, 0.0)))
+  }
+
+  test("audio_meta WAV: duration is the data chunk's DECLARED claim; extra chunks skip; float format labels") {
+    def le2(v: Int) = leBytes(v.toLong, 2)
+    def le4(v: Long) = leBytes(v, 4)
+    def wav(fmtCode: Int, ch: Int, rate: Int, dataSize: Long,
+            extraChunk: Boolean = false, dataBytes: Int = 0): Array[Byte] = {
+      val byteRate = rate.toLong * ch * 2
+      val fmt = fcc("fmt ") ++ le4(16) ++ le2(fmtCode) ++ le2(ch) ++
+        le4(rate.toLong) ++ le4(byteRate) ++ le2(ch * 2) ++ le2(16)
+      val extra = if (extraChunk)
+        fcc("LIST") ++ le4(4) ++ "INFO".getBytes(ISO_8859_1)
+      else Array.emptyByteArray
+      fcc("RIFF") ++ le4(36) ++ fcc("WAVE") ++ extra ++ fmt ++
+        fcc("data") ++ le4(dataSize) ++ new Array[Byte](dataBytes)
+    }
+    // declared 4 seconds, payload ABSENT (WARC truncation): the claim
+    assert(aud(MediaHeadersAudio.audioMeta(wav(1, 2, 44100, 44100L * 2 * 2 * 4)))
+      === ((true, "pcm", 2, 44100, 16, 4.0)))
+    // a LIST chunk before fmt; data present and word-padded
+    assert(aud(MediaHeadersAudio.audioMeta(
+      wav(1, 1, 8000, 16000, extraChunk = true, dataBytes = 16000)))
+      === ((true, "pcm", 1, 8000, 16, 1.0)))
+    // IEEE float format code labels as wav-3
+    assert(aud(MediaHeadersAudio.audioMeta(wav(3, 2, 48000, 48000L * 2 * 2)))._2
+      === "wav-3")
+  }
+
+  test("audio_meta quarantine: unknown magic, truncated STREAMINFO, zero-rate fmt, missing data") {
+    assert(aud(MediaHeadersAudio.audioMeta("not audio at all".getBytes(ISO_8859_1)))._1 === false)
+    // FLAC block header claims 34 bytes that are not there
+    assert(aud(MediaHeadersAudio.audioMeta(
+      fcc("fLaC") ++ Array[Byte](0x00, 0, 0, 34) ++ new Array[Byte](4)))._1 === false)
+    // zero sample rate in STREAMINFO
+    assert(aud(MediaHeadersAudio.audioMeta(
+      fcc("fLaC") ++ streaminfo(0, 2, 16, 100)))._1 === false)
+    // WAV with fmt but no data chunk
+    def le2(v: Int) = leBytes(v.toLong, 2); def le4(v: Long) = leBytes(v, 4)
+    val noData = fcc("RIFF") ++ le4(36) ++ fcc("WAVE") ++
+      fcc("fmt ") ++ le4(16) ++ le2(1) ++ le2(2) ++ le4(44100) ++
+      le4(176400) ++ le2(4) ++ le2(16)
+    assert(aud(MediaHeadersAudio.audioMeta(noData))._1 === false)
+    // fmt shorter than the PCM minimum
+    val shortFmt = fcc("RIFF") ++ le4(36) ++ fcc("WAVE") ++
+      fcc("fmt ") ++ le4(8) ++ new Array[Byte](8)
+    assert(aud(MediaHeadersAudio.audioMeta(shortFmt))._1 === false)
+  }
+
   test("ogg quarantine: no magic, unknown codec, zero rate") {
     assert(ogg(MediaHeadersOgg.oggMeta("Ogg".getBytes(ISO_8859_1)))._1 === false)
     val unknown = oggPage(2, 0, fcc("SomeCodecHeaderXYZ"))
