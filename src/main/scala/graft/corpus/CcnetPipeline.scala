@@ -32,9 +32,11 @@ import graft.streaming.StreamingParagraphDedup.ParagraphRegistry
   * aggregate + reassembly, never a copy-set window), the LM stages are
   * keyed aggregations plus AQE-adaptive model joins, tiers and budgets
   * are one bucket prefix-sum per language (no per-language driver
-  * loop). Stage frames persist across the multi-pass consumers (the
-  * q87 idiom — without it the exploded LM joins re-run ~8×; measured
-  * 21.9 → 5.8s at sf0.1) and release after the next action.
+  * loop). Stage frames are EAGER localCheckpoints (the ReleasePipeline
+  * idiom) so the multi-pass consumers reuse them (without
+  * materialization the exploded LM joins re-run ~8×; measured
+  * 21.9 → 5.8s at sf0.1) AND downstream plans stay O(stage) for the
+  * analyzer — see the stage-boundary comment in [[run]].
   */
 object CcnetPipeline {
 
@@ -104,8 +106,18 @@ object CcnetPipeline {
       case Incremental(registry, batchId) =>
         registry.dedupeBatch(classified0, textCol, idCol, "lang", batchId)
     }
-    val classified = deduped
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Stage boundaries are EAGER localCheckpoints, not persists (the
+    // ReleasePipeline idiom, r17): a persist caches EXECUTION but leaves
+    // the stage's full logical plan embedded in every downstream
+    // operator, and the crawl-fed compositions (q160/q164/q166) carry
+    // fixture/extraction expression trees large enough that per-action
+    // re-analysis + canonicalization dominated the driver (thread dumps
+    // showed the main thread RUNNABLE in CheckAnalysis/canonicalized
+    // between jobs; q164 spent ~12s of 35s outside any Spark job).
+    // localCheckpoint cuts each stage to a leaf: downstream plans stay
+    // O(stage) for the analyzer AND the executor. Blocks free when the
+    // frames are GC'd.
+    val classified = deduped.localCheckpoint(true)
     val scored0 =
       if (cfg.lmOrder == 1) {
         val uni = LmScore.trainUnigramBy(classified, textCol, "lang")
@@ -122,17 +134,16 @@ object CcnetPipeline {
     val scored = scored0
       .select(col("id").as(idCol), col("stratum").as("lang"),
         round(col("mean_logp"), 6).as("mean_logp"), col("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val tiered = Sampling.percentileBuckets(scored, "lang", idCol,
         "mean_logp", cfg.tiers)
       .where(col("tier").isInCollection(cfg.keepTiers))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val budgeted = cfg.budgetStage match {
       case Some(f) => f(tiered)
       case None => Sampling.byTokenBudget(tiered, "lang", idCol,
         "n_tokens", cfg.budgets, cfg.defaultBudget)
     }
-    graft.core.Frames.releaseAfterNextAction(spark, classified, scored, tiered)
     Result(budgeted, tiered, scored, classified)
   }
 }
