@@ -1989,7 +1989,9 @@ object TextQueries {
   // and zeroes the driver's rows check.
   private def mkQ87(gated: Boolean): Q = (s, dir) => {
     import graft.corpus.ReleasePipeline
+    // Unsplittable-single-file spread, same rationale as mkQ82.
     val docs = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
     val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
     // The shipped release: PII-scrubbed text (a release ships scrubbed —
     // appendBatch compares post-scrub batch text against it) + registry.
@@ -2123,7 +2125,17 @@ object TextQueries {
   // fails the driver's rows-only check.
   private def mkQ82(gated: Boolean, boilerplate: Boolean = false): Q = (s, dir) => {
     import graft.operators.{Decontaminate, LmScore, Pii, TextStats}
+    // The bench table is ONE small parquet file (one row group) — an
+    // unsplittable scan, so without this the pipeline's map-heavy stage
+    // chain (PII scrub, quality stats, sketch kernels) runs on a single
+    // core of the whole machine (guide §2.5: repartition right after an
+    // unsplittable read). Applied per-query, not in Tables: the exchange
+    // is pure overhead for the ~100 sub-second scan-shaped queries
+    // (measured: a blanket spread cost +0.3-0.5s EACH there), and a
+    // production deployment's corpus is a many-file directory where the
+    // scan parallelizes by itself.
     val docs = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
     val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
     val ref   = docs.where(pmod(col("doc_id"), lit(10)) === 0)
     val cand0 = docs.where(pmod(col("doc_id"), lit(97)) =!= 0 &&
