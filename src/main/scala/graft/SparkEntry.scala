@@ -29,7 +29,15 @@ object SparkEntry {
       VectorQueries.defs ++ MultimodalQueries.defs ++ WebQueries.defs ++
       ModelDataQueries.defs)
       .map { case (name, fn) =>
-        name -> ((s: SparkSession, dir: String) => fn(Sessions.init(s), dir))
+        name -> ((s: SparkSession, dir: String) => {
+          val out = fn(Sessions.init(s), dir)
+          // Post-consumption hygiene: release this query's (and any dead
+          // leftover) checkpoint/RDD blocks once the next action — the
+          // harness's consuming count/write — completes. See
+          // [[graft.core.Frames.sweepRddBlocksAfterNextAction]].
+          graft.core.Frames.sweepRddBlocksAfterNextAction(s)
+          out
+        })
       }
 
   def oracleSql: Map[String, String] =
@@ -45,6 +53,10 @@ object SparkEntry {
     (TextQueries.serving ++ VectorQueries.serving ++ ModelDataQueries.serving ++
       WebQueries.serving)
       .map { case (name, fn) =>
-        name -> ((s: SparkSession, dir: String) => fn(Sessions.init(s), dir))
+        name -> ((s: SparkSession, dir: String) => {
+          val out = fn(Sessions.init(s), dir)
+          graft.core.Frames.sweepRddBlocksAfterNextAction(s)
+          out
+        })
       }
 }

@@ -117,7 +117,14 @@ object CcnetPipeline {
     // localCheckpoint cuts each stage to a leaf: downstream plans stay
     // O(stage) for the analyzer AND the executor. Blocks free when the
     // frames are GC'd.
-    val classified = deduped.localCheckpoint(true)
+    // The Incremental registry's dedupeBatch already returns an eager
+    // localCheckpoint(true) leaf (StreamingParagraphDedup) — re-
+    // checkpointing it would be a second full materialization and a
+    // duplicate block copy per batch, so that case passes through.
+    val classified = cfg.dedup match {
+      case Incremental(_, _) => deduped
+      case _ => deduped.localCheckpoint(true)
+    }
     val scored0 =
       if (cfg.lmOrder == 1) {
         val uni = LmScore.trainUnigramBy(classified, textCol, "lang")

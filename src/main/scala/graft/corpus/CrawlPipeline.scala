@@ -64,7 +64,13 @@ object CrawlPipeline {
     * [[ReleasePipeline.Result]] over them.
     */
   final case class Result(docs: DataFrame, release: ReleasePipeline.Result,
-      webStats: WebStats)
+      webStatsFn: () => WebStats) {
+    /** Web-stage survivor counts, computed on FIRST ACCESS (the
+      * [[ReleasePipeline.Result.stats]] convention — 3 count jobs only
+      * stat-reading callers pay).
+      */
+    lazy val webStats: WebStats = webStatsFn()
+  }
 
   /** WARC blobs → per-page text docs: parse (gzip auto-detected), keep
     * valid `response` records, split the HTTP envelope, extract main
@@ -158,6 +164,6 @@ object CrawlPipeline {
     val rel = ReleasePipeline.run(
       cleaned.select(col("doc_id"), col("text")), benchmark, release)
     Result(cleaned, rel,
-      WebStats(pages.count(), unblocked.count(), cleaned.count()))
+      () => WebStats(pages.count(), unblocked.count(), cleaned.count()))
   }
 }

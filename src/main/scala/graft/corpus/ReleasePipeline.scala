@@ -110,9 +110,17 @@ object ReleasePipeline {
     * parity harnesses reuse the pairs rather than re-running the window
     * split + pair search — see the q82 gate).
     */
-  final case class Result(corpus: DataFrame, packed: DataFrame, stats: Stats,
+  final case class Result(corpus: DataFrame, packed: DataFrame,
+      statsFn: () => Stats,
       minhashSig: DataFrame, paraPairs: Option[DataFrame] = None,
       budgeted: Option[DataFrame] = None) {
+    /** Stage survivor counts, computed on FIRST ACCESS (r18): each count
+      * is one job over a checkpointed stage frame, ~10 jobs per run() —
+      * pure overhead for the many callers (every release-family query)
+      * that never read them. Access before the stage frames are released
+      * (i.e. before the consuming action for harness-wrapped queries).
+      */
+    lazy val stats: Stats = statsFn()
     /** This release as [[appendBatch]]'s frozen prior. */
     def toPrior: PriorRelease = PriorRelease(corpus, minhashSig)
   }
@@ -298,26 +306,28 @@ object ReleasePipeline {
       graft.functions.TextFns.tokenCount(col("text")).cast("long").as("len"))
     val packed = Packing.packChunks(sized, "doc_id", "len", cfg.packCapacity)
 
-    val inputN = input.count()
-    val dedupedN = deduped.count()
-    val afterNoveltyN = if (noveltyRef.isEmpty) inputN else scrubbed.count()
-    val afterParaDedupN = if (!cfg.paragraphDedup) dedupedN
-                          else paraDeduped.count()
-    val stats = Stats(
-      input = inputN,
-      // PII scrub is 1:1, so the scrubbed checkpoint carries stage 0's
-      // count — recounting `acquired` would re-run the novelty probe.
-      afterNovelty = afterNoveltyN,
-      afterBoilerplate = if (!cfg.boilerplateLineDedup) afterNoveltyN
-                         else lineClean.count(),
-      afterQuality = qualified.count(),
-      afterDedup = dedupedN,
-      afterParaDedup = afterParaDedupN,
-      afterParaHash = if (!cfg.paragraphHashDedup) afterParaDedupN
-                      else paraHashed.count(),
-      afterDespan = despanned.count(),
-      afterDecontaminate = clean.count(),
-      afterLmFloor = kept.count())
+    val stats = () => {
+      val inputN = input.count()
+      val dedupedN = deduped.count()
+      val afterNoveltyN = if (noveltyRef.isEmpty) inputN else scrubbed.count()
+      val afterParaDedupN = if (!cfg.paragraphDedup) dedupedN
+                            else paraDeduped.count()
+      Stats(
+        input = inputN,
+        // PII scrub is 1:1, so the scrubbed checkpoint carries stage 0's
+        // count — recounting `acquired` would re-run the novelty probe.
+        afterNovelty = afterNoveltyN,
+        afterBoilerplate = if (!cfg.boilerplateLineDedup) afterNoveltyN
+                           else lineClean.count(),
+        afterQuality = qualified.count(),
+        afterDedup = dedupedN,
+        afterParaDedup = afterParaDedupN,
+        afterParaHash = if (!cfg.paragraphHashDedup) afterParaDedupN
+                        else paraHashed.count(),
+        afterDespan = despanned.count(),
+        afterDecontaminate = clean.count(),
+        afterLmFloor = kept.count())
+    }
     // Pluggable budget/mixture stage over the survivors — reuses stage
     // 7's token sizing (one kernel call per doc, no re-tokenize).
     val budgeted = budgetStage.map { f =>
@@ -418,8 +428,13 @@ object ReleasePipeline {
       dedupSurvivors: DataFrame,
       minhashSig: DataFrame,
       registryNew: DataFrame,
-      stats: AppendStats,
+      statsFn: () => AppendStats,
       cached: Seq[DataFrame] = Nil) {
+    /** Stage survivor counts, computed on FIRST ACCESS (the
+      * [[Result.stats]] convention — ~9 count jobs per append that only
+      * stat-reading callers pay).
+      */
+    lazy val stats: AppendStats = statsFn()
     /** The grown release as the NEXT append's frozen prior. */
     def toPrior: PriorRelease = PriorRelease(corpus, minhashSig)
   }
@@ -599,19 +614,21 @@ object ReleasePipeline {
       graft.functions.TextFns.tokenCount(col("text")).cast("long").as("len"))
     val packed = Packing.packChunks(sized, "doc_id", "len", cfg.packCapacity)
 
-    val dedupN = paraDeduped.count()
-    val batchInputN = input.count()
-    val stats = AppendStats(
-      batchInput = batchInputN,
-      afterBoilerplate = if (!cfg.boilerplateLineDedup) batchInputN
-                         else lineClean.count(),
-      afterQuality = qualified.count(),
-      afterExact = exact.count(),
-      afterNearDup = deduped.count(),
-      afterParaDedup = dedupN,
-      afterDespan = despanned.count(),
-      afterDecontaminate = clean.count(),
-      afterLmFloor = kept.count())
+    val stats = () => {
+      val dedupN = paraDeduped.count()
+      val batchInputN = input.count()
+      AppendStats(
+        batchInput = batchInputN,
+        afterBoilerplate = if (!cfg.boilerplateLineDedup) batchInputN
+                           else lineClean.count(),
+        afterQuality = qualified.count(),
+        afterExact = exact.count(),
+        afterNearDup = deduped.count(),
+        afterParaDedup = dedupN,
+        afterDespan = despanned.count(),
+        afterDecontaminate = clean.count(),
+        afterLmFloor = kept.count())
+    }
     // Combined corpus under the Result convention (doc_id, text) —
     // [[PriorRelease]].corpus carries the same names, so chained appends
     // and run()-built priors compose without renames.
@@ -624,7 +641,7 @@ object ReleasePipeline {
       dedupSurvivors = deduped.select("doc_id"),
       minhashSig = prior.minhashSig.unionByName(sigBatch),
       registryNew = sigBatch,
-      stats = stats,
+      statsFn = stats,
       cached = Seq(sigBatch))
   }
 

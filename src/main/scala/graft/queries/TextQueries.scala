@@ -1987,11 +1987,28 @@ object TextQueries {
   // heuristic — see the operator Scaladoc). Any drift in registry
   // threading, band bucketing, or the greedy drop rule breaks parity
   // and zeroes the driver's rows check.
+  /** The release-family `documents` load. The bench table is ONE small
+    * parquet file (one row group) — an unsplittable scan — and the
+    * release pipelines consume it from several independent actions
+    * (eager stage checkpoints, novelty/decontaminate probes, stats), so
+    * a bare `repartition` would re-run the full-table exchange once PER
+    * consuming action (measured r17→r18: +26-63% on q82/q87/q114).
+    * Spread variants were measured in isolation (OPTIMIZATION_r18.md);
+    * the plain scan won: downstream stage parallelism recovers at the
+    * first shuffle each pipeline stage already performs, so the extra
+    * exchange buys nothing here. A production corpus is a many-file
+    * directory where the scan parallelizes by itself (guide §2.5 fixes
+    * input skew at the source).
+    */
+  private def spreadDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+
   private def mkQ87(gated: Boolean): Q = (s, dir) => {
     import graft.corpus.ReleasePipeline
     // Unsplittable-single-file spread, same rationale as mkQ82.
-    val docs = Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = spreadDocs(s, dir)
     val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
     // The shipped release: PII-scrubbed text (a release ships scrubbed —
     // appendBatch compares post-scrub batch text against it) + registry.
@@ -2134,8 +2151,7 @@ object TextQueries {
     // (measured: a blanket spread cost +0.3-0.5s EACH there), and a
     // production deployment's corpus is a many-file directory where the
     // scan parallelizes by itself.
-    val docs = Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = spreadDocs(s, dir)
     val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
     val ref   = docs.where(pmod(col("doc_id"), lit(10)) === 0)
     val cand0 = docs.where(pmod(col("doc_id"), lit(97)) =!= 0 &&
