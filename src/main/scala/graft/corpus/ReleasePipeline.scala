@@ -207,6 +207,19 @@ object ReleasePipeline {
           graft.sources.Checkpoint.readOrCompute(docs.sparkSession, s"$d/$name")(df)
         case None => df.localCheckpoint(true)
       }
+    // Single-consumer boundaries (r18): with the stats counts now lazy,
+    // some stage frames have exactly ONE live consumer — the next stage.
+    // Materializing those buys no reuse and costs a full job + block
+    // round-trip each, so the in-memory path fuses them into the next
+    // stage's materialization (plan depth stays O(2 stages) — the next
+    // boundary truncates). The DURABLE path keeps every boundary: resume
+    // granularity is the point there.
+    def fused(name: String, df: => DataFrame): DataFrame =
+      checkpointDir match {
+        case Some(d) =>
+          graft.sources.Checkpoint.readOrCompute(docs.sparkSession, s"$d/$name")(df)
+        case None => df
+      }
 
     // 1. PII scrub — pure projection, row count unchanged.
     val scrubbed = staged("1_scrub", acquired.select(id.as("doc_id"),
@@ -223,8 +236,9 @@ object ReleasePipeline {
         .where(length(trim(col("scrubbed"))) > 0)
         .select(col("id").as("doc_id"), col("scrubbed").as("text")))
 
-    // 2. Gopher-style quality battery.
-    val qualified = staged("2_quality", lineClean.join(
+    // 2. Gopher-style quality battery. Single consumer (stage 3) —
+    // fused into the exact-dedup materialization.
+    val qualified = fused("2_quality", lineClean.join(
       TextStats.gopherVerdicts(lineClean, "text", "doc_id")
         .where(col("pass")).select(col("id").as("doc_id")), "doc_id"))
 
@@ -265,9 +279,12 @@ object ReleasePipeline {
             knownMaxShingles = Some(cfg.paragraphWindow - cfg.shingleN + 1))
           .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Single consumer each (the next stage; the CC edge collect runs
+    // eagerly inside connectedComponents regardless) — fused forward;
+    // the next staged boundary (5_decontaminate) truncates the plan.
     val paraDeduped =
       if (!cfg.paragraphDedup) deduped
-      else staged("3b_paradedup", {
+      else fused("3b_paradedup", {
         val pDrops = Dedup.connectedComponents(paraPairs.get)
           .where(col("id") =!= col("label")).select("id")
         deduped.join(pDrops, deduped("doc_id") === pDrops("id"), "left_anti")
@@ -277,12 +294,12 @@ object ReleasePipeline {
     // repeated paragraph are cut out of their docs; all-copy docs drop.
     val paraHashed =
       if (!cfg.paragraphHashDedup) paraDeduped
-      else staged("3c_parahash",
+      else fused("3c_parahash",
         Paragraphs.dedupFirst(paraDeduped, "text", "doc_id"))
 
     // 4. Exact-substring scrub: REMOVE corpus-duplicated spans and drop
     // docs scrubbed to nothing (the paper's degenerate case).
-    val despanned = staged("4_despan", TextStats.removeDupSpans(
+    val despanned = fused("4_despan", TextStats.removeDupSpans(
         paraHashed, "text", "doc_id", k = cfg.spanK)
       .where(col("n_kept") > 0)
       .select(col("id").as("doc_id"), col("scrubbed").as("text")))
@@ -504,6 +521,14 @@ object ReleasePipeline {
           graft.sources.Checkpoint.readOrCompute(spark, s"$d/$name")(df)
         case None => df.localCheckpoint(true)
       }
+    // Single-consumer boundaries fuse forward on the in-memory path —
+    // the run() convention (see the `fused` doc there).
+    def fused(name: String, df: => DataFrame): DataFrame =
+      checkpointDir match {
+        case Some(d) =>
+          graft.sources.Checkpoint.readOrCompute(spark, s"$d/$name")(df)
+        case None => df
+      }
 
     require(prior.minhashSig.columns.contains("fp"),
       "appendBatch: the prior registry must carry (id, sig, fp) rows — " +
@@ -533,7 +558,7 @@ object ReleasePipeline {
           scrubbed, "text", "doc_id", cfg.boilerplateMinDf)
         .where(length(trim(col("scrubbed"))) > 0)
         .select(col("id").as("doc_id"), col("scrubbed").as("text")))
-    val qualified = staged("a2_quality", lineClean.join(
+    val qualified = fused("a2_quality", lineClean.join(
       TextStats.gopherVerdicts(lineClean, "text", "doc_id")
         .where(col("pass")).select(col("id").as("doc_id")), "doc_id"))
 
@@ -583,7 +608,7 @@ object ReleasePipeline {
     // TEXT — out of the sig-only contract, documented above.
     val paraDeduped =
       if (!cfg.paragraphDedup) deduped
-      else staged("a4b_paradedup", {
+      else fused("a4b_paradedup", {
         val paras = Paragraphs.splitTokenWindows(deduped, "text", "doc_id",
           cfg.paragraphWindow)
         val pDrops = Paragraphs.nearDupDocPairsAuto(paras, cfg.shingleN,
@@ -595,7 +620,7 @@ object ReleasePipeline {
       })
 
     // 5–7. Batch-relative tail: span scrub, decontamination, LM floor.
-    val despanned = staged("a5_despan", TextStats.removeDupSpans(
+    val despanned = fused("a5_despan", TextStats.removeDupSpans(
         paraDeduped, "text", "doc_id", k = cfg.spanK)
       .where(col("n_kept") > 0)
       .select(col("id").as("doc_id"), col("scrubbed").as("text")))

@@ -2232,10 +2232,12 @@ object TextQueries {
         val paraDrop = Dedup.connectedComponents(res.paraPairs.get)
           .where(col("id") =!= col("label")).select("id")
         val pd = dd.join(paraDrop, dd("doc_id") === paraDrop("id"), "left_anti")
-        val desp = staged(TextStats.removeDupSpans(pd, "text", "doc_id",
+        // Single consumer (cln) — no checkpoint; the cln boundary
+        // truncates the plan (the ReleasePipeline `fused` convention).
+        val desp = TextStats.removeDupSpans(pd, "text", "doc_id",
             k = cfg.spanK)
           .where(col("n_kept") > 0)
-          .select(col("id").as("doc_id"), col("scrubbed").as("text")))
+          .select(col("id").as("doc_id"), col("scrubbed").as("text"))
         val cln = staged(Decontaminate.clean(desp, "text", "doc_id",
           bench.where(col("text").isNotNull).select(col("text")), "text",
           n = cfg.decontaminateN))

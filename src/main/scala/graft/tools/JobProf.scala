@@ -23,7 +23,13 @@ object JobProf {
     @volatile var taskTime = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = js.stageInfos.lastOption.map(_.name.take(90)).getOrElse("?")
+        // Prefer the first graft.* frame in the call-site stack: broadcast
+        // builds all share the opaque CompletableFuture site otherwise.
+        val graftFrame = js.stageInfos.flatMap(_.details.split('\n'))
+          .find(l => l.contains("graft.") && !l.contains("JobProf"))
+          .map(_.trim.take(110))
+        val site = graftFrame.getOrElse(
+          js.stageInfos.lastOption.map(_.name.take(90)).getOrElse("?"))
         jobs.put(js.jobId, (System.nanoTime(), site, js.stageInfos.size))
         js.stageInfos.foreach(si => stageToJob.put(si.stageId, js.jobId))
       }
